@@ -1,0 +1,57 @@
+"""Shared helpers for the conformance query suite.
+
+Every query in :mod:`easydb_server_spark.queries` is written twice:
+once Spark-first (DataFrame API / spark.sql) and once as ANSI SQL for
+the DuckDB oracle. The driver compares row-count + schema +
+order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded to a fixed number of decimals;
+- integer-valued aggregates are cast to BIGINT on the oracle side
+  (DuckDB SUM(BIGINT) returns HUGEINT, Spark returns BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the test tables as a DataFrame (parquet scan).
+
+    Column pruning + predicate pushdown reach the parquet reader
+    automatically because callers express plans declaratively.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as
+    a nanosecond LongType under ``legacy.parquet.nanosAsLong``; convert
+    to a real timestamp JVM-side (micros, matching DuckDB truncation).
+    """
+    if name == "events":
+        # runtime-settable; required even when the caller (e.g. the
+        # driver) built the SparkSession without our session factory
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        import pyspark.sql.functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all test tables as temp views for spark.sql queries."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

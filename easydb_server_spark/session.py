@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the engine.
+
+The reference creates a fresh DataFusion ``SessionContext`` per request
+(`/root/reference/src/data_source/context.rs:17-24,90`) with default
+options. We instead keep one long-lived SparkSession (the roadmap gap
+the reference itself acknowledges) and size it for scale:
+
+- AQE on: runtime re-planning (coalesce shuffle partitions, skew-join
+  splitting, dynamic broadcast selection) — this is what lets the same
+  plan run at sf0.001 locally and at 100 TB on a 1000-executor cluster.
+- ``spark.sql.shuffle.partitions`` is a *starting* value; AQE coalesces
+  downward locally and the setting scales upward on a real cluster.
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  match the DuckDB oracle.
+- Arrow enabled for any Python exchange (pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# local test shape; a real deployment overrides via env/spark-submit conf
+_DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "easydb-spark", master: str | None = None) -> SparkSession:
+    """Return (creating if needed) the shared SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- scale/perf knobs ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # generous driver memory for local[32] single-JVM testing
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # testdata events.parquet stores TIMESTAMP(NANOS,false), which the
+        # vectorized reader rejects; read as long and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
