@@ -15,12 +15,46 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from easydb_server_spark.queries import aggregates as agg
-from easydb_server_spark.queries import joins
+from easydb_server_spark.queries import core, joins, setops, subqueries, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql_or_None)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- projections / filters / conditionals / casts / sort-limit ---
+    "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
+    "core_filter_predicates": (core.q_core_filter_predicates, core.ORACLE_FILTER_PREDICATES),
+    "core_distinct": (core.q_core_distinct, core.ORACLE_DISTINCT),
+    "core_distinct_on": (core.q_core_distinct_on, core.ORACLE_DISTINCT_ON),
+    "core_conditionals": (core.q_core_conditionals, core.ORACLE_CONDITIONALS),
+    "core_cast": (core.q_core_cast, core.ORACLE_CAST),
+    "core_limit_offset": (core.q_core_limit_offset, core.ORACLE_LIMIT_OFFSET),
+    "core_sort_nulls": (core.q_core_sort_nulls, core.ORACLE_SORT_NULLS),
+    # --- window functions ---
+    "window_rank": (windows.q_window_rank, windows.ORACLE_WINDOW_RANK),
+    "window_lag_lead": (windows.q_window_lag_lead, windows.ORACLE_WINDOW_LAG_LEAD),
+    "window_running": (windows.q_window_running, windows.ORACLE_WINDOW_RUNNING),
+    "window_ntile_dist": (windows.q_window_ntile_dist, windows.ORACLE_WINDOW_NTILE_DIST),
+    "window_first_last_nth": (windows.q_window_first_last_nth, windows.ORACLE_WINDOW_FIRST_LAST_NTH),
+    "window_range_frame": (windows.q_window_range_frame, windows.ORACLE_WINDOW_RANGE_FRAME),
+    # --- set operations ---
+    "setop_union": (setops.q_setop_union, setops.ORACLE_UNION),
+    "setop_union_all": (setops.q_setop_union_all, setops.ORACLE_UNION_ALL),
+    "setop_intersect": (setops.q_setop_intersect, setops.ORACLE_INTERSECT),
+    "setop_intersect_all": (setops.q_setop_intersect_all, setops.ORACLE_INTERSECT_ALL),
+    "setop_except": (setops.q_setop_except, setops.ORACLE_EXCEPT),
+    "setop_except_all": (setops.q_setop_except_all, setops.ORACLE_EXCEPT_ALL),
+    # --- subqueries / CTEs / table functions ---
+    "subq_cte": (subqueries.q_subq_cte, subqueries.ORACLE_CTE),
+    "subq_scalar": (subqueries.q_subq_scalar, subqueries.ORACLE_SCALAR),
+    "subq_correlated_scalar": (subqueries.q_subq_correlated_scalar, subqueries.ORACLE_CORRELATED_SCALAR),
+    "subq_in": (subqueries.q_subq_in, subqueries.ORACLE_IN_SUBQ),
+    "subq_not_in_nulls": (subqueries.q_subq_not_in_nulls, subqueries.ORACLE_NOT_IN_NULLS),
+    "subq_derived": (subqueries.q_subq_derived, subqueries.ORACLE_DERIVED),
+    "subq_exists_correlated": (subqueries.q_subq_exists_correlated, subqueries.ORACLE_EXISTS_CORRELATED),
+    "subq_unnest": (subqueries.q_subq_unnest, subqueries.ORACLE_UNNEST),
+    "subq_values": (subqueries.q_subq_values, subqueries.ORACLE_VALUES),
+    "recursive_cte": (subqueries.q_recursive_cte, subqueries.ORACLE_RECURSIVE_CTE),
     # --- aggregations ---
     "agg_pricing_summary": (agg.q_agg_pricing_summary, agg.ORACLE_PRICING_SUMMARY),
     "agg_count_distinct": (agg.q_agg_count_distinct, agg.ORACLE_COUNT_DISTINCT),
