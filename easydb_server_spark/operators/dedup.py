@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-parity operators (BASELINE.json north star; the reference has
+no dedup surface — everything here is new Spark-first design):
+
+- :func:`exact_dedup` — hash-groupBy exact dedup.
+- :func:`minhash_pairs` — MinHash + LSH banding near-dup candidate
+  pairs with exact-Jaccard verification.
+- :func:`simhash_signatures` — per-doc SimHash bit signatures.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via shingle
+  inverted index (no O(n²) scan: only docs sharing a shingle meet).
+- :func:`embedding_neardup_pairs` — cosine near-dup over embeddings.
+
+Scale design: every operator is expressed as explode → shuffle-on-key
+→ aggregate, so Spark distributes by shingle/band/bucket. Nothing
+collects to the driver. Hash functions are md5-derived (deterministic,
+engine-portable): h0 = first 8 hex digits of md5 → uint32, then a
+family of universal hashes (a*h0+b) mod p with p = 4294967311 (prime
+> 2^32); products stay < 2^63 so bigint arithmetic is exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# universal-hash family parameters (deterministic; shared with oracles)
+MINHASH_P = 4294967311  # prime > 2^32
+MINHASH_N = 16  # signature length
+MINHASH_BANDS = 4  # LSH bands (rows per band = N / BANDS)
+
+
+def _hash_params(n: int = MINHASH_N) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — a simple LCG keeps them portable."""
+    params = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(n):
+        x = (a * x + b) % (2**31)
+        pa = x + 1
+        x = (a * x + b) % (2**31)
+        pb = x
+        params.append((pa, pb))
+    return params
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Explode each doc into its distinct word k-shingles.
+
+    Pure JVM expressions: split → sliding windows via transform over an
+    index sequence → array_distinct → explode. At 100 TB this is the
+    map stage before the shingle shuffle; no Python in the loop.
+    """
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
+
+
+def _shingle_hash(col: F.Column) -> F.Column:
+    """shingle → uint32 via md5 (portable across engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy keeping the smallest id per text.
+
+    Hashing first means the shuffle carries 32-byte digests, not
+    full documents — the difference between feasible and not at 100 TB.
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: rows (doc_id, i, minhash).
+
+    Relational formulation (shingles × hash-family → groupBy min):
+    two narrow shuffles, fully distributed, and expressible in ANSI
+    SQL for the oracle.
+    """
+    spark = df.sparkSession
+    sh = word_shingles(df, text_col, id_col, k).withColumn("h0", _shingle_hash(F.col("shingle")))
+    params = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_hash_params())], "i int, a long, b long"
+    )
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h0") + F.col("b")) % MINHASH_P).alias("minhash"))
+    )
+
+
+def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    1. signatures (above);
+    2. band key = md5 of the concatenated band slice → bucket join:
+       only docs agreeing on a full band meet (LSH);
+    3. exact Jaccard on the candidates via the shingle inverted index.
+
+    The candidate join is on (band, band_hash) — at scale the quadratic
+    blowup is confined to same-bucket collisions, the whole point of LSH.
+    """
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    sig = minhash_signatures(df, text_col, id_col, k)
+    bands = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.format_string("%d:%d", "i", "minhash"))))).alias("band_hash"))
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = word_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("p")
+        .join(sh.alias("q"), "shingle")
+        .where(F.col("p.doc_id") < F.col("q.doc_id"))
+        .select(F.col("p.doc_id").alias("doc_a"), F.col("q.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash: sign of summed per-bit word-hash contributions.
+
+    explode(words) × bit-index → groupBy(doc, bit) sum(±1) →
+    groupBy(doc) assemble integer. Narrow shuffles only.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .withColumn("h0", _shingle_hash(F.col("word")))
+    )
+    bit_idx = spark.createDataFrame([(i,) for i in range(bits)], "bit int")
+    contrib = (
+        words.crossJoin(F.broadcast(bit_idx))
+        # SQL-side shiftright: the Python helper wants a literal bit count
+        .withColumn("sign", F.when(F.expr("shiftright(h0, bit) % 2") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return (
+        contrib.withColumn(
+            "bitval", F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.4) -> DataFrame:
+    """Exact n-gram Jaccard similarity via shingle inverted index.
+
+    No LSH approximation: every pair sharing ≥1 shingle is scored.
+    Right choice when the shingle-degree distribution is bounded;
+    at 100 TB pair generation is bounded per-shingle (hot shingles =
+    skew — AQE skew-join handles the shuffle, or pre-filter stopword
+    shingles).
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("p")
+        .join(sh.alias("q"), "shingle")
+        .where(F.col("p.doc_id") < F.col("q.doc_id"))
+        .select(F.col("p.doc_id").alias("doc_a"), F.col("q.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force all-pairs).
+
+    Cosine is computed with an exact left-fold (F.aggregate) over
+    double-cast arrays — deterministic order, portable to the SQL
+    oracle. Brute force is the correctness baseline; the scale path is
+    the LSH-bucketed variant in operators/similarity.py.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    x, y = v.alias("x"), v.alias("y")
+    return (
+        x.join(y, F.col("x.vid") < F.col("y.vid"))
+        .select(
+            F.col("x.vid").alias("id_a"),
+            F.col("y.vid").alias("id_b"),
+            F.round(
+                dot(F.col("x.vec"), F.col("y.vec")) / (norm(F.col("x.vec")) * norm(F.col("y.vec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

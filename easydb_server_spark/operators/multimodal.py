@@ -1,0 +1,89 @@
+"""Multimodal (binary) column plumbing.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side plumbing — schema, Arrow-batched ``mapInPandas``
+pipeline shape, partition-parallel execution — is real and tested;
+the actual media decode is stubbed (decode libraries are not in this
+container) behind :func:`register_decoder` / ``NotImplementedError``
+with a deterministic fake for tests.
+
+At 100 TB the pattern is: ``spark.read.format("binaryFile")`` (or a
+parquet binary column), ``repartition`` to spread large blobs, then
+``mapInPandas`` so each Arrow batch is decoded vectorized in Python
+workers without ever collecting to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = (
+    "item_id bigint, n_bytes int, digest string, kind string, width int, height int"
+)
+
+# pluggable decoder registry: kind -> bytes -> dict of features
+_DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+
+def register_decoder(kind: str, fn: Callable[[bytes], dict]) -> None:
+    _DECODERS[kind] = fn
+
+
+def _decode_stub(kind: str, payload: bytes) -> dict:
+    """Deterministic fake decode — stands in for PIL/ffmpeg etc.
+
+    Real deployments call register_decoder("image", pil_decode); the
+    stub derives stable pseudo-dimensions from the payload so tests
+    exercise the full pipeline deterministically.
+    """
+    if kind in _DECODERS:
+        return _DECODERS[kind](payload)
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for kind={kind!r}")
+    return {"width": len(payload) % 640, "height": (len(payload) * 7) % 480}
+
+
+def binary_features(df: DataFrame, blob_col: str, id_col: str, kind_col: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary columns.
+
+    mapInPandas: each partition streams Arrow batches through Python —
+    partition-parallel, bounded memory (batch size), no driver
+    involvement.
+    """
+    import hashlib
+
+    cols = [id_col, blob_col, kind_col]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[blob_col]) if row[blob_col] is not None else b""
+                feats = _decode_stub(row[kind_col], payload)
+                out.append(
+                    {
+                        "item_id": row[id_col],
+                        "n_bytes": len(payload),
+                        "digest": hashlib.md5(payload).hexdigest(),
+                        "kind": row[kind_col],
+                        "width": feats.get("width"),
+                        "height": feats.get("height"),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["item_id", "n_bytes", "digest", "kind", "width", "height"])
+
+    return df.select(*cols).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def documents_as_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Adapter used by tests/conformance: treat document text bytes as
+    an opaque media payload (UTF-8 encode) with kind='image'."""
+    return df.select(
+        F.col(id_col).alias("item_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image").alias("kind"),
+    )

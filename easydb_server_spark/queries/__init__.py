@@ -15,7 +15,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from easydb_server_spark.queries import aggregates as agg
-from easydb_server_spark.queries import core, joins, setops, subqueries, windows
+from easydb_server_spark.queries import core, joins, setops, subqueries, timeseries, windows
+from easydb_server_spark.queries import functions_ as fns
+from easydb_server_spark.queries import llmops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -55,6 +57,36 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "subq_unnest": (subqueries.q_subq_unnest, subqueries.ORACLE_UNNEST),
     "subq_values": (subqueries.q_subq_values, subqueries.ORACLE_VALUES),
     "recursive_cte": (subqueries.q_recursive_cte, subqueries.ORACLE_RECURSIVE_CTE),
+    # --- scalar function families ---
+    "fn_math": (fns.q_fn_math, fns.ORACLE_FN_MATH),
+    "fn_string": (fns.q_fn_string, fns.ORACLE_FN_STRING),
+    "fn_regex": (fns.q_fn_regex, fns.ORACLE_FN_REGEX),
+    "fn_datetime": (fns.q_fn_datetime, fns.ORACLE_FN_DATETIME),
+    "fn_hash": (fns.q_fn_hash, fns.ORACLE_FN_HASH),
+    "fn_array": (fns.q_fn_array, fns.ORACLE_FN_ARRAY),
+    "fn_struct_map": (fns.q_fn_struct_map, fns.ORACLE_FN_STRUCT_MAP),
+    # --- time-series / event windows (beyond-parity, Structured-Streaming-ready) ---
+    "ts_tumbling": (timeseries.q_ts_tumbling, timeseries.ORACLE_TS_TUMBLING),
+    "ts_sliding": (timeseries.q_ts_sliding, timeseries.ORACLE_TS_SLIDING),
+    "ts_session_window": (timeseries.q_ts_session_window, timeseries.ORACLE_TS_SESSION),
+    "ts_date_bin": (timeseries.q_ts_date_bin, timeseries.ORACLE_TS_DATE_BIN),
+    "ts_gap_detection": (timeseries.q_ts_gap_detection, timeseries.ORACLE_TS_GAP_DETECTION),
+    # --- LLM-data-pipeline: dedup ---
+    "dedup_exact": (llmops.q_dedup_exact, llmops.ORACLE_DEDUP_EXACT),
+    "dedup_minhash": (llmops.q_dedup_minhash, llmops.ORACLE_DEDUP_MINHASH),
+    "dedup_ngram_jaccard": (llmops.q_dedup_ngram_jaccard, llmops.ORACLE_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (llmops.q_dedup_simhash, llmops.ORACLE_DEDUP_SIMHASH),
+    "dedup_embedding_cosine": (llmops.q_dedup_embedding_cosine, llmops.ORACLE_DEDUP_EMBEDDING_COSINE),
+    # --- LLM-data-pipeline: similarity search ---
+    "sim_topk_bruteforce": (llmops.q_sim_topk_bruteforce, llmops.ORACLE_SIM_TOPK_BRUTEFORCE),
+    "sim_topk_lsh": (llmops.q_sim_topk_lsh, llmops.ORACLE_SIM_TOPK_LSH),
+    # --- LLM-data-pipeline: text analysis ---
+    "text_langid": (llmops.q_text_langid, llmops.ORACLE_TEXT_LANGID),
+    "text_quality": (llmops.q_text_quality, llmops.ORACLE_TEXT_QUALITY),
+    "text_token_counts": (llmops.q_text_token_counts, llmops.ORACLE_TEXT_TOKEN_COUNTS),
+    "text_fingerprint": (llmops.q_text_fingerprint, llmops.ORACLE_TEXT_FINGERPRINT),
+    # --- LLM-data-pipeline: multimodal plumbing ---
+    "multimodal_features": (llmops.q_multimodal_features, llmops.ORACLE_MULTIMODAL_FEATURES),
     # --- aggregations ---
     "agg_pricing_summary": (agg.q_agg_pricing_summary, agg.ORACLE_PRICING_SUMMARY),
     "agg_count_distinct": (agg.q_agg_count_distinct, agg.ORACLE_COUNT_DISTINCT),

@@ -1,0 +1,341 @@
+"""Conformance wrappers for the LLM-data-pipeline operators
+(dedup / similarity / text analysis / multimodal plumbing).
+
+Each wraps an operator from easydb_server_spark/operators/ and pairs
+it with a DuckDB oracle that replays the *same* deterministic
+md5-derived hash arithmetic in ANSI SQL, so even MinHash/SimHash get
+exact value-hash checks rather than rows-only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from easydb_server_spark.operators import dedup as D
+from easydb_server_spark.operators import similarity as S
+from easydb_server_spark.operators import text as T
+from easydb_server_spark.operators.multimodal import binary_features, documents_as_binary
+from easydb_server_spark.queries._util import load
+
+# ---------- shared SQL fragments (mirror operators/dedup.py) ----------
+
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh_all AS (
+  SELECT w.doc_id, array_to_string(w.ws[t.i + 1 : t.i + 3], ' ') AS shingle
+  FROM words w, UNNEST(generate_series(0, greatest(len(w.ws) - 3, 0))) t(i)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+hashed AS (
+  SELECT doc_id, shingle,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0
+  FROM sh
+)
+"""
+
+
+def _params_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(D._hash_params()))
+
+
+# ---------- dedup ----------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    dups = d.where(F.col("doc_id") < 50).select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return d.select("doc_id", "text").unionAll(dups)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a dup-injected corpus (md5 groupBy)."""
+    out = D.exact_dedup(_docs_with_dups(spark, sf_dir), "text", "doc_id")
+    return out.orderBy("content_hash")
+
+
+ORACLE_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+)
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+ORDER BY content_hash
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (doc_id, i, minhash) — exact oracle via the
+    same universal-hash family."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return D.minhash_signatures(d, "text", "doc_id").orderBy("doc_id", "i")
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+sh_all AS (
+  SELECT w.doc_id, array_to_string(w.ws[t.i + 1 : t.i + 3], ' ') AS shingle
+  FROM words w, UNNEST(generate_series(0, greatest(len(w.ws) - 3, 0))) t(i)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0 FROM sh
+),
+params(i, a, b) AS (VALUES {_params_values()})
+SELECT h.doc_id, p.i, MIN((p.a * h.h0 + p.b) % {D.MINHASH_P}) AS minhash
+FROM hashed h CROSS JOIN params p
+GROUP BY h.doc_id, p.i
+ORDER BY doc_id, i
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.4).orderBy("doc_a", "doc_b")
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh p JOIN sh q ON p.shingle = q.shingle AND p.doc_id < q.doc_id
+  GROUP BY p.doc_id, q.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures per doc (16-bit, portable bit arithmetic)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.simhash_signatures(d, "text", "doc_id").orderBy("doc_id")
+
+
+ORACLE_DEDUP_SIMHASH = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+w AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t.word), 1, 8)) AS BIGINT) AS h0
+  FROM docs, UNNEST(string_split(text, ' ')) t(word)
+),
+contrib AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h0 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM w CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force correctness path)."""
+    e = load(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.8).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       ROUND(list_cosine_similarity(x.vec, y.vec), 6) AS cosine
+FROM v x JOIN v y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.vec, y.vec) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+# ---------- similarity search ----------
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 5 vectors as queries."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return S.topk_cosine_bruteforce(e, q, "embedding", "vec_id", k=5).orderBy("qid", "rank")
+
+
+ORACLE_SIM_TOPK_BRUTEFORCE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROUND(list_cosine_similarity(c.vec, q.vec), 6) AS cosine
+  FROM v c CROSS JOIN q WHERE c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-3 (scale path) — exact oracle replays the
+    same deterministic hyperplanes."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return S.topk_cosine_lsh(e, q, "embedding", "vec_id", k=3).orderBy("qid", "rank")
+
+
+def _oracle_sim_topk_lsh() -> str:
+    planes = S.lsh_planes(64)
+    plane_lits = ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in planes)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+planes AS (
+  SELECT UNNEST(range(0, {S.LSH_PLANES})) AS i,
+         UNNEST([{plane_lits}]) AS plane
+),
+sigs AS (
+  SELECT v.vec_id, v.vec,
+         CAST(SUM(CASE WHEN list_dot_product(v.vec, p.plane) >= 0
+                       THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes p
+  GROUP BY v.vec_id, v.vec
+),
+q AS (SELECT * FROM sigs WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROUND(list_cosine_similarity(c.vec, q.vec), 6) AS cosine
+  FROM sigs c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+ORDER BY qid, rank
+"""
+
+
+ORACLE_SIM_TOPK_LSH = _oracle_sim_topk_lsh()
+
+
+# ---------- text analysis ----------
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.language_id(d, "text", "doc_id").orderBy("doc_id")
+
+
+def _oracle_langid() -> str:
+    langs = sorted(T.LANG_PROFILES)
+    hit_exprs = ",\n       ".join(
+        "CAST(len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{w}'" for w in T.LANG_PROFILES[lg])
+        + f"], w))) AS INT) AS hits_{lg}"
+        for lg in langs
+    )
+    best = "GREATEST(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pred_chain = "CASE "
+    for lg in langs:
+        pred_chain += f"WHEN hits_{lg} = {best} THEN '{lg}' "
+    pred_chain += "END"
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+hits AS (
+  SELECT doc_id,
+       {hit_exprs}
+  FROM words
+)
+SELECT doc_id,
+       CASE WHEN {best} > 0 THEN {pred_chain} ELSE 'unknown' END AS pred_lang,
+       {', '.join('hits_' + lg for lg in langs)}
+FROM hits ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_LANGID = _oracle_langid()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.quality_score(d, "text", "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct
+  FROM documents
+),
+t2 AS (
+  SELECT *, CAST(len(list_filter(ws, w -> list_contains([{", ".join(repr(w) for w in T.LANG_PROFILES["en"])}], w))) AS INT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_chars, n_words, n_punct, n_stopwords,
+       ROUND((n_words / 400.0) + (CAST(n_stopwords AS DOUBLE) / greatest(n_words, 1) * 2.0)
+             - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0), 6) AS quality
+FROM t2 ORDER BY doc_id
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.token_counts(d, "text", "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, ' +')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{T.BPE_ISH_TOKEN_RE}')) AS INT) AS bpe_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS INT) AS distinct_tokens,
+       ROUND(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS DOUBLE)
+             / len(regexp_split_to_array(text, ' +')), 6) AS type_token_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.fingerprint(d, "text", "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id, MIN(h0) AS fp_min, MAX(h0) AS fp_max, COUNT(*) AS n_shingles
+FROM hashed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------- multimodal plumbing ----------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the real mapInPandas
+    pipeline (decode stubbed deterministically)."""
+    d = load(spark, sf_dir, "documents")
+    return binary_features(documents_as_binary(d, "text", "doc_id"), "payload", "item_id", "kind").orderBy(
+        "item_id"
+    )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id AS item_id,
+       CAST(strlen(text) AS INT)            AS n_bytes,
+       md5(text)                            AS digest,
+       'image'                              AS kind,
+       CAST(strlen(text) % 640 AS INT)      AS width,
+       CAST((strlen(text) * 7) % 480 AS INT) AS height
+FROM documents ORDER BY doc_id
+"""

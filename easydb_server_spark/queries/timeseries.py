@@ -1,0 +1,173 @@
+"""Time-series / event-stream operators over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.B "Streaming-only
+operators: none") — these are the beyond-parity operators motivated by
+the BASELINE north star, implemented with Spark's batch equivalents of
+the Structured Streaming windowing primitives (``window()``,
+``session_window()``), so the exact same expressions lift onto
+``readStream`` unchanged (see easydb_server_spark/streaming/).
+
+All window aggregations are single-shuffle two-phase aggs keyed on
+(window, key) — the canonical 100 TB shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from easydb_server_spark.queries._util import load
+
+
+def q_ts_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: count + sum per (window, event_type)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_TS_TUMBLING = """
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def q_ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size, 1h slide): each event lands in 2
+    windows. Spark's window() emits both; the oracle replicates with an
+    explicit 2-offset expansion."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+ORACLE_TS_SLIDING = """
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR AS VARCHAR) AS window_start,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+def q_ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-min inactivity gap) per user — Spark's
+    session_window in batch mode; oracle is the classic
+    gaps-and-islands (lag + running flag sum)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_TS_SESSION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts) AS VARCHAR) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM islands
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def q_ts_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_bin with arbitrary stride + origin (DataFusion's date_bin;
+    SURVEY.md §7.3 expression shim): exact integer micros arithmetic,
+    no UDF."""
+    e = load(spark, sf_dir, "events")
+    origin = "2024-01-01 00:07:00"
+    stride_us = 15 * 60 * 1_000_000
+    origin_us = F.unix_micros(F.to_timestamp(F.lit(origin)))
+    bin_col = F.timestamp_micros(
+        F.floor((F.unix_micros(F.col("ts")) - origin_us) / stride_us).cast("long") * stride_us + origin_us
+    )
+    return (
+        e.groupBy(bin_col.cast("string").alias("bin_start"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin_start")
+    )
+
+
+ORACLE_TS_DATE_BIN = """
+SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts, TIMESTAMP '2024-01-01 00:07:00') AS VARCHAR) AS bin_start,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY bin_start
+"""
+
+
+def q_ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analysis per user (lag over event time) — the
+    time-series idiom behind dropout/latency monitoring."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds — immune to float-rounding divergence
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap_us", gap_us)
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("total_gap_us"),
+        )
+        .where(F.col("user_id") <= 200)
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TS_GAP_DETECTION = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(MAX(gap_us) AS BIGINT)  AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT)  AS total_gap_us
+FROM gaps WHERE gap_us IS NOT NULL AND user_id <= 200
+GROUP BY user_id
+ORDER BY user_id
+"""
