@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute) with a `noop`-style
+action (count of a cached-nothing plan would skip projection work, so
+we drain via write to the in-memory noop sink when available, else
+collect-limit on top of a full materialization barrier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# headline set: one per operator family, weighted to the heavy plans
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "join_inner_revenue",
+    "join_left_outer",
+    "window_rank",
+    "core_limit_offset",
+    "setop_union_all",
+    "subq_cte",
+    "ts_tumbling",
+    "ts_session_window",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_token_counts",
+    "multimodal_features",
+]
+
+RUNS = 3  # median of 3 warm runs
+
+
+def _drain(df) -> int:
+    """Execute the full plan; cheap result transfer."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from easydb_server_spark import get_spark
+    from easydb_server_spark.queries import spark_queries
+
+    spark = get_spark("easydb-bench")
+    qs = spark_queries()
+
+    # warm-up: JVM/codegen/file-listing paths
+    _drain(qs["core_distinct"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _drain(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall-clock (median of 3 warm runs per query)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Query lifecycle — the engine core (SURVEY.md §3.1/§3.2 ⇔ Spark).
+
+``Engine.query(sql)`` drives the reference's `/fetch` path:
+
+1. classify (A12) → DML or DDL;
+2. DDL: parse CREATE TABLE … LOCATION, store metadata (A14);
+3. DML: rewrite quoted-path table factors to generated temp views
+   (A9), register them by format (A1–A8), resolve remaining names
+   against the catalog and register those too (A10), reject when no
+   table is referenced (A23);
+4. ``spark.sql`` — Catalyst parses/optimizes/executes (the
+   reference's single ``ctx.sql`` call, §2.B);
+5. interactive LIMIT 200 + stringified rows (A13, A15), history (A20).
+
+``Engine.export(sql, fmt)`` is the uncapped `/query/export` path
+(§3.3, A16–A18).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from easydb_server_spark.catalog import Catalog
+from easydb_server_spark.errors import BadRequestError, EmptyTableNameError
+from easydb_server_spark.results import INTERACTIVE_LIMIT, materialize
+from easydb_server_spark.sources.formats import has_known_extension
+from easydb_server_spark.sources.readers import register_path
+from easydb_server_spark.sqlgate import classify, extract_table_names, rewrite_path_tables
+from easydb_server_spark.sqlgate.parse import SQLType, parse_create_table
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or Catalog()
+
+    # ---- registration (steps 3) ----
+
+    def _register_tables(self, sql: str) -> str:
+        rewritten, path_map = rewrite_path_tables(sql)
+        for temp_name, path in path_map.items():
+            register_path(self.spark, temp_name, path)
+            # TEMP rows persist in the catalog like the reference
+            self.catalog.create_table(temp_name, path, type_="TEMP")
+        names = extract_table_names(rewritten)
+        # names with a known file extension but written unquoted are
+        # also path tables (e.g. relative bare paths)
+        remaining = []
+        for n in names:
+            if has_known_extension(n):
+                register_path(self.spark, n, n)
+            else:
+                remaining.append(n)
+        hits = self.catalog.lookup(remaining)
+        for name, path in hits.items():
+            register_path(self.spark, name, path)
+        if not names and not path_map:
+            raise EmptyTableNameError("Table name is empty")
+        return rewritten
+
+    # ---- public API ----
+
+    def dataframe(self, sql: str) -> DataFrame:
+        """DML → registered views → spark.sql DataFrame (uncapped)."""
+        sql_type = classify(sql)
+        if sql_type is not SQLType.DML:
+            raise BadRequestError("Only queries produce DataFrames; got DDL")
+        rewritten = self._register_tables(sql)
+        return self.spark.sql(rewritten.rstrip().rstrip(";"))
+
+    def query(self, sql: str) -> dict:
+        """Interactive /fetch semantics: DML or DDL, stringified result."""
+        t0 = time.time()
+        sql_type = classify(sql)
+        if sql_type is SQLType.DDL:
+            result = self._handle_ddl(sql)
+            result["query_time"] = round(time.time() - t0, 3)
+            return result
+        try:
+            df = self.dataframe(sql)
+            body = materialize(df, INTERACTIVE_LIMIT)
+            self.catalog.record_query(sql, "successful")
+        except Exception:
+            self.catalog.record_query(sql, "fail")
+            raise
+        body["sql_type"] = "DML"
+        body["query_time"] = round(time.time() - t0, 3)
+        return body
+
+    def _handle_ddl(self, sql: str) -> dict:
+        from easydb_server_spark.errors import UnsupportedSQLError
+
+        ct = parse_create_table(sql)
+        if not ct.location:
+            # reference: LOCATION required, else 422 (`src/controllers.rs:92-99`)
+            raise UnsupportedSQLError("CREATE TABLE requires a LOCATION clause")
+        self.catalog.create_table(ct.name, ct.location, ct.columns, ct.comment)
+        return {"header": ["summary"], "rows": [["successful"]], "sql_type": "DDL"}
+
+    def export(self, sql: str, fmt: str) -> str:
+        """Uncapped export → file path (A16–A18)."""
+        from easydb_server_spark.export import export_query
+
+        df = self.dataframe(sql)
+        return export_query(df, fmt)

@@ -33,15 +33,15 @@ def register_decoder(kind: str, fn: Callable[[bytes], dict]) -> None:
     _DECODERS[kind] = fn
 
 
-def _decode_stub(kind: str, payload: bytes) -> dict:
+def _decode_stub(kind: str, payload: bytes, decoders: dict) -> dict:
     """Deterministic fake decode — stands in for PIL/ffmpeg etc.
 
     Real deployments call register_decoder("image", pil_decode); the
     stub derives stable pseudo-dimensions from the payload so tests
     exercise the full pipeline deterministically.
     """
-    if kind in _DECODERS:
-        return _DECODERS[kind](payload)
+    if kind in decoders:
+        return decoders[kind](payload)
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
     return {"width": len(payload) % 640, "height": (len(payload) * 7) % 480}
@@ -57,13 +57,16 @@ def binary_features(df: DataFrame, blob_col: str, id_col: str, kind_col: str) ->
     import hashlib
 
     cols = [id_col, blob_col, kind_col]
+    # snapshot by value: module-level registry state does not exist in
+    # the Python worker processes that run the pickled closure
+    decoders = dict(_DECODERS)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[blob_col]) if row[blob_col] is not None else b""
-                feats = _decode_stub(row[kind_col], payload)
+                feats = _decode_stub(row[kind_col], payload, decoders)
                 out.append(
                     {
                         "item_id": row[id_col],

@@ -1,0 +1,62 @@
+"""xlsx reader: glob-expanded pandas loads → one Spark DataFrame.
+
+Reference behavior (`src/data_source/excel.rs:11-101`):
+- ``path#SheetName`` suffix selects a sheet; default first sheet;
+- header = row 0; rows appended across all glob-matched workbooks;
+- types from header-row cells (kept *deviation*: we use real pandas
+  inference per SURVEY.md §7.4 recommendation, documented superset).
+
+Engine-dependency is gated: openpyxl isn't installed in this
+container, so ``read_xlsx`` raises a clear error unless a loader is
+injected (tests inject a deterministic fake via ``set_excel_loader``).
+
+Scale note (SURVEY.md §7.4 risk 6): the per-file pandas load keeps the
+reference's semantics; for many/huge workbooks the scale path is
+``spark.read.format("binaryFile")`` + ``mapInPandas`` so each workbook
+decodes on an executor. The loader indirection here is exactly that
+seam — the same function body moves into the mapInPandas closure.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from easydb_server_spark.errors import NotFoundError, UnsupportedFormatError
+
+_loader: Callable[[str, str | int], pd.DataFrame] | None = None
+
+
+def set_excel_loader(fn: Callable[[str, str | int], pd.DataFrame] | None) -> None:
+    """Inject an xlsx→DataFrame loader (tests; or a real openpyxl one)."""
+    global _loader
+    _loader = fn
+
+
+def _default_loader(path: str, sheet: str | int) -> pd.DataFrame:
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise UnsupportedFormatError(
+            "xlsx support requires openpyxl, which is not installed; "
+            "inject a loader with set_excel_loader()"
+        ) from e
+    return pd.read_excel(path, sheet_name=sheet, engine="openpyxl")
+
+
+def read_xlsx(spark: SparkSession, resolved_path: str) -> DataFrame:
+    """Read all glob-matched workbooks into one DataFrame."""
+    path, sheet = resolved_path, 0
+    if "#" in resolved_path:
+        path, sheet_name = resolved_path.rsplit("#", 1)
+        sheet = sheet_name
+    files = sorted(_glob.glob(path))
+    if not files:
+        raise NotFoundError(f"No files match path: {path!r}")
+    loader = _loader or _default_loader
+    pdfs = [loader(f, sheet) for f in files]
+    merged = pd.concat(pdfs, ignore_index=True)
+    return spark.createDataFrame(merged)

@@ -1,0 +1,108 @@
+"""Spark readers per format + temp-view registration.
+
+Reference parity (SURVEY.md §2.A A1–A8):
+
+- CSV/TSV: header row + schema inference (DataFusion default
+  ``CsvReadOptions`` ⇔ Spark header/inferSchema options).
+- NdJSON (``.log``/``.txt``): Spark's native JSON reader *is* NDJSON.
+- ``.json`` whole-file: rejected for parity (A4) even though Spark's
+  multiLine reader could handle it.
+- xlsx: out-of-engine load (pandas) → ``createDataFrame`` — mirroring
+  the reference's own out-of-engine calamine loader
+  (`src/data_source/excel.rs:11-101`). Gated behind an import-try
+  (openpyxl is not in this container).
+- Parquet: documented superset.
+
+Globs are native to Spark's DataFrameReader for CSV/JSON/Parquet
+(A1–A3, A7); xlsx expands with ``glob.glob`` like the reference's
+``find_files`` (`src/data_source/utils.rs:28-38`).
+
+Scale note: CSV/NdJSON listing + schema inference is a distributed
+scan; inferred schemas are cached per (path, mtime) so re-registration
+per request (the reference's fresh-session semantics) doesn't re-scan
+— the optimization the reference's roadmap asks for (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from easydb_server_spark.errors import NotFoundError, UnsupportedFormatError
+from easydb_server_spark.sources.formats import DataSourceFormat, get_format
+
+DEFAULT_DATA_DIR = "/var/lib/easydb"
+
+# (resolved_path, fmt, mtime_signature) -> StructType
+_SCHEMA_CACHE: dict[tuple[str, str, tuple], object] = {}
+
+
+def data_dir() -> str:
+    return os.environ.get("DATA_DIR", DEFAULT_DATA_DIR)
+
+
+def resolve_path(path: str) -> str:
+    """Relative paths resolve against DATA_DIR
+    (`src/data_source/context.rs:30-44`, `src/utils.rs:24-30`)."""
+    if os.path.isabs(path):
+        return path
+    return os.path.join(data_dir(), path)
+
+
+def _mtime_signature(resolved: str) -> tuple:
+    files = sorted(_glob.glob(resolved)) or [resolved]
+    sig = []
+    for f in files[:64]:  # bound the stat cost for huge globs
+        try:
+            st = os.stat(f)
+            sig.append((f, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((f, -1, -1))
+    return tuple(sig)
+
+
+def read_path(spark: SparkSession, path: str) -> DataFrame:
+    """Read a file/glob path into a DataFrame, routing by extension."""
+    fmt = get_format(path)
+    resolved = resolve_path(path)
+    if not _glob.glob(resolved) and not os.path.exists(resolved):
+        raise NotFoundError(f"No files match path: {path!r}")
+    if fmt == DataSourceFormat.JSON:
+        raise UnsupportedFormatError("JSON files are currently not supported.")
+    if fmt == DataSourceFormat.XLSX:
+        from easydb_server_spark.sources.excel import read_xlsx
+
+        return read_xlsx(spark, resolved)
+
+    cache_key = (resolved, fmt.value, _mtime_signature(resolved))
+    cached_schema = _SCHEMA_CACHE.get(cache_key)
+
+    if fmt == DataSourceFormat.CSV or fmt == DataSourceFormat.TSV:
+        reader = spark.read.option("header", True)
+        if fmt == DataSourceFormat.TSV:
+            reader = reader.option("sep", "\t")
+        if cached_schema is not None:
+            df = reader.schema(cached_schema).csv(resolved)
+        else:
+            df = reader.option("inferSchema", True).csv(resolved)
+            _SCHEMA_CACHE[cache_key] = df.schema
+        return df
+    if fmt == DataSourceFormat.NDJSON:
+        if cached_schema is not None:
+            return spark.read.schema(cached_schema).json(resolved)
+        df = spark.read.json(resolved)
+        _SCHEMA_CACHE[cache_key] = df.schema
+        return df
+    if fmt == DataSourceFormat.PARQUET:
+        return spark.read.parquet(resolved)
+    raise UnsupportedFormatError(f"Unsupported file format: {path!r}")
+
+
+def register_path(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """read_path + temp-view registration (A1–A3 registration ⇔
+    ``createOrReplaceTempView``)."""
+    df = read_path(spark, path)
+    df.createOrReplaceTempView(name)
+    return df

@@ -1,0 +1,98 @@
+"""End-to-end engine lifecycle — the README scenario (SURVEY.md §5.2
+item 3) plus the quirk/parity behaviors."""
+
+import pytest
+
+from easydb_server_spark.errors import EmptyTableNameError, UnsupportedSQLError
+
+
+class TestReadmeScenario:
+    """FIXTURES.md group 1: the reference's own documented queries."""
+
+    def test_glob_path_as_table(self, engine, data_dir):
+        out = engine.query(f"select * from '{data_dir}/order_*.csv'")
+        assert out["sql_type"] == "DML"
+        assert out["header"] == ["id", "user_id", "product_name"]
+        assert len(out["rows"]) == 4
+
+    def test_create_table_then_join(self, engine, data_dir):
+        r1 = engine.query("create table user () location 'user.csv'")
+        assert r1 == {
+            "header": ["summary"],
+            "rows": [["successful"]],
+            "sql_type": "DDL",
+            "query_time": r1["query_time"],
+        }
+        engine.query("create table log () location 'events_2025*.log'")
+        out = engine.query(
+            "select * from user as t1 inner join log as t2 on (t1.id = t2.user_id)"
+        )
+        assert len(out["rows"]) == 3  # 101 matches twice, 102 once
+
+    def test_relative_path_resolution(self, engine, data_dir):
+        engine.query("create table user () location 'user.csv'")
+        out = engine.query("select count(*) as n from user")
+        assert out["rows"] == [["3"]]
+
+
+class TestParityBehaviors:
+    def test_implicit_limit_200(self, engine):
+        out = engine.query("select * from '/root/testdata/sf0.001/lineitem.parquet'")
+        assert len(out["rows"]) == 200  # A13
+
+    def test_empty_from_rejected(self, engine):
+        with pytest.raises(EmptyTableNameError, match="Table name is empty"):
+            engine.query("SELECT 1")  # A23
+
+    def test_write_statements_rejected(self, engine):
+        with pytest.raises(UnsupportedSQLError):
+            engine.query("DROP TABLE user")  # A12
+
+    def test_ddl_requires_location(self, engine):
+        with pytest.raises(UnsupportedSQLError, match="LOCATION"):
+            engine.query("CREATE TABLE t (id INT)")  # A14
+
+    def test_nulls_render_as_null_string(self, engine, data_dir):
+        engine.query("create table user () location 'user.csv'")
+        out = engine.query("select nullif(id, 101) as maybe from user order by id")
+        assert out["rows"][0] == ["null"]  # A15
+
+    def test_failed_query_recorded_in_history(self, engine, data_dir):
+        engine.query("create table user () location 'user.csv'")
+        with pytest.raises(Exception):
+            engine.query("select definitely_not_a_column from user")
+        statuses = [h["status"] for h in engine.catalog.history()]
+        assert "fail" in statuses  # A20
+
+    def test_temp_table_recorded_in_catalog(self, engine, data_dir):
+        engine.query(f"select * from '{data_dir}/user.csv'")
+        # TEMP rows exist but are hidden from the listing (A9/A19)
+        assert engine.catalog.list_tables() == []
+        with engine.catalog._conn() as conn:
+            n = conn.execute("SELECT count(*) FROM catalog WHERE type='TEMP'").fetchone()[0]
+        assert n == 1
+
+    def test_catalog_registration_is_lazy(self, engine):
+        # DDL against a nonexistent path succeeds — nothing is read (§3.2)
+        out = engine.query("create table ghost () location 'missing.csv'")
+        assert out["rows"] == [["successful"]]
+
+    def test_export_csv_roundtrip(self, engine, data_dir, tmp_path):
+        engine.query("create table user () location 'user.csv'")
+        path = engine.export("select id, user_name from user order by id", "csv")
+        text = open(path).read()
+        assert text.splitlines()[0] == "id,user_name"
+        assert len(text.splitlines()) == 4  # header + 3 (uncapped)
+
+    def test_export_tsv_actually_tab_delimited(self, engine, data_dir):
+        # documented deviation from the reference's comma-in-.tsv bug
+        engine.query("create table user () location 'user.csv'")
+        path = engine.export("select id, user_name from user order by id", "tsv")
+        assert "\t" in open(path).read().splitlines()[0]
+
+    def test_export_ndjson(self, engine, data_dir):
+        engine.query("create table user () location 'user.csv'")
+        path = engine.export("select id from user order by id", "json")
+        lines = open(path).read().splitlines()
+        assert len(lines) == 3
+        assert lines[0] == '{"id":101}'

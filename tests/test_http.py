@@ -1,0 +1,63 @@
+"""HTTP endpoint parity (A19–A22) via the Flask test client."""
+
+import pytest
+
+
+@pytest.fixture()
+def client(engine):
+    from easydb_server_spark.http_app import create_app
+
+    app = create_app(engine)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+class TestEndpoints:
+    def test_health(self, client):
+        r = client.get("/health")
+        assert r.status_code == 200
+        assert r.get_json() == {"resp_msg": "successful", "resp_code": 0}
+
+    def test_fetch_dml(self, client, data_dir):
+        r = client.post("/fetch", json={"sql": f"select * from '{data_dir}/user.csv'"})
+        body = r.get_json()
+        assert r.status_code == 200
+        assert body["resp_code"] == 0
+        assert body["data"]["header"] == ["id", "user_name", "email"]
+        assert body["data"]["sql_type"] == "DML"
+        assert "query_time" in body["data"]
+
+    def test_fetch_ddl(self, client, data_dir):
+        r = client.post("/fetch", json={"sql": "create table user () location 'user.csv'"})
+        assert r.get_json()["data"]["rows"] == [["successful"]]
+
+    def test_fetch_unsupported_sql_422(self, client):
+        r = client.post("/fetch", json={"sql": "DROP TABLE x"})
+        assert r.status_code == 422
+        assert r.get_json()["resp_code"] == 1
+
+    def test_fetch_missing_sql_400(self, client):
+        assert client.post("/fetch", json={}).status_code == 400
+
+    def test_fetch_missing_file_404(self, client, data_dir):
+        r = client.post("/fetch", json={"sql": "select * from 'ghost.csv'"})
+        assert r.status_code == 404
+
+    def test_catalog_listing(self, client, data_dir):
+        client.post("/fetch", json={"sql": "create table user () location 'user.csv'"})
+        r = client.get("/catalog")
+        data = r.get_json()["data"]
+        assert [t["table_ref"] for t in data] == ["user"]
+
+    def test_history(self, client, data_dir):
+        client.post("/fetch", json={"sql": f"select * from '{data_dir}/user.csv'"})
+        r = client.get("/query/history")
+        data = r.get_json()["data"]
+        assert data[0]["status"] == "successful"
+
+    def test_export_download(self, client, data_dir):
+        client.post("/fetch", json={"sql": "create table user () location 'user.csv'"})
+        r = client.post("/query/export", json={"sql": "select id from user", "file_type": "csv"})
+        assert r.status_code == 200
+        assert r.mimetype == "application/octet-stream"
+        assert b"id" in r.data

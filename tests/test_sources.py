@@ -1,0 +1,132 @@
+"""Format routing + readers (A1–A8) and stringification (A15)."""
+
+import pandas as pd
+import pytest
+
+from easydb_server_spark.errors import NotFoundError, UnsupportedFormatError
+from easydb_server_spark.results import format_cell
+from easydb_server_spark.sources import DataSourceFormat, get_format, read_path
+from easydb_server_spark.sources.excel import read_xlsx, set_excel_loader
+
+
+class TestFormatRouter:
+    @pytest.mark.parametrize(
+        "path,fmt",
+        [
+            ("a.csv", DataSourceFormat.CSV),
+            ("a.tsv", DataSourceFormat.TSV),
+            ("2025-01-01.log", DataSourceFormat.NDJSON),
+            ("notes.txt", DataSourceFormat.NDJSON),
+            ("wb.xlsx", DataSourceFormat.XLSX),
+            ("part.parquet", DataSourceFormat.PARQUET),
+            ("x.JSON", DataSourceFormat.JSON),
+        ],
+    )
+    def test_routing(self, path, fmt):
+        assert get_format(path) == fmt
+
+    def test_unknown_extension(self):
+        with pytest.raises(UnsupportedFormatError):
+            get_format("data.avro")
+
+
+class TestReaders:
+    def test_csv_with_inference(self, spark, data_dir):
+        df = read_path(spark, "user.csv")  # relative → DATA_DIR
+        assert df.columns == ["id", "user_name", "email"]
+        assert dict(df.dtypes)["id"] == "int"
+        assert df.count() == 3
+
+    def test_csv_glob_multi_file(self, spark, data_dir):
+        df = read_path(spark, "order_*.csv")
+        assert df.count() == 4  # A7: one table spans both files
+
+    def test_tsv(self, spark, data_dir):
+        df = read_path(spark, "user.tsv")
+        assert df.columns == ["id", "user_name"]
+        assert df.first()["user_name"] == "Tabby"
+
+    def test_ndjson_log_glob(self, spark, data_dir):
+        df = read_path(spark, "events_2025*.log")
+        assert df.count() == 3
+        assert "event" in df.columns
+
+    def test_ndjson_txt(self, spark, data_dir):
+        assert read_path(spark, "notes.txt").first()["note"] == "hello"
+
+    def test_json_rejected(self, spark, data_dir):
+        with pytest.raises(UnsupportedFormatError, match="JSON files are currently not supported"):
+            read_path(spark, "broken.json")
+
+    def test_missing_file(self, spark, data_dir):
+        with pytest.raises(NotFoundError):
+            read_path(spark, "nope.csv")
+
+    def test_parquet_superset(self, spark):
+        df = read_path(spark, "/root/testdata/sf0.001/region.parquet")
+        assert df.count() == 5
+
+
+class TestExcel:
+    def test_injected_loader_and_glob(self, spark, data_dir):
+        calls = []
+
+        def fake(path, sheet):
+            calls.append((path, sheet))
+            return pd.DataFrame({"name": ["a"], "score": [1.5]})
+
+        (data_dir / "r1.xlsx").write_bytes(b"")
+        (data_dir / "r2.xlsx").write_bytes(b"")
+        set_excel_loader(fake)
+        try:
+            df = read_path(spark, "r*.xlsx")
+            assert df.count() == 2  # one row per matched workbook
+            assert sorted(c for c in df.columns) == ["name", "score"]
+            assert [s for _, s in calls] == [0, 0]
+        finally:
+            set_excel_loader(None)
+
+    def test_sheet_suffix(self, spark, data_dir):
+        (data_dir / "wb.xlsx").write_bytes(b"")
+        seen = {}
+
+        def fake(path, sheet):
+            seen["sheet"] = sheet
+            return pd.DataFrame({"x": [1]})
+
+        set_excel_loader(fake)
+        try:
+            read_xlsx(spark, str(data_dir / "wb.xlsx") + "#Sheet2")
+            assert seen["sheet"] == "Sheet2"
+        finally:
+            set_excel_loader(None)
+
+    def test_missing_openpyxl_clear_error(self, spark, data_dir):
+        (data_dir / "wb.xlsx").write_bytes(b"")
+        with pytest.raises(UnsupportedFormatError, match="openpyxl"):
+            read_xlsx(spark, str(data_dir / "wb.xlsx"))
+
+
+class TestStringify:
+    @pytest.mark.parametrize(
+        "value,expected",
+        [
+            (None, "null"),  # src/controllers.rs:48
+            (True, "true"),
+            (False, "false"),
+            (3, "3"),
+            (3.0, "3.0"),
+            (3.25, "3.25"),
+            ("s", "s"),
+            ([1, None], "[1, null]"),
+            (b"\x01\xff", "01ff"),
+        ],
+    )
+    def test_cells(self, value, expected):
+        assert format_cell(value) == expected
+
+    def test_datetime(self):
+        import datetime
+
+        assert format_cell(datetime.datetime(2024, 1, 2, 3, 4, 5)) == "2024-01-02T03:04:05"
+        assert format_cell(datetime.date(2024, 1, 2)) == "2024-01-02"
