@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from easydb_server_spark.queries import aggregates as agg
 from easydb_server_spark.queries import core, joins, setops, subqueries, timeseries, windows
 from easydb_server_spark.queries import functions_ as fns
-from easydb_server_spark.queries import llmops
+from easydb_server_spark.queries import dialect_edge, llmops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -87,6 +87,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (llmops.q_text_fingerprint, llmops.ORACLE_TEXT_FINGERPRINT),
     # --- LLM-data-pipeline: multimodal plumbing ---
     "multimodal_features": (llmops.q_multimodal_features, llmops.ORACLE_MULTIMODAL_FEATURES),
+    # --- dialect-edge coverage ---
+    "edge_string_fns": (dialect_edge.q_edge_string_fns, dialect_edge.ORACLE_EDGE_STRING_FNS),
+    "edge_ilike": (dialect_edge.q_edge_ilike, dialect_edge.ORACLE_EDGE_ILIKE),
+    "edge_groups_frame": (dialect_edge.q_edge_groups_frame, dialect_edge.ORACLE_EDGE_GROUPS_FRAME),
+    "edge_natural_join": (dialect_edge.q_edge_natural_join, dialect_edge.ORACLE_EDGE_NATURAL_JOIN),
+    "edge_regexp_count": (dialect_edge.q_edge_regexp_count, dialect_edge.ORACLE_EDGE_REGEXP_COUNT),
     # --- aggregations ---
     "agg_pricing_summary": (agg.q_agg_pricing_summary, agg.ORACLE_PRICING_SUMMARY),
     "agg_count_distinct": (agg.q_agg_count_distinct, agg.ORACLE_COUNT_DISTINCT),
