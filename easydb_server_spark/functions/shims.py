@@ -12,21 +12,24 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-# DataFusion name -> (args, Spark SQL body)
-_SHIMS: dict[str, tuple[str, str]] = {
-    "strpos": ("s STRING, sub STRING", "instr(s, sub)"),
-    "to_char": ("d TIMESTAMP, fmt STRING", "date_format(d, fmt)"),
-    "to_unixtime": ("d TIMESTAMP", "unix_timestamp(d)"),
-    "arrow_typeof": ("x STRING", "typeof(x)"),
-    "array_length": ("a ARRAY<BIGINT>", "size(a)"),
-    "list_length": ("a ARRAY<BIGINT>", "size(a)"),
-    "array_to_string": ("a ARRAY<STRING>, sep STRING", "array_join(a, sep)"),
-    "regexp_like": ("s STRING, p STRING", "s RLIKE p"),
-    "approx_distinct": ("x STRING", "approx_count_distinct(x)"),
-    "approx_median": ("x DOUBLE", "percentile_approx(x, 0.5)"),
-    "nvl2": ("a STRING, b STRING, c STRING", "CASE WHEN a IS NOT NULL THEN b ELSE c END"),
+# DataFusion name -> (args, return type, Spark SQL body).
+#
+# Not shimmed because Spark 4 already ships the DataFusion spelling as a
+# builtin: to_char, regexp_like, nvl, nvl2, ifnull, levenshtein,
+# split_part, translate, substr_index/substring_index, regexp_count.
+# Not shimmable: approx_distinct / approx_median are *aggregates* — SQL
+# scalar macros can't wrap aggregates; callers use Spark's
+# approx_count_distinct / percentile_approx directly.
+_SHIMS: dict[str, tuple[str, str, str]] = {
+    "strpos": ("s STRING, sub STRING", "INT", "instr(s, sub)"),
+    "to_unixtime": ("d TIMESTAMP", "BIGINT", "unix_timestamp(d)"),
+    "arrow_typeof": ("x STRING", "STRING", "typeof(x)"),
+    "array_length": ("a ARRAY<BIGINT>", "INT", "size(a)"),
+    "list_length": ("a ARRAY<BIGINT>", "INT", "size(a)"),
+    "array_to_string": ("a ARRAY<STRING>, sep STRING", "STRING", "array_join(a, sep)"),
     "date_bin": (
         "stride_seconds BIGINT, ts TIMESTAMP, origin TIMESTAMP",
+        "TIMESTAMP",
         "timestamp_micros(CAST(floor((unix_micros(ts) - unix_micros(origin)) / (stride_seconds * 1000000)) AS BIGINT)"
         " * stride_seconds * 1000000 + unix_micros(origin))",
     ),
@@ -41,11 +44,10 @@ def register_dialect_shims(spark: SparkSession) -> list[str]:
     expression, inlined at plan time.
     """
     registered = []
-    for name, (args, body) in _SHIMS.items():
+    for name, (args, ret, body) in _SHIMS.items():
         try:
             spark.sql(
-                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) RETURNS "
-                f"{_infer_ret(body)} RETURN {body}"
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) RETURNS {ret} RETURN {body}"
             )
             registered.append(name)
         except Exception:
@@ -53,21 +55,3 @@ def register_dialect_shims(spark: SparkSession) -> list[str]:
             # already exists as a builtin — both fine to skip
             pass
     return registered
-
-
-def _infer_ret(body: str) -> str:
-    if body.startswith(("instr", "unix_timestamp", "size")):
-        return "BIGINT" if not body.startswith(("instr", "size")) else "INT"
-    if body.startswith(("date_format", "array_join", "typeof")):
-        return "STRING"
-    if body.startswith("timestamp_micros"):
-        return "TIMESTAMP"
-    if body.startswith("percentile_approx"):
-        return "DOUBLE"
-    if body.startswith("approx_count_distinct"):
-        return "BIGINT"
-    if body.startswith("CASE"):
-        return "STRING"
-    if "RLIKE" in body:
-        return "BOOLEAN"
-    return "STRING"

@@ -44,22 +44,38 @@ def _hash_params(n: int = MINHASH_N) -> list[tuple[int, int]]:
     return params
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Explode each doc into its distinct word k-shingles.
+def shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Per-doc array of distinct word k-shingles — one narrow map.
 
     Pure JVM expressions: split → sliding windows via transform over an
-    index sequence → array_distinct → explode. At 100 TB this is the
-    map stage before the shingle shuffle; no Python in the loop.
+    index sequence → array_distinct. No shuffle; per-doc stats (shingle
+    counts) come straight off this without a second scan.
     """
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
+    return df.select(F.col(id_col).alias("doc_id"), F.array_distinct(shingle).alias("shingles"))
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Explode each doc into its distinct word k-shingles (the map
+    stage before any shingle shuffle; no Python in the loop)."""
+    return shingle_arrays(df, text_col, id_col, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 def _shingle_hash(col: F.Column) -> F.Column:
     """shingle → uint32 via md5 (portable across engines)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _shingle_hash60(col: F.Column) -> F.Column:
+    """shingle → 60-bit int via md5: join/shuffle keys become 8 bytes
+    instead of variable-length strings; collision odds at 1e6 distinct
+    shingles ≈ 4e-7, and the oracle applies the identical hash so any
+    collision affects both engines the same way (still exact-match)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -119,11 +135,13 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = word_shingles(df, text_col, id_col, k)
+    sh = word_shingles(df, text_col, id_col, k).select(
+        "doc_id", _shingle_hash60(F.col("shingle")).alias("h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("p")
-        .join(sh.alias("q"), "shingle")
+        .join(sh.alias("q"), "h")
         .where(F.col("p.doc_id") < F.col("q.doc_id"))
         .select(F.col("p.doc_id").alias("doc_a"), F.col("q.doc_id").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -174,15 +192,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, t
     Right choice when the shingle-degree distribution is bounded;
     at 100 TB pair generation is bounded per-shingle (hot shingles =
     skew — AQE skew-join handles the shuffle, or pre-filter stopword
-    shingles).
+    shingles). The self-join runs on 60-bit shingle hashes, not
+    strings — fixed 8-byte shuffle keys; per-doc sizes come from the
+    shingle arrays in the same narrow map (no second shuffle branch).
     """
-    sh = word_shingles(df, text_col, id_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    arrs = shingle_arrays(df, text_col, id_col, k)
+    sh = arrs.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", _shingle_hash60(F.col("shingle")).alias("h"))
+    sizes = arrs.select("doc_id", F.size("shingles").alias("n_sh"))
+    # inverted index: one shuffle groups doc-ids per shingle; ordered
+    # pairs expand *inside* the array (docs lists are bounded per
+    # shingle), so the pair stream is emitted a<b at the source —
+    # half the volume of a self-join and one less shuffle of `sh`
+    posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
+    pairs = posting.where(F.size("docs") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x: F.transform(
+                        F.filter(F.col("docs"), lambda y: y > x),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("pair")
+    )
     inter = (
-        sh.alias("p")
-        .join(sh.alias("q"), "shingle")
-        .where(F.col("p.doc_id") < F.col("q.doc_id"))
-        .select(F.col("p.doc_id").alias("doc_a"), F.col("q.doc_id").alias("doc_b"))
+        pairs.select(F.col("pair.doc_a").alias("doc_a"), F.col("pair.doc_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -103,10 +103,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+h60 AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM h60 GROUP BY doc_id),
 inter AS (
   SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh p JOIN sh q ON p.shingle = q.shingle AND p.doc_id < q.doc_id
+  FROM h60 p JOIN h60 q ON p.h = q.h AND p.doc_id < q.doc_id
   GROUP BY p.doc_id, q.doc_id
 )
 SELECT doc_a, doc_b,
