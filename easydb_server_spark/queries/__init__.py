@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from easydb_server_spark.queries import aggregates as agg
 from easydb_server_spark.queries import core, joins, setops, subqueries, timeseries, windows
 from easydb_server_spark.queries import functions_ as fns
-from easydb_server_spark.queries import dialect_edge, llmops
+from easydb_server_spark.queries import dialect_edge, llmops, streamq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -39,6 +39,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_ntile_dist": (windows.q_window_ntile_dist, windows.ORACLE_WINDOW_NTILE_DIST),
     "window_first_last_nth": (windows.q_window_first_last_nth, windows.ORACLE_WINDOW_FIRST_LAST_NTH),
     "window_range_frame": (windows.q_window_range_frame, windows.ORACLE_WINDOW_RANGE_FRAME),
+    "window_ignore_nulls": (windows.q_window_ignore_nulls, windows.ORACLE_WINDOW_IGNORE_NULLS),
     # --- set operations ---
     "setop_union": (setops.q_setop_union, setops.ORACLE_UNION),
     "setop_union_all": (setops.q_setop_union_all, setops.ORACLE_UNION_ALL),
@@ -93,6 +94,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "edge_groups_frame": (dialect_edge.q_edge_groups_frame, dialect_edge.ORACLE_EDGE_GROUPS_FRAME),
     "edge_natural_join": (dialect_edge.q_edge_natural_join, dialect_edge.ORACLE_EDGE_NATURAL_JOIN),
     "edge_regexp_count": (dialect_edge.q_edge_regexp_count, dialect_edge.ORACLE_EDGE_REGEXP_COUNT),
+    # --- Structured Streaming (real streaming execution, batch oracles) ---
+    "stream_tumbling": (streamq.q_stream_tumbling, streamq.ORACLE_STREAM_TUMBLING),
+    "stream_session": (streamq.q_stream_session, streamq.ORACLE_STREAM_SESSION),
     # --- aggregations ---
     "agg_pricing_summary": (agg.q_agg_pricing_summary, agg.ORACLE_PRICING_SUMMARY),
     "agg_count_distinct": (agg.q_agg_count_distinct, agg.ORACLE_COUNT_DISTINCT),

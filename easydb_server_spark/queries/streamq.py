@@ -1,0 +1,72 @@
+"""Structured Streaming conformance queries.
+
+These run a REAL streaming execution (readStream over the events
+parquet, availableNow trigger, memory sink) and return the final
+result DataFrame — oracled by the same ANSI SQL as the batch
+time-series operators, proving batch/stream semantic equivalence
+(the whole point of reusing one expression for both modes).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from easydb_server_spark.queries.timeseries import ORACLE_TS_SESSION, ORACLE_TS_TUMBLING
+from easydb_server_spark.streaming.events import run_to_memory
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return src
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts == batch ts_tumbling oracle."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "event_type", "n", "total")
+    )
+    name = f"stream_tumbling_{int(time.time() * 1000)}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+ORACLE_STREAM_TUMBLING = ORACLE_TS_TUMBLING
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (stateful) == batch gaps-and-islands
+    oracle."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"stream_session_{int(time.time() * 1000)}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+ORACLE_STREAM_SESSION = ORACLE_TS_SESSION

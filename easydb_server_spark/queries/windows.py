@@ -190,3 +190,39 @@ FROM part
 WHERE p_partkey <= 500
 ORDER BY p_partkey
 """
+
+
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS in lag/last_value — last-observation-carried-forward
+    (nulls synthesized: every third order's price is hidden)."""
+    o = load(spark, sf_dir, "orders")
+    base = o.where(F.col("o_custkey") <= 40).select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price_maybe"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        base.select(
+            "o_custkey",
+            "o_orderkey",
+            "price_maybe",
+            F.last("price_maybe", ignorenulls=True).over(w).alias("locf_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_WINDOW_IGNORE_NULLS = """
+SELECT o_custkey, o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE ROUND(o_totalprice, 2) END AS price_maybe,
+       LAST_VALUE(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE ROUND(o_totalprice, 2) END IGNORE NULLS)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_price
+FROM orders WHERE o_custkey <= 40
+ORDER BY o_custkey, o_orderkey
+"""

@@ -11,7 +11,6 @@ Usage: python tools/check_conformance.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 from pathlib import Path
@@ -22,48 +21,8 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from easydb_server_spark.compare import canon_frame  # noqa: E402
 from easydb_server_spark.queries._util import TABLES  # noqa: E402
-
-
-def canon_cell(v):
-    """Canonicalize one cell for comparison."""
-    import datetime
-    import decimal
-
-    import numpy as np
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, (np.floating, float)):
-        f = float(v)
-        if math.isnan(f):
-            return "NaN"
-        # collapse -0.0 / 0.0 and format stably
-        if f == 0:
-            f = 0.0
-        return repr(f)
-    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, np.bool_):
-        return str(bool(v))
-    if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, np.ndarray)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def canon_frame(pdf):
-    """pandas DataFrame -> (colnames_sorted, sorted list of row tuples)."""
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols]
-    rows = [tuple(canon_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
-    rows.sort()
-    return cols, rows
 
 
 def main() -> int:
