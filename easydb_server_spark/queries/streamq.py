@@ -20,6 +20,10 @@ from easydb_server_spark.streaming.events import run_to_memory
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming state-store partition count is fixed per query at start;
+    # a vanilla (driver-built) session defaults to 200 — far too many
+    # tasks for this source, and unlike batch, AQE can't coalesce them
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
         spark.readStream.format("parquet")

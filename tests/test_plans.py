@@ -1,0 +1,73 @@
+"""Physical-plan regression tests — the scale properties SCALE.md
+claims, locked in CI: pushdown reaches the scan, dims broadcast,
+top-k compiles to TakeOrderedAndProject, and nothing drops to
+row-at-a-time Python in the relational suite."""
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from easydb_server_spark.queries import spark_queries
+
+    return spark_queries()
+
+
+class TestPlans:
+    def test_filter_pushdown_reaches_parquet_scan(self, spark, queries):
+        p = plan_of(queries["agg_pricing_summary"](spark, SF_DIR))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+    def test_column_pruning(self, spark, queries):
+        p = plan_of(queries["agg_pricing_summary"](spark, SF_DIR))
+        read_schema = next(line for line in p.splitlines() if "ReadSchema" in line)
+        assert "l_orderkey" not in read_schema  # unused columns pruned
+        assert "l_quantity" in read_schema
+
+    def test_dim_joins_broadcast_not_sortmerge(self, spark, queries):
+        p = plan_of(queries["join_inner_revenue"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_topk_compiles_to_take_ordered(self, spark, queries):
+        p = plan_of(queries["core_limit_offset"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in p
+
+    def test_semi_join_stays_semi(self, spark, queries):
+        p = plan_of(queries["join_semi"](spark, SF_DIR))
+        assert "LeftSemi" in p
+
+    def test_no_cartesian_outside_cross(self, spark, queries):
+        for name in ["join_inner_revenue", "agg_pricing_summary", "subq_in", "window_rank"]:
+            p = plan_of(queries[name](spark, SF_DIR))
+            assert "CartesianProduct" not in p, name
+
+    def test_relational_suite_has_no_python_udfs(self, spark, queries):
+        """Everything except the (deliberately Python) multimodal decode
+        must stay JVM-side — no BatchEvalPython / ArrowEvalPython /
+        MapInPandas operators in any plan."""
+        python_ops = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
+        offenders = []
+        for name, fn in queries.items():
+            if name.startswith(("stream_", "multimodal")):
+                continue  # streams can't explain pre-start; multimodal is Python by design
+            p = plan_of(fn(spark, SF_DIR))
+            if any(op in p for op in python_ops):
+                offenders.append(name)
+        assert offenders == []
+
+    def test_two_phase_aggregation(self, spark, queries):
+        p = plan_of(queries["agg_pricing_summary"](spark, SF_DIR))
+        assert p.count("HashAggregate") >= 2  # partial + final
