@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from easydb_server_spark.queries import aggregates as agg
 from easydb_server_spark.queries import core, joins, setops, subqueries, timeseries, windows
 from easydb_server_spark.queries import functions_ as fns
-from easydb_server_spark.queries import dialect_edge, llmops, streamq
+from easydb_server_spark.queries import dialect_edge, llmops, skewq, streamq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -97,6 +97,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- Structured Streaming (real streaming execution, batch oracles) ---
     "stream_tumbling": (streamq.q_stream_tumbling, streamq.ORACLE_STREAM_TUMBLING),
     "stream_session": (streamq.q_stream_session, streamq.ORACLE_STREAM_SESSION),
+    # --- skew mitigation (salted plans, row-identical to plain oracles) ---
+    "skew_salted_join": (skewq.q_skew_salted_join, skewq.ORACLE_SKEW_SALTED_JOIN),
+    "skew_salted_agg": (skewq.q_skew_salted_agg, skewq.ORACLE_SKEW_SALTED_AGG),
     # --- aggregations ---
     "agg_pricing_summary": (agg.q_agg_pricing_summary, agg.ORACLE_PRICING_SUMMARY),
     "agg_count_distinct": (agg.q_agg_count_distinct, agg.ORACLE_COUNT_DISTINCT),

@@ -188,6 +188,48 @@ class TestMultimodal:
             binary_features(df, "payload", "item_id", "kind").collect()
 
 
+class TestSkew:
+    def test_salted_join_equals_plain_join(self, spark):
+        from easydb_server_spark.operators.skew import salted_join
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed("l_suppkey", "suppkey")
+        s = spark.read.parquet(f"{SF_DIR}/supplier.parquet").withColumnRenamed("s_suppkey", "suppkey")
+        plain = li.join(s.select("suppkey", "s_name"), "suppkey").groupBy("s_name").count()
+        salted = salted_join(li, s.select("suppkey", "s_name"), on="suppkey", n_salts=4).groupBy("s_name").count()
+        assert {(r.s_name, r["count"]) for r in plain.collect()} == {
+            (r.s_name, r["count"]) for r in salted.collect()
+        }
+
+    def test_salted_aggregate_equals_plain(self, spark):
+        import pyspark.sql.functions as F
+
+        from easydb_server_spark.operators.skew import salted_aggregate
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        plain = {
+            (r.l_returnflag, r.n, r.mx)
+            for r in li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), F.max("l_extendedprice").alias("mx"))
+            .collect()
+        }
+        salted = {
+            (r.l_returnflag, r.n, r.mx)
+            for r in salted_aggregate(
+                li, "l_returnflag", {"n": "count", "mx": "max:l_extendedprice"}, n_salts=8
+            ).collect()
+        }
+        assert plain == salted
+
+    def test_salted_aggregate_rejects_non_reaggregatable(self, spark):
+        import pytest as _pytest
+
+        from easydb_server_spark.operators.skew import salted_aggregate
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        with _pytest.raises(ValueError, match="unsupported agg kind"):
+            salted_aggregate(li, "l_returnflag", {"a": "avg:l_quantity"})
+
+
 class TestStreaming:
     def test_windowed_counts_stream_matches_batch(self, spark, tmp_path):
         import json as _json
