@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from easydb_server_spark.queries import aggregates as agg
 from easydb_server_spark.queries import core, joins, setops, subqueries, timeseries, windows
 from easydb_server_spark.queries import functions_ as fns
-from easydb_server_spark.queries import dialect_edge, llmops, skewq, streamq
+from easydb_server_spark.queries import dialect_edge, llmops, skewq, streamq, superset
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -100,6 +100,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- skew mitigation (salted plans, row-identical to plain oracles) ---
     "skew_salted_join": (skewq.q_skew_salted_join, skewq.ORACLE_SKEW_SALTED_JOIN),
     "skew_salted_agg": (skewq.q_skew_salted_agg, skewq.ORACLE_SKEW_SALTED_AGG),
+    # --- documented supersets (beyond DataFusion 47, still oracled) ---
+    "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),
+    "sup_pivot": (superset.q_sup_pivot, superset.ORACLE_SUP_PIVOT),
+    "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),
     # --- aggregations ---
     "agg_pricing_summary": (agg.q_agg_pricing_summary, agg.ORACLE_PRICING_SUMMARY),
     "agg_count_distinct": (agg.q_agg_count_distinct, agg.ORACLE_COUNT_DISTINCT),

@@ -1,0 +1,83 @@
+"""Documented-superset operators — capabilities beyond the reference's
+DataFusion surface that Spark provides natively (SURVEY.md §2.A note
+recommends shipping them): JSON functions, PIVOT, mode().
+
+Each still gets a DuckDB oracle (emulated where DuckDB lacks the
+spelling) so the superset is correctness-checked, not just claimed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from easydb_server_spark.queries._util import load
+
+
+def q_sup_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → typed struct + schema_of/json path extraction over
+    the events props column."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return (
+        e.where(F.col("event_id") <= 3000)
+        .select(
+            "event_id",
+            parsed.getField("k").alias("k_typed"),
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_path"),
+            F.json_array_length(F.concat(F.lit("[1,2,"), F.lit("3]"))).alias("arr_len"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_SUP_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+       CAST(json_array_length('[1,2,3]') AS INT)      AS arr_len
+FROM events WHERE event_id <= 3000
+ORDER BY event_id
+"""
+
+
+def q_sup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status × priority-column. Spark's
+    relational pivot; the oracle is the equivalent CASE aggregation."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .withColumnsRenamed({"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium"})
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SUP_PIVOT = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS high,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_sup_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() aggregate (most frequent value; unique by construction
+    here so both engines agree deterministically)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.mode("l_returnflag").alias("mode_flag"),
+        F.mode("l_linenumber").alias("mode_line"),
+    )
+
+
+ORACLE_SUP_MODE = """
+SELECT MODE(l_returnflag) AS mode_flag,
+       CAST(MODE(l_linenumber) AS INT) AS mode_line
+FROM lineitem
+"""
