@@ -53,6 +53,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "subq_correlated_scalar": (subqueries.q_subq_correlated_scalar, subqueries.ORACLE_CORRELATED_SCALAR),
     "subq_in": (subqueries.q_subq_in, subqueries.ORACLE_IN_SUBQ),
     "subq_not_in_nulls": (subqueries.q_subq_not_in_nulls, subqueries.ORACLE_NOT_IN_NULLS),
+    "subq_not_in_plain": (subqueries.q_subq_not_in_plain, subqueries.ORACLE_NOT_IN_PLAIN),
     "subq_derived": (subqueries.q_subq_derived, subqueries.ORACLE_DERIVED),
     "subq_exists_correlated": (subqueries.q_subq_exists_correlated, subqueries.ORACLE_EXISTS_CORRELATED),
     "subq_unnest": (subqueries.q_subq_unnest, subqueries.ORACLE_UNNEST),

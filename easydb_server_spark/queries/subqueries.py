@@ -144,6 +144,26 @@ ORDER BY c_custkey
 """
 
 
+def q_subq_not_in_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a null-free list (the non-degenerate companion to
+    q_subq_not_in_nulls, which is empty by three-valued logic)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 12)
+        ORDER BY c_custkey
+        """
+    )
+
+
+ORACLE_NOT_IN_PLAIN = """
+SELECT c_custkey FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 12)
+ORDER BY c_custkey
+"""
+
+
 def q_subq_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived table (FROM (SELECT ...) t) joined against a dim."""
     li = load(spark, sf_dir, "lineitem")
