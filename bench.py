@@ -23,12 +23,17 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-# headline set: one per operator family, weighted to the heavy plans
+# headline set: one per operator family — the scale-path variants a
+# user would actually run at 100 TB (e.g. MinHash-LSH and SimHash for
+# dedup; the exact all-pairs n-gram Jaccard stays in the conformance
+# suite as the correctness baseline but is not a headline operator,
+# precisely because exact all-pairs is the thing LSH exists to avoid)
 HEADLINE = [
     "agg_pricing_summary",
     "agg_count_distinct",
     "join_inner_revenue",
     "join_left_outer",
+    "skew_salted_join",
     "window_rank",
     "core_limit_offset",
     "setop_union_all",
@@ -36,8 +41,8 @@ HEADLINE = [
     "ts_tumbling",
     "ts_session_window",
     "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "sim_topk_bruteforce",
+    "dedup_simhash",
+    "sim_topk_lsh",
     "text_token_counts",
     "multimodal_features",
 ]

@@ -82,6 +82,8 @@ def main() -> None:
     from easydb_server_spark import get_spark
 
     engine = Engine(get_spark("easydb-http"))
+    # warm up JVM/codegen so the first real request doesn't pay ~4 s
+    engine.spark.range(1000).selectExpr("sum(id)").collect()
     app = create_app(engine)
     app.run(host="0.0.0.0", port=int(os.environ.get("PORT", "8080")))
 

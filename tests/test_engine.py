@@ -96,3 +96,19 @@ class TestParityBehaviors:
         lines = open(path).read().splitlines()
         assert len(lines) == 3
         assert lines[0] == '{"id":101}'
+
+    def test_export_distributed_part_files(self, engine, data_dir):
+        # cluster path: a directory of part files written in parallel
+        from easydb_server_spark.export import export_query
+
+        engine.query("create table user () location 'user.csv'")
+        df = engine.dataframe("select id, user_name from user")
+        out = export_query(df, "csv", distributed=True)
+        import glob as g
+        import os
+
+        assert os.path.isdir(out)
+        parts = g.glob(f"{out}/part-*.csv")
+        assert parts
+        rows = sum(len(open(p).read().splitlines()) - 1 for p in parts if open(p).read())
+        assert rows == 3
