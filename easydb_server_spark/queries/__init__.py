@@ -98,6 +98,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- Structured Streaming (real streaming execution, batch oracles) ---
     "stream_tumbling": (streamq.q_stream_tumbling, streamq.ORACLE_STREAM_TUMBLING),
     "stream_session": (streamq.q_stream_session, streamq.ORACLE_STREAM_SESSION),
+    "stream_funnel_stateful": (streamq.q_stream_funnel, None),
     # --- skew mitigation (salted plans, row-identical to plain oracles) ---
     "skew_salted_join": (skewq.q_skew_salted_join, skewq.ORACLE_SKEW_SALTED_JOIN),
     "skew_salted_agg": (skewq.q_skew_salted_agg, skewq.ORACLE_SKEW_SALTED_AGG),

@@ -74,3 +74,25 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_SESSION = ORACLE_TS_SESSION
+
+
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): funnel
+    detection, run as a real streaming job. No SQL oracle by
+    construction — the sequential reset semantics aren't
+    ANSI-expressible; correctness evidence is the batch↔stream
+    equivalence test (tests/test_stateful.py) and the unit suite for
+    the state machine."""
+    from easydb_server_spark.operators.stateful import funnel_detection_stream
+
+    out = funnel_detection_stream(_events_stream(spark, sf_dir), timeout_s=3 * 86400)
+    name = f"stream_funnel_{int(time.time() * 1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "signup_ts")
