@@ -1,0 +1,84 @@
+"""Duplicate-cluster resolution: connected components over a pair list.
+
+``minhash_pairs``/``ngram_jaccard_pairs`` emit near-duplicate *pairs*;
+deduplication needs *clusters* (keep one doc per component). This is
+connected components via iterative min-label propagation — the
+standard distributed formulation (each round, every node adopts the
+smallest label among itself and its neighbors; converges in
+O(diameter) rounds):
+
+- state per node: one bigint label;
+- each round = one join (labels ⋈ edges) + one groupBy min — both
+  shuffle on doc_id, AQE-coalesced;
+- the loop runs driver-side but touches only DataFrames (no collect
+  of data; the only driver value is the convergence flag).
+
+At 100 TB: rounds are bounded by component diameter (near-dup
+components are shallow — usually ≤3), and each round's shuffle is
+|edges|, not |corpus|.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """pairs(doc_a, doc_b) → (doc_id, component) with component =
+    min doc_id reachable."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        # localCheckpoint: materialize and TRUNCATE LINEAGE — without
+        # this each round re-executes every prior round (quadratic)
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Cluster summary: one row per component with its keeper (min id)
+    and member count."""
+    cc = connected_components(pairs)
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        # sort numerically before stringifying ("10" < "9" lexically)
+        F.concat_ws(
+            ",",
+            F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+        ).alias("members_csv"),
+    )

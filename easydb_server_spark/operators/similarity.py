@@ -105,3 +105,62 @@ def topk_cosine_lsh(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def topk_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: corpus partitioned into cells by
+    nearest-centroid; queries probe their ``nprobe`` closest cells and
+    re-rank exactly inside them.
+
+    Centroids here are the first ``n_cells`` corpus vectors
+    (deterministic, training-free — a k-means step would slot in
+    without changing the plan shape). At 100 TB the cell id is the
+    partition/join key: the corpus is bucketed once, each query
+    touches nprobe/n_cells of the data — the classic recall/cost dial.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid"))
+    )
+    sim_c = _dot(F.col("cvec"), F.col("centroid"))
+    wc = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("cell"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select("cid", "cvec", "cell", F.round(sim_c, 6).alias("sim"))
+        .withColumn("r", F.row_number().over(wc))
+        .where(F.col("r") == 1)
+        .select("cid", "cvec", "cell")
+    )
+    sim_q = _dot(F.col("qvec"), F.col("centroid"))
+    wq = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qvec", "cell", F.round(sim_q, 6).alias("sim"))
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= nprobe)
+        .select("qid", "qvec", "cell")
+    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (
+        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
+        .distinct()  # a candidate may appear via multiple probed cells
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -82,6 +82,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- LLM-data-pipeline: similarity search ---
     "sim_topk_bruteforce": (llmops.q_sim_topk_bruteforce, llmops.ORACLE_SIM_TOPK_BRUTEFORCE),
     "sim_topk_lsh": (llmops.q_sim_topk_lsh, llmops.ORACLE_SIM_TOPK_LSH),
+    "sim_topk_ivf": (llmops.q_sim_topk_ivf, llmops.ORACLE_SIM_TOPK_IVF),
+    "dedup_clusters": (llmops.q_dedup_clusters, llmops.ORACLE_DEDUP_CLUSTERS),
     # --- LLM-data-pipeline: text analysis ---
     "text_langid": (llmops.q_text_langid, llmops.ORACLE_TEXT_LANGID),
     "text_quality": (llmops.q_text_quality, llmops.ORACLE_TEXT_QUALITY),

@@ -231,6 +231,101 @@ ORDER BY qid, rank
 ORACLE_SIM_TOPK_LSH = _oracle_sim_topk_lsh()
 
 
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-3 (nprobe=2 over 16 training-free cells)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    return S.topk_cosine_ivf(e, q, "embedding", "vec_id", k=3).orderBy("qid", "rank")
+
+
+ORACLE_SIM_TOPK_IVF = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+cents AS (SELECT vec_id AS cell, vec AS centroid FROM v ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT cid, cell FROM (
+    SELECT v.vec_id AS cid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_dot_product(v.vec, c.centroid), 6) DESC, c.cell) AS r
+    FROM v CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probed AS (
+  SELECT qid, cell FROM (
+    SELECT v.vec_id AS qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_dot_product(v.vec, c.centroid), 6) DESC, c.cell) AS r
+    FROM v CROSS JOIN cents c
+    WHERE v.vec_id >= 20 AND v.vec_id < 30
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT DISTINCT p.qid, a.cid,
+         ROUND(list_cosine_similarity(cv.vec, qv.vec), 6) AS cosine
+  FROM probed p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN v cv ON cv.vec_id = a.cid
+  JOIN v qv ON qv.vec_id = p.qid
+  WHERE a.cid != p.qid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+ORDER BY qid, rank
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (iterative min-label
+    propagation) → cluster summaries; oracle = recursive-CTE
+    transitive closure over the same pair list."""
+    from easydb_server_spark.operators.clusters import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.4)
+    return dedup_clusters(pairs).orderBy("component")
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+h60 AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM h60 GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM h60 p JOIN h60 q ON p.h = q.h AND p.doc_id < q.doc_id
+  GROUP BY p.doc_id, q.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT component,
+       COUNT(*) AS n_members,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members_csv
+FROM labels
+GROUP BY component
+ORDER BY component
+"""
+
+
 # ---------- text analysis ----------
 
 
