@@ -32,6 +32,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
     )
+    # localCheckpoint pins the physical partitioning before AQE can
+    # coalesce, so a default-200-partition session would run every
+    # round at 200 tasks; bound it explicitly (rounds are tiny)
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -67,6 +73,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels
 
 

@@ -241,14 +241,15 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold:
     oracle. Brute force is the correctness baseline; the scale path is
     the LSH-bucketed variant in operators/similarity.py.
     """
-    v = df.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    # precompute each vector's norm once (narrow map) instead of twice
+    # per pair — cuts the all-pairs expression work by ~2/3
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
     x, y = v.alias("x"), v.alias("y")
     return (
         x.join(y, F.col("x.vid") < F.col("y.vid"))
@@ -256,7 +257,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold:
             F.col("x.vid").alias("id_a"),
             F.col("y.vid").alias("id_b"),
             F.round(
-                dot(F.col("x.vec"), F.col("y.vec")) / (norm(F.col("x.vec")) * norm(F.col("y.vec"))),
+                dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm")),
                 6,
             ).alias("cosine"),
         )

@@ -54,10 +54,10 @@ def topk_cosine_bruteforce(
     from pyspark.sql import Window
 
     c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
+    c = c.withColumn("cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (
-        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-    )
+    q = q.withColumn("qnrm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cid") != F.col("qid"))
@@ -93,11 +93,13 @@ def topk_cosine_lsh(
     planes = lsh_planes(dim)
     c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
-    cb = c.withColumn("bucket", bucket_signature(F.col("cvec"), planes))
-    qb = q.withColumn("bucket", bucket_signature(F.col("qvec"), planes))
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (
-        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    cb = c.withColumn("bucket", bucket_signature(F.col("cvec"), planes)).withColumn(
+        "cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
     )
+    qb = q.withColumn("bucket", bucket_signature(F.col("qvec"), planes)).withColumn(
+        "qnrm", F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col("cid") != F.col("qid"))
@@ -153,11 +155,10 @@ def topk_cosine_ivf(
         .where(F.col("r") <= nprobe)
         .select("qid", "qvec", "cell")
     )
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (
-        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
     scored = (
-        assigned.join(F.broadcast(probed), "cell")
+        assigned.withColumn("cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+        .join(F.broadcast(probed.withColumn("qnrm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))), "cell")
         .where(F.col("cid") != F.col("qid"))
         .select("qid", "cid", F.round(cos, 6).alias("cosine"))
         .distinct()  # a candidate may appear via multiple probed cells

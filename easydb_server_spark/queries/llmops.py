@@ -149,7 +149,7 @@ FROM contrib GROUP BY doc_id ORDER BY doc_id
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force correctness path)."""
     e = load(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.8).orderBy("id_a", "id_b")
+    return D.embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.42).orderBy("id_a", "id_b")
 
 
 ORACLE_DEDUP_EMBEDDING_COSINE = """
@@ -157,7 +157,7 @@ WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
 SELECT x.vec_id AS id_a, y.vec_id AS id_b,
        ROUND(list_cosine_similarity(x.vec, y.vec), 6) AS cosine
 FROM v x JOIN v y ON x.vec_id < y.vec_id
-WHERE list_cosine_similarity(x.vec, y.vec) >= 0.8
+WHERE list_cosine_similarity(x.vec, y.vec) >= 0.42
 ORDER BY id_a, id_b
 """
 
