@@ -207,7 +207,7 @@ def q_join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load(spark, sf_dir, "part")
     bands = spark.createDataFrame(
-        [("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0), ("premium", 1500.0, 1e12)],
+        [("budget", 0.0, 940.0), ("mid", 940.0, 975.0), ("premium", 975.0, 1e12)],
         "band string, lo double, hi double",
     )
     return (
@@ -224,7 +224,7 @@ def q_join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NONEQUI = """
 SELECT band, COUNT(*) AS parts, ROUND(AVG(p_retailprice), 2) AS avg_price
 FROM part
-JOIN (VALUES ('budget', 0.0, 1000.0), ('mid', 1000.0, 1500.0), ('premium', 1500.0, 1e12)) b(band, lo, hi)
+JOIN (VALUES ('budget', 0.0, 940.0), ('mid', 940.0, 975.0), ('premium', 975.0, 1e12)) b(band, lo, hi)
   ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band
 ORDER BY band
