@@ -35,6 +35,10 @@ class Engine:
     def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
         self.spark = spark
         self.catalog = catalog or Catalog()
+        # DataFusion spellings (strpos, date_bin, …) work in /fetch SQL
+        from easydb_server_spark.functions import register_dialect_shims
+
+        register_dialect_shims(spark)
 
     # ---- registration (steps 3) ----
 

@@ -60,3 +60,37 @@ def read_xlsx(spark: SparkSession, resolved_path: str) -> DataFrame:
     pdfs = [loader(f, sheet) for f in files]
     merged = pd.concat(pdfs, ignore_index=True)
     return spark.createDataFrame(merged)
+
+
+def read_xlsx_distributed(spark: SparkSession, resolved_path: str, schema: str) -> DataFrame:
+    """Scale path (SURVEY.md §7.4 risk 6): each workbook decodes on an
+    executor via binaryFile + mapInPandas — no driver materialization,
+    parallelism = number of workbooks.
+
+    Requires an explicit result ``schema`` (the driver never opens a
+    file, so nothing can be inferred). The loader is snapshotted by
+    value into the closure: worker processes don't share driver module
+    state.
+    """
+    import io
+    from collections.abc import Iterator
+
+    path, sheet = resolved_path, 0
+    if "#" in resolved_path:
+        path, sheet_name = resolved_path.rsplit("#", 1)
+        sheet = sheet_name
+    loader = _loader  # None → pandas/openpyxl from bytes in the worker
+    cols = [f.split()[0] for f in schema.split(",")]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                payload = bytes(row["content"])
+                if loader is not None:
+                    out = loader(row["path"], sheet)
+                else:
+                    out = pd.read_excel(io.BytesIO(payload), sheet_name=sheet, engine="openpyxl")
+                yield out[cols]
+
+    blobs = spark.read.format("binaryFile").load(path).select("path", "content")
+    return blobs.mapInPandas(decode, schema)

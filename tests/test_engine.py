@@ -97,6 +97,12 @@ class TestParityBehaviors:
         assert len(lines) == 3
         assert lines[0] == '{"id":101}'
 
+    def test_datafusion_dialect_spellings_work(self, engine, data_dir):
+        # shims registered at Engine init: DataFusion function names run
+        engine.query("create table user () location 'user.csv'")
+        out = engine.query("select strpos(user_name, 'oe') as p from user order by id")
+        assert out["rows"][0] == ["7"]  # 'John Doe' → 'oe' starts at 7
+
     def test_export_distributed_part_files(self, engine, data_dir):
         # cluster path: a directory of part files written in parallel
         from easydb_server_spark.export import export_query

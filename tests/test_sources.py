@@ -106,6 +106,27 @@ class TestExcel:
         with pytest.raises(UnsupportedFormatError, match="openpyxl"):
             read_xlsx(spark, str(data_dir / "wb.xlsx"))
 
+    def test_distributed_reader_decodes_on_executors(self, spark, data_dir):
+        """Scale path: binaryFile + mapInPandas, loader captured by
+        value so it exists in worker processes."""
+        import pandas as pd
+
+        from easydb_server_spark.sources.excel import read_xlsx_distributed
+
+        (data_dir / "d1.xlsx").write_bytes(b"fake-bytes-1")
+        (data_dir / "d2.xlsx").write_bytes(b"fake-bytes-22")
+
+        def fake(path, sheet):
+            return pd.DataFrame({"name": [path.rsplit("/", 1)[-1]], "score": [1.5]})
+
+        set_excel_loader(fake)
+        try:
+            df = read_xlsx_distributed(spark, str(data_dir / "d*.xlsx"), "name string, score double")
+            rows = sorted(r.name for r in df.collect())
+            assert rows == ["d1.xlsx", "d2.xlsx"]
+        finally:
+            set_excel_loader(None)
+
 
 class TestStringify:
     @pytest.mark.parametrize(
