@@ -38,7 +38,13 @@ def create_app(engine: Engine) -> Flask:
 
     @app.errorhandler(Exception)
     def _handle_any(e: Exception):
-        return jsonify({"resp_msg": str(e), "resp_code": 1}), 500
+        # SQL analysis failures (unknown column/table, type errors) are
+        # client errors, mirroring the reference's DataFusion→400
+        # mapping (`src/response/http_error.rs`); everything else is 500
+        from pyspark.errors import AnalysisException, ParseException
+
+        status = 400 if isinstance(e, (AnalysisException, ParseException)) else 500
+        return jsonify({"resp_msg": str(e), "resp_code": 1}), status
 
     @app.post("/fetch")
     def fetch():

@@ -25,6 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- projections / filters / conditionals / casts / sort-limit ---
     "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
+    "core_star_projection": (core.q_core_star_projection, core.ORACLE_STAR_PROJECTION),
     "core_filter_predicates": (core.q_core_filter_predicates, core.ORACLE_FILTER_PREDICATES),
     "core_distinct": (core.q_core_distinct, core.ORACLE_DISTINCT),
     "core_distinct_on": (core.q_core_distinct_on, core.ORACLE_DISTINCT_ON),

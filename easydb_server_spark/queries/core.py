@@ -74,6 +74,27 @@ ORDER BY o_orderkey
 """
 
 
+def q_core_star_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qualified ``t.*`` expansion plus sibling columns."""
+    from easydb_server_spark.queries._util import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.*, r.r_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY n.n_nationkey
+        """
+    )
+
+
+ORACLE_STAR_PROJECTION = """
+SELECT n.*, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY n.n_nationkey
+"""
+
+
 def q_core_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a projection."""
     o = load(spark, sf_dir, "orders")

@@ -55,6 +55,12 @@ class TestEndpoints:
         data = r.get_json()["data"]
         assert data[0]["status"] == "successful"
 
+    def test_bad_column_is_400_not_500(self, client, data_dir):
+        client.post("/fetch", json={"sql": "create table user () location 'user.csv'"})
+        r = client.post("/fetch", json={"sql": "select no_such_column from user"})
+        assert r.status_code == 400
+        assert r.get_json()["resp_code"] == 1
+
     def test_export_download(self, client, data_dir):
         client.post("/fetch", json={"sql": "create table user () location 'user.csv'"})
         r = client.post("/query/export", json={"sql": "select id from user", "file_type": "csv"})
