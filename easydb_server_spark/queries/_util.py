@@ -43,6 +43,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable; required even when the caller (e.g. the
         # driver) built the SparkSession without our session factory
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # epoch math (unix_timestamp, timestamp_micros→string) renders in
+    # the session timezone; the driver may build its session with a
+    # non-UTC default, which would silently shift every such value
+    # away from the (timezone-naive) DuckDB oracle — pin UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         import pyspark.sql.functions as F
