@@ -30,6 +30,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "core_distinct": (core.q_core_distinct, core.ORACLE_DISTINCT),
     "core_distinct_on": (core.q_core_distinct_on, core.ORACLE_DISTINCT_ON),
     "core_conditionals": (core.q_core_conditionals, core.ORACLE_CONDITIONALS),
+    "core_nvl": (core.q_core_nvl, core.ORACLE_NVL),
     "core_cast": (core.q_core_cast, core.ORACLE_CAST),
     "core_limit_offset": (core.q_core_limit_offset, core.ORACLE_LIMIT_OFFSET),
     "core_sort_nulls": (core.q_core_sort_nulls, core.ORACLE_SORT_NULLS),
@@ -65,6 +66,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_string": (fns.q_fn_string, fns.ORACLE_FN_STRING),
     "fn_regex": (fns.q_fn_regex, fns.ORACLE_FN_REGEX),
     "fn_datetime": (fns.q_fn_datetime, fns.ORACLE_FN_DATETIME),
+    "fn_datetime_convert": (fns.q_fn_datetime_convert, fns.ORACLE_FN_DATETIME_CONVERT),
     "fn_hash": (fns.q_fn_hash, fns.ORACLE_FN_HASH),
     "fn_array": (fns.q_fn_array, fns.ORACLE_FN_ARRAY),
     "fn_struct_map": (fns.q_fn_struct_map, fns.ORACLE_FN_STRUCT_MAP),
@@ -113,6 +115,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_pricing_summary": (agg.q_agg_pricing_summary, agg.ORACLE_PRICING_SUMMARY),
     "agg_count_distinct": (agg.q_agg_count_distinct, agg.ORACLE_COUNT_DISTINCT),
     "agg_stats": (agg.q_agg_stats, agg.ORACLE_STATS),
+    "agg_regr": (agg.q_agg_regr, agg.ORACLE_REGR),
     "agg_minmax_by": (agg.q_agg_minmax_by, agg.ORACLE_MINMAX_BY),
     "agg_string_agg": (agg.q_agg_string_agg, agg.ORACLE_STRING_AGG),
     "agg_filter_clause": (agg.q_agg_filter_clause, agg.ORACLE_FILTER_CLAUSE),

@@ -113,6 +113,34 @@ ORDER BY l_linestatus
 """
 
 
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope/intercept/r2/count
+    — DataFusion's regr_* surface, Spark 3.4+ builtins)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
+            F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 8).alias("r2"),
+            F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_REGR = """
+SELECT l_linestatus,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 8)        AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-selection aggregates: min_by / max_by / first-last value.
 

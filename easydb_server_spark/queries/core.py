@@ -161,6 +161,29 @@ ORDER BY c_custkey
 """
 
 
+def q_core_nvl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NVL / IFNULL / NVL2 null-default conditionals (nulls synthesized)."""
+    s = load(spark, sf_dir, "supplier")
+    maybe = F.nullif(F.col("s_name"), F.lit("Supplier#000000005"))
+    return s.select(
+        "s_suppkey",
+        F.expr("nvl(nullif(s_name, 'Supplier#000000005'), 'MISSING')").alias("nvl_name"),
+        F.expr("ifnull(nullif(s_name, 'Supplier#000000005'), 'MISSING')").alias("ifnull_name"),
+        F.expr("nvl2(nullif(s_name, 'Supplier#000000005'), 'present', 'absent')").alias("nvl2_flag"),
+        maybe.isNull().alias("was_null"),
+    ).orderBy("s_suppkey")
+
+
+ORACLE_NVL = """
+SELECT s_suppkey,
+       COALESCE(NULLIF(s_name, 'Supplier#000000005'), 'MISSING') AS nvl_name,
+       IFNULL(NULLIF(s_name, 'Supplier#000000005'), 'MISSING')   AS ifnull_name,
+       CASE WHEN NULLIF(s_name, 'Supplier#000000005') IS NOT NULL THEN 'present' ELSE 'absent' END AS nvl2_flag,
+       NULLIF(s_name, 'Supplier#000000005') IS NULL              AS was_null
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 def q_core_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAST / TRY_CAST — TRY_CAST yields NULL on failure."""
     o = load(spark, sf_dir, "orders")

@@ -191,6 +191,41 @@ ORDER BY o_orderkey
 """
 
 
+def q_fn_datetime_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion family: to_timestamp/to_date parsing, epoch-millis
+    round-trip, from_unixtime formatting, date_add/date_sub (session
+    timezone pinned UTC by the loader, so epoch math is stable)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    datestr = F.date_format(d, "yyyy-MM-dd HH:mm:ss")
+    return (
+        o.where(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.to_timestamp(datestr, "yyyy-MM-dd HH:mm:ss").cast("string").alias("parsed_ts"),
+            F.to_date(F.date_format(d, "yyyy-MM-dd"), "yyyy-MM-dd").cast("string").alias("parsed_date"),
+            F.timestamp_millis(F.unix_millis(F.to_timestamp(datestr))).cast("string").alias("epoch_ms_roundtrip"),
+            F.from_unixtime(F.unix_timestamp(F.to_timestamp(datestr)), "yyyy/MM/dd").alias("formatted"),
+            F.date_add(d.cast("date"), 30).cast("string").alias("plus30"),
+            F.date_sub(d.cast("date"), 7).cast("string").alias("minus7"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_FN_DATETIME_CONVERT = """
+SELECT o_orderkey,
+       CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS parsed_ts,
+       CAST(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS VARCHAR)                          AS parsed_date,
+       CAST(epoch_ms(CAST(epoch_ms(o_orderdate) AS BIGINT)) AS VARCHAR)                          AS epoch_ms_roundtrip,
+       strftime(o_orderdate, '%Y/%m/%d')                                                         AS formatted,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR)                                           AS plus30,
+       CAST(CAST(o_orderdate AS DATE) - 7 AS VARCHAR)                                            AS minus7
+FROM orders WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
+"""
+
+
 def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash/crypto family: md5, sha2-256, hex encode/decode, base64."""
     n = load(spark, sf_dir, "nation")
