@@ -82,6 +82,52 @@ def binary_features(df: DataFrame, blob_col: str, id_col: str, kind_col: str) ->
     return df.select(*cols).mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "item_id bigint, payload binary, width int, height int"
+FRAMES_SCHEMA = "item_id bigint, frame_idx int, frame binary"
+
+
+def resize_images(df: DataFrame, blob_col: str, id_col: str, width: int, height: int) -> DataFrame:
+    """Resize pipeline shape: Arrow-batched mapInPandas, one output row
+    per input image. The actual pixel work is stubbed (no PIL in this
+    container): the fake 'resize' deterministically truncates/pads the
+    payload to width*height bytes, so schema, batching, and plumbing
+    are real and testable."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[blob_col]) or b"\x00"
+                fake = (payload * (target // len(payload) + 1))[:target]
+                out.append({"item_id": row[id_col], "payload": fake, "width": width, "height": height})
+            yield pd.DataFrame(out, columns=["item_id", "payload", "width", "height"])
+
+    return df.select(id_col, blob_col).mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, blob_col: str, id_col: str, n_frames: int) -> DataFrame:
+    """Frame-sampling pipeline shape: one input video blob → n output
+    frame rows (fan-out inside mapInPandas). Stub frames are
+    deterministic equal-width byte slices standing in for decoded
+    frames; the row-explosion shape is what a real ffmpeg sampler
+    produces."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[blob_col]) or b"\x00"
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    out.append(
+                        {"item_id": row[id_col], "frame_idx": i, "frame": payload[i * step : i * step + step]}
+                    )
+            yield pd.DataFrame(out, columns=["item_id", "frame_idx", "frame"])
+
+    return df.select(id_col, blob_col).mapInPandas(do_sample, FRAMES_SCHEMA)
+
+
 def documents_as_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Adapter used by tests/conformance: treat document text bytes as
     an opaque media payload (UTF-8 encode) with kind='image'."""

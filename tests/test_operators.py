@@ -180,6 +180,25 @@ class TestMultimodal:
         finally:
             mm._DECODERS.clear()
 
+    def test_resize_pipeline_shape(self, spark, docs):
+        from easydb_server_spark.operators.multimodal import documents_as_binary, resize_images
+
+        b = documents_as_binary(docs.limit(6), "text", "doc_id")
+        out = resize_images(b, "payload", "item_id", 8, 4).collect()
+        assert len(out) == 6
+        for r in out:
+            assert (r.width, r.height) == (8, 4)
+            assert len(bytes(r.payload)) == 32
+
+    def test_frame_sampling_fanout(self, spark, docs):
+        from easydb_server_spark.operators.multimodal import documents_as_binary, sample_frames
+
+        b = documents_as_binary(docs.limit(4), "text", "doc_id")
+        out = sample_frames(b, "payload", "item_id", 5).collect()
+        assert len(out) == 20  # 4 videos × 5 frames
+        idxs = sorted(r.frame_idx for r in out if r.item_id == out[0].item_id)
+        assert idxs == [0, 1, 2, 3, 4]
+
     def test_unknown_kind_raises(self, spark):
         from easydb_server_spark.operators.multimodal import binary_features
 
