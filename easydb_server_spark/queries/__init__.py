@@ -87,6 +87,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim_topk_lsh": (llmops.q_sim_topk_lsh, llmops.ORACLE_SIM_TOPK_LSH),
     "sim_topk_ivf": (llmops.q_sim_topk_ivf, llmops.ORACLE_SIM_TOPK_IVF),
     "dedup_clusters": (llmops.q_dedup_clusters, llmops.ORACLE_DEDUP_CLUSTERS),
+    "dedup_pipeline_keepers": (llmops.q_dedup_pipeline_keepers, llmops.ORACLE_DEDUP_PIPELINE_KEEPERS),
     # --- LLM-data-pipeline: text analysis ---
     "text_langid": (llmops.q_text_langid, llmops.ORACLE_TEXT_LANGID),
     "text_quality": (llmops.q_text_quality, llmops.ORACLE_TEXT_QUALITY),

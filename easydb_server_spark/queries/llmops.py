@@ -276,6 +276,70 @@ ORDER BY qid, rank
 """
 
 
+def q_dedup_pipeline_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup flow in one plan: near-dup pairs
+    (exact Jaccard @0.6) → connected components → keeper = min doc_id
+    per component → corpus minus non-keepers. Returns the surviving
+    doc ids with their component tag (docs in no component survive as
+    their own keeper)."""
+    from easydb_server_spark.operators.clusters import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.6)
+    cc = connected_components(pairs)
+    keepers = cc.groupBy("component").agg(F.min("doc_id").alias("keeper"))
+    drops = cc.join(keepers, "component").where(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    return (
+        d.join(drops, "doc_id", "left_anti")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_PIPELINE_KEEPERS = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+h60 AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM h60 GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM h60 p JOIN h60 q ON p.h = q.h AND p.doc_id < q.doc_id
+  GROUP BY p.doc_id, q.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+),
+keepers AS (SELECT component, MIN(doc_id) AS keeper FROM labels GROUP BY component),
+drops AS (
+  SELECT l.doc_id FROM labels l JOIN keepers k ON l.component = k.component
+  WHERE l.doc_id != k.keeper
+)
+SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+FROM documents d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+ORDER BY d.doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components (iterative min-label
     propagation) → cluster summaries; oracle = recursive-CTE
