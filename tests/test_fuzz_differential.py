@@ -81,3 +81,41 @@ def test_spark_matches_duckdb(engines, sql):
     ocols, orows = canon_frame(con.execute(sql).df())
     assert scols == ocols, sql
     assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
+
+
+@st.composite
+def window_queries(draw):
+    """Window-function templates over a deterministic tiebreak order."""
+    part = draw(st.sampled_from(STR_COLS))
+    fn = draw(
+        st.sampled_from(
+            [
+                "ROW_NUMBER() OVER w",
+                "RANK() OVER w",
+                "DENSE_RANK() OVER w",
+                "LAG(o_orderkey, 1, -1) OVER w",
+                "LEAD(o_orderkey, 2, -2) OVER w",
+                "CAST(SUM(o_orderkey) OVER (PARTITION BY {p} ORDER BY o_orderkey "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+                "MIN(o_orderkey) OVER w",
+                "NTILE(3) OVER w",
+            ]
+        )
+    ).replace("{p}", part)
+    cutoff = draw(st.integers(100, 3000))
+    return (
+        f"SELECT o_orderkey, {part}, {fn} AS wv FROM orders "
+        f"WHERE o_orderkey <= {cutoff} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY o_orderkey) "
+        f"ORDER BY o_orderkey"
+    )
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sql=window_queries())
+def test_window_functions_match_duckdb(engines, sql):
+    spark, con = engines
+    scols, srows = canon_frame(spark.sql(sql).toPandas())
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols, sql
+    assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
