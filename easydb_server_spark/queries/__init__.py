@@ -63,6 +63,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "recursive_cte": (subqueries.q_recursive_cte, subqueries.ORACLE_RECURSIVE_CTE),
     # --- scalar function families ---
     "fn_math": (fns.q_fn_math, fns.ORACLE_FN_MATH),
+    "fn_math_extended": (fns.q_fn_math_extended, fns.ORACLE_FN_MATH_EXTENDED),
     "fn_string": (fns.q_fn_string, fns.ORACLE_FN_STRING),
     "fn_regex": (fns.q_fn_regex, fns.ORACLE_FN_REGEX),
     "fn_datetime": (fns.q_fn_datetime, fns.ORACLE_FN_DATETIME),

@@ -59,6 +59,59 @@ ORDER BY p_partkey
 """
 
 
+def q_fn_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperbolic/advanced math + length/char primitives: sinh/cosh/
+    tanh (DuckDB oracle emulates via exp — DuckDB 1.0 lacks them),
+    cbrt, exp, trunc, pi, chr, octet_length, bit_length, isnan/nanvl."""
+    p = load(spark, sf_dir, "part")
+    x = (F.col("p_size") % 5).cast("double") / 2.0
+    return (
+        p.where(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.round(F.sinh(x), 6).alias("sinh_x"),
+            F.round(F.cosh(x), 6).alias("cosh_x"),
+            F.round(F.tanh(x), 6).alias("tanh_x"),
+            F.round(F.cbrt(F.col("p_retailprice")), 6).alias("cbrt_price"),
+            F.round(F.exp(x), 6).alias("exp_x"),
+            # Spark's trunc() is date-only; numeric truncation toward
+            # zero is the bigint cast (positive domain here)
+            F.col("p_retailprice").cast("bigint").alias("trunc_price"),
+            F.round(F.lit(3.14159265).cast("double") * 0 + F.expr("pi()"), 8).alias("pi_val"),
+            F.expr("char(p_size % 26 + 65)").alias("letter"),
+            F.expr("octet_length(p_name)").alias("byte_len"),
+            F.expr("bit_length(p_name)").alias("bit_len"),
+            # note: isnan(NULL) diverges across engines (Spark false,
+            # DuckDB NULL) — test genuine NaN / non-NaN instead
+            F.expr("isnan(cast('nan' as double))").alias("isnan_true"),
+            F.expr("isnan(p_retailprice)").alias("isnan_false"),
+            F.round(F.expr("nanvl(cast('nan' as double), p_retailprice)"), 2).alias("nan_defaulted"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_FN_MATH_EXTENDED = """
+SELECT p_partkey,
+       ROUND((exp(x) - exp(-x)) / 2, 6)  AS sinh_x,
+       ROUND((exp(x) + exp(-x)) / 2, 6)  AS cosh_x,
+       ROUND((exp(x) - exp(-x)) / (exp(x) + exp(-x)), 6) AS tanh_x,
+       ROUND(cbrt(p_retailprice), 6)     AS cbrt_price,
+       ROUND(exp(x), 6)                  AS exp_x,
+       CAST(trunc(p_retailprice) AS BIGINT) AS trunc_price,
+       ROUND(pi(), 8)                    AS pi_val,
+       chr(CAST(p_size % 26 + 65 AS INT)) AS letter,
+       CAST(strlen(p_name) AS INT)       AS byte_len,
+       CAST(bit_length(p_name) AS INT)   AS bit_len,
+       isnan(CAST('nan' AS DOUBLE))      AS isnan_true,
+       isnan(p_retailprice)              AS isnan_false,
+       ROUND(p_retailprice, 2)           AS nan_defaulted
+FROM (SELECT *, CAST(p_size % 5 AS DOUBLE) / 2.0 AS x FROM part)
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+
 def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family: case, pad, trim, substring, translate, split_part,
     position, repeat, reverse, left/right, length variants."""
