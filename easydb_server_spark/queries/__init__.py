@@ -96,6 +96,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (llmops.q_text_fingerprint, llmops.ORACLE_TEXT_FINGERPRINT),
     # --- LLM-data-pipeline: multimodal plumbing ---
     "multimodal_features": (llmops.q_multimodal_features, llmops.ORACLE_MULTIMODAL_FEATURES),
+    "multimodal_resize": (llmops.q_multimodal_resize, llmops.ORACLE_MULTIMODAL_RESIZE),
+    "multimodal_frames": (llmops.q_multimodal_frames, llmops.ORACLE_MULTIMODAL_FRAMES),
     # --- dialect-edge coverage ---
     "edge_string_fns": (dialect_edge.q_edge_string_fns, dialect_edge.ORACLE_EDGE_STRING_FNS),
     "edge_ilike": (dialect_edge.q_edge_ilike, dialect_edge.ORACLE_EDGE_ILIKE),
@@ -113,6 +115,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),
     "sup_pivot": (superset.q_sup_pivot, superset.ORACLE_SUP_PIVOT),
     "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),
+    "sup_unpivot": (superset.q_sup_unpivot, superset.ORACLE_SUP_UNPIVOT),
+    "sup_higher_order": (superset.q_sup_higher_order, superset.ORACLE_SUP_HIGHER_ORDER),
     # --- aggregations ---
     "agg_pricing_summary": (agg.q_agg_pricing_summary, agg.ORACLE_PRICING_SUMMARY),
     "agg_count_distinct": (agg.q_agg_count_distinct, agg.ORACLE_COUNT_DISTINCT),

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from easydb_server_spark.operators import dedup as D
 from easydb_server_spark.operators import similarity as S
 from easydb_server_spark.operators import text as T
-from easydb_server_spark.operators.multimodal import binary_features, documents_as_binary
+from easydb_server_spark.operators.multimodal import (
+    binary_features,
+    documents_as_binary,
+    resize_images,
+    sample_frames,
+)
 from easydb_server_spark.queries._util import load
 
 # ---------- shared SQL fragments (mirror operators/dedup.py) ----------
@@ -500,4 +505,56 @@ SELECT doc_id AS item_id,
        CAST(strlen(text) % 640 AS INT)      AS width,
        CAST((strlen(text) * 7) % 480 AS INT) AS height
 FROM documents ORDER BY doc_id
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline through the real mapInPandas plumbing (stubbed
+    pixel work: payload cycled to width*height bytes). Conformance
+    projects md5(payload) so the byte-exact output is value-checked.
+    The corpus is ASCII, so the DuckDB oracle replays the truncate/pad
+    with string repeat+substr."""
+    d = load(spark, sf_dir, "documents")
+    resized = resize_images(documents_as_binary(d, "text", "doc_id"), "payload", "item_id", 8, 8)
+    return resized.select(
+        "item_id",
+        "width",
+        "height",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.length(F.col("payload")).alias("n_bytes"),
+    ).orderBy("item_id")
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+SELECT doc_id                                            AS item_id,
+       CAST(8 AS INT)                                    AS width,
+       CAST(8 AS INT)                                    AS height,
+       md5(substr(repeat(text, 64 // strlen(text) + 1), 1, 64)) AS payload_md5,
+       CAST(64 AS INT)                                   AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 blob -> 4 frame rows) through
+    mapInPandas; stub frames are equal-width byte slices, so the
+    oracle replays the slicing with substr over the ASCII corpus."""
+    d = load(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_binary(d, "text", "doc_id"), "payload", "item_id", 4)
+    return frames.select(
+        "item_id",
+        "frame_idx",
+        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length(F.col("frame")).alias("frame_bytes"),
+    ).orderBy("item_id", "frame_idx")
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+SELECT d.doc_id                                          AS item_id,
+       CAST(t.i AS INT)                                  AS frame_idx,
+       md5(substr(d.text, CAST(t.i * (strlen(d.text) // 4) + 1 AS INT),
+                  CAST(strlen(d.text) // 4 AS INT)))     AS frame_md5,
+       CAST(strlen(d.text) // 4 AS INT)                  AS frame_bytes
+FROM documents d, range(0, 4) t(i)
+ORDER BY item_id, frame_idx
 """

@@ -81,3 +81,70 @@ SELECT MODE(l_returnflag) AS mode_flag,
        CAST(MODE(l_linenumber) AS INT) AS mode_line
 FROM lineitem
 """
+
+
+def q_sup_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide measures -> long key/value rows) — relational
+    melt; the oracle is the classic measure-lateral CROSS JOIN."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") <= 64)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .withColumn("val", F.round("val", 2))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+ORACLE_SUP_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, m.measure,
+       ROUND(CASE m.measure
+               WHEN 'l_quantity'      THEN l_quantity
+               WHEN 'l_extendedprice' THEN l_extendedprice
+               WHEN 'l_discount'      THEN l_discount
+               WHEN 'l_tax'           THEN l_tax
+             END, 2) AS val
+FROM lineitem,
+     (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount'), ('l_tax')) m(measure)
+WHERE l_orderkey <= 64
+ORDER BY l_orderkey, l_linenumber, m.measure
+"""
+
+
+def q_sup_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order (lambda) array functions over the embedding
+    column: aggregate (left fold), filter, transform. Both engines
+    left-fold doubles in array order, so sums match bit-for-bit
+    (rounded to absorb round-off display differences)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.where(F.col("vec_id") <= 200)
+        .select(
+            "vec_id",
+            F.round(
+                F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"),
+                4,
+            ).alias("vec_sum"),
+            F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+            F.round(F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)")[0], 4).alias(
+                "first_x2"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_SUP_HIGHER_ORDER = """
+SELECT vec_id,
+       ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (acc, x) -> acc + x), 4)
+         AS vec_sum,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       ROUND(CAST(embedding[1] AS DOUBLE) * 2.0, 4)         AS first_x2
+FROM embeddings
+WHERE vec_id <= 200
+ORDER BY vec_id
+"""
