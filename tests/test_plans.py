@@ -55,15 +55,19 @@ class TestPlans:
             assert "CartesianProduct" not in p, name
 
     def test_relational_suite_has_no_python_udfs(self, spark, queries):
-        """Everything except the (deliberately Python) multimodal decode
-        must stay JVM-side — no BatchEvalPython / ArrowEvalPython /
-        MapInPandas operators in any plan."""
+        """Everything except the deliberate Python paths (multimodal
+        decode; the LSH signature matmul, which is Arrow-batched BLAS
+        by design) must stay JVM-side — and row-at-a-time
+        BatchEvalPython is banned in every plan."""
         python_ops = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas")
         offenders = []
         for name, fn in queries.items():
-            if name.startswith(("stream_", "multimodal")):
-                continue  # streams can't explain pre-start; multimodal is Python by design
+            if name.startswith("stream_"):
+                continue  # streams can't explain pre-start
             p = plan_of(fn(spark, SF_DIR))
+            if name.startswith("multimodal") or name == "sim_topk_lsh":
+                assert "BatchEvalPython" not in p, name  # Arrow-batched only
+                continue
             if any(op in p for op in python_ops):
                 offenders.append(name)
         assert offenders == []
