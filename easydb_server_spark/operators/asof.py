@@ -1,0 +1,94 @@
+"""Distributed as-of join (point-in-time join).
+
+Neither the reference's DataFusion 47 surface (SURVEY.md §2.B "No
+as-of / range-interval join primitives") nor Spark has an ASOF JOIN
+primitive; this implements it as a composition of built-in operators —
+the union + ordered-window trick:
+
+1. tag probe rows (side=1) and quote rows (side=0) into one frame;
+2. one shuffle on the join key; within each key, sort by (ts, side)
+   and carry quote attributes forward with ``last(..., ignorenulls)``
+   over an unbounded-preceding running frame;
+3. keep probe rows — each now holds the most recent quote at-or-before
+   its timestamp.
+
+Scale shape: exactly ONE shuffle (the window's partitionBy), no
+range-condition row explosion, no broadcast requirement on either
+side; skewed keys can reuse the salting pattern from operators/skew.py.
+Spark's window sort spills via UnsafeExternalSorter, so per-key groups
+larger than memory still complete.
+
+Ties at equal timestamps are inclusive (quote at ts == probe ts
+matches), same as DuckDB's ``ASOF JOIN ... ON q.ts <= p.ts`` oracle
+semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    probe: DataFrame,
+    quote: DataFrame,
+    on: str,
+    probe_ts: str,
+    quote_ts: str,
+    quote_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each probe row, attach the most recent quote row (per ``on``
+    key) with quote_ts <= probe_ts. Probe columns pass through; quote
+    attribute columns arrive as ``asof_<name>`` (NULL when no quote
+    precedes, or when it is older than ``tolerance_seconds``).
+    """
+    probe_out = [c for c in probe.columns]
+    tagged_p = probe.select(
+        F.col(on).alias("__k"),
+        F.col(probe_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*probe_out).alias("__p"),
+        *[F.lit(None).cast(dict(quote.dtypes)[c]).alias(f"__q_{c}") for c in quote_cols],
+    )
+    tagged_q = quote.select(
+        F.col(on).alias("__k"),
+        F.col(quote_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(tagged_p.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__q_{c}") for c in quote_cols],
+    )
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = tagged_p.unionByName(tagged_q)
+    filled = u.select(
+        "__k",
+        "__ts",
+        "__side",
+        "__p",
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w).alias("__q_ts"),
+        *[F.last(f"__q_{c}", ignorenulls=True).over(w).alias(f"__qf_{c}") for c in quote_cols],
+    ).where(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        in_tol = F.col("__q_ts").isNotNull() & (
+            (F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__q_ts")))
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        filled = filled.select(
+            "__k",
+            "__ts",
+            "__p",
+            F.when(in_tol, F.col("__q_ts")).alias("__q_ts"),
+            *[F.when(in_tol, F.col(f"__qf_{c}")).alias(f"__qf_{c}") for c in quote_cols],
+        )
+
+    return filled.select(
+        *[F.col(f"__p.{c}").alias(c) for c in probe_out],
+        F.col("__q_ts").alias("asof_ts"),
+        *[F.col(f"__qf_{c}").alias(f"asof_{c}") for c in quote_cols],
+    )

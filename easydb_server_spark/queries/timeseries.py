@@ -171,3 +171,41 @@ FROM gaps WHERE gap_us IS NOT NULL AND user_id <= 200
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase event picks up the
+    most recent preceding click by the same user — the union+window
+    composition from operators/asof.py (one shuffle, no range
+    explosion). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from easydb_server_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id", "value")
+    joined = asof_join(
+        purchases.withColumnRenamed("event_id", "p_id"),
+        clicks.withColumnRenamed("event_id", "c_event_id").withColumnRenamed("value", "c_value"),
+        on="user_id",
+        probe_ts="ts",
+        quote_ts="ts",
+        quote_cols=["c_event_id", "c_value"],
+    )
+    return joined.select(
+        "p_id",
+        "user_id",
+        F.col("asof_c_event_id").alias("c_id"),
+        F.round("asof_c_value", 2).alias("c_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).alias("lag_us"),
+    ).orderBy("p_id")
+
+
+ORACLE_TS_ASOF_JOIN = """
+WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS c_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.p_id, p.user_id, c.c_id,
+       ROUND(c.value, 2)                                  AS c_value,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)    AS lag_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.p_id
+"""

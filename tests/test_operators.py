@@ -269,3 +269,64 @@ class TestStreaming:
         got = spark.sql("SELECT * FROM win_counts").collect()
         assert sum(r.n for r in got) == 12
         assert {r.event_type for r in got} == {"click", "view"}
+
+
+class TestAsofJoin:
+    def test_matches_bruteforce_theta_join(self, spark):
+        """asof_join (union+window) == the O(n*m) theta-join + row_number
+        definition, on real event data."""
+        from pyspark.sql import Window
+
+        from easydb_server_spark.operators.asof import asof_join
+        from easydb_server_spark.queries._util import load
+
+        e = load(spark, SF_DIR, "events")
+        p = e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts"
+        )
+        q = e.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("q_user"), F.col("ts").alias("q_ts"), F.col("event_id").alias("q_id")
+        )
+        got = asof_join(p, q.withColumnRenamed("q_user", "user_id"),
+                        on="user_id", probe_ts="ts", quote_ts="q_ts", quote_cols=["q_id"])
+        w = Window.partitionBy("p_id").orderBy(F.col("q_ts").desc())
+        want = (
+            p.join(q, (p.user_id == q.q_user) & (q.q_ts <= p.ts), "left")
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("p_id", F.col("q_id").alias("want_q_id"))
+        )
+        diff = (
+            got.select("p_id", "asof_q_id")
+            .join(want, "p_id", "full")
+            .where(
+                F.coalesce(F.col("asof_q_id"), F.lit(-1)) != F.coalesce(F.col("want_q_id"), F.lit(-1))
+            )
+        )
+        assert diff.count() == 0
+
+    def test_tolerance_nulls_out_stale_quotes(self, spark):
+        from easydb_server_spark.operators.asof import asof_join
+        from easydb_server_spark.queries._util import load
+
+        e = load(spark, SF_DIR, "events")
+        p = e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts"
+        )
+        q = e.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("q_ts"), F.col("value").alias("q_value")
+        )
+        loose = asof_join(p, q, on="user_id", probe_ts="ts", quote_ts="q_ts", quote_cols=["q_value"])
+        tight = asof_join(
+            p, q, on="user_id", probe_ts="ts", quote_ts="q_ts", quote_cols=["q_value"],
+            tolerance_seconds=600,
+        )
+        n_loose = loose.where(F.col("asof_q_value").isNotNull()).count()
+        n_tight = tight.where(F.col("asof_q_value").isNotNull()).count()
+        assert 0 < n_tight < n_loose
+        # every surviving tight match is within tolerance
+        bad = tight.where(
+            F.col("asof_ts").isNotNull()
+            & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")) > 600 * 1_000_000)
+        )
+        assert bad.count() == 0
