@@ -209,3 +209,46 @@ SELECT p.p_id, p.user_id, c.c_id,
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
 ORDER BY p.p_id
 """
+
+
+def q_ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via the bucketized equi-join rewrite
+    (operators/rangejoin.py): every error event opens a one-hour
+    incident window; count the clicks by the same user inside it.
+    The oracle is the plain O(n*m) range-predicate join."""
+    from easydb_server_spark.operators.rangejoin import range_join
+
+    e = load(spark, sf_dir, "events")
+    incidents = (
+        e.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("user_id").alias("i_user"),
+            F.unix_micros("ts").alias("lo"),
+            (F.unix_micros("ts") + 3600 * 1_000_000).alias("hi"),
+        )
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("c_us")
+    )
+    joined = range_join(clicks, incidents, "c_us", "lo", "hi", bucket_width=3600 * 1_000_000)
+    return (
+        joined.where(F.col("c_user") == F.col("i_user"))
+        .groupBy("incident_id")
+        .agg(F.count("*").alias("n_clicks"))
+        .orderBy("incident_id")
+    )
+
+
+ORACLE_TS_RANGE_JOIN = """
+WITH i AS (
+  SELECT event_id AS incident_id, user_id,
+         epoch_us(ts) AS lo, epoch_us(ts) + 3600000000::BIGINT AS hi
+  FROM events WHERE event_type = 'error'
+),
+c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click')
+SELECT i.incident_id, COUNT(*) AS n_clicks
+FROM i JOIN c ON c.user_id = i.user_id AND c.c_us >= i.lo AND c.c_us <= i.hi
+GROUP BY i.incident_id
+ORDER BY i.incident_id
+"""

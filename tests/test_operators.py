@@ -330,3 +330,39 @@ class TestAsofJoin:
             & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")) > 600 * 1_000_000)
         )
         assert bad.count() == 0
+
+
+class TestRangeJoin:
+    def test_matches_theta_join_and_avoids_nested_loop(self, spark):
+        from easydb_server_spark.operators.rangejoin import range_join
+        from easydb_server_spark.queries._util import load
+
+        e = load(spark, SF_DIR, "events")
+        iv = e.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("iid"),
+            F.unix_micros("ts").alias("lo"),
+            (F.unix_micros("ts") + 1800 * 1_000_000).alias("hi"),
+        )
+        pts = e.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("pid"), F.unix_micros("ts").alias("p_us")
+        )
+        got = range_join(pts, iv, "p_us", "lo", "hi", bucket_width=1800 * 1_000_000)
+        want = pts.join(iv, (F.col("p_us") >= F.col("lo")) & (F.col("p_us") <= F.col("hi")))
+        assert got.count() == want.count()
+        assert got.select("pid", "iid").exceptAll(want.select("pid", "iid")).count() == 0
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_interval_spanning_many_buckets(self, spark):
+        """Intervals much longer than the bucket width still match
+        exactly (fan-out path), and each (point, interval) pair appears
+        once."""
+        from easydb_server_spark.operators.rangejoin import range_join
+
+        pts = spark.createDataFrame([(i, i * 10) for i in range(100)], "pid int, x long")
+        iv = spark.createDataFrame([(1, 5, 905), (2, 200, 210)], "iid int, lo long, hi long")
+        got = range_join(pts, iv, "x", "lo", "hi", bucket_width=7)
+        want = pts.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        assert sorted(r["pid"] for r in got.where(F.col("iid") == 2).collect()) == [20, 21]
+        assert got.count() == want.count()
+        assert got.groupBy("pid", "iid").count().where(F.col("count") > 1).count() == 0
