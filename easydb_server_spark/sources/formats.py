@@ -10,8 +10,9 @@ Reference parity (`src/data_source/utils.rs:5-26`, enum at
 - ``.xlsx`` → Excel
 - unknown → error
 
-Documented superset: ``.parquet`` (claimed in the reference README but
-never wired — SURVEY.md §2.A note).
+Documented supersets: ``.parquet`` (claimed in the reference README but
+never wired — SURVEY.md §2.A note) and ``.orc`` (Spark-native columnar,
+free to support).
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ class DataSourceFormat(enum.Enum):
     NDJSON = "ndjson"
     XLSX = "xlsx"
     PARQUET = "parquet"  # superset
+    ORC = "orc"  # superset
     JSON = "json"  # recognized but rejected
 
 
@@ -38,6 +40,7 @@ _EXT_MAP = {
     ".txt": DataSourceFormat.NDJSON,
     ".xlsx": DataSourceFormat.XLSX,
     ".parquet": DataSourceFormat.PARQUET,
+    ".orc": DataSourceFormat.ORC,
     ".json": DataSourceFormat.JSON,
 }
 

@@ -97,6 +97,8 @@ def read_path(spark: SparkSession, path: str) -> DataFrame:
         return df
     if fmt == DataSourceFormat.PARQUET:
         return spark.read.parquet(resolved)
+    if fmt == DataSourceFormat.ORC:
+        return spark.read.orc(resolved)
     raise UnsupportedFormatError(f"Unsupported file format: {path!r}")
 
 

@@ -54,3 +54,17 @@ def test_ndjson_roundtrip_matches_parquet(spark, engine, tmp_path):
     df = engine.dataframe(f"select * from '{dst}'")
     got = [tuple(r) for r in _agg(df).collect()]
     assert got == expected
+
+
+def test_orc_roundtrip_matches_parquet(spark, engine, tmp_path):
+    """ORC (documented superset) through the path-as-table route."""
+    pq = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_orc")
+    pq.coalesce(1).write.orc(out)
+    import glob
+
+    orc_file = glob.glob(f"{out}/part-*.orc")[0]
+    expected = [tuple(r) for r in _agg(pq).collect()]
+    df = engine.dataframe(f"select * from '{orc_file}'")
+    got = [tuple(r) for r in _agg(df).collect()]
+    assert got == expected
