@@ -14,7 +14,11 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from easydb_server_spark.queries.timeseries import ORACLE_TS_SESSION, ORACLE_TS_TUMBLING
+from easydb_server_spark.queries.timeseries import (
+    ORACLE_TS_SESSION,
+    ORACLE_TS_SLIDING,
+    ORACLE_TS_TUMBLING,
+)
 from easydb_server_spark.streaming.events import run_to_memory
 
 
@@ -51,6 +55,24 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_TUMBLING = ORACLE_TS_TUMBLING
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (2h size / 1h slide, overlapping
+    state) == batch ts_sliding oracle."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n", "sum_value")
+    )
+    name = f"stream_sliding_{int(time.time() * 1000)}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("window_start")
+
+
+ORACLE_STREAM_SLIDING = ORACLE_TS_SLIDING
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
