@@ -102,3 +102,27 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFr
         F.max("h0").alias("fp_max"),
         F.count("*").alias("n_shingles"),
     )
+
+
+def hash_split(
+    df: DataFrame, id_col: str, splits: dict[str, tuple[int, int]], salt: str = "v1"
+) -> DataFrame:
+    """Deterministic hash-based dataset splitting (train/val/test) —
+    the reproducible alternative to ``df.sample``: assignment depends
+    only on (salt, id), so it is stable across runs, engines, cluster
+    sizes, and data order, and new rows never reshuffle old ones.
+
+    ``splits`` maps split name -> [lo, hi) percentile band over
+    md5(salt || id) % 100, e.g. {"train": (0, 80), "val": (80, 90),
+    "test": (90, 100)}. Pure column expressions — no shuffle at all;
+    the split column is computed in the scan's project.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    expr = F.lit(None).cast("string")
+    for name, (lo, hi) in splits.items():
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr).withColumn("bucket", bucket)

@@ -558,3 +558,38 @@ SELECT d.doc_id                                          AS item_id,
 FROM documents d, range(0, 4) t(i)
 ORDER BY item_id, frame_idx
 """
+
+
+# ---------- dataset splitting ----------
+
+
+def q_text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (the reproducible
+    alternative to sample()): assignment = md5(salt||id) % 100 bands,
+    stable across engines/cluster sizes/data order — which is exactly
+    why the DuckDB oracle can replay it bit-for-bit."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out = T.hash_split(d, "doc_id", {"train": (0, 80), "val": (80, 90), "test": (90, 100)})
+    return (
+        out.groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+        .orderBy("split")
+    )
+
+
+ORACLE_TEXT_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, COUNT(*) AS n, MIN(doc_id) AS first_doc
+FROM s GROUP BY split ORDER BY split
+"""
