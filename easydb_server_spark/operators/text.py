@@ -126,3 +126,42 @@ def hash_split(
     for name, (lo, hi) in splits.items():
         expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr).withColumn("bucket", bucket)
+
+
+def pack_sequences(
+    df: DataFrame, text_col: str, id_col: str, group_col: str, token_budget: int
+) -> DataFrame:
+    """Streaming sequence packing: assign documents (in id order) to
+    consecutive bins of ~``token_budget`` whitespace tokens — the
+    context-window packing step of a training-data pipeline.
+
+    bin = floor(cumulative_tokens_before_this_doc / budget): a document
+    that crosses a boundary stays in the earlier bin (bounded overflow,
+    deterministic, order-stable) — the semantics both engines can
+    compute identically, unlike reset-at-boundary greedy packing which
+    is inherently sequential.
+
+    Scale shape: packing is per ``group_col`` (source/shard), so the
+    window partitions by group and distributes; no global ordering is
+    ever required — bin ids are (group, local bin).
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_bin = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        toks.alias("n_tokens"),
+        ((F.sum(toks).over(w) - toks) / token_budget).cast("bigint").alias("bin"),
+    )
+    return with_bin.groupBy("grp", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc").alias("first_doc"),
+        F.max("doc").alias("last_doc"),
+    )

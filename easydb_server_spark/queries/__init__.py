@@ -98,6 +98,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_token_counts": (llmops.q_text_token_counts, llmops.ORACLE_TEXT_TOKEN_COUNTS),
     "text_fingerprint": (llmops.q_text_fingerprint, llmops.ORACLE_TEXT_FINGERPRINT),
     "text_hash_split": (llmops.q_text_hash_split, llmops.ORACLE_TEXT_HASH_SPLIT),
+    "text_pack": (llmops.q_text_pack, llmops.ORACLE_TEXT_PACK),
     # --- LLM-data-pipeline: multimodal plumbing ---
     "multimodal_features": (llmops.q_multimodal_features, llmops.ORACLE_MULTIMODAL_FEATURES),
     "multimodal_resize": (llmops.q_multimodal_resize, llmops.ORACLE_MULTIMODAL_RESIZE),

@@ -593,3 +593,30 @@ s AS (
 SELECT split, COUNT(*) AS n, MIN(doc_id) AS first_doc
 FROM s GROUP BY split ORDER BY split
 """
+
+
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token bins, per source shard (window
+    cumsum -> bin id -> per-bin stats)."""
+    d = load(spark, sf_dir, "documents")
+    return T.pack_sequences(d, "text", "doc_id", "source", token_budget=512).orderBy("grp", "bin")
+
+
+ORACLE_TEXT_PACK = """
+WITH t AS (
+  SELECT source AS grp, doc_id AS doc,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT grp, doc, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / 512.0) AS BIGINT) AS bin
+  FROM t
+)
+SELECT grp, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc) AS first_doc, MAX(doc) AS last_doc
+FROM b GROUP BY grp, bin ORDER BY grp, bin
+"""
