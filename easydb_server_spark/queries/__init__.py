@@ -109,6 +109,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "edge_groups_frame": (dialect_edge.q_edge_groups_frame, dialect_edge.ORACLE_EDGE_GROUPS_FRAME),
     "edge_natural_join": (dialect_edge.q_edge_natural_join, dialect_edge.ORACLE_EDGE_NATURAL_JOIN),
     "edge_regexp_count": (dialect_edge.q_edge_regexp_count, dialect_edge.ORACLE_EDGE_REGEXP_COUNT),
+    "edge_introspection": (dialect_edge.q_edge_introspection, dialect_edge.ORACLE_EDGE_INTROSPECTION),
     # --- Structured Streaming (real streaming execution, batch oracles) ---
     "stream_tumbling": (streamq.q_stream_tumbling, streamq.ORACLE_STREAM_TUMBLING),
     "stream_session": (streamq.q_stream_session, streamq.ORACLE_STREAM_SESSION),

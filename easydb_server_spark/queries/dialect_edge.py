@@ -143,3 +143,29 @@ SELECT doc_id,
 FROM documents WHERE doc_id < 100
 ORDER BY doc_id
 """
+
+
+def q_edge_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type/engine introspection (DataFusion's arrow_typeof/version →
+    Spark typeof()/version()). Type names and version strings are
+    engine-specific spellings, so the oracle pins Spark's names as
+    literals — the check is that introspection exists and reports the
+    right types, not that two engines share vocabulary."""
+    o = load(spark, sf_dir, "orders")
+    return o.limit(1).select(
+        F.expr("typeof(o_orderkey)").alias("t_key"),
+        F.expr("typeof(o_totalprice)").alias("t_price"),
+        F.expr("typeof(o_orderdate)").alias("t_date"),
+        F.expr("typeof(named_struct('a', 1))").alias("t_struct"),
+        (F.length(F.expr("version()")) > 0).alias("has_version"),
+    )
+
+
+ORACLE_EDGE_INTROSPECTION = """
+SELECT 'bigint'       AS t_key,
+       'double'       AS t_price,
+       'timestamp_ntz' AS t_date,
+       'struct<a:int>' AS t_struct,
+       TRUE           AS has_version
+FROM orders LIMIT 1
+"""
