@@ -40,10 +40,13 @@ HEADLINE = [
     "subq_cte",
     "ts_tumbling",
     "ts_session_window",
+    "ts_asof_join",
+    "ts_range_join",
     "dedup_minhash",
     "dedup_simhash",
     "sim_topk_lsh",
     "text_token_counts",
+    "text_hash_split",
     "multimodal_features",
 ]
 
