@@ -16,10 +16,21 @@ from pyspark.sql import SparkSession
 #
 # Not shimmed because Spark 4 already ships the DataFusion spelling as a
 # builtin: to_char, regexp_like, nvl, nvl2, ifnull, levenshtein,
-# split_part, translate, substr_index/substring_index, regexp_count.
+# split_part, translate, substring_index, regexp_count.
 # Not shimmable: approx_distinct / approx_median are *aggregates* — SQL
 # scalar macros can't wrap aggregates; callers use Spark's
 # approx_count_distinct / percentile_approx directly.
+#
+# gcd/lcm (DataFusion builtins Spark lacks) run Euclid's algorithm as a
+# bounded fold: 64 iterations upper-bounds the worst 64-bit Fibonacci
+# pair, each step is a pure struct rewrite inside codegen, so the cost
+# is O(64) per row regardless of magnitude — no Python, no UDF.
+_EUCLID = (
+    "aggregate(sequence(1, 64), named_struct('x', abs({a}), 'y', abs({b})), "
+    "(acc, i) -> IF(acc.y = 0, acc, named_struct('x', acc.y, 'y', acc.x % acc.y)), "
+    "acc -> acc.x)"
+)
+
 _SHIMS: dict[str, tuple[str, str, str]] = {
     "strpos": ("s STRING, sub STRING", "INT", "instr(s, sub)"),
     "to_unixtime": ("d TIMESTAMP", "BIGINT", "unix_timestamp(d)"),
@@ -32,6 +43,18 @@ _SHIMS: dict[str, tuple[str, str, str]] = {
         "TIMESTAMP",
         "timestamp_micros(CAST(floor((unix_micros(ts) - unix_micros(origin)) / (stride_seconds * 1000000)) AS BIGINT)"
         " * stride_seconds * 1000000 + unix_micros(origin))",
+    ),
+    "substr_index": (
+        "s STRING, delim STRING, cnt INT",
+        "STRING",
+        "substring_index(s, delim, cnt)",
+    ),
+    "gcd": ("a BIGINT, b BIGINT", "BIGINT", _EUCLID.format(a="a", b="b")),
+    "lcm": (
+        "a BIGINT, b BIGINT",
+        "BIGINT",
+        # |a / gcd * b|, divide-first to avoid overflow; 0 when either is 0
+        "IF(a = 0 OR b = 0, 0L, abs(a DIV " + _EUCLID.format(a="a", b="b") + " * b))",
     ),
 }
 

@@ -110,6 +110,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "edge_natural_join": (dialect_edge.q_edge_natural_join, dialect_edge.ORACLE_EDGE_NATURAL_JOIN),
     "edge_regexp_count": (dialect_edge.q_edge_regexp_count, dialect_edge.ORACLE_EDGE_REGEXP_COUNT),
     "edge_introspection": (dialect_edge.q_edge_introspection, dialect_edge.ORACLE_EDGE_INTROSPECTION),
+    "edge_null_safe_misc": (dialect_edge.q_edge_null_safe_misc, dialect_edge.ORACLE_EDGE_NULL_SAFE_MISC),
     # --- Structured Streaming (real streaming execution, batch oracles) ---
     "stream_tumbling": (streamq.q_stream_tumbling, streamq.ORACLE_STREAM_TUMBLING),
     "stream_session": (streamq.q_stream_session, streamq.ORACLE_STREAM_SESSION),

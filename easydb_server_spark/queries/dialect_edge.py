@@ -169,3 +169,49 @@ SELECT 'bigint'       AS t_key,
        TRUE           AS has_version
 FROM orders LIMIT 1
 """
+
+
+def q_edge_null_safe_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe comparison + remaining DataFusion scalar gaps.
+
+    - ``IS [NOT] DISTINCT FROM`` (SURVEY.md §2.B predicates row) over a
+      genuinely nullable expression (NULLIF-derived);
+    - ``gcd``/``lcm`` via the Euclid-fold dialect shims (DataFusion
+      builtins Spark lacks — `functions/shims.py`), pure JVM-side;
+    - ``substr_index`` (DataFusion spelling of substring_index);
+    - ``uuid()`` pinned to its only deterministic property (length 36).
+    Reference surface: ctx.sql at /root/reference/src/data_source/context.rs:26-28.
+    """
+    from easydb_server_spark.functions import register_dialect_shims
+
+    register_dialect_shims(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey,
+               NULLIF(n_regionkey, 2) IS DISTINCT FROM 1      AS dist_from_one,
+               NULLIF(n_regionkey, 2) IS NOT DISTINCT FROM
+                 NULLIF(n_regionkey, 2)                       AS self_not_distinct,
+               gcd(n_nationkey + 6L, 12L)                     AS gcd_12,
+               lcm(n_nationkey + 1L, 4L)                      AS lcm_4,
+               gcd(0L, 0L)                                    AS gcd_zero,
+               substr_index(n_name, 'A', 2)                   AS before_2nd_a,
+               CAST(length(uuid()) AS INT)                    AS uuid_len
+        FROM nation
+        ORDER BY n_nationkey
+        """
+    )
+
+
+ORACLE_EDGE_NULL_SAFE_MISC = """
+SELECT n_nationkey,
+       NULLIF(n_regionkey, 2) IS DISTINCT FROM 1                        AS dist_from_one,
+       NULLIF(n_regionkey, 2) IS NOT DISTINCT FROM NULLIF(n_regionkey, 2) AS self_not_distinct,
+       gcd(n_nationkey + 6, 12)                                         AS gcd_12,
+       lcm(n_nationkey + 1, 4)                                          AS lcm_4,
+       gcd(0, 0)                                                        AS gcd_zero,
+       array_to_string(string_split(n_name, 'A')[1:2], 'A')             AS before_2nd_a,
+       CAST(length(CAST(uuid() AS VARCHAR)) AS INT)                     AS uuid_len
+FROM nation
+ORDER BY n_nationkey
+"""

@@ -48,3 +48,25 @@ class TestShims:
 
     def test_array_to_string(self, spark):
         assert spark.sql("SELECT array_to_string(array('a','b'), '-') AS s").first().s == "a-b"
+
+    def test_gcd_lcm_euclid_fold(self, spark):
+        import duckdb
+
+        row = spark.sql(
+            "SELECT gcd(12L, 18L) AS g, gcd(0L, 7L) AS gz, gcd(0L, 0L) AS g00, "
+            "gcd(-12L, 18L) AS gneg, lcm(4L, 6L) AS l, lcm(0L, 5L) AS lz, "
+            "lcm(-4L, 6L) AS lneg, gcd(1071L, 462L) AS gbig"
+        ).first()
+        want = duckdb.sql(
+            "SELECT gcd(12, 18), gcd(0, 7), gcd(0, 0), gcd(-12, 18), "
+            "lcm(4, 6), lcm(0, 5), lcm(-4, 6), gcd(1071, 462)"
+        ).fetchone()
+        assert (row.g, row.gz, row.g00, row.gneg, row.l, row.lz, row.lneg, row.gbig) == want
+
+    def test_substr_index_shim(self, spark):
+        row = spark.sql(
+            "SELECT substr_index('a.b.c', '.', 2) AS two, "
+            "substr_index('a.b.c', '.', -1) AS last, "
+            "substr_index('abc', '.', 3) AS whole"
+        ).first()
+        assert (row.two, row.last, row.whole) == ("a.b", "c", "abc")
