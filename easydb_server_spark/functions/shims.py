@@ -23,8 +23,10 @@ from pyspark.sql import SparkSession
 #
 # gcd/lcm (DataFusion builtins Spark lacks) run Euclid's algorithm as a
 # bounded fold: 64 iterations upper-bounds the worst 64-bit Fibonacci
-# pair, each step is a pure struct rewrite inside codegen, so the cost
-# is O(64) per row regardless of magnitude — no Python, no UDF.
+# pair, each step a pure struct rewrite evaluated JVM-side (higher-order
+# lambdas are interpreted, not whole-stage-codegen'd, but never leave
+# the executor), so the cost is O(64) per row regardless of magnitude —
+# no Python, no UDF.
 _EUCLID = (
     "aggregate(sequence(1, 64), named_struct('x', abs({a}), 'y', abs({b})), "
     "(acc, i) -> IF(acc.y = 0, acc, named_struct('x', acc.y, 'y', acc.x % acc.y)), "

@@ -16,14 +16,26 @@ from easydb_server_spark.queries._util import load
 
 
 def q_core_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Computed projections with aliases (scan reads only 4 columns)."""
+    """Computed projections with aliases (scan reads only 4 columns).
+
+    The charge expression goes through exact DECIMAL arithmetic before
+    the 2-dp round: rounding a *double* product at a .005 representation
+    boundary is engine-dependent (Spark and DuckDB disagree on ~0.05% of
+    rows at sf0.1), while decimal round-half-up is deterministic in
+    both. Final cast back to double so the wire value is a plain float.
+    """
     li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(12,4)"
+    price = F.col("l_extendedprice").cast(dec)
+    disc = F.col("l_discount").cast(dec)
+    tax = F.col("l_tax").cast(dec)
+    one = F.lit(1).cast(dec)
     return (
         li.where(F.col("l_orderkey") <= 1000)
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charge"),
+            F.round(price * (one - disc) * (one + tax), 2).cast("double").alias("charge"),
             (F.col("l_quantity") > 25).alias("bulk"),
         )
         .orderBy("l_orderkey", "l_linenumber")
@@ -32,7 +44,9 @@ def q_core_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROJECTION = """
 SELECT l_orderkey, l_linenumber,
-       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4))
+                  * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                  * (1 + CAST(l_tax AS DECIMAL(12,4))), 2) AS DOUBLE) AS charge,
        l_quantity > 25 AS bulk
 FROM lineitem
 WHERE l_orderkey <= 1000
