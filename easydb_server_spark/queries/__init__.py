@@ -79,6 +79,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_gap_detection": (timeseries.q_ts_gap_detection, timeseries.ORACLE_TS_GAP_DETECTION),
     "ts_asof_join": (timeseries.q_ts_asof_join, timeseries.ORACLE_TS_ASOF_JOIN),
     "ts_range_join": (timeseries.q_ts_range_join, timeseries.ORACLE_TS_RANGE_JOIN),
+    "ts_rolling_1h": (timeseries.q_ts_rolling_1h, timeseries.ORACLE_TS_ROLLING_1H),
     "stream_sliding": (streamq.q_stream_sliding, streamq.ORACLE_STREAM_SLIDING),
     # --- LLM-data-pipeline: dedup ---
     "dedup_exact": (llmops.q_dedup_exact, llmops.ORACLE_DEDUP_EXACT),

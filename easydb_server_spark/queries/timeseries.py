@@ -252,3 +252,49 @@ FROM i JOIN c ON c.user_id = i.user_id AND c.c_us >= i.lo AND c.c_us <= i.hi
 GROUP BY i.incident_id
 ORDER BY i.incident_id
 """
+
+
+def q_ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour metrics via a time-interval RANGE frame —
+    the no-self-join sliding metric (one shuffle on the partition key;
+    each frame is evaluated inside the partition, so the plan is a
+    single window exchange at any scale).
+
+    Frame equivalence: ordering on ``unix_micros(ts)`` with
+    ``rangeBetween(-3_600_000_000, 0)`` matches DuckDB's
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` exactly
+    (timestamps are microsecond-precision in both engines). The sum is
+    decimal-exact so the two engines agree bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.where(F.col("user_id") <= 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_1h"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_TS_ROLLING_1H = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS sum_1h
+FROM events
+WHERE user_id <= 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
