@@ -42,6 +42,7 @@ HEADLINE = [
     "ts_session_window",
     "ts_asof_join",
     "ts_range_join",
+    "ts_rolling_1h",
     "dedup_minhash",
     "dedup_simhash",
     "sim_topk_lsh",
