@@ -116,10 +116,15 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
     1. signatures (above);
     2. band key = md5 of the concatenated band slice → bucket join:
        only docs agreeing on a full band meet (LSH);
-    3. exact Jaccard on the candidates via the shingle inverted index.
+    3. exact Jaccard per *candidate* pair: the candidate list joins to
+       the per-doc shingle arrays (two hash joins on doc_id) and the
+       intersection is ``size(array_intersect(a, b))`` inside the row.
 
-    The candidate join is on (band, band_hash) — at scale the quadratic
-    blowup is confined to same-bucket collisions, the whole point of LSH.
+    Verification cost is O(|candidates|) — the shingle inverted index
+    is never self-joined, so the O(Σ df²) all-pairs-sharing-a-shingle
+    expansion that LSH exists to avoid never happens. The candidate
+    join is on (band, band_hash): at scale the quadratic blowup is
+    confined to same-bucket collisions, the whole point of LSH.
     """
     rows_per_band = MINHASH_N // MINHASH_BANDS
     sig = minhash_signatures(df, text_col, id_col, k)
@@ -135,23 +140,21 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = word_shingles(df, text_col, id_col, k).select(
-        "doc_id", _shingle_hash60(F.col("shingle")).alias("h")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("p")
-        .join(sh.alias("q"), "h")
-        .where(F.col("p.doc_id") < F.col("q.doc_id"))
-        .select(F.col("p.doc_id").alias("doc_a"), F.col("q.doc_id").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    arrs = shingle_arrays(df, text_col, id_col, k)
+    left = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
+    right = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")), 6))
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shingles_a", "shingles_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("shingles_a") + F.size("shingles_b") - F.col("n_inter")),
+                6,
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -100,6 +100,66 @@ ORDER BY doc_id, i
 """
 
 
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs over a dup-injected corpus.
+
+    The oracle replays the whole pipeline — universal-hash family,
+    banding, candidate restriction, exact Jaccard via list_intersect —
+    so this is a full value-hash check of the flagship dedup operator,
+    not just its signature stage."""
+    d = _docs_with_dups(spark, sf_dir)
+    d = d.where(F.col("doc_id") % 10000 < 300)
+    return D.minhash_pairs(d, "text", "doc_id", threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+ORACLE_DEDUP_MINHASH_PAIRS = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10000 < 300
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50 AND doc_id % 10000 < 300
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+sh_all AS (
+  SELECT w.doc_id, array_to_string(w.ws[t.i + 1 : t.i + 3], ' ') AS shingle
+  FROM words w, UNNEST(generate_series(0, greatest(len(w.ws) - 3, 0))) t(i)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0 FROM sh
+),
+params(i, a, b) AS (VALUES {{params}}),
+sigs AS (
+  SELECT h.doc_id, p.i, MIN((p.a * h.h0 + p.b) % {D.MINHASH_P}) AS minhash
+  FROM hashed h CROSS JOIN params p
+  GROUP BY h.doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {D.MINHASH_N // D.MINHASH_BANDS} AS INT) AS band,
+         md5(array_to_string(list_sort(list(printf('%d:%d', i, minhash))), ',')) AS band_hash
+  FROM sigs GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+arrs AS (SELECT doc_id, list(shingle) AS shingles FROM sh GROUP BY doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+         len(a.shingles) AS sh_a, len(b.shingles) AS sh_b
+  FROM cand c
+  JOIN arrs a ON a.doc_id = c.doc_a
+  JOIN arrs b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sh_a + sh_b - n_inter), 6) AS jaccard
+FROM scored
+WHERE CAST(n_inter AS DOUBLE) / (sh_a + sh_b - n_inter) >= 0.5
+ORDER BY doc_a, doc_b
+""".replace("{params}", _params_values())
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
     d = load(spark, sf_dir, "documents")

@@ -76,6 +76,22 @@ class TestPlans:
         p = plan_of(queries["agg_pricing_summary"](spark, SF_DIR))
         assert p.count("HashAggregate") >= 2  # partial + final
 
+    def test_minhash_pairs_verification_is_candidate_restricted(self, spark, queries):
+        """The exact-Jaccard verification in minhash_pairs must be
+        per-candidate-pair (array_intersect inside the row after
+        joining candidates to the per-doc shingle arrays), never a
+        self-join of the shingle inverted index — that would expand
+        every pair sharing a shingle and defeat LSH at scale."""
+        import re
+
+        p = plan_of(queries["dedup_minhash_pairs"](spark, SF_DIR))
+        assert "array_intersect" in p
+        # no join keyed on a shingle-hash column: the only sort-merge
+        # join is the bands bucket self-join on (band, band_hash)
+        for line in p.splitlines():
+            if "Join condition" in line or "Left keys" in line or "Right keys" in line:
+                assert not re.search(r"\bh#\d+", line), line
+
 
 class TestPartitionPruning:
     def test_partition_filter_prunes_directories(self, spark, tmp_path_factory):
