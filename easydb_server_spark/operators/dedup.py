@@ -188,16 +188,31 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 16
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.4) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard similarity via shingle inverted index.
 
     No LSH approximation: every pair sharing ≥1 shingle is scored.
-    Right choice when the shingle-degree distribution is bounded;
-    at 100 TB pair generation is bounded per-shingle (hot shingles =
-    skew — AQE skew-join handles the shuffle, or pre-filter stopword
-    shingles). The self-join runs on 60-bit shingle hashes, not
-    strings — fixed 8-byte shuffle keys; per-doc sizes come from the
-    shingle arrays in the same narrow map (no second shuffle branch).
+    Right choice when the shingle-degree distribution is bounded. The
+    self-join runs on 60-bit shingle hashes, not strings — fixed
+    8-byte shuffle keys; per-doc sizes come from the shingle arrays in
+    the same narrow map (no second shuffle branch).
+
+    ``max_doc_freq`` caps the hot-shingle fan-out: postings with more
+    than ``max_doc_freq`` docs are dropped before pair expansion (the
+    standard df-cap from near-dup literature). Without it a
+    stopword-ish shingle shared by 10⁶ docs would emit ~5·10¹¹ pairs —
+    O(df²) per shingle — so at scale ALWAYS set a cap. The trade is
+    documented recall loss: pairs whose only shared shingles are hot
+    lose those shingles' intersection contribution (denominator still
+    uses the full per-doc shingle counts), so reported Jaccard is a
+    lower bound for such pairs.
     """
     arrs = shingle_arrays(df, text_col, id_col, k)
     sh = arrs.select(
@@ -209,7 +224,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, t
     # shingle), so the pair stream is emitted a<b at the source —
     # half the volume of a self-join and one less shuffle of `sh`
     posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
-    pairs = posting.where(F.size("docs") > 1).select(
+    viable = F.size("docs") > 1
+    if max_doc_freq is not None:
+        viable = viable & (F.size("docs") <= max_doc_freq)
+    pairs = posting.where(viable).select(
         F.explode(
             F.flatten(
                 F.transform(

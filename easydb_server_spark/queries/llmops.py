@@ -160,23 +160,39 @@ ORDER BY doc_a, doc_b
 """.replace("{params}", _params_values())
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
-    d = load(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.4).orderBy("doc_a", "doc_b")
+# hot-shingle document-frequency cap used by every ngram-Jaccard
+# conformance query; the oracles replay it with HAVING COUNT(*) <= cap
+NGRAM_MAX_DF = 64
 
-
-ORACLE_DEDUP_NGRAM_JACCARD = f"""
-WITH {_SHINGLES_CTE},
+# shared capped-inverted-index SQL: postings with df > cap are dropped
+# before pair expansion (mirrors ngram_jaccard_pairs max_doc_freq);
+# sizes stay uncapped — only the intersection is df-restricted
+_NGRAM_INTER_CTES = f"""
 h60 AS (
   SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM h60 GROUP BY doc_id),
+keep AS (SELECT h FROM h60 GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {NGRAM_MAX_DF}),
 inter AS (
   SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM h60 p JOIN h60 q ON p.h = q.h AND p.doc_id < q.doc_id
+  FROM h60 p JOIN keep kk ON kk.h = p.h
+  JOIN h60 q ON p.h = q.h AND p.doc_id < q.doc_id
   GROUP BY p.doc_id, q.doc_id
-)
+)"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
+    hot shingles capped at df <= NGRAM_MAX_DF (oracle replays the cap)."""
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.4, max_doc_freq=NGRAM_MAX_DF
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+{_NGRAM_INTER_CTES}
 SELECT doc_a, doc_b,
        ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
 FROM inter
@@ -350,7 +366,7 @@ def q_dedup_pipeline_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easydb_server_spark.operators.clusters import connected_components
 
     d = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.6)
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.6, max_doc_freq=NGRAM_MAX_DF)
     cc = connected_components(pairs)
     keepers = cc.groupBy("component").agg(F.min("doc_id").alias("keeper"))
     drops = cc.join(keepers, "component").where(F.col("doc_id") != F.col("keeper")).select("doc_id")
@@ -364,15 +380,7 @@ def q_dedup_pipeline_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_PIPELINE_KEEPERS = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
-h60 AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM h60 GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM h60 p JOIN h60 q ON p.h = q.h AND p.doc_id < q.doc_id
-  GROUP BY p.doc_id, q.doc_id
-),
+{_NGRAM_INTER_CTES},
 pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
@@ -412,21 +420,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easydb_server_spark.operators.clusters import dedup_clusters
 
     d = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.4)
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.4, max_doc_freq=NGRAM_MAX_DF)
     return dedup_clusters(pairs).orderBy("component")
 
 
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
-h60 AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM h60 GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM h60 p JOIN h60 q ON p.h = q.h AND p.doc_id < q.doc_id
-  GROUP BY p.doc_id, q.doc_id
-),
+{_NGRAM_INTER_CTES},
 pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a

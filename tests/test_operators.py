@@ -59,6 +59,19 @@ class TestDedup:
         assert exact.count() == 20
         assert exact.agg(F.min("jaccard")).first()[0] == 1.0
 
+    def test_ngram_jaccard_max_doc_freq_caps_hot_shingles(self, spark):
+        """A shingle shared by every doc (stopword-ish) must not expand
+        into O(df²) pairs when the cap is set — the posting is dropped
+        before pair generation."""
+        from easydb_server_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = [(i, f"common hot shingle unique{i} tail{i} end{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01)
+        capped = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01, max_doc_freq=10)
+        assert uncapped.count() == 30 * 29 // 2  # the hot shingle pairs everything
+        assert capped.count() == 0  # hot posting dropped pre-expansion
+
     def test_embedding_neardup_symmetric_bounds(self, spark, embeddings):
         from easydb_server_spark.operators.dedup import embedding_neardup_pairs
 
