@@ -77,13 +77,19 @@ class Catalog:
         Latest registration wins for duplicate refs."""
         if not names:
             return {}
-        ph = ",".join("?" for _ in names)
+        out: dict[str, str] = {}
         with self._lock, self._conn() as conn:
-            rows = conn.execute(
-                f"SELECT table_ref, table_path FROM catalog WHERE table_ref IN ({ph}) ORDER BY id",
-                names,
-            ).fetchall()
-        return {r["table_ref"]: r["table_path"] for r in rows}
+            # chunked: SQLite's default bound-variable limit is 999, and
+            # a very wide FROM list would otherwise exceed it
+            for i in range(0, len(names), 500):
+                chunk = names[i : i + 500]
+                ph = ",".join("?" for _ in chunk)
+                rows = conn.execute(
+                    f"SELECT table_ref, table_path FROM catalog WHERE table_ref IN ({ph}) ORDER BY id",
+                    chunk,
+                ).fetchall()
+                out.update({r["table_ref"]: r["table_path"] for r in rows})
+        return out
 
     def list_tables(self) -> list[dict]:
         """All non-TEMP rows (`src/controllers.rs:149-179`)."""
@@ -108,10 +114,12 @@ class Catalog:
         them forever — SURVEY.md §7.4 quirk 4)."""
         cutoff = time.time() - older_than_s
         with self._lock, self._conn() as conn:
+            # CAST both sides to INTEGER: strftime returns TEXT, and a
+            # TEXT `<` against a string param compares lexicographically
             cur = conn.execute(
                 "DELETE FROM catalog WHERE type = 'TEMP' AND "
-                "strftime('%s', created_at) < ?",
-                (str(int(cutoff)),),
+                "CAST(strftime('%s', created_at) AS INTEGER) < ?",
+                (int(cutoff),),
             )
             return cur.rowcount
 

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from easydb_server_spark.catalog import Catalog
 from easydb_server_spark.errors import BadRequestError, EmptyTableNameError
 from easydb_server_spark.results import INTERACTIVE_LIMIT, materialize
-from easydb_server_spark.sources.formats import has_known_extension
 from easydb_server_spark.sources.readers import register_path
 from easydb_server_spark.sqlgate import classify, extract_table_names, rewrite_path_tables
 from easydb_server_spark.sqlgate.parse import SQLType, parse_create_table
@@ -49,15 +48,10 @@ class Engine:
             # TEMP rows persist in the catalog like the reference
             self.catalog.create_table(temp_name, path, type_="TEMP")
         names = extract_table_names(rewritten)
-        # names with a known file extension but written unquoted are
-        # also path tables (e.g. relative bare paths)
-        remaining = []
-        for n in names:
-            if has_known_extension(n):
-                register_path(self.spark, n, n)
-            else:
-                remaining.append(n)
-        hits = self.catalog.lookup(remaining)
+        # bare unquoted paths (`FROM u.csv`) were already rewritten to
+        # temp views by rewrite_path_tables — Spark can't register a
+        # dotted temp-view name, so they never reach this point
+        hits = self.catalog.lookup(names)
         for name, path in hits.items():
             register_path(self.spark, name, path)
         if not names and not path_map:

@@ -39,41 +39,45 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     edges = edges.persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-    )
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("component", F.col("doc_id"))
         )
-        # localCheckpoint: materialize and TRUNCATE LINEAGE — without
-        # this each round re-executes every prior round (quadratic)
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+        for _ in range(max_rounds):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            # localCheckpoint: materialize and TRUNCATE LINEAGE — without
+            # this each round re-executes every prior round (quadratic)
+            new_labels = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        # an exception mid-loop must not leave the SHARED session with
+        # the temporary partition setting or a leaked cached edge set
+        edges.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels
 
 

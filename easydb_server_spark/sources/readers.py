@@ -35,8 +35,10 @@ from easydb_server_spark.sources.formats import DataSourceFormat, get_format
 
 DEFAULT_DATA_DIR = "/var/lib/easydb"
 
-# (resolved_path, fmt, mtime_signature) -> StructType
-_SCHEMA_CACHE: dict[tuple[str, str, tuple], object] = {}
+# (resolved_path, fmt) -> (mtime_signature, StructType); one entry per
+# source so a changed signature evicts the stale schema instead of
+# accumulating keys forever in a long-lived server
+_SCHEMA_CACHE: dict[tuple[str, str], tuple[tuple, object]] = {}
 
 
 def data_dir() -> str:
@@ -52,15 +54,28 @@ def resolve_path(path: str) -> str:
 
 
 def _mtime_signature(resolved: str) -> tuple:
+    """Change signature over the FULL glob listing — (count, max mtime,
+    total bytes, first, last). Constant-size, so a 10⁵-file glob costs
+    one stat pass but no giant key, and touching ANY file (not just the
+    first 64) invalidates the cached schema."""
     files = sorted(_glob.glob(resolved)) or [resolved]
-    sig = []
-    for f in files[:64]:  # bound the stat cost for huge globs
+    n, max_mtime, total = 0, -1, 0
+    for f in files:
+        n += 1
         try:
             st = os.stat(f)
-            sig.append((f, st.st_mtime_ns, st.st_size))
+            max_mtime = max(max_mtime, st.st_mtime_ns)
+            total += st.st_size
         except OSError:
-            sig.append((f, -1, -1))
-    return tuple(sig)
+            max_mtime = max(max_mtime, 0)
+    return (n, max_mtime, total, files[0], files[-1])
+
+
+def _cached_schema(resolved: str, fmt: str, sig: tuple):
+    hit = _SCHEMA_CACHE.get((resolved, fmt))
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    return None
 
 
 def read_path(spark: SparkSession, path: str) -> DataFrame:
@@ -76,8 +91,8 @@ def read_path(spark: SparkSession, path: str) -> DataFrame:
 
         return read_xlsx(spark, resolved)
 
-    cache_key = (resolved, fmt.value, _mtime_signature(resolved))
-    cached_schema = _SCHEMA_CACHE.get(cache_key)
+    sig = _mtime_signature(resolved)
+    cached_schema = _cached_schema(resolved, fmt.value, sig)
 
     if fmt == DataSourceFormat.CSV or fmt == DataSourceFormat.TSV:
         reader = spark.read.option("header", True)
@@ -87,13 +102,13 @@ def read_path(spark: SparkSession, path: str) -> DataFrame:
             df = reader.schema(cached_schema).csv(resolved)
         else:
             df = reader.option("inferSchema", True).csv(resolved)
-            _SCHEMA_CACHE[cache_key] = df.schema
+            _SCHEMA_CACHE[(resolved, fmt.value)] = (sig, df.schema)
         return df
     if fmt == DataSourceFormat.NDJSON:
         if cached_schema is not None:
             return spark.read.schema(cached_schema).json(resolved)
         df = spark.read.json(resolved)
-        _SCHEMA_CACHE[cache_key] = df.schema
+        _SCHEMA_CACHE[(resolved, fmt.value)] = (sig, df.schema)
         return df
     if fmt == DataSourceFormat.PARQUET:
         return spark.read.parquet(resolved)

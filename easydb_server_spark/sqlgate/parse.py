@@ -20,9 +20,9 @@ Responsibilities (reference parity, SURVEY.md §2.A):
 from __future__ import annotations
 
 import enum
-import random
+import itertools
 import re
-import time
+import uuid
 from dataclasses import dataclass
 
 from easydb_server_spark.errors import UnsupportedSQLError
@@ -222,25 +222,46 @@ def extract_table_names(sql: str) -> list[str]:
     return seen
 
 
-def extract_path_tables(sql: str) -> list[tuple[int, str]]:
-    """Positions (token offsets in the raw SQL) and values of quoted
-    file paths used as table factors (A9)."""
+def extract_path_tables(sql: str) -> list[tuple[int, int, str]]:
+    """(pos, raw_len, path) of file paths used as table factors (A9).
+
+    Both spellings route here: quoted strings (``FROM 'data/u.csv'``)
+    and bare unquoted names with a routable extension (``FROM u.csv``
+    — the reference accepts these too, `src/data_source/context.rs:94-101`;
+    they MUST be rewritten because Spark rejects dotted temp-view names
+    and ``spark.sql`` would resolve ``u.csv`` as catalog ``u``,
+    table ``csv``).
+    """
+    from easydb_server_spark.sources.formats import has_known_extension
+
     toks = _significant(tokenize(sql))
-    out: list[tuple[int, str]] = []
+    out: list[tuple[int, int, str]] = []
     for idx in _table_factor_positions(toks):
-        if idx < len(toks) and toks[idx].kind == "string":
-            raw = toks[idx].value
-            out.append((toks[idx].pos, raw[1:-1].replace("''", "'")))
+        if idx >= len(toks):
+            continue
+        t = toks[idx]
+        if t.kind == "string":
+            out.append((t.pos, len(t.value), t.value[1:-1].replace("''", "'")))
+        elif t.kind == "word" and has_known_extension(t.value):
+            out.append((t.pos, len(t.value), t.value))
     return out
 
 
+_TEMP_SEQ = itertools.count()
+_TEMP_RUN = uuid.uuid4().hex[:8]
+
+
 def gen_temp_name() -> str:
-    """temp_{unix_ts}_{rand4} (`src/data_source/context.rs:103-111`)."""
-    return f"temp_{int(time.time())}_{random.randint(1000, 9999)}"
+    """temp_{run_id}_{seq}: process-unique run token + monotonic
+    counter, collision-free across concurrent requests on the shared
+    SparkSession (the reference's temp_{unix_seconds}_{rand4},
+    `src/data_source/context.rs:103-111`, can collide within a second)."""
+    return f"temp_{_TEMP_RUN}_{next(_TEMP_SEQ)}"
 
 
 def rewrite_path_tables(sql: str) -> tuple[str, dict[str, str]]:
-    """Replace quoted-path table factors with generated temp names.
+    """Replace path table factors (quoted or bare) with generated temp
+    names.
 
     Returns (rewritten_sql, {temp_name: path}). Token-positional
     splicing — only the factor occurrences are touched.
@@ -252,26 +273,16 @@ def rewrite_path_tables(sql: str) -> tuple[str, dict[str, str]]:
     path_to_name: dict[str, str] = {}
     pieces: list[str] = []
     last = 0
-    for pos, path in factors:
+    for pos, raw_len, path in factors:
         if path not in path_to_name:
             name = gen_temp_name()
-            while name in mapping:  # ts collisions within one call
-                name = gen_temp_name()
             path_to_name[path] = name
             mapping[name] = path
-        # raw token length: find the closing quote from pos
-        raw_len = _string_token_length(sql, pos)
         pieces.append(sql[last:pos])
         pieces.append(path_to_name[path])
         last = pos + raw_len
     pieces.append(sql[last:])
     return "".join(pieces), mapping
-
-
-def _string_token_length(sql: str, pos: int) -> int:
-    m = _TOKEN_RE.match(sql, pos)
-    assert m is not None and m.lastgroup == "string"
-    return m.end() - m.start()
 
 
 # ---------- CREATE TABLE ... LOCATION parsing (A14) ----------

@@ -30,6 +30,28 @@ class TestCatalog:
         assert fresh_catalog.gc_temp(older_than_s=-1) == 1
         assert fresh_catalog.lookup(["temp_1_1"]) == {}
 
+    def test_gc_temp_integer_epoch_compare(self, fresh_catalog):
+        """The comparison must be numeric, not lexicographic TEXT: an
+        old 9-digit-epoch row (pre-2001) is < any 10-digit cutoff
+        numerically but > it as a string."""
+        import sqlite3
+
+        with sqlite3.connect(fresh_catalog.db_path) as conn:
+            conn.execute(
+                "INSERT INTO catalog (table_ref, table_path, type, created_at) "
+                "VALUES ('temp_old_1', 'x.csv', 'TEMP', '2000-01-01 00:00:00')"
+            )
+        fresh_catalog.create_table("temp_new_1", "y.csv", type_="TEMP")
+        # cutoff = now - 1 day: the 2000 row is stale, today's is not
+        assert fresh_catalog.gc_temp(older_than_s=86400.0) == 1
+        assert fresh_catalog.lookup(["temp_old_1"]) == {}
+        assert fresh_catalog.lookup(["temp_new_1"]) == {"temp_new_1": "y.csv"}
+
+    def test_lookup_beyond_sqlite_variable_limit(self, fresh_catalog):
+        fresh_catalog.create_table("t_7", "p7.csv")
+        names = [f"t_{i}" for i in range(1500)]
+        assert fresh_catalog.lookup(names) == {"t_7": "p7.csv"}
+
 
 class TestHistory:
     def test_record_and_list(self, fresh_catalog):

@@ -34,6 +34,21 @@ class TestReadmeScenario:
         out = engine.query("select count(*) as n from user")
         assert out["rows"] == [["3"]]
 
+    def test_bare_unquoted_path_as_table(self, engine, data_dir):
+        """Reference parity: `FROM user.csv` without quotes reads the
+        file (`src/data_source/context.rs:94-101`)."""
+        out = engine.query("select * from user.csv")
+        assert out["sql_type"] == "DML"
+        assert out["header"] == ["id", "user_name", "email"]
+        assert len(out["rows"]) == 3
+
+    def test_bare_unquoted_glob_join(self, engine, data_dir):
+        out = engine.query(
+            "select u.user_name, o.product_name from user.csv u "
+            "join order_1.csv o on u.id = o.user_id order by o.id"
+        )
+        assert out["rows"] == [["John Doe", "Apple"], ["Jane Roe", "Banana"]]
+
 
 class TestParityBehaviors:
     def test_implicit_limit_200(self, engine):

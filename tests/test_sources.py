@@ -66,6 +66,32 @@ class TestReaders:
         df = read_path(spark, "/root/testdata/sf0.001/region.parquet")
         assert df.count() == 5
 
+    def test_schema_cache_invalidated_by_any_file_of_large_glob(self, spark, tmp_path, monkeypatch):
+        """The change signature covers the FULL listing: touching file
+        #65+ of a glob must invalidate the cached inferred schema (the
+        old signature stat'ed only the first 64 files). Also: one cache
+        entry per (path, fmt) — re-reads evict, not accumulate."""
+        import os
+        import time
+
+        from easydb_server_spark.sources import readers
+
+        monkeypatch.setenv("DATA_DIR", str(tmp_path))
+        for i in range(70):
+            (tmp_path / f"g_{i:03d}.csv").write_text("a,b\n1,x\n")
+        read_path(spark, "g_*.csv")
+        assert len([k for k in readers._SCHEMA_CACHE if k[0].endswith("g_*.csv")]) == 1
+        sig1 = readers._SCHEMA_CACHE[(str(tmp_path / "g_*.csv"), "csv")][0]
+        # rewrite file #69 (alphabetically last, index > 64) with a new column
+        time.sleep(0.01)
+        (tmp_path / "g_069.csv").write_text("a,b,c\n1,x,9\n")
+        os.utime(tmp_path / "g_069.csv")
+        df = read_path(spark, "g_*.csv")
+        sig2 = readers._SCHEMA_CACHE[(str(tmp_path / "g_*.csv"), "csv")][0]
+        assert sig1 != sig2  # stale schema evicted, fresh inference ran
+        assert len([k for k in readers._SCHEMA_CACHE if k[0].endswith("g_*.csv")]) == 1
+        assert "c" in df.columns
+
 
 class TestExcel:
     def test_injected_loader_and_glob(self, spark, data_dir):

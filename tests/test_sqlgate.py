@@ -119,6 +119,33 @@ class TestPathRewrite:
         sql = "select * from t"
         assert rewrite_path_tables(sql) == (sql, {})
 
+    def test_bare_unquoted_path_rewritten(self):
+        # the reference accepts unquoted file-path factors; Spark can't
+        # register a dotted temp-view name, so these must be rewritten
+        sql = "select * from user.csv"
+        rewritten, mapping = rewrite_path_tables(sql)
+        assert len(mapping) == 1
+        (name, path), = mapping.items()
+        assert path == "user.csv"
+        assert rewritten == f"select * from {name}"
+
+    def test_bare_path_in_join_and_quoted_mix(self):
+        sql = "select * from user.csv u join 'order_1.csv' o on u.id = o.user_id"
+        rewritten, mapping = rewrite_path_tables(sql)
+        assert set(mapping.values()) == {"user.csv", "order_1.csv"}
+        assert ".csv" not in rewritten.split("on")[0]
+
+    def test_plain_table_names_untouched(self):
+        sql = "select * from users join db_orders on users.id = db_orders.uid"
+        assert rewrite_path_tables(sql) == (sql, {})
+
+    def test_temp_names_unique_across_calls(self):
+        names = set()
+        for _ in range(50):
+            _, mapping = rewrite_path_tables("select * from 'a.csv'")
+            names.update(mapping)
+        assert len(names) == 50  # no collisions across calls
+
 
 class TestParseCreateTable:
     def test_readme_form(self):
