@@ -6,9 +6,11 @@ Reference behavior (`src/data_source/excel.rs:11-101`):
 - types from header-row cells (kept *deviation*: we use real pandas
   inference per SURVEY.md §7.4 recommendation, documented superset).
 
-Engine-dependency is gated: openpyxl isn't installed in this
-container, so ``read_xlsx`` raises a clear error unless a loader is
-injected (tests inject a deterministic fake via ``set_excel_loader``).
+The default loader is the vendored stdlib-only OOXML decoder
+(``sources/xlsx_codec.py`` — zipfile + xml.etree), so real workbooks
+read with zero third-party engines, matching the reference's native
+support. ``set_excel_loader`` remains the injection seam for tests or
+an openpyxl/calamine-backed loader.
 
 Scale note (SURVEY.md §7.4 risk 6): the per-file pandas load keeps the
 reference's semantics; for many/huge workbooks the scale path is
@@ -25,26 +27,21 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from easydb_server_spark.errors import NotFoundError, UnsupportedFormatError
+from easydb_server_spark.errors import NotFoundError
+from easydb_server_spark.sources.xlsx_codec import load_xlsx, load_xlsx_bytes
 
 _loader: Callable[[str, str | int], pd.DataFrame] | None = None
 
 
 def set_excel_loader(fn: Callable[[str, str | int], pd.DataFrame] | None) -> None:
-    """Inject an xlsx→DataFrame loader (tests; or a real openpyxl one)."""
+    """Inject an xlsx→DataFrame loader (tests; or an openpyxl one).
+    ``None`` restores the vendored stdlib decoder."""
     global _loader
     _loader = fn
 
 
 def _default_loader(path: str, sheet: str | int) -> pd.DataFrame:
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise UnsupportedFormatError(
-            "xlsx support requires openpyxl, which is not installed; "
-            "inject a loader with set_excel_loader()"
-        ) from e
-    return pd.read_excel(path, sheet_name=sheet, engine="openpyxl")
+    return load_xlsx(path, sheet).infer_objects()
 
 
 def read_xlsx(spark: SparkSession, resolved_path: str) -> DataFrame:
@@ -72,14 +69,13 @@ def read_xlsx_distributed(spark: SparkSession, resolved_path: str, schema: str) 
     value into the closure: worker processes don't share driver module
     state.
     """
-    import io
     from collections.abc import Iterator
 
     path, sheet = resolved_path, 0
     if "#" in resolved_path:
         path, sheet_name = resolved_path.rsplit("#", 1)
         sheet = sheet_name
-    loader = _loader  # None → pandas/openpyxl from bytes in the worker
+    loader = _loader  # None → vendored stdlib decoder from bytes in the worker
     cols = [f.split()[0] for f in schema.split(",")]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,7 +85,7 @@ def read_xlsx_distributed(spark: SparkSession, resolved_path: str, schema: str) 
                 if loader is not None:
                     out = loader(row["path"], sheet)
                 else:
-                    out = pd.read_excel(io.BytesIO(payload), sheet_name=sheet, engine="openpyxl")
+                    out = load_xlsx_bytes(payload, sheet)
                 yield out[cols]
 
     blobs = spark.read.format("binaryFile").load(path).select("path", "content")

@@ -127,10 +127,60 @@ class TestExcel:
         finally:
             set_excel_loader(None)
 
-    def test_missing_openpyxl_clear_error(self, spark, data_dir):
-        (data_dir / "wb.xlsx").write_bytes(b"")
-        with pytest.raises(UnsupportedFormatError, match="openpyxl"):
-            read_xlsx(spark, str(data_dir / "wb.xlsx"))
+    def test_real_workbook_roundtrip_no_injection(self, spark, data_dir):
+        """The vendored stdlib decoder reads an actual OOXML workbook
+        with NO injected loader — parity with the reference's native
+        xlsx support (src/data_source/excel.rs:11-101)."""
+        from easydb_server_spark.sources.xlsx_codec import write_xlsx
+
+        write_xlsx(
+            str(data_dir / "real.xlsx"),
+            {"Sheet1": (["name", "score", "ok"], [["ann", 1.5, True], ["bob", 2, False]])},
+        )
+        df = read_xlsx(spark, str(data_dir / "real.xlsx"))
+        rows = sorted(df.collect(), key=lambda r: r.name)
+        assert df.columns == ["name", "score", "ok"]
+        assert [(r.name, float(r.score), bool(r.ok)) for r in rows] == [
+            ("ann", 1.5, True),
+            ("bob", 2.0, False),
+        ]
+
+    def test_real_workbook_sheet_suffix_and_glob(self, spark, data_dir):
+        from easydb_server_spark.sources.xlsx_codec import write_xlsx
+
+        for i in (1, 2):
+            write_xlsx(
+                str(data_dir / f"multi{i}.xlsx"),
+                {
+                    "First": (["a"], [[i]]),
+                    "Extra": (["b"], [[i * 10], [i * 100]]),
+                },
+            )
+        # glob over default (first) sheets: one row per workbook
+        df = read_xlsx(spark, str(data_dir / "multi*.xlsx"))
+        assert sorted(r.a for r in df.collect()) == [1, 2]
+        # '#SheetName' suffix selects the named sheet
+        df2 = read_xlsx(spark, str(data_dir / "multi1.xlsx") + "#Extra")
+        assert sorted(r.b for r in df2.collect()) == [10, 100]
+
+    def test_real_workbook_distributed_decode(self, spark, data_dir):
+        """binaryFile + mapInPandas with the vendored decoder (no
+        injected loader) — workbooks decode from bytes on executors."""
+        from easydb_server_spark.sources.excel import read_xlsx_distributed
+        from easydb_server_spark.sources.xlsx_codec import write_xlsx
+
+        for i in (1, 2):
+            write_xlsx(
+                str(data_dir / f"dist{i}.xlsx"),
+                {"S": (["name", "score"], [[f"w{i}", float(i)]])},
+            )
+        df = read_xlsx_distributed(spark, str(data_dir / "dist*.xlsx"), "name string, score double")
+        assert sorted((r.name, r.score) for r in df.collect()) == [("w1", 1.0), ("w2", 2.0)]
+
+    def test_corrupt_xlsx_clear_error(self, spark, data_dir):
+        (data_dir / "bad.xlsx").write_bytes(b"not a zip at all")
+        with pytest.raises(UnsupportedFormatError, match="xlsx"):
+            read_xlsx(spark, str(data_dir / "bad.xlsx"))
 
     def test_distributed_reader_decodes_on_executors(self, spark, data_dir):
         """Scale path: binaryFile + mapInPandas, loader captured by
