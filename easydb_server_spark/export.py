@@ -8,15 +8,21 @@ Deviation (documented, SURVEY.md §7.4 quirk 1): the reference's TSV
 export builds a tab-delimiter option but never passes it, producing
 comma-delimited ``.tsv`` files — we actually emit tabs.
 
-Scale note: the interactive server writes a single local file (pandas
-path, matching the reference's single-node sink). For cluster-scale
-exports use ``df.write.csv/json`` directly — the helper exposes
-``distributed=True`` for that.
+Scale note: the single-file path never materializes the result on the
+driver. Spark's parallel JVM writers emit part-files to a scratch
+directory (formatting + compression happen on executors), then the
+driver streams-concatenates them into the final download file with one
+bounded copy buffer — so a 10⁸-row export costs the driver only IO,
+not memory (the reference buffers the whole file in RAM,
+`src/controllers.rs:219-235`). ``distributed=True`` skips the concat
+and returns the part-file directory for cluster-scale sinks.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame
@@ -48,11 +54,26 @@ def export_query(df: DataFrame, fmt: str, distributed: bool = False) -> str:
         else:
             df.write.json(path)
         return path
-    pdf = df.toPandas()
+    # single-file path: executors format part-files, driver stream-concats
+    parts_dir = path + ".parts"
+    header = None
     if fmt == "csv":
-        pdf.to_csv(path, index=False)
+        df.write.csv(parts_dir)
+        header = ",".join(df.columns)
     elif fmt == "tsv":
-        pdf.to_csv(path, index=False, sep="\t")
+        df.write.option("sep", "\t").csv(parts_dir)
+        header = "\t".join(df.columns)
     else:  # NdJSON lines — DataFusion write_json parity (A18)
-        pdf.to_json(path, orient="records", lines=True, date_format="iso")
+        df.write.json(parts_dir)
+    try:
+        with open(path, "wb") as out:
+            if header is not None:
+                out.write(header.encode() + b"\n")
+            # part names sort in partition order, so a sorted input
+            # (e.g. ORDER BY) concatenates back in order
+            for part in sorted(_glob.glob(os.path.join(parts_dir, "part-*"))):
+                with open(part, "rb") as src:
+                    shutil.copyfileobj(src, out, 1 << 20)
+    finally:
+        shutil.rmtree(parts_dir, ignore_errors=True)
     return path

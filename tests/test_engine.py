@@ -118,6 +118,30 @@ class TestParityBehaviors:
         out = engine.query("select strpos(user_name, 'oe') as p from user order by id")
         assert out["rows"][0] == ["7"]  # 'John Doe' → 'oe' starts at 7
 
+    def test_export_large_result_streams_without_driver_frame(self, spark, tmp_path, monkeypatch):
+        """>10⁶-row export through the single-file path: executors
+        format part-files, the driver only stream-concatenates — no
+        toPandas of the whole result (would be ~large on a real
+        export; here we assert correctness of the streamed assembly)."""
+        import os
+
+        from easydb_server_spark import export as ex
+
+        monkeypatch.setattr(ex, "EXPORT_DIR", str(tmp_path))
+        df = spark.range(1_200_000).selectExpr("id", "id * 2 as dbl")
+        path = ex.export_query(df.orderBy("id"), "csv")
+        with open(path) as f:
+            header = f.readline().strip()
+            n = sum(1 for _ in f)
+            assert header == "id,dbl"
+        assert n == 1_200_000
+        # ordered input concatenates back in order
+        with open(path) as f:
+            f.readline()
+            first = f.readline().strip()
+        assert first == "0,0"
+        assert not os.path.isdir(path + ".parts")  # scratch dir cleaned
+
     def test_export_distributed_part_files(self, engine, data_dir):
         # cluster path: a directory of part files written in parallel
         from easydb_server_spark.export import export_query
