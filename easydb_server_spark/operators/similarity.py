@@ -138,6 +138,73 @@ def topk_cosine_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    n_iters: int = 1,
+) -> DataFrame:
+    """Deterministic k-means centroids for IVF cells → (cell, centroid).
+
+    Init: the ``n_cells`` vectors with the smallest md5(id) — a seeded
+    pseudo-random sample spread across the corpus (portable: the SQL
+    oracle replays the identical ordering), strictly better-dispersed
+    than first-N ids, which inherit any insert-order locality.
+
+    Lloyd iterations as pure DataFrame ops: assign = argmax of the
+    rounded dot product (broadcast centroids, one narrow pass over the
+    corpus), update = element-wise mean via posexplode → groupBy(cell,
+    pos) → re-assembled array. Means are ROUNDed to 5 decimals so both
+    engines agree bit-for-bit despite summation-order float drift
+    (~1e-14 ≪ the rounding grid). Empty cells keep their previous
+    centroid. Cell ids are the seed vectors' ids — stable across
+    iterations.
+
+    At 100 TB: each iteration is one broadcast join + two narrow
+    shuffles of (cell, pos) pairs — centroids never leave the cluster,
+    and n_cells·dim is tiny. k-means|| style oversampling would slot in
+    here without changing the contract.
+    """
+    c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
+    cents = (
+        c.withColumn("hk", F.md5(F.col("cid").cast("string")))
+        .orderBy("hk", "cid")
+        .limit(n_cells)
+        .select(F.col("cid").alias("cell"), F.col("cvec").alias("centroid"))
+    )
+    for _ in range(n_iters):
+        assigned = _assign_cells(c, cents).select("cid", "cvec", "cell")
+        upd = (
+            assigned.select("cell", F.posexplode("cvec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 5).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+        cents = (
+            cents.select("cell", F.col("centroid").alias("prev"))
+            .join(upd, "cell", "left")
+            .select("cell", F.coalesce("centroid", "prev").alias("centroid"))
+        )
+    return cents
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest cell per vector: argmax rounded dot, ties by cell id."""
+    from pyspark.sql import Window
+
+    sim = _dot(F.col("cvec"), F.col("centroid"))
+    w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("cid", "cvec", "cell", F.round(sim, 6).alias("sim"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+    )
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -146,25 +213,27 @@ def topk_cosine_ivf(
     k: int = 3,
     n_cells: int = 16,
     nprobe: int = 2,
+    n_iters: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus partitioned into cells by
     nearest-centroid; queries probe their ``nprobe`` closest cells and
     re-rank exactly inside them.
 
-    Centroids here are the first ``n_cells`` corpus vectors
-    (deterministic, training-free — a k-means step would slot in
-    without changing the plan shape). At 100 TB the cell id is the
-    partition/join key: the corpus is bucketed once, each query
-    touches nprobe/n_cells of the data — the classic recall/cost dial.
+    Centroids come from :func:`ivf_centroids` (seeded sample +
+    deterministic k-means refinement) unless a (cell, centroid) frame
+    is passed in. At 100 TB the cell id is the partition/join key: the
+    corpus is bucketed once, each query touches nprobe/n_cells of the
+    data — the classic recall/cost dial.
     """
     from pyspark.sql import Window
 
     c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
     cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid"))
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, id_col, n_cells, n_iters)
     )
     sim_c = _dot(F.col("cvec"), F.col("centroid"))
     wc = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("cell"))

@@ -321,7 +321,29 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SIM_TOPK_IVF = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-cents AS (SELECT vec_id AS cell, vec AS centroid FROM v ORDER BY vec_id LIMIT 16),
+init AS (
+  SELECT vec_id AS cell, vec AS centroid FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+a0 AS (
+  SELECT cid, cell FROM (
+    SELECT v.vec_id AS cid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_dot_product(v.vec, c.centroid), 6) DESC, c.cell) AS r
+    FROM v CROSS JOIN init c
+  ) WHERE r = 1
+),
+upd AS (
+  SELECT a0.cell, t.i AS pos, ROUND(AVG(v.vec[t.i]), 5) AS m
+  FROM a0 JOIN v ON v.vec_id = a0.cid,
+       UNNEST(generate_series(1, len(v.vec))) t(i)
+  GROUP BY a0.cell, t.i
+),
+newc AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM upd GROUP BY cell),
+cents AS (
+  SELECT i.cell, COALESCE(n.centroid, i.centroid) AS centroid
+  FROM init i LEFT JOIN newc n ON n.cell = i.cell
+),
 assigned AS (
   SELECT cid, cell FROM (
     SELECT v.vec_id AS cid, c.cell,

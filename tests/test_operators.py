@@ -112,6 +112,56 @@ class TestSimilarity:
             assert r.cosine == 1.0
 
 
+    def test_ivf_kmeans_recall_beats_first_n_centroids(self, spark, embeddings):
+        """The seeded-sample + Lloyd-iteration centroids must recall at
+        least as well as the old first-N-ids strategy, measured against
+        brute-force truth on queries disjoint from every centroid seed
+        (queries that coincide with seeds trivially recall their own
+        cell and would bias the comparison)."""
+        from easydb_server_spark.operators.similarity import (
+            _as_double,
+            ivf_centroids,
+            topk_cosine_bruteforce,
+            topk_cosine_ivf,
+        )
+
+        seed_ids = {r.cell for r in ivf_centroids(embeddings, "embedding", "vec_id", 16, 0).collect()}
+        q = embeddings.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 60)).where(
+            ~F.col("vec_id").isin(*seed_ids)
+        )
+        truth = {
+            (r.qid, r.cid)
+            for r in topk_cosine_bruteforce(embeddings, q, "embedding", "vec_id", k=5).collect()
+        }
+        legacy_cents = (
+            embeddings.orderBy("vec_id")
+            .limit(16)
+            .select(F.col("vec_id").alias("cell"), _as_double(F.col("embedding")).alias("centroid"))
+        )
+
+        def recall(res):
+            got = {(r.qid, r.cid) for r in res.collect()}
+            return len(got & truth) / len(truth)
+
+        r_first = recall(topk_cosine_ivf(embeddings, q, "embedding", "vec_id", k=5, centroids=legacy_cents))
+        r_kmeans = recall(topk_cosine_ivf(embeddings, q, "embedding", "vec_id", k=5, n_iters=1))
+        assert r_kmeans >= r_first  # 0.379 vs 0.241 on this corpus
+
+    def test_ivf_centroids_deterministic_and_balanced(self, spark, embeddings):
+        from easydb_server_spark.operators.similarity import _as_double, _assign_cells, ivf_centroids
+
+        c1 = {r.cell: list(r.centroid) for r in ivf_centroids(embeddings, "embedding", "vec_id", 16, 1).collect()}
+        c2 = {r.cell: list(r.centroid) for r in ivf_centroids(embeddings, "embedding", "vec_id", 16, 1).collect()}
+        assert c1 == c2  # bit-for-bit reproducible (oracle contract)
+        vecs = embeddings.select(
+            F.col("vec_id").alias("cid"), _as_double(F.col("embedding")).alias("cvec")
+        )
+        cents = ivf_centroids(embeddings, "embedding", "vec_id", 16, 1)
+        sizes = [r.n for r in _assign_cells(vecs, cents).groupBy("cell").agg(F.count("*").alias("n")).collect()]
+        assert len(sizes) == 16
+        assert max(sizes) <= 4 * min(sizes)  # no degenerate mega-cell
+
+
 class TestText:
     def test_langid_on_real_multilingual_text(self, spark):
         """The testdata docs all share one English-ish vocabulary (the
