@@ -44,16 +44,19 @@ def range_join(
     if how != "inner":
         raise ValueError("range_join supports inner joins; outer variants compose via anti-join")
 
-    p = points.withColumn("__bucket", (F.col(point_col) / bucket_width).cast("bigint"))
+    # floor(), not cast("bigint"): the cast truncates toward zero, which
+    # mis-buckets negative coordinates (-1.5 → -1 instead of -2) — fine
+    # for epoch micros but wrong for signed domains
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / bucket_width))
     n_buckets = (
-        (F.col(hi_col) / bucket_width).cast("bigint") - (F.col(lo_col) / bucket_width).cast("bigint") + 1
+        F.floor(F.col(hi_col) / bucket_width) - F.floor(F.col(lo_col) / bucket_width) + 1
     )
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(lo_col) / bucket_width).cast("bigint"),
-                (F.col(lo_col) / bucket_width).cast("bigint") + n_buckets - 1,
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor(F.col(lo_col) / bucket_width) + n_buckets - 1,
             )
         ),
     )

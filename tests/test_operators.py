@@ -302,6 +302,24 @@ class TestSkew:
         }
         assert plain == salted
 
+    def test_salted_join_under_extreme_skew(self, spark):
+        """10⁵:1 hot-key ratio: the salted join must stay row-identical
+        to the plain join, and the salt must actually spread the hot
+        key across all n_salts partitions of the shuffle key space."""
+        hot = spark.range(100_000).selectExpr("1 as k", "id as payload")
+        cold = spark.range(10).selectExpr("cast(id + 2 as int) as k", "id as payload")
+        large = hot.unionAll(cold.selectExpr("k", "payload"))
+        dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 13)], "k int, label string")
+
+        from easydb_server_spark.operators.skew import salted_join
+
+        out = salted_join(large.withColumn("k", F.col("k").cast("int")), dim, on="k", n_salts=8)
+        assert out.count() == 100_010
+        # the hot key's rows really landed on every salt value
+        salted = large.withColumn("_salt", F.pmod(F.xxhash64(*large.columns), F.lit(8)))
+        n_salts_hot = salted.where(F.col("k") == 1).select("_salt").distinct().count()
+        assert n_salts_hot == 8
+
     def test_salted_aggregate_rejects_non_reaggregatable(self, spark):
         import pytest as _pytest
 
@@ -415,6 +433,19 @@ class TestRangeJoin:
         assert got.select("pid", "iid").exceptAll(want.select("pid", "iid")).count() == 0
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_negative_coordinates_bucket_correctly(self, spark):
+        """floor-based bucketing: cast-to-bigint truncation would put
+        -1 and +1 in the same bucket 0 and drop matches near zero on
+        signed domains."""
+        from easydb_server_spark.operators.rangejoin import range_join
+
+        pts = spark.createDataFrame([(i, v) for i, v in enumerate(range(-50, 51, 7))], "pid int, x long")
+        iv = spark.createDataFrame([(1, -33, -12), (2, -5, 9), (3, 14, 40)], "iid int, lo long, hi long")
+        got = range_join(pts, iv, "x", "lo", "hi", bucket_width=10)
+        want = pts.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        assert got.count() == want.count()
+        assert got.select("pid", "iid").exceptAll(want.select("pid", "iid")).count() == 0
 
     def test_interval_spanning_many_buckets(self, spark):
         """Intervals much longer than the bucket width still match
