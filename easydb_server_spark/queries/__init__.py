@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from easydb_server_spark.queries import aggregates as agg
 from easydb_server_spark.queries import core, joins, setops, subqueries, timeseries, windows
 from easydb_server_spark.queries import functions_ as fns
-from easydb_server_spark.queries import dialect_edge, llmops, skewq, streamq, superset
+from easydb_server_spark.queries import dialect_edge, llmops, skewq, streamq, superset, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -96,6 +96,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),
     "sup_unpivot": (superset.q_sup_unpivot, superset.ORACLE_SUP_UNPIVOT),
     "sup_higher_order": (superset.q_sup_higher_order, superset.ORACLE_SUP_HIGHER_ORDER),
+    "sup_lateral": (superset.q_sup_lateral, superset.ORACLE_SUP_LATERAL),
+    "sup_variant": (superset.q_sup_variant, superset.ORACLE_SUP_VARIANT),
+    # --- classic TPC-H workloads (composed multi-join/agg/top-k) ---
+    "tpch_q3": (tpch.q_tpch_q3, tpch.ORACLE_TPCH_Q3),
+    "tpch_q10": (tpch.q_tpch_q10, tpch.ORACLE_TPCH_Q10),
+    "tpch_q18": (tpch.q_tpch_q18, tpch.ORACLE_TPCH_Q18),
     # --- time-series extras + Structured Streaming (batch oracles) ---
     "ts_rolling_1h": (timeseries.q_ts_rolling_1h, timeseries.ORACLE_TS_ROLLING_1H),
     "stream_sliding": (streamq.q_stream_sliding, streamq.ORACLE_STREAM_SLIDING),

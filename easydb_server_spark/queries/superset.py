@@ -115,6 +115,69 @@ ORDER BY l_orderkey, l_linenumber, m.measure
 """
 
 
+def q_sup_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join with per-row ORDER BY + LIMIT
+    (top-2 orders per customer) — DataFusion 47 has no LATERAL; Spark
+    plans the correlation as a window under the hood, so there is no
+    per-customer re-execution at scale."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_sup_lat_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _sup_lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _sup_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 300
+        ORDER BY c.c_custkey, t.o_orderkey
+        """
+    )
+
+
+ORACLE_SUP_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON true
+WHERE c.c_custkey <= 300
+ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+def q_sup_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured type: parse_json → open-schema
+    variant, typed path extraction, null path probing. The oracle is
+    DuckDB's JSON extraction over the same props column."""
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_sup_var_events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               variant_get(parse_json(props), '$.k', 'int')       AS k_typed,
+               variant_get(parse_json(props), '$.missing', 'int') AS k_missing,
+               variant_get(parse_json(props), '$.k', 'string')    AS k_str
+        FROM _sup_var_events
+        WHERE event_id <= 3000
+        ORDER BY event_id
+        """
+    )
+
+
+ORACLE_SUP_VARIANT = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT)       AS k_typed,
+       CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing,
+       json_extract_string(props, '$.k')                    AS k_str
+FROM events
+WHERE event_id <= 3000
+ORDER BY event_id
+"""
+
+
 def q_sup_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order (lambda) array functions over the embedding
     column: aggregate (left fold), filter, transform. Both engines

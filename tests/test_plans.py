@@ -76,6 +76,19 @@ class TestPlans:
         p = plan_of(queries["agg_pricing_summary"](spark, SF_DIR))
         assert p.count("HashAggregate") >= 2  # partial + final
 
+    def test_tpch_topk_compiles_to_take_ordered(self, spark, queries):
+        """The composed TPC-H workloads must end in
+        TakeOrderedAndProject (per-partition top-k + merge), never a
+        global sort feeding a limit."""
+        for name in ("tpch_q3", "tpch_q10", "tpch_q18"):
+            p = plan_of(queries[name](spark, SF_DIR))
+            assert "TakeOrderedAndProject" in p, name
+            assert "CartesianProduct" not in p, name
+
+    def test_tpch_q18_semi_join_stays_semi(self, spark, queries):
+        p = plan_of(queries["tpch_q18"](spark, SF_DIR))
+        assert "LeftSemi" in p
+
     def test_minhash_pairs_verification_is_candidate_restricted(self, spark, queries):
         """The exact-Jaccard verification in minhash_pairs must be
         per-candidate-pair (array_intersect inside the row after
