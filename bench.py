@@ -44,11 +44,16 @@ HEADLINE = [
     "ts_range_join",
     "ts_rolling_1h",
     "dedup_minhash",
+    "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",
     "sim_topk_lsh",
     "text_token_counts",
     "text_hash_split",
     "multimodal_features",
+    # composed TPC-H workloads (multi-join + agg + top-k)
+    "tpch_q3",
+    "tpch_q10",
+    "tpch_q18",
 ]
 
 RUNS = 3  # median of 3 warm runs
