@@ -9,6 +9,7 @@ plus watermarks for late data.
 
 from easydb_server_spark.streaming.events import (  # noqa: F401
     stream_events_ndjson,
+    stream_stream_join,
     windowed_counts,
     sessionized,
 )

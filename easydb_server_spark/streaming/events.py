@@ -71,6 +71,39 @@ def sessionized(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 
     )
 
 
+def stream_stream_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each view event joined to the same
+    user's purchase events landing within ``max_delay`` after it.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark's state store evicts buffered
+    rows once they can no longer match — the requirement for a
+    stream-stream join to run indefinitely at 100 TB/day (an unbounded
+    join condition would accumulate state forever).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL {max_delay}"
+        ),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain all available input into an in-memory table (tests/demo)."""
     q = (

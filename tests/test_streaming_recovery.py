@@ -46,3 +46,111 @@ def test_checkpointed_stream_is_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out_dir)
     assert final.count() == 15
     assert final.select("event_id").distinct().count() == 15  # no dupes
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Append-mode windowed aggregation: once the watermark (persisted
+    in the checkpoint) passes a window's end, a straggler event for
+    that window arriving in a later batch is DROPPED — bounded state
+    means accepting this documented loss."""
+    import json as _json
+
+    from easydb_server_spark.streaming import stream_events_ndjson, windowed_counts
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            windowed_counts(stream_events_ndjson(spark, str(src_dir)))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def rows(items):
+        return "\n".join(
+            _json.dumps(
+                {"event_id": i, "ts": ts, "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"}
+            )
+            for i, ts in items
+        )
+
+    # batch 1: three events in [00:00, 01:00) plus a marker at 06:00
+    # that advances the watermark to 04:00 (2h delay) at batch end
+    (src_dir / "b1.json").write_text(
+        rows([(1, "2024-01-01T00:10:00"), (2, "2024-01-01T00:20:00"),
+              (3, "2024-01-01T00:45:00"), (4, "2024-01-01T06:00:00")])
+    )
+    run_once()
+    # batch 2: a straggler for the long-closed 00:00 window + a fresh event
+    (src_dir / "b2.json").write_text(
+        rows([(5, "2024-01-01T00:50:00"), (6, "2024-01-01T06:30:00")])
+    )
+    run_once()
+    got = {
+        (r.window_start.isoformat(), r.n)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 00:00 window emitted with the 3 on-time events only — the
+    # late event_id=5 did not resurrect or re-emit the closed window
+    assert ("2024-01-01T00:00:00", 3) in got
+    assert ("2024-01-01T00:00:00", 4) not in got
+    assert ("2024-01-01T00:00:00", 1) not in got
+
+
+def test_stream_stream_join_matches_batch_join(spark, tmp_path):
+    """Stream-stream interval join (both sides watermarked, time-bound
+    both directions → bounded state) produces exactly the batch
+    theta-join's pairs on the same data."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.streaming import stream_events_ndjson, stream_stream_join
+    from easydb_server_spark.streaming.events import EVENT_SCHEMA
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    rows = []
+    for i in range(40):
+        rows.append({"event_id": i, "ts": f"2024-01-01T00:{i:02d}:00", "user_id": i % 4,
+                     "event_type": "view", "value": 1.0, "props": "{}"})
+    for i in range(40, 60):
+        rows.append({"event_id": i, "ts": f"2024-01-01T00:{i - 20:02d}:30", "user_id": i % 4,
+                     "event_type": "purchase", "value": 2.0, "props": "{}"})
+    (src_dir / "all.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    src = stream_events_ndjson(spark, str(src_dir))
+    joined = stream_stream_join(
+        src.where(F.col("event_type") == "view"),
+        src.where(F.col("event_type") == "purchase"),
+        max_delay="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.v_id, r.p_id) for r in spark.sql("SELECT * FROM ssj").collect()}
+
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(src_dir))
+    v = batch.where(F.col("event_type") == "view").selectExpr("user_id u", "ts vts", "event_id vid")
+    p = batch.where(F.col("event_type") == "purchase").selectExpr("user_id pu", "ts pts", "event_id pid")
+    want = {
+        (r.vid, r.pid)
+        for r in v.join(
+            p, F.expr("u = pu AND pts >= vts AND pts <= vts + INTERVAL 10 minutes")
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
