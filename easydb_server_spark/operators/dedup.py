@@ -163,28 +163,78 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """Per-doc SimHash: sign of summed per-bit word-hash contributions.
 
-    explode(words) × bit-index → groupBy(doc, bit) sum(±1) →
-    groupBy(doc) assemble integer. Narrow shuffles only.
+    explode(words) → ONE groupBy(doc_id) carrying ``bits`` conditional
+    sums (map-side combined), then the signature assembles from the
+    sign columns in a single projection. Compared to the textbook
+    word × bit-index expansion this shuffles |docs| rows instead of
+    |words|·bits rows — integer sums are exact either way, so the SQL
+    oracle (which replays the expansion form) matches bit-for-bit.
     """
-    spark = df.sparkSession
+    from functools import reduce
+
     words = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .withColumn("h0", _shingle_hash(F.col("word")))
     )
-    bit_idx = spark.createDataFrame([(i,) for i in range(bits)], "bit int")
-    contrib = (
-        words.crossJoin(F.broadcast(bit_idx))
-        # SQL-side shiftright: the Python helper wants a literal bit count
-        .withColumn("sign", F.when(F.expr("shiftright(h0, bit) % 2") == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("sign").alias("s"))
+    sums = [
+        F.sum(F.when(F.expr(f"shiftright(h0, {i}) % 2") == 1, 1).otherwise(-1)).alias(f"_s{i}")
+        for i in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*sums)
+    bitvals = [
+        F.when(F.col(f"_s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for i in range(bits)
+    ]
+    return agg.select("doc_id", reduce(lambda a, b: a + b, bitvals).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via Hamming-LSH banding.
+
+    The ``bits``-bit signature splits into ``bands`` chunks; candidates
+    are pairs agreeing on at least one full chunk, verified with
+    ``bit_count(xor) <= max_hamming``. Pigeonhole guarantee: with
+    bands > max_hamming, every pair within the Hamming radius shares an
+    unchanged chunk, so recall is 1.0 for true near-dups — the banding
+    only prunes, never misses.
+
+    Scale shape: explode ``bands`` rows per doc (constant fan-out),
+    equi-join on (band, chunk_value) — quadratic work confined to
+    same-chunk collisions — then an in-row XOR popcount per candidate.
+    No inverted index, no driver state.
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for the pigeonhole recall guarantee")
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    banded = (
+        sig.select("doc_id", "simhash", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"))
+        .withColumn("bv", F.expr(f"shiftright(simhash, b * {chunk}) & {mask}"))
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["b", "bv"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
     )
     return (
-        contrib.withColumn(
-            "bitval", F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -104,6 +104,69 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFr
     )
 
 
+# PII patterns kept to regex syntax shared by Java (Spark) and RE2
+# (DuckDB) so the oracle replays them verbatim
+EMAIL_RE = r"[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical text normalization for dedup/training pipelines:
+    lowercase → strip non-alphanumerics → collapse whitespace → trim.
+    Pure column expressions; emits the normalized text plus its md5
+    (the join/dedup key downstream exact-dedup would group on)."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^a-z0-9 ]", " ")
+    t = F.trim(F.regexp_replace(t, r" +", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("norm_text"),
+        F.md5(t).alias("norm_hash"),
+        F.length(t).alias("norm_len"),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Regex PII redaction (emails, phone-like digit runs, IPv4) —
+    the masking pass a corpus takes before training. Counts each
+    category before masking so the pipeline can monitor redaction
+    rates. JVM regexp_replace only — no UDFs."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    masked = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(masked, F.lit(IPV4_RE), 0))
+    masked = F.regexp_replace(masked, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(masked, F.lit(PHONE_RE), 0))
+    masked = F.regexp_replace(masked, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        masked.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str, top_k: int = 50) -> DataFrame:
+    """Corpus vocabulary: term → document frequency + total count,
+    top-k by count (ties by term). The classic explode → two-phase
+    count; the shuffle carries (term, partial count) pairs, and top-k
+    compiles to TakeOrderedAndProject — no global sort at 100 TB."""
+    terms = df.select(
+        F.col("doc_id"), F.explode(F.split(F.col(text_col), " +")).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("term"))
+        .limit(top_k)
+    )
+
+
 def hash_split(
     df: DataFrame, id_col: str, splits: dict[str, tuple[int, int]], salt: str = "v1"
 ) -> DataFrame:

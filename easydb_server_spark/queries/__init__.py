@@ -87,6 +87,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "edge_introspection": (dialect_edge.q_edge_introspection, dialect_edge.ORACLE_EDGE_INTROSPECTION),
     "edge_null_safe_misc": (dialect_edge.q_edge_null_safe_misc, dialect_edge.ORACLE_EDGE_NULL_SAFE_MISC),
     # --- end of the 50-entry priority window ---
+    # --- round-2 additions (rotate into the window next round) ---
+    "dedup_simhash_pairs": (llmops.q_dedup_simhash_pairs, llmops.ORACLE_DEDUP_SIMHASH_PAIRS),
+    "text_normalize": (llmops.q_text_normalize, llmops.ORACLE_TEXT_NORMALIZE),
+    "text_redact": (llmops.q_text_redact, llmops.ORACLE_TEXT_REDACT),
+    "text_vocab": (llmops.q_text_vocab, llmops.ORACLE_TEXT_VOCAB),
     # --- skew mitigation (salted plans, row-identical to plain oracles) ---
     "skew_salted_join": (skewq.q_skew_salted_join, skewq.ORACLE_SKEW_SALTED_JOIN),
     "skew_salted_agg": (skewq.q_skew_salted_agg, skewq.ORACLE_SKEW_SALTED_AGG),

@@ -227,6 +227,56 @@ FROM contrib GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-LSH near-dup pairs over a dup-injected corpus;
+    the oracle replays signatures, chunk banding, and the XOR-popcount
+    verification."""
+    d = _docs_with_dups(spark, sf_dir)
+    d = d.where(F.col("doc_id") % 10000 < 200)
+    out = D.simhash_pairs(d, "text", "doc_id", bits=32, max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10000 < 200
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50 AND doc_id % 10000 < 200
+),
+w AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t.word), 1, 8)) AS BIGINT) AS h0
+  FROM docs, UNNEST(string_split(text, ' ')) t(word)
+),
+contrib AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h0 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM w CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+  FROM contrib GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b.b, (simhash >> (b.b * 8)) & 255 AS bv
+  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  x.simhash AS sa, y.simhash AS sb
+  FROM banded x
+  JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force correctness path)."""
     e = load(spark, sf_dir, "embeddings")
@@ -639,6 +689,105 @@ SELECT d.doc_id                                          AS item_id,
        CAST(strlen(d.text) // 4 AS INT)                  AS frame_bytes
 FROM documents d, range(0, 4) t(i)
 ORDER BY item_id, frame_idx
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return T.normalize_text(d, "text", "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+       CAST(length(norm_text) AS INT) AS norm_len
+FROM n ORDER BY doc_id
+"""
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with deterministically injected
+    emails/IPs/phone numbers (the raw corpus has none, so injection
+    makes the masking observable); oracle replays the same injection
+    and the same shared-dialect regexes."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    with_pii = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" or call 555-0100 ext "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return T.redact_pii(with_pii, "text", "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_REDACT = (
+    """
+WITH with_pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+              || ' or call 555-0100 ext ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 500
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '@EMAIL@')) AS INT) AS n_emails,
+         regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS t
+  FROM with_pii
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t, '@IP@')) AS INT) AS n_ips,
+         regexp_replace(t, '@IP@', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(t, '@PHONE@')) AS INT) AS n_phones,
+         regexp_replace(t, '@PHONE@', '<PHONE>', 'g') AS redacted
+  FROM s2
+)
+SELECT doc_id, redacted, n_emails, n_ips, n_phones
+FROM s3 ORDER BY doc_id
+"""
+    .replace("@EMAIL@", T.EMAIL_RE)
+    .replace("@IP@", T.IPV4_RE)
+    .replace("@PHONE@", T.PHONE_RE)
+)
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return llm_vocab_sorted(T.vocabulary(d, "text", top_k=50))
+
+
+def llm_vocab_sorted(df: DataFrame) -> DataFrame:
+    return df.orderBy(F.col("n_total").desc(), "term")
+
+
+ORACLE_TEXT_VOCAB = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(text, ' +')) t(term)
+  WHERE t.term != ''
+)
+SELECT term, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+FROM terms
+GROUP BY term
+ORDER BY n_total DESC, term
+LIMIT 50
 """
 
 

@@ -49,6 +49,22 @@ class TestDedup:
         for r in d.collect():
             assert by_id[r.doc_id] == by_id[r.doc_id + 100000]
 
+    def test_simhash_pairs_finds_exact_dups_with_zero_hamming(self, spark, docs):
+        from easydb_server_spark.operators.dedup import simhash_pairs
+
+        d = docs.select("doc_id", "text").limit(30)
+        dup = d.limit(6).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        pairs = simhash_pairs(d.unionAll(dup), "text", "doc_id", bits=32, max_hamming=0)
+        exact = {(r.doc_a, r.doc_b) for r in pairs.collect() if r.doc_b - r.doc_a == 100000}
+        expected = {(r.doc_id, r.doc_id + 100000) for r in d.limit(6).collect()}
+        assert expected <= exact  # identical text → identical signature → hamming 0
+
+    def test_simhash_pairs_rejects_bad_band_config(self, spark, docs):
+        from easydb_server_spark.operators.dedup import simhash_pairs
+
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_pairs(docs.limit(5), "text", "doc_id", bands=4, max_hamming=4)
+
     def test_ngram_jaccard_self_similarity(self, spark, docs):
         from easydb_server_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -209,6 +225,37 @@ class TestText:
         assert r.ws_tokens == 4
         assert r.distinct_tokens == 3
         assert r.bpe_tokens == 6  # aa bb aa cc - 12
+
+    def test_normalize_canonicalizes_case_punct_whitespace(self, spark):
+        from easydb_server_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "Hello,   WORLD! 42"), (2, "hello world 42")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in normalize_text(df, "text", "doc_id").collect()}
+        assert rows[1].norm_text == "hello world 42"
+        assert rows[1].norm_hash == rows[2].norm_hash  # canonical forms collide
+
+    def test_redact_pii_masks_and_counts(self, spark):
+        from easydb_server_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@test.org or root@10.1.2.3 call (555) 010-0199 now")],
+            "doc_id long, text string",
+        )
+        r = redact_pii(df, "text", "doc_id").first()
+        assert "<EMAIL>" in r.redacted and "<IP>" in r.redacted and "<PHONE>" in r.redacted
+        assert "test.org" not in r.redacted and "10.1.2.3" not in r.redacted
+        assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+
+    def test_vocabulary_topk_and_doc_freq(self, spark):
+        from easydb_server_spark.operators.text import vocabulary
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c"), (3, "b  b")], "doc_id long, text string"
+        )
+        rows = vocabulary(df, "text", top_k=2).collect()
+        assert [(r.term, r.n_total, r.n_docs) for r in rows] == [("a", 3, 2), ("b", 3, 2)]
 
     def test_fingerprint_stable_under_duplication(self, spark, docs):
         from easydb_server_spark.operators.text import fingerprint
