@@ -205,6 +205,46 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def neardup_pairs_lsh(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed embedding near-duplicate pairs — the scale path for
+    ``dedup.embedding_neardup_pairs``'s brute-force baseline.
+
+    Vectors sharing a sign-signature bucket pair up (a<b at the join),
+    then exact cosine verifies in-row. The all-pairs expansion is
+    confined to same-bucket collisions; with 8 planes a true near-dup
+    at cosine ≥ 0.9 collides with probability (1 - θ/π)^8 ≈ 0.76 per
+    band — recall dials up with multi-probe or fewer planes, the
+    standard LSH trade. The bucket id is the shuffle key: pair
+    generation distributes, nothing collects.
+    """
+    from pyspark.sql import functions as _F  # noqa: F401  (clarity)
+
+    planes = lsh_planes(dim)
+    sig_norm = _sig_norm_udf(planes)
+    v = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec"))
+    b = v.withColumn("sn", sig_norm("vec")).select(
+        "vid", "vec", F.col("sn.bucket").alias("bucket"), F.col("sn.nrm").alias("nrm")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cos = _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm"))
+    return (
+        x.join(y, "bucket")
+        .where(F.col("x.vid") < F.col("y.vid"))
+        .select(
+            F.col("x.vid").alias("id_a"),
+            F.col("y.vid").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,

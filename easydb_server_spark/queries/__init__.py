@@ -89,6 +89,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- end of the 50-entry priority window ---
     # --- round-2 additions (rotate into the window next round) ---
     "dedup_simhash_pairs": (llmops.q_dedup_simhash_pairs, llmops.ORACLE_DEDUP_SIMHASH_PAIRS),
+    "dedup_embedding_lsh": (llmops.q_dedup_embedding_lsh, llmops.ORACLE_DEDUP_EMBEDDING_LSH),
     "text_normalize": (llmops.q_text_normalize, llmops.ORACLE_TEXT_NORMALIZE),
     "text_redact": (llmops.q_text_redact, llmops.ORACLE_TEXT_REDACT),
     "text_vocab": (llmops.q_text_vocab, llmops.ORACLE_TEXT_VOCAB),

@@ -362,6 +362,52 @@ ORDER BY qid, rank
 ORACLE_SIM_TOPK_LSH = _oracle_sim_topk_lsh()
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs over a dup-injected vector
+    corpus (exact copies share a bucket by construction, so recall on
+    true dups is 1.0); oracle replays the deterministic hyperplanes."""
+    e = load(spark, sf_dir, "embeddings")
+    dups = e.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding").unionAll(dups)
+    return S.neardup_pairs_lsh(corpus, "embedding", "vec_id", threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _oracle_dedup_embedding_lsh() -> str:
+    planes = S.lsh_planes(64)
+    plane_lits = ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in planes)
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+v AS (
+  SELECT vec_id, vec FROM base
+  UNION ALL
+  SELECT vec_id + 10000, vec FROM base WHERE vec_id < 30
+),
+planes AS (
+  SELECT UNNEST(range(0, {S.LSH_PLANES})) AS i,
+         UNNEST([{plane_lits}]) AS plane
+),
+sigs AS (
+  SELECT v.vec_id, v.vec,
+         CAST(SUM(CASE WHEN list_dot_product(v.vec, p.plane) >= 0
+                       THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN planes p
+  GROUP BY v.vec_id, v.vec
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       ROUND(list_cosine_similarity(x.vec, y.vec), 6) AS cosine
+FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.vec, y.vec) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_DEDUP_EMBEDDING_LSH = _oracle_dedup_embedding_lsh()
+
+
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-3 (nprobe=2 over 16 training-free cells)."""
     e = load(spark, sf_dir, "embeddings")

@@ -128,6 +128,21 @@ class TestSimilarity:
             assert r.cosine == 1.0
 
 
+    def test_lsh_neardup_pairs_find_injected_copies(self, spark, embeddings):
+        """Exact vector copies hash to the same bucket, so the LSH
+        pairs operator recalls 100% of them at cosine 1.0 — and every
+        reported pair respects the threshold and a<b ordering."""
+        from easydb_server_spark.operators.similarity import neardup_pairs_lsh
+
+        dup = embeddings.where(F.col("vec_id") < 8).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        corpus = embeddings.select("vec_id", "embedding").unionAll(dup)
+        rows = neardup_pairs_lsh(corpus, "embedding", "vec_id", threshold=0.9).collect()
+        found = {(r.id_a, r.id_b) for r in rows}
+        assert {(i, i + 100000) for i in range(8)} <= found
+        assert all(r.cosine >= 0.9 and r.id_a < r.id_b for r in rows)
+
     def test_ivf_kmeans_recall_beats_first_n_centroids(self, spark, embeddings):
         """The seeded-sample + Lloyd-iteration centroids must recall at
         least as well as the old first-N-ids strategy, measured against
