@@ -53,6 +53,19 @@ class TestProperties:
         assert rewritten.count(name) == 2
         assert "'" not in re.sub(r"'[^']*'", "", rewritten) or True
 
+    @given(base=idents, ext=st.sampled_from(["csv", "tsv", "log", "txt", "parquet"]))
+    def test_bare_unquoted_path_factor_rewritten(self, base, ext):
+        """FROM name.ext (unquoted) is a path factor: rewritten to a
+        temp name; the same dotted name as a qualified column reference
+        is untouched."""
+        sql = f"SELECT {base}.x FROM {base}.{ext} WHERE {base}.x > 0"
+        rewritten, mapping = rewrite_path_tables(sql)
+        assert len(mapping) == 1
+        (name, path), = mapping.items()
+        assert path == f"{base}.{ext}"
+        assert f"FROM {name} " in rewritten
+        assert f"SELECT {base}.x" in rewritten  # column refs survive
+
     @given(sql=st.text(max_size=200))
     def test_tokenizer_never_crashes(self, sql):
         tokenize(sql)
