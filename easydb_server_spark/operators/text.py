@@ -148,13 +148,13 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def vocabulary(df: DataFrame, text_col: str, top_k: int = 50) -> DataFrame:
+def vocabulary(df: DataFrame, text_col: str, id_col: str = "doc_id", top_k: int = 50) -> DataFrame:
     """Corpus vocabulary: term → document frequency + total count,
     top-k by count (ties by term). The classic explode → two-phase
     count; the shuffle carries (term, partial count) pairs, and top-k
     compiles to TakeOrderedAndProject — no global sort at 100 TB."""
     terms = df.select(
-        F.col("doc_id"), F.explode(F.split(F.col(text_col), " +")).alias("term")
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " +")).alias("term")
     ).where(F.col("term") != "")
     return (
         terms.groupBy("term")

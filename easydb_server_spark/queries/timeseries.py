@@ -298,3 +298,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+def q_ts_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour- and day-resolution
+    rollups of the event stream in ONE scan via GROUPING SETS — the
+    multi-resolution materialization a time-series store (e.g. a
+    Timescale continuous aggregate) maintains, expressed relationally
+    so Catalyst expands it into a single shuffle per grouping set.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("_mr_events")
+    return spark.sql(
+        """
+        SELECT date_trunc('DAY', ts)  AS day,
+               date_trunc('HOUR', ts) AS hour,
+               CAST(grouping(date_trunc('HOUR', ts)) AS INT) AS is_day_level,
+               event_type,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+        FROM _mr_events
+        GROUP BY GROUPING SETS (
+          (date_trunc('DAY', ts), event_type),
+          (date_trunc('DAY', ts), date_trunc('HOUR', ts), event_type)
+        )
+        ORDER BY day, is_day_level, hour ASC NULLS FIRST, event_type
+        """
+    )
+
+
+ORACLE_TS_MULTI_ROLLUP = """
+SELECT date_trunc('day', ts)  AS day,
+       date_trunc('hour', ts) AS hour,
+       CAST(grouping(date_trunc('hour', ts)) AS INT) AS is_day_level,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', ts), event_type),
+  (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+)
+ORDER BY day, is_day_level, hour ASC NULLS FIRST, event_type
+"""
