@@ -65,7 +65,7 @@ class TestPlans:
             if name.startswith("stream_"):
                 continue  # streams can't explain pre-start
             p = plan_of(fn(spark, SF_DIR))
-            if name.startswith("multimodal") or name == "sim_topk_lsh":
+            if name.startswith("multimodal") or name in ("sim_topk_lsh", "dedup_embedding_lsh"):
                 assert "BatchEvalPython" not in p, name  # Arrow-batched only
                 continue
             if any(op in p for op in python_ops):
