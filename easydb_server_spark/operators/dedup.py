@@ -94,19 +94,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Per-doc MinHash signature: rows (doc_id, i, minhash).
 
-    Relational formulation (shingles × hash-family → groupBy min):
-    two narrow shuffles, fully distributed, and expressible in ANSI
-    SQL for the oracle.
+    The hash family is a compile-time constant, so all 16 minima
+    compute as expressions in ONE groupBy(doc_id) (map-side combined)
+    and the (i, minhash) rows unpivot from the aggregated columns
+    afterwards. The shuffle carries |docs| rows × 16 ints instead of
+    the |shingles| × 16 rows of the textbook shingle × hash-param
+    cross join — integer arithmetic is identical (a·h0+b < 2^63,
+    exact), so the SQL oracle, which replays the cross-join form,
+    still matches bit-for-bit.
     """
-    spark = df.sparkSession
     sh = word_shingles(df, text_col, id_col, k).withColumn("h0", _shingle_hash(F.col("shingle")))
-    params = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(_hash_params())], "i int, a long, b long"
+    params = _hash_params()
+    mins = [
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    unpivoted = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"_m{i}").alias("minhash"))
+            for i in range(len(params))
+        ]
     )
-    return (
-        sh.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h0") + F.col("b")) % MINHASH_P).alias("minhash"))
+    return agg.select("doc_id", F.explode(unpivoted).alias("_p")).select(
+        "doc_id", F.col("_p.i").alias("i"), F.col("_p.minhash").alias("minhash")
     )
 
 
