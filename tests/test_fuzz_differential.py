@@ -68,8 +68,10 @@ def sql_queries(draw):
 @pytest.fixture(scope="module")
 def engines(spark):
     spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView("orders")
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").createOrReplaceTempView("customer")
     con = duckdb.connect()
     con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'")
     return spark, con
 
 
@@ -114,6 +116,87 @@ def window_queries(draw):
 @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(sql=window_queries())
 def test_window_functions_match_duckdb(engines, sql):
+    spark, con = engines
+    scols, srows = canon_frame(spark.sql(sql).toPandas())
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols, sql
+    assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
+
+
+@st.composite
+def join_queries(draw):
+    """Join-shape templates: random join type + predicates, grouped or
+    top-k projected. ORDER BY o_orderkey (unique, never null from the
+    orders side) keeps LIMIT deterministic under both engines' null
+    orderings."""
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    preds = draw(st.lists(predicates, min_size=0, max_size=2))
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    if draw(st.booleans()):
+        return (
+            f"SELECT c_mktsegment, COUNT(*) AS agg_val, "
+            f"CAST(SUM(o_orderkey) AS BIGINT) AS agg_sum "
+            f"FROM orders {how} customer ON o_custkey = c_custkey{where} "
+            f"GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"
+        )
+    limit = draw(st.integers(1, 300))
+    return (
+        f"SELECT o_orderkey, o_custkey, c_name, c_mktsegment "
+        f"FROM orders {how} customer ON o_custkey = c_custkey{where} "
+        f"ORDER BY o_orderkey LIMIT {limit}"
+    )
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sql=join_queries())
+def test_joins_match_duckdb(engines, sql):
+    spark, con = engines
+    scols, srows = canon_frame(spark.sql(sql).toPandas())
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols, sql
+    assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
+
+
+@st.composite
+def scalar_fn_queries(draw):
+    """Common-dialect scalar string/number expressions over customer."""
+    i = draw(st.integers(1, 5))
+    j = draw(st.integers(1, 8))
+    n = draw(st.integers(1, 20))
+    expr = draw(
+        st.sampled_from(
+            [
+                "upper(c_name)",
+                "lower(c_mktsegment)",
+                f"substr(c_name, {i}, {j})",
+                "CAST(length(c_name) AS INT)",
+                "concat(c_name, '_', c_mktsegment)",
+                "trim(c_name)",
+                "replace(c_name, 'e', 'X')",
+                f"lpad(c_name, {n}, '*')",
+                f"rpad(c_mktsegment, {n}, '.')",
+                "reverse(c_name)",
+                "CAST(ascii(c_mktsegment) AS INT)",
+                "left(c_name, 3)",
+                # NOTE: round(double, 1) deliberately absent — 2dp money
+                # values sit on the .05 boundary where Spark's
+                # BigDecimal HALF_UP and DuckDB's float rounding differ
+                "CAST(abs(c_acctbal) AS DOUBLE)",
+                "CAST(floor(c_acctbal) AS DOUBLE)",
+                "CAST(ceil(c_acctbal) AS DOUBLE)",
+            ]
+        )
+    )
+    cutoff = draw(st.integers(10, 2000))
+    return (
+        f"SELECT c_custkey, {expr} AS v FROM customer "
+        f"WHERE c_custkey <= {cutoff} ORDER BY c_custkey"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sql=scalar_fn_queries())
+def test_scalar_functions_match_duckdb(engines, sql):
     spark, con = engines
     scols, srows = canon_frame(spark.sql(sql).toPandas())
     ocols, orows = canon_frame(con.execute(sql).df())
