@@ -34,6 +34,35 @@ class TestReadmeScenario:
         out = engine.query("select count(*) as n from user")
         assert out["rows"] == [["3"]]
 
+    def test_concurrent_path_queries_no_crosstalk(self, engine, data_dir):
+        """Concurrent /fetch-style queries registering different path
+        tables on the shared session must never read each other's file
+        (the reference's second-granularity temp names can collide;
+        ours are process-unique)."""
+        import threading
+
+        results: dict[int, int] = {}
+        errors: list[Exception] = []
+
+        def worker(idx: int, path: str, want: int):
+            try:
+                out = engine.query(f"select * from '{path}'")
+                results[idx] = (len(out["rows"]), want)
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        jobs = []
+        for i in range(8):
+            path, want = [("user.csv", 3), ("order_1.csv", 2)][i % 2]
+            jobs.append(threading.Thread(target=worker, args=(i, path, want)))
+        for t in jobs:
+            t.start()
+        for t in jobs:
+            t.join(timeout=120)
+        assert not errors
+        assert len(results) == 8
+        assert all(got == want for got, want in results.values())
+
     def test_bare_unquoted_path_as_table(self, engine, data_dir):
         """Reference parity: `FROM user.csv` without quotes reads the
         file (`src/data_source/context.rs:94-101`)."""
