@@ -109,6 +109,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q3": (tpch.q_tpch_q3, tpch.ORACLE_TPCH_Q3),
     "tpch_q10": (tpch.q_tpch_q10, tpch.ORACLE_TPCH_Q10),
     "tpch_q18": (tpch.q_tpch_q18, tpch.ORACLE_TPCH_Q18),
+    "tpch_q7": (tpch.q_tpch_q7, tpch.ORACLE_TPCH_Q7),
+    "tpch_q14": (tpch.q_tpch_q14, tpch.ORACLE_TPCH_Q14),
+    "tpch_q19": (tpch.q_tpch_q19, tpch.ORACLE_TPCH_Q19),
     # --- time-series extras + Structured Streaming (batch oracles) ---
     "ts_rolling_1h": (timeseries.q_ts_rolling_1h, timeseries.ORACLE_TS_ROLLING_1H),
     "stream_sliding": (streamq.q_stream_sliding, streamq.ORACLE_STREAM_SLIDING),

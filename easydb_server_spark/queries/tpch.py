@@ -7,9 +7,15 @@ so these are in-scope behavior, not superset):
 
 - Q3  shipping priority: 3-way join, group, revenue top-10
   (TakeOrderedAndProject — never a global sort at scale);
+- Q7  volume shipping: 6-way join, the nation dim broadcast twice
+  under different roles, symmetric two-nation predicate;
 - Q10 returned-item reporting: 4-way join with date window, top-20;
+- Q14 promotion effect: conditional aggregation ratio over fact⋈dim;
 - Q18 large-volume customers: join against a HAVING-filtered
-  aggregate subquery on the fact table.
+  aggregate subquery on the fact table;
+- Q19 discounted revenue: OR-of-ANDs brand/quantity/size predicate —
+  the classic optimizer pushdown test (literals adapted to the
+  synthetic dialect: NATION_n, PROMO, Brand#nn).
 
 Money sums are decimal-exact (cast before SUM) so the DuckDB oracle
 matches bit-for-bit regardless of either engine's summation order —
@@ -144,4 +150,115 @@ WHERE l_orderkey IN (
 GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
 ORDER BY total_qty DESC, o_orderkey
 LIMIT 50
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping: revenue flowing between two nations in both
+    directions, by supplier-nation/customer-nation/year. Five-way join
+    with both nation dims broadcast twice under different roles."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(_revenue(), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: share of revenue from PROMO-type parts in
+    one month — conditional aggregation over a fact⋈dim join."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    p = load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast(_DEC))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(F.sum(promo) * 100 / F.sum(vol), 6).cast("double").alias("promo_revenue_pct")
+    )
+
+
+ORACLE_TPCH_Q14 = """
+SELECT CAST(ROUND(
+         SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) * 100
+         / SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 6)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_shipdate <  TIMESTAMP '1997-07-01'
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue: disjunction of brand/quantity/size
+    conjunctions — the classic optimizer test for OR-of-ANDs predicate
+    handling across a fact⋈dim join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm = lambda brand, qlo, qhi, smax: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("l_quantity").between(qlo, qhi)
+        & F.col("p_size").between(1, smax)
+    )
+    return (
+        j.where(arm("Brand#12", 1, 11, 5) | arm("Brand#23", 10, 20, 10) | arm("Brand#15", 20, 30, 15))
+        .agg(F.round(_revenue(), 2).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q19 = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
 """
