@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame
 EXPORT_DIR = "/tmp/easydb"
 
 
+def _csv_cell(value: str, sep: str) -> str:
+    """Quote a header cell with the same CSV rules Spark's writer uses
+    for the body (quote when the delimiter/quote/newline appears,
+    double embedded quotes)."""
+    if any(ch in value for ch in (sep, '"', "\n", "\r")):
+        return '"' + value.replace('"', '""') + '"'
+    return value
+
+
 def _export_path(ext: str) -> str:
     ts = time.strftime("%Y%m%d%H%M%S") + f"{int(time.time() * 1000) % 1000:03d}"
     os.makedirs(EXPORT_DIR, exist_ok=True)
@@ -54,17 +63,21 @@ def export_query(df: DataFrame, fmt: str, distributed: bool = False) -> str:
         else:
             df.write.json(path)
         return path
-    # single-file path: executors format part-files, driver stream-concats
+    # single-file path: executors format part-files, driver stream-concats.
+    # Explicit timestampFormat pins serialization across Spark versions
+    # (ISO-8601 instant, like the reference's arrow-csv writer — a
+    # documented deviation from the round-1 pandas '%Y-%m-%d %H:%M:%S').
     parts_dir = path + ".parts"
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
     header = None
     if fmt == "csv":
-        df.write.csv(parts_dir)
-        header = ",".join(df.columns)
+        df.write.option("timestampFormat", ts_fmt).csv(parts_dir)
+        header = ",".join(_csv_cell(c, ",") for c in df.columns)
     elif fmt == "tsv":
-        df.write.option("sep", "\t").csv(parts_dir)
-        header = "\t".join(df.columns)
-    else:  # NdJSON lines — DataFusion write_json parity (A18)
-        df.write.json(parts_dir)
+        df.write.option("sep", "\t").option("timestampFormat", ts_fmt).csv(parts_dir)
+        header = "\t".join(_csv_cell(c, "\t") for c in df.columns)
+    else:  # NdJSON lines — null fields kept (round-1/pandas behavior)
+        df.write.option("ignoreNullFields", False).option("timestampFormat", ts_fmt).json(parts_dir)
     try:
         with open(path, "wb") as out:
             if header is not None:

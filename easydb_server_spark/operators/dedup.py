@@ -223,6 +223,8 @@ def simhash_pairs(
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for the pigeonhole recall guarantee")
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63]: bit 63 would overflow the bigint signature")
     chunk = bits // bands
     mask = (1 << chunk) - 1
     sig = simhash_signatures(df, text_col, id_col, bits)

@@ -188,7 +188,10 @@ def ivf_centroids(
             .join(upd, "cell", "left")
             .select("cell", F.coalesce("centroid", "prev").alias("centroid"))
         )
-    return cents
+    # materialize once: cents feeds TWO broadcast branches downstream
+    # (corpus assignment + query probing); without this each broadcast
+    # re-executes the whole k-means DAG over the corpus
+    return cents.localCheckpoint(eager=True)
 
 
 def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -223,8 +226,6 @@ def neardup_pairs_lsh(
     standard LSH trade. The bucket id is the shuffle key: pair
     generation distributes, nothing collects.
     """
-    from pyspark.sql import functions as _F  # noqa: F401  (clarity)
-
     planes = lsh_planes(dim)
     sig_norm = _sig_norm_udf(planes)
     v = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec"))

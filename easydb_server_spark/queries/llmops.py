@@ -288,7 +288,7 @@ WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
 SELECT x.vec_id AS id_a, y.vec_id AS id_b,
        ROUND(list_cosine_similarity(x.vec, y.vec), 6) AS cosine
 FROM v x JOIN v y ON x.vec_id < y.vec_id
-WHERE list_cosine_similarity(x.vec, y.vec) >= 0.42
+WHERE ROUND(list_cosine_similarity(x.vec, y.vec), 6) >= 0.42
 ORDER BY id_a, id_b
 """
 
@@ -400,7 +400,7 @@ sigs AS (
 SELECT x.vec_id AS id_a, y.vec_id AS id_b,
        ROUND(list_cosine_similarity(x.vec, y.vec), 6) AS cosine
 FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE list_cosine_similarity(x.vec, y.vec) >= 0.9
+WHERE ROUND(list_cosine_similarity(x.vec, y.vec), 6) >= 0.9
 ORDER BY id_a, id_b
 """
 

@@ -54,21 +54,23 @@ def resolve_path(path: str) -> str:
 
 
 def _mtime_signature(resolved: str) -> tuple:
-    """Change signature over the FULL glob listing — (count, max mtime,
-    total bytes, first, last). Constant-size, so a 10⁵-file glob costs
-    one stat pass but no giant key, and touching ANY file (not just the
-    first 64) invalidates the cached schema."""
+    """Change signature over the FULL glob listing: file count plus an
+    order-sensitive digest of every (name, mtime, size). Constant-size
+    key — a 10⁵-file glob costs one stat pass but no giant tuple — and
+    ANY difference in membership, order, mtime, or size invalidates
+    (an aggregate like (count, max mtime, total bytes) would miss a
+    same-size rename that preserves mtimes)."""
+    import hashlib
+
     files = sorted(_glob.glob(resolved)) or [resolved]
-    n, max_mtime, total = 0, -1, 0
+    h = hashlib.md5()
     for f in files:
-        n += 1
         try:
             st = os.stat(f)
-            max_mtime = max(max_mtime, st.st_mtime_ns)
-            total += st.st_size
+            h.update(f"{f}\x00{st.st_mtime_ns}\x00{st.st_size}\x1e".encode())
         except OSError:
-            max_mtime = max(max_mtime, 0)
-    return (n, max_mtime, total, files[0], files[-1])
+            h.update(f"{f}\x00missing\x1e".encode())
+    return (len(files), h.hexdigest())
 
 
 def _cached_schema(resolved: str, fmt: str, sig: tuple):

@@ -185,7 +185,14 @@ def _col_letters(idx: int) -> str:
 
 
 def _xml_escape(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # also escapes quotes: sheet names land inside name="..." attributes
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&apos;")
+    )
 
 
 def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> None:

@@ -171,6 +171,30 @@ class TestParityBehaviors:
         assert first == "0,0"
         assert not os.path.isdir(path + ".parts")  # scratch dir cleaned
 
+    def test_export_ndjson_keeps_null_fields(self, spark, tmp_path, monkeypatch):
+        """NdJSON rows must carry every column even when null (stable
+        key set per record, matching the round-1 pandas writer)."""
+        import json as _json
+
+        from easydb_server_spark import export as ex
+
+        monkeypatch.setattr(ex, "EXPORT_DIR", str(tmp_path))
+        df = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+        path = ex.export_query(df.orderBy("id"), "json")
+        lines = [_json.loads(line) for line in open(path).read().splitlines()]
+        assert lines[0] == {"id": 1, "v": None}
+        assert lines[1] == {"id": 2, "v": "x"}
+
+    def test_export_csv_header_quotes_special_column_names(self, spark, tmp_path, monkeypatch):
+        """A column alias containing the delimiter must be quoted in
+        the hand-written header line, same rules as the body."""
+        from easydb_server_spark import export as ex
+
+        monkeypatch.setattr(ex, "EXPORT_DIR", str(tmp_path))
+        df = spark.createDataFrame([(1,)], "x int").selectExpr("x AS `a,b`")
+        path = ex.export_query(df, "csv")
+        assert open(path).read().splitlines()[0] == '"a,b"'
+
     def test_export_distributed_part_files(self, engine, data_dir):
         # cluster path: a directory of part files written in parallel
         from easydb_server_spark.export import export_query
