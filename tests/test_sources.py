@@ -66,6 +66,22 @@ class TestReaders:
         df = read_path(spark, "/root/testdata/sf0.001/region.parquet")
         assert df.count() == 5
 
+    def test_signature_catches_same_size_mtime_preserving_rename(self, tmp_path):
+        """os.rename preserves mtime and size; only the per-file name
+        digest catches it (an aggregate count/max-mtime/total-bytes
+        signature would not)."""
+        import os
+
+        from easydb_server_spark.sources.readers import _mtime_signature
+
+        for i in range(5):
+            (tmp_path / f"g_{i}.csv").write_text("a,b\n1,2\n")
+        pattern = str(tmp_path / "g_*.csv")
+        sig1 = _mtime_signature(pattern)
+        os.rename(tmp_path / "g_2.csv", tmp_path / "g_29.csv")  # stays in glob
+        sig2 = _mtime_signature(pattern)
+        assert sig1 != sig2
+
     def test_schema_cache_invalidated_by_any_file_of_large_glob(self, spark, tmp_path, monkeypatch):
         """The change signature covers the FULL listing: touching file
         #65+ of a glob must invalidate the cached inferred schema (the
@@ -176,6 +192,14 @@ class TestExcel:
             )
         df = read_xlsx_distributed(spark, str(data_dir / "dist*.xlsx"), "name string, score double")
         assert sorted((r.name, r.score) for r in df.collect()) == [("w1", 1.0), ("w2", 2.0)]
+
+    def test_sheet_name_with_quotes_roundtrips(self, spark, data_dir):
+        from easydb_server_spark.sources.xlsx_codec import load_xlsx, write_xlsx
+
+        name = 'Q1 "draft" & <final>'
+        write_xlsx(str(data_dir / "q.xlsx"), {name: (["a"], [[7]])})
+        pdf = load_xlsx(str(data_dir / "q.xlsx"), name)
+        assert pdf["a"].tolist() == [7]
 
     def test_corrupt_xlsx_clear_error(self, spark, data_dir):
         (data_dir / "bad.xlsx").write_bytes(b"not a zip at all")
