@@ -167,6 +167,38 @@ def vocabulary(df: DataFrame, text_col: str, id_col: str = "doc_id", top_k: int 
     )
 
 
+def weighted_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic per-source sampling for training-data mixing.
+
+    Each row keeps iff ``md5(salt || id) % 10000 < rate(group) * 10000``
+    — the data-mixing step of a pretraining pipeline (upweight curated
+    sources, downsample crawl) with ``hash_split``'s reproducibility
+    guarantees: assignment depends only on (salt, id), so it is stable
+    across engines, cluster sizes, and data order, and changing one
+    source's rate never reshuffles another's kept set. Pure column
+    expressions — the filter evaluates in the scan's project, no
+    shuffle, trivially parallel at 100 TB.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    rate = F.lit(default_rate)
+    for name, r in rates.items():
+        rate = F.when(F.col(group_col) == name, F.lit(r)).otherwise(rate)
+    return df.withColumn("mix_bucket", bucket).where(
+        F.col("mix_bucket") < (rate * 10000).cast("bigint")
+    )
+
+
 def hash_split(
     df: DataFrame, id_col: str, splits: dict[str, tuple[int, int]], salt: str = "v1"
 ) -> DataFrame:

@@ -93,6 +93,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_normalize": (llmops.q_text_normalize, llmops.ORACLE_TEXT_NORMALIZE),
     "text_redact": (llmops.q_text_redact, llmops.ORACLE_TEXT_REDACT),
     "text_vocab": (llmops.q_text_vocab, llmops.ORACLE_TEXT_VOCAB),
+    "text_mixture": (llmops.q_text_mixture, llmops.ORACLE_TEXT_MIXTURE),
     "ts_multi_rollup": (timeseries.q_ts_multi_rollup, timeseries.ORACLE_TS_MULTI_ROLLUP),
     # --- skew mitigation (salted plans, row-identical to plain oracles) ---
     "skew_salted_join": (skewq.q_skew_salted_join, skewq.ORACLE_SKEW_SALTED_JOIN),

@@ -837,6 +837,37 @@ LIMIT 50
 """
 
 
+def q_text_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: per-source keep rates
+    (upweight curated, downsample crawl) via md5 bucketing; the oracle
+    replays the identical hash + rate table."""
+    d = load(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    out = T.weighted_mixture(d, "doc_id", "source", rates, default_rate=0.05)
+    return (
+        out.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_MIXTURE = """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS mix_bucket,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                     ELSE 0.05 END AS rate
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+FROM b
+WHERE mix_bucket < FLOOR(rate * 10000)
+GROUP BY source
+ORDER BY source
+"""
+
+
 # ---------- dataset splitting ----------
 
 

@@ -272,6 +272,21 @@ class TestText:
         rows = vocabulary(df, "text", top_k=2).collect()
         assert [(r.term, r.n_total, r.n_docs) for r in rows] == [("a", 3, 2), ("b", 3, 2)]
 
+    def test_weighted_mixture_deterministic_and_rate_monotone(self, spark, docs):
+        from easydb_server_spark.operators.text import weighted_mixture
+
+        d = docs.select("doc_id", "source")
+        full = weighted_mixture(d, "doc_id", "source", {}, default_rate=1.0)
+        assert full.count() == d.count()  # rate 1.0 keeps everything
+        half = weighted_mixture(d, "doc_id", "source", {}, default_rate=0.5)
+        tenth = weighted_mixture(d, "doc_id", "source", {}, default_rate=0.1)
+        kept_half = {r.doc_id for r in half.collect()}
+        kept_tenth = {r.doc_id for r in tenth.collect()}
+        assert kept_tenth <= kept_half  # lowering a rate only removes rows
+        assert kept_half == {r.doc_id for r in half.collect()}  # stable re-run
+        none = weighted_mixture(d, "doc_id", "source", {}, default_rate=0.0)
+        assert none.count() == 0
+
     def test_fingerprint_stable_under_duplication(self, spark, docs):
         from easydb_server_spark.operators.text import fingerprint
 
