@@ -52,8 +52,11 @@ HEADLINE = [
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)
     "tpch_q3",
+    "tpch_q7",
     "tpch_q10",
+    "tpch_q14",
     "tpch_q18",
+    "tpch_q19",
 ]
 
 RUNS = 3  # median of 3 warm runs
