@@ -97,9 +97,11 @@ class Engine:
         self.catalog.create_table(ct.name, ct.location, ct.columns, ct.comment)
         return {"header": ["summary"], "rows": [["successful"]], "sql_type": "DDL"}
 
-    def export(self, sql: str, fmt: str) -> str:
-        """Uncapped export → file path (A16–A18)."""
+    def export(self, sql: str, fmt: str, distributed: bool = False) -> str:
+        """Uncapped export → file path (A16–A18). ``distributed=True``
+        returns a part-file directory written in parallel by executors
+        (cluster sink); default is the single-file streamed download."""
         from easydb_server_spark.export import export_query
 
         df = self.dataframe(sql)
-        return export_query(df, fmt)
+        return export_query(df, fmt, distributed=distributed)

@@ -57,9 +57,9 @@ def export_query(df: DataFrame, fmt: str, distributed: bool = False) -> str:
     if distributed:
         # cluster path: many part-files, parallel writers
         if fmt == "csv":
-            df.write.option("header", True).csv(path)
+            df.write.option("header", True).option("escape", '"').csv(path)
         elif fmt == "tsv":
-            df.write.option("header", True).option("sep", "\t").csv(path)
+            df.write.option("header", True).option("escape", '"').option("sep", "\t").csv(path)
         else:
             df.write.json(path)
         return path
@@ -70,21 +70,38 @@ def export_query(df: DataFrame, fmt: str, distributed: bool = False) -> str:
     parts_dir = path + ".parts"
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
     header = None
+    # escape='"' → body quotes use RFC-4180 doubling, matching the
+    # hand-written header cells (Spark's default escape='\' would mix
+    # two quoting conventions in one file)
     if fmt == "csv":
-        df.write.option("timestampFormat", ts_fmt).csv(parts_dir)
+        df.write.option("escape", '"').option("timestampFormat", ts_fmt).csv(parts_dir)
         header = ",".join(_csv_cell(c, ",") for c in df.columns)
     elif fmt == "tsv":
-        df.write.option("sep", "\t").option("timestampFormat", ts_fmt).csv(parts_dir)
+        df.write.option("escape", '"').option("sep", "\t").option(
+            "timestampFormat", ts_fmt
+        ).csv(parts_dir)
         header = "\t".join(_csv_cell(c, "\t") for c in df.columns)
     else:  # NdJSON lines — null fields kept (round-1/pandas behavior)
         df.write.option("ignoreNullFields", False).option("timestampFormat", ts_fmt).json(parts_dir)
     try:
+        # part names sort in partition order, so a sorted input
+        # (e.g. ORDER BY) concatenates back in order
+        parts = sorted(_glob.glob(os.path.join(parts_dir, "part-*")))
+        if not parts and not df.isEmpty():
+            # Executors wrote their part-files to a filesystem the
+            # driver can't see (multi-node cluster without a shared
+            # FS) — concatenating would silently emit a header-only
+            # file. Fail loudly and point at the cluster-safe sink.
+            raise RuntimeError(
+                "single-file export found no part-files on the driver "
+                "filesystem for a non-empty result; on a multi-node "
+                "cluster use export_query(..., distributed=True) with "
+                "a shared/object-store path"
+            )
         with open(path, "wb") as out:
             if header is not None:
                 out.write(header.encode() + b"\n")
-            # part names sort in partition order, so a sorted input
-            # (e.g. ORDER BY) concatenates back in order
-            for part in sorted(_glob.glob(os.path.join(parts_dir, "part-*"))):
+            for part in parts:
                 with open(part, "rb") as src:
                     shutil.copyfileobj(src, out, 1 << 20)
     finally:

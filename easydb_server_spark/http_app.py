@@ -65,7 +65,17 @@ def create_app(engine: Engine) -> Flask:
         fmt = body.get("file_type", "csv")
         if not sql:
             return jsonify({"resp_msg": "missing sql", "resp_code": 1}), 400
-        path = engine.export(sql, fmt)
+        # distributed=true (body or query param): executors write a
+        # part-file directory — the cluster-scale sink for results too
+        # big for a single download, or when executors don't share a
+        # filesystem with the driver. Response is the directory path
+        # instead of a file stream.
+        distributed = str(
+            body.get("distributed", request.args.get("distributed", ""))
+        ).lower() in ("1", "true", "yes")
+        path = engine.export(sql, fmt, distributed=distributed)
+        if distributed:
+            return _ok({"path": path})
         return send_file(
             path,
             as_attachment=True,

@@ -194,17 +194,26 @@ def ivf_centroids(
     return cents.localCheckpoint(eager=True)
 
 
-def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest cell per vector: argmax rounded dot, ties by cell id."""
+def _assign_cells(
+    vecs: DataFrame,
+    cents: DataFrame,
+    id_col: str = "cid",
+    vec_col: str = "cvec",
+    top: int = 1,
+) -> DataFrame:
+    """``top`` nearest cells per vector: rounded-dot ranking, ties by
+    cell id. ``top=1`` = corpus assignment; ``top=nprobe`` = query
+    probing — one implementation for every call site."""
     from pyspark.sql import Window
 
-    sim = _dot(F.col("cvec"), F.col("centroid"))
-    w = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("cell"))
+    sim = _dot(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
     return (
         vecs.crossJoin(F.broadcast(cents))
-        .select("cid", "cvec", "cell", F.round(sim, 6).alias("sim"))
+        .select(id_col, vec_col, "cell", F.round(sim, 6).alias("sim"))
         .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
+        .where(F.col("r") <= top)
+        .select(id_col, vec_col, "cell")
     )
 
 
@@ -276,24 +285,8 @@ def topk_cosine_ivf(
         if centroids is not None
         else ivf_centroids(corpus, vec_col, id_col, n_cells, n_iters)
     )
-    sim_c = _dot(F.col("cvec"), F.col("centroid"))
-    wc = Window.partitionBy("cid").orderBy(F.col("sim").desc(), F.col("cell"))
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .select("cid", "cvec", "cell", F.round(sim_c, 6).alias("sim"))
-        .withColumn("r", F.row_number().over(wc))
-        .where(F.col("r") == 1)
-        .select("cid", "cvec", "cell")
-    )
-    sim_q = _dot(F.col("qvec"), F.col("centroid"))
-    wq = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cell"))
-    probed = (
-        q.crossJoin(F.broadcast(cents))
-        .select("qid", "qvec", "cell", F.round(sim_q, 6).alias("sim"))
-        .withColumn("r", F.row_number().over(wq))
-        .where(F.col("r") <= nprobe)
-        .select("qid", "qvec", "cell")
-    )
+    assigned = _assign_cells(c, cents)
+    probed = _assign_cells(q, cents, id_col="qid", vec_col="qvec", top=nprobe)
     cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
     scored = (
         assigned.withColumn("cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))

@@ -19,17 +19,31 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _salt_col(n_salts: int, seed: int) -> F.Column:
+    """Per-row independent salt in [0, n_salts): ``rand(seed)`` —
+    deterministic for a fixed seed + partitioning, but NOT a function
+    of row content, so byte-identical duplicate rows (the common hot
+    key) spread across all reducers."""
+    return F.floor(F.rand(seed) * n_salts).cast("int")
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
     on: str,
     n_salts: int = 8,
     how: str = "inner",
+    seed: int = 7,
 ) -> DataFrame:
     """Equi-join with the large side salted and the small side
     replicated n_salts×. Result is row-identical to ``large.join(small,
-    on, how)`` for inner/left joins."""
-    salted_large = large.withColumn("_salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts)))
+    on, how)`` for inner/left joins.
+
+    The salt is per-row independent (``rand(seed)``), NOT a hash of the
+    row's columns: hashing all columns sends byte-identical duplicate
+    rows — the common shape of a hot key — to the same reducer, which
+    defeats the salting. rand spreads duplicates uniformly."""
+    salted_large = large.withColumn("_salt", _salt_col(n_salts, seed))
     replicated_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -42,6 +56,7 @@ def salted_aggregate(
     key: str,
     agg_exprs: dict[str, str],
     n_salts: int = 8,
+    seed: int = 7,
 ) -> DataFrame:
     """Two-level aggregation for hot grouping keys: partial aggregate
     on (key, salt), then final aggregate on key.
@@ -63,6 +78,6 @@ def salted_aggregate(
             final_aggs.append(final_fn(f"_p_{out_col}").alias(out_col))
         else:
             raise ValueError(f"unsupported agg kind: {kind!r}")
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+    salted = df.withColumn("_salt", _salt_col(n_salts, seed))
     partial = salted.groupBy(key, "_salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)

@@ -2,9 +2,13 @@
 
 Spark picks the physical join (broadcast-hash / shuffled-hash /
 sort-merge) from stats + AQE; we nudge with explicit ``F.broadcast``
-on dimension tables — the 100 TB plan shape is: fact table stays
-partitioned, small dims ship to every executor, no fact shuffle for
-dim joins. Only fact-fact joins (orders⋈lineitem) shuffle on the key.
+ONLY on the truly bounded dims (nation = 25 rows, region = 5). The
+100 TB plan shape is: fact table stays partitioned, bounded dims ship
+to every executor, and SF-proportional tables (customer/supplier/part)
+carry no hint — AQE selects broadcast when the filtered side is under
+``autoBroadcastJoinThreshold`` (true at bench scale) and falls back to
+sort-merge beyond it rather than hitting the 8 GB broadcast hard
+limit. Only fact-fact joins (orders⋈lineitem) shuffle on the key.
 """
 
 from __future__ import annotations
@@ -18,8 +22,9 @@ from easydb_server_spark.queries._util import load
 def q_join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way inner equi-join + agg (TPC-H Q5 shape).
 
-    customer/nation/region broadcast; orders⋈lineitem is the only
-    shuffle join (both sides partitioned on orderkey).
+    nation/region broadcast (bounded dims); customer unhinted — AQE
+    broadcasts it while small, sort-merges beyond the threshold;
+    orders⋈lineitem shuffles on orderkey.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -28,7 +33,7 @@ def q_join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .where(F.col("r_name") == "ASIA")

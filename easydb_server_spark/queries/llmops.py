@@ -155,7 +155,7 @@ scored AS (
 SELECT doc_a, doc_b,
        ROUND(CAST(n_inter AS DOUBLE) / (sh_a + sh_b - n_inter), 6) AS jaccard
 FROM scored
-WHERE CAST(n_inter AS DOUBLE) / (sh_a + sh_b - n_inter) >= 0.5
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sh_a + sh_b - n_inter), 6) >= 0.5
 ORDER BY doc_a, doc_b
 """.replace("{params}", _params_values())
 
@@ -198,7 +198,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4
 ORDER BY doc_a, doc_b
 """
 
@@ -503,7 +503,7 @@ pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -549,7 +549,7 @@ pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -21,8 +21,17 @@ Money sums are decimal-exact (cast before SUM) so the DuckDB oracle
 matches bit-for-bit regardless of either engine's summation order —
 the convention from queries/core.py / timeseries.py.
 
-Scale shape: customer/nation broadcast; orders⋈lineitem shuffles on
-orderkey only; top-k compiles to TakeOrderedAndProject.
+Scale shape: only the truly bounded dims (nation = 25 rows, region = 5)
+carry an explicit ``F.broadcast`` hint. SF-proportional tables
+(customer/supplier/part — billions of rows at the 100 TB design point)
+get NO hint: Spark's size estimate + AQE's dynamic join selection pick
+broadcast-hash when the (filtered) side fits under
+``autoBroadcastJoinThreshold`` — which it does at bench scale, so the
+plan is unchanged there — and degrade gracefully to sort-merge when it
+doesn't, instead of dying at the 8 GB broadcast hard limit a forced
+hint would hit (`tests/test_broadcast_gating.py` locks both regimes).
+Fact-fact joins shuffle on orderkey only; top-k compiles to
+TakeOrderedAndProject.
 """
 
 from __future__ import annotations
@@ -49,7 +58,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-30")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(_revenue(), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
@@ -85,7 +94,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(_revenue(), 2).cast("double").alias("revenue"))
@@ -114,23 +123,33 @@ LIMIT 20
 
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 large-volume customers: orders whose total quantity exceeds
-    the threshold — a HAVING-filtered aggregate on the fact table
-    drives a semi-join back into the 3-way join."""
+    the threshold.
+
+    Single lineitem scan: because ``o_orderkey`` is unique in orders,
+    the textbook re-aggregation after the semi-join groups to exactly
+    one row per qualifying order — so the per-order quantity computed
+    for the HAVING filter IS the final measure. Aggregate once, filter,
+    then join the (tiny) qualifying-order aggregate up to orders and
+    customer. Halves the fact-table IO vs the literal two-scan form;
+    the oracle keeps the textbook shape and matches bit-for-bit."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    big = (
+    ord_qty = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("tot_qty"))
         .where(F.col("tot_qty") > 100)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2).cast("double").alias("total_qty"))
+        ord_qty.join(o, ord_qty.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("tot_qty"), 2).cast("double").alias("total_qty"),
+        )
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
         .limit(50)
     )
@@ -172,8 +191,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .where(pair)
@@ -213,7 +232,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
     )
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast(_DEC))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(F.sum(promo) * 100 / F.sum(vol), 6).cast("double").alias("promo_revenue_pct")
     )
 
@@ -240,7 +259,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling across a fact⋈dim join."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     arm = lambda brand, qlo, qhi, smax: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("l_quantity").between(qlo, qhi)

@@ -69,15 +69,20 @@ def _sheet_part(zf: zipfile.ZipFile, sheet: str | int) -> str:
             sheets.append((el.get("name"), rid_to_target.get(rid)))
     if not sheets:
         raise UnsupportedFormatError("xlsx workbook has no sheets")
-    if isinstance(sheet, int) or (isinstance(sheet, str) and sheet.isdigit()):
+    # String selectors match by NAME first (pandas/openpyxl/calamine
+    # convention — a sheet literally named '2024' must be addressable);
+    # all-digit strings fall back to index interpretation only when no
+    # sheet has that name. Plain ints are always indices.
+    target = None
+    if isinstance(sheet, str):
+        target = next((t for n, t in sheets if n == sheet), None)
+    if target is None and (isinstance(sheet, int) or (isinstance(sheet, str) and sheet.isdigit())):
         idx = int(sheet)
         if idx >= len(sheets):
             raise UnsupportedFormatError(f"xlsx sheet index {idx} out of range")
         target = sheets[idx][1]
-    else:
-        target = next((t for n, t in sheets if n == sheet), None)
-        if target is None:
-            raise UnsupportedFormatError(f"xlsx sheet not found: {sheet!r}")
+    if target is None:
+        raise UnsupportedFormatError(f"xlsx sheet not found: {sheet!r}")
     if target.startswith("/"):
         return target[1:]
     return target if target.startswith("xl/") else f"xl/{target}"

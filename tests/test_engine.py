@@ -195,6 +195,39 @@ class TestParityBehaviors:
         path = ex.export_query(df, "csv")
         assert open(path).read().splitlines()[0] == '"a,b"'
 
+    def test_export_csv_body_quotes_rfc4180_doubled(self, spark, tmp_path, monkeypatch):
+        """Body cells containing a literal quote use RFC-4180 doubling
+        (escape='\"'), matching the hand-written header's convention —
+        one file, one quoting dialect (ADVICE r2)."""
+        from easydb_server_spark import export as ex
+
+        monkeypatch.setattr(ex, "EXPORT_DIR", str(tmp_path))
+        df = spark.createDataFrame([(1, 'say "hi", ok')], "id int, msg string")
+        path = ex.export_query(df, "csv")
+        body = open(path).read().splitlines()[1]
+        assert body == '1,"say ""hi"", ok"'
+
+    def test_export_guard_detects_missing_part_files(self, spark, tmp_path, monkeypatch):
+        """If the driver's glob finds no part-files for a non-empty
+        result (multi-node cluster without a shared FS), the export
+        must fail loudly, not emit a header-only file (ADVICE r2)."""
+        import glob as _g
+
+        import pytest as _pytest
+
+        from easydb_server_spark import export as ex
+
+        monkeypatch.setattr(ex, "EXPORT_DIR", str(tmp_path))
+        monkeypatch.setattr(ex._glob, "glob", lambda pattern: [])
+        df = spark.createDataFrame([(1,)], "id int")
+        with _pytest.raises(RuntimeError, match="distributed=True"):
+            ex.export_query(df, "csv")
+        monkeypatch.setattr(ex._glob, "glob", _g.glob)
+        # empty results still export fine through the guard
+        empty = spark.createDataFrame([], "id int")
+        path = ex.export_query(empty, "csv")
+        assert open(path).read().splitlines() == ["id"]
+
     def test_export_distributed_part_files(self, engine, data_dir):
         # cluster path: a directory of part files written in parallel
         from easydb_server_spark.export import export_query

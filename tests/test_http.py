@@ -67,3 +67,27 @@ class TestEndpoints:
         assert r.status_code == 200
         assert r.mimetype == "application/octet-stream"
         assert b"id" in r.data
+
+    def test_export_distributed_returns_part_dir(self, client, data_dir):
+        """distributed=true → executor-written part-file directory
+        (cluster sink) instead of a single-file download stream."""
+        import glob
+        import os
+
+        client.post("/fetch", json={"sql": "create table user () location 'user.csv'"})
+        r = client.post(
+            "/query/export",
+            json={"sql": "select id from user", "file_type": "csv", "distributed": True},
+        )
+        assert r.status_code == 200
+        body = r.get_json()
+        assert body["resp_code"] == 0
+        out = body["data"]["path"]
+        assert os.path.isdir(out)
+        assert glob.glob(f"{out}/part-*.csv")
+        # same request as a query param works too
+        r2 = client.post(
+            "/query/export?distributed=true",
+            json={"sql": "select id from user", "file_type": "csv"},
+        )
+        assert os.path.isdir(r2.get_json()["data"]["path"])

@@ -393,9 +393,30 @@ class TestSkew:
         out = salted_join(large.withColumn("k", F.col("k").cast("int")), dim, on="k", n_salts=8)
         assert out.count() == 100_010
         # the hot key's rows really landed on every salt value
-        salted = large.withColumn("_salt", F.pmod(F.xxhash64(*large.columns), F.lit(8)))
+        from easydb_server_spark.operators.skew import _salt_col
+
+        salted = large.withColumn("_salt", _salt_col(8, 7))
         n_salts_hot = salted.where(F.col("k") == 1).select("_salt").distinct().count()
         assert n_salts_hot == 8
+
+    def test_salted_join_spreads_byte_identical_duplicate_rows(self, spark):
+        """The degenerate hot key: many byte-IDENTICAL rows. A salt
+        hashed from row content sends them all to one reducer; the
+        per-row rand salt must spread them — and the join must keep
+        duplicate multiplicity."""
+        from easydb_server_spark.operators.skew import _salt_col, salted_join
+
+        dup = spark.range(50_000).selectExpr("1 as k", "'same-payload' as payload")
+        dim = spark.createDataFrame([(1, "d1")], "k int, label string")
+        salts = (
+            dup.withColumn("_salt", _salt_col(8, 7))
+            .select("_salt")
+            .distinct()
+            .count()
+        )
+        assert salts == 8  # identical rows spread across all salts
+        out = salted_join(dup.withColumn("k", F.col("k").cast("int")), dim, on="k", n_salts=8)
+        assert out.count() == 50_000  # multiplicity preserved
 
     def test_salted_aggregate_rejects_non_reaggregatable(self, spark):
         import pytest as _pytest

@@ -201,6 +201,22 @@ class TestExcel:
         pdf = load_xlsx(str(data_dir / "q.xlsx"), name)
         assert pdf["a"].tolist() == [7]
 
+    def test_all_digit_sheet_name_resolves_by_name_first(self, data_dir):
+        """A sheet literally named '2024' must be addressable via
+        '#2024' (name match wins over index interpretation — the
+        pandas/openpyxl/calamine convention); digit strings that match
+        no name still fall back to index."""
+        from easydb_server_spark.sources.xlsx_codec import load_xlsx, write_xlsx
+
+        write_xlsx(
+            str(data_dir / "yr.xlsx"),
+            {"Summary": (["a"], [[1]]), "2024": (["a"], [[2024]])},
+        )
+        assert load_xlsx(str(data_dir / "yr.xlsx"), "2024")["a"].tolist() == [2024]
+        # no sheet named '1' → index fallback selects the second sheet
+        assert load_xlsx(str(data_dir / "yr.xlsx"), "1")["a"].tolist() == [2024]
+        assert load_xlsx(str(data_dir / "yr.xlsx"), 0)["a"].tolist() == [1]
+
     def test_corrupt_xlsx_clear_error(self, spark, data_dir):
         (data_dir / "bad.xlsx").write_bytes(b"not a zip at all")
         with pytest.raises(UnsupportedFormatError, match="xlsx"):
