@@ -57,6 +57,11 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q18",
     "tpch_q19",
+    # r3 completions: wide scan-agg, 6-way co-nation join, the
+    # double-EXISTS anti pattern — the heaviest of the 16 new shapes
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q21",
 ]
 
 RUNS = 3  # median of 3 warm runs

@@ -85,9 +85,13 @@ class TestPlans:
             assert "TakeOrderedAndProject" in p, name
             assert "CartesianProduct" not in p, name
 
-    def test_tpch_q18_semi_join_stays_semi(self, spark, queries):
+    def test_tpch_q18_scans_lineitem_once(self, spark, queries):
+        """r3 rewrite: the HAVING aggregate IS the final measure
+        (orderkey unique in orders), so lineitem must be scanned
+        exactly once — the r2 two-scan form was the suite's slowest
+        query."""
         p = plan_of(queries["tpch_q18"](spark, SF_DIR))
-        assert "LeftSemi" in p
+        assert p.count("lineitem.parquet") == 1
 
     def test_minhash_pairs_verification_is_candidate_restricted(self, spark, queries):
         """The exact-Jaccard verification in minhash_pairs must be
