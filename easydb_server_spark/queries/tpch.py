@@ -41,13 +41,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 from easydb_server_spark.queries._util import load
 
-_DEC = "decimal(18,6)"
+# Compact-decimal fast path: Spark decimals with precision <= 18 live in
+# an unscaled long (whole-stage-codegen friendly); wider ones fall back
+# to java.math.BigDecimal per row (~5x slower measured on Q1). Products
+# grow precision p1+p2+1, so money at (10,2) x factor at (3,2) -> (14,4)
+# -> x(3,2) -> (18,6): every intermediate stays compact. Values are
+# still EXACT (prices < 1e8, factors are 2-decimal), so the DuckDB
+# oracles keep their DECIMAL(18,6) casts — both engines compute the
+# same exact rational and round identically.
+_MONEY = "decimal(10,2)"  # l_extendedprice, l_quantity: exact cents
+_FACTOR = "decimal(3,2)"  # (1 - l_discount), (1 + l_tax): in [0, 1.08]
+
+
+def _one_minus_disc() -> F.Column:
+    return (F.lit(1).cast(_FACTOR) - F.col("l_discount").cast(_FACTOR)).cast(_FACTOR)
 
 
 def _revenue() -> F.Column:
-    return F.sum(
-        F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
-    )
+    return F.sum(F.col("l_extendedprice").cast(_MONEY) * _one_minus_disc())
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +148,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     ord_qty = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("tot_qty"))
+        .agg(F.sum(F.col("l_quantity").cast(_MONEY)).alias("tot_qty"))
         .where(F.col("tot_qty") > 100)
     )
     return (
@@ -228,10 +239,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
     )
     p = load(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
-    )
-    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast(_DEC))
+    vol = F.col("l_extendedprice").cast(_MONEY) * _one_minus_disc()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(14,4)"))
     return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(F.sum(promo) * 100 / F.sum(vol), 6).cast("double").alias("promo_revenue_pct")
     )

@@ -11,8 +11,9 @@ only the unavailable attribute for an available proxy. Each docstring
 states the substitution. Literals use the synthetic dialect
 (NATION_n, ECONOMY/SMALL/…, Brand#nn) like queries/tpch.py.
 
-Money math follows the repo convention: cast to decimal(18,6) before
-SUM so both engines agree bit-for-bit regardless of summation order;
+Money math follows the repo convention: cast to decimal before SUM so
+both engines agree bit-for-bit regardless of summation order (Spark
+side uses compact precisions — see the _MONEY/_FACTOR note below);
 averages/ratios divide the exact decimal sum CAST AS DOUBLE by an
 exact integer count — one IEEE division, identical on both sides.
 
@@ -30,16 +31,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from easydb_server_spark.queries._util import load
 
-_DEC = "decimal(18,6)"
+# Compact-decimal fast path (see queries/tpch.py): keep every decimal
+# intermediate at precision <= 18 so Spark stays on the unscaled-long
+# representation instead of per-row BigDecimal (~5x slower, measured on
+# Q1). Values remain exact, so the DuckDB oracles keep DECIMAL(18,6) —
+# both engines compute the same exact rational.
+_MONEY = "decimal(10,2)"  # prices/quantities/balances: exact cents
+_FACTOR = "decimal(3,2)"  # discount/tax factors in [0, 1.08]
 
 
 def _dec(col: str) -> F.Column:
-    return F.col(col).cast(_DEC)
+    return F.col(col).cast(_MONEY)
 
 
 def _vol() -> F.Column:
-    """l_extendedprice * (1 - l_discount), decimal-exact."""
-    return _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    """l_extendedprice * (1 - l_discount), decimal-exact: (10,2)x(3,2)
+    -> (14,4), compact."""
+    disc = (F.lit(1).cast(_FACTOR) - F.col("l_discount").cast(_FACTOR)).cast(_FACTOR)
+    return _dec("l_extendedprice") * disc
 
 
 _VOL_SQL = (
@@ -53,7 +62,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a ship-date cutoff — the canonical scan+partial-agg plan
     (one pass, map-side combine, 6-row result)."""
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2001-09-01")
-    charge = _vol() * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    charge = _vol() * (F.lit(1).cast(_FACTOR) + F.col("l_tax").cast(_FACTOR)).cast(_FACTOR)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -238,7 +247,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+        F.round(F.sum(_dec("l_extendedprice") * F.col("l_discount").cast(_FACTOR)), 2)
         .cast("double")
         .alias("revenue")
     )
@@ -285,7 +294,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
     )
     nat = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
-        F.lit(0).cast(_DEC)
+        F.lit(0).cast("decimal(14,4)")
     )
     return (
         base.groupBy("o_year")
@@ -333,7 +342,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
-    profit = _vol() - _dec("p_retailprice") * _dec("l_quantity")
+    profit = _vol() - F.col("p_retailprice").cast("decimal(6,2)") * F.col("l_quantity").cast("decimal(4,1)")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
