@@ -297,3 +297,28 @@ def topk_cosine_ivf(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def label_centroids(corpus: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean, ROUNDed to 5
+    decimals for cross-engine float parity) plus member count — class
+    prototypes for classification/clustering QA over a labeled corpus.
+
+    posexplode → (label, pos) means → re-assembled array: the shuffle
+    carries (label, pos, partial-sum) triples, never whole vectors —
+    the same trick as ivf_centroids' update step, linear at 100 TB.
+    """
+    v = corpus.select(F.col(label_col).alias("label"), _as_double(F.col(vec_col)).alias("vec"))
+    per_pos = (
+        v.select("label", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 5).alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+            F.max("n").alias("n_vecs"),
+        )
+        .select("label", "n_vecs", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )

@@ -260,3 +260,71 @@ def pack_sequences(
         F.min("doc").alias("first_doc"),
         F.max("doc").alias("last_doc"),
     )
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Training-set decontamination: drop every training doc sharing a
+    word k-shingle with the benchmark/eval set — the standard guard
+    against eval leakage in LLM training pipelines.
+
+    The benchmark side reduces to a DISTINCT set of 60-bit shingle
+    hashes (tiny — benchmarks are orders of magnitude smaller than the
+    corpus) and broadcasts; the training side streams its shingles
+    against it: a semi-join marks contaminated ids, an anti-join drops
+    them. At 100 TB the training table is never shuffled — the whole
+    operation is one scan plus a broadcast hash probe.
+    """
+    from easydb_server_spark.operators.dedup import _shingle_hash60, word_shingles
+
+    bench_h = (
+        word_shingles(benchmark, text_col, id_col, k)
+        .select(_shingle_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    train_sh = word_shingles(train, text_col, id_col, k).select(
+        "doc_id", _shingle_hash60(F.col("shingle")).alias("h")
+    )
+    contaminated = (
+        train_sh.join(F.broadcast(bench_h), "h", "left_semi").select("doc_id").distinct()
+    )
+    return train.join(contaminated, train[id_col] == contaminated["doc_id"], "left_anti")
+
+
+def length_histogram(df: DataFrame, len_col: str, group_col: str) -> DataFrame:
+    """Log2-bucketed length histogram per group (corpus shape
+    analysis). The bucket is the BIT LENGTH of the integer length —
+    ``length(bin(n))`` — pure integer logic: a float ``log2`` whose
+    last ulp differs between engines could flip ``floor()`` across a
+    power-of-two boundary; bit length cannot.
+    """
+    n = F.col(len_col).cast("bigint")
+    bucket = F.when(n <= 0, F.lit(0)).otherwise(F.length(F.bin(n))).cast("int")
+    return (
+        df.select(F.col(group_col).alias("grp"), n.alias("n"), bucket.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").alias("min_len"),
+            F.max("n").alias("max_len"),
+            F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 2).alias("avg_len"),
+        )
+    )
+
+
+def ngram_topk(df: DataFrame, text_col: str, group_col: str, n: int = 2, k: int = 10) -> DataFrame:
+    """Top-k word n-grams per group by frequency (vocabulary/corpus
+    analysis). Counting shuffles (group, ngram) pairs with map-side
+    combine; the top-k is a per-group window over the counted result —
+    never a global sort, and the heavy explode stays JVM-side.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    ex = df.select(F.col(group_col).alias("grp"), F.explode(grams).alias("ngram"))
+    counts = ex.groupBy("grp", "ngram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("ngram"))
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -84,11 +84,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_pipeline_keepers": (llmops.q_dedup_pipeline_keepers, llmops.ORACLE_DEDUP_PIPELINE_KEEPERS),
     "join_inner_revenue": (joins.q_join_inner_revenue, joins.ORACLE_INNER_REVENUE),
     "sim_topk_ivf": (llmops.q_sim_topk_ivf, llmops.ORACLE_SIM_TOPK_IVF),
-    # --- window filler (2×-green families, rotate out if r3 adds ops) ---
-    "subq_not_in_nulls": (subqueries.q_subq_not_in_nulls, subqueries.ORACLE_NOT_IN_NULLS),
-    "window_ignore_nulls": (windows.q_window_ignore_nulls, windows.ORACLE_WINDOW_IGNORE_NULLS),
-    "edge_groups_frame": (dialect_edge.q_edge_groups_frame, dialect_edge.ORACLE_EDGE_GROUPS_FRAME),
-    "fn_struct_map": (fns.q_fn_struct_map, fns.ORACLE_FN_STRUCT_MAP),
+    # --- NEW r3: corpus-curation operators (never driver-seen) ---
+    "text_decontaminate": (llmops.q_text_decontaminate, llmops.ORACLE_TEXT_DECONTAMINATE),
+    "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
+    "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),
+    "emb_label_centroids": (llmops.q_emb_label_centroids, llmops.ORACLE_EMB_LABEL_CENTROIDS),
     # --- one real Structured Streaming execution in the window ---
     "stream_session": (streamq.q_stream_session, streamq.ORACLE_STREAM_SESSION),
     # --- end of the 50-entry priority window ---
@@ -145,6 +145,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "edge_regexp_count": (dialect_edge.q_edge_regexp_count, dialect_edge.ORACLE_EDGE_REGEXP_COUNT),
     "edge_introspection": (dialect_edge.q_edge_introspection, dialect_edge.ORACLE_EDGE_INTROSPECTION),
     "edge_null_safe_misc": (dialect_edge.q_edge_null_safe_misc, dialect_edge.ORACLE_EDGE_NULL_SAFE_MISC),
+    "edge_groups_frame": (dialect_edge.q_edge_groups_frame, dialect_edge.ORACLE_EDGE_GROUPS_FRAME),
     # --- projections / filters / conditionals / casts / sort-limit (driver-green r1) ---
     "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
     "core_star_projection": (core.q_core_star_projection, core.ORACLE_STAR_PROJECTION),
@@ -163,6 +164,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_ntile_dist": (windows.q_window_ntile_dist, windows.ORACLE_WINDOW_NTILE_DIST),
     "window_first_last_nth": (windows.q_window_first_last_nth, windows.ORACLE_WINDOW_FIRST_LAST_NTH),
     "window_range_frame": (windows.q_window_range_frame, windows.ORACLE_WINDOW_RANGE_FRAME),
+    "window_ignore_nulls": (windows.q_window_ignore_nulls, windows.ORACLE_WINDOW_IGNORE_NULLS),
     # --- set operations (driver-green r1) ---
     "setop_union": (setops.q_setop_union, setops.ORACLE_UNION),
     "setop_union_all": (setops.q_setop_union_all, setops.ORACLE_UNION_ALL),
@@ -176,6 +178,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "subq_correlated_scalar": (subqueries.q_subq_correlated_scalar, subqueries.ORACLE_CORRELATED_SCALAR),
     "subq_in": (subqueries.q_subq_in, subqueries.ORACLE_IN_SUBQ),
     "subq_not_in_plain": (subqueries.q_subq_not_in_plain, subqueries.ORACLE_NOT_IN_PLAIN),
+    "subq_not_in_nulls": (subqueries.q_subq_not_in_nulls, subqueries.ORACLE_NOT_IN_NULLS),
     "subq_derived": (subqueries.q_subq_derived, subqueries.ORACLE_DERIVED),
     "subq_exists_correlated": (subqueries.q_subq_exists_correlated, subqueries.ORACLE_EXISTS_CORRELATED),
     "subq_unnest": (subqueries.q_subq_unnest, subqueries.ORACLE_UNNEST),
@@ -190,6 +193,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_datetime_convert": (fns.q_fn_datetime_convert, fns.ORACLE_FN_DATETIME_CONVERT),
     "fn_hash": (fns.q_fn_hash, fns.ORACLE_FN_HASH),
     "fn_array": (fns.q_fn_array, fns.ORACLE_FN_ARRAY),
+    "fn_struct_map": (fns.q_fn_struct_map, fns.ORACLE_FN_STRUCT_MAP),
     # --- time-series / event windows (driver-green r1) ---
     "ts_tumbling": (timeseries.q_ts_tumbling, timeseries.ORACLE_TS_TUMBLING),
     "ts_sliding": (timeseries.q_ts_sliding, timeseries.ORACLE_TS_SLIDING),

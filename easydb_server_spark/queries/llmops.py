@@ -928,3 +928,99 @@ SELECT grp, bin, COUNT(*) AS n_docs,
        MIN(doc) AS first_doc, MAX(doc) AS last_doc
 FROM b GROUP BY grp, bin ORDER BY grp, bin
 """
+
+
+# ---------- round-3 corpus-curation additions ----------
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: source 'src0' is the held-out eval
+    set; every other-source doc sharing a 3-word shingle with it is
+    dropped from the training corpus."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("source") == "src0")
+    train = d.where(F.col("source") != "src0")
+    return (
+        T.decontaminate(train, bench, "text", "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_DECONTAMINATE = """
+WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+sh_all AS (
+  SELECT doc_id, source, array_to_string(ws[t.i + 1 : t.i + 3], ' ') AS shingle
+  FROM words, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) t(i)
+),
+sh AS (SELECT DISTINCT doc_id, source,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+       FROM sh_all),
+bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+bad AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.h = b.h
+  WHERE s.source != 'src0'
+)
+SELECT doc_id, source FROM documents
+WHERE source != 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id
+"""
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per language."""
+    d = load(spark, sf_dir, "documents")
+    return T.length_histogram(d, "n_chars", "lang").orderBy("grp", "bucket")
+
+
+ORACLE_TEXT_LENGTH_HISTOGRAM = """
+SELECT lang AS grp,
+       CAST(CASE WHEN n_chars <= 0 THEN 0 ELSE length(bin(n_chars)) END AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_len,
+       MAX(n_chars) AS max_len,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_len
+FROM documents
+GROUP BY grp, bucket
+ORDER BY grp, bucket
+"""
+
+
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language by frequency."""
+    d = load(spark, sf_dir, "documents")
+    return T.ngram_topk(d, "text", "lang", n=2, k=5).orderBy("grp", "rank")
+
+
+ORACLE_TEXT_NGRAM_TOPK = """
+WITH words AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT lang AS grp, array_to_string(ws[t.i + 1 : t.i + 2], ' ') AS ngram
+  FROM words, UNNEST(generate_series(0, greatest(len(ws) - 2, 0))) t(i)
+),
+counts AS (SELECT grp, ngram, COUNT(*) AS n FROM grams GROUP BY grp, ngram)
+SELECT grp, ngram, n, rank FROM (
+  SELECT grp, ngram, n,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n DESC, ngram) AS rank
+  FROM counts
+) WHERE rank <= 5
+ORDER BY grp, rank
+"""
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) + counts."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.label_centroids(e, "embedding", "label").orderBy("label")
+
+
+ORACLE_EMB_LABEL_CENTROIDS = """
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+per AS (
+  SELECT label, t.i AS pos, ROUND(AVG(vec[t.i]), 5) AS m, COUNT(*) AS n
+  FROM v, UNNEST(generate_series(1, len(vec))) t(i)
+  GROUP BY label, t.i
+)
+SELECT label, MAX(n) AS n_vecs, list(m ORDER BY pos) AS centroid
+FROM per GROUP BY label ORDER BY label
+"""

@@ -295,6 +295,81 @@ class TestText:
         f2 = {r.doc_id: (r.fp_min, r.fp_max) for r in fingerprint(d, "text", "doc_id").collect()}
         assert f1 == f2
 
+    def test_decontaminate_drops_shingle_overlap_keeps_clean(self, spark):
+        from easydb_server_spark.operators.text import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "prefix alpha beta gamma suffix"),  # shares 3-shingle "alpha beta gamma"
+                (2, "totally unrelated training sentence here"),
+                (3, "gamma delta epsilon appears again today"),  # shares "gamma delta epsilon"
+            ],
+            "doc_id long, text string",
+        )
+        kept = {r.doc_id for r in decontaminate(train, bench, "text", "doc_id").collect()}
+        assert kept == {2}
+
+    def test_decontaminate_noop_without_overlap(self, spark, docs):
+        from easydb_server_spark.operators.text import decontaminate
+
+        train = docs.select("doc_id", "text").limit(20)
+        bench = spark.createDataFrame(
+            [(999, "zz qq xx ww vv uu tt")], "doc_id long, text string"
+        )
+        assert decontaminate(train, bench, "text", "doc_id").count() == 20
+
+    def test_length_histogram_bit_length_buckets(self, spark):
+        from easydb_server_spark.operators.text import length_histogram
+
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 7), ("a", 8)],
+            "grp string, n long",
+        )
+        rows = {r.bucket: r for r in length_histogram(df, "n", "grp").collect()}
+        assert rows[0].n_docs == 1  # n=0
+        assert rows[1].n_docs == 1  # n=1 (1 bit)
+        assert rows[2].n_docs == 2  # n=2,3 (2 bits)
+        assert rows[3].n_docs == 2 and rows[3].min_len == 4 and rows[3].max_len == 7
+        assert rows[4].n_docs == 1  # n=8 (4 bits)
+
+    def test_ngram_topk_counts_and_rank(self, spark):
+        from easydb_server_spark.operators.text import ngram_topk
+
+        df = spark.createDataFrame(
+            [("g", "a b a b a b"), ("g", "c d")], "grp string, text string"
+        )
+        rows = ngram_topk(df, "text", "grp", n=2, k=2).orderBy("rank").collect()
+        assert rows[0].ngram == "a b" and rows[0].n == 3 and rows[0].rank == 1
+        assert len(rows) == 2  # k cap honored
+
+
+class TestLabelCentroids:
+    def test_centroid_is_elementwise_mean(self, spark):
+        from easydb_server_spark.operators.similarity import label_centroids
+
+        df = spark.createDataFrame(
+            [
+                ("x", [1.0, 2.0]),
+                ("x", [3.0, 4.0]),
+                ("y", [10.0, 20.0]),
+            ],
+            "label string, embedding array<double>",
+        )
+        rows = {r.label: r for r in label_centroids(df, "embedding", "label").collect()}
+        assert rows["x"].centroid == [2.0, 3.0] and rows["x"].n_vecs == 2
+        assert rows["y"].centroid == [10.0, 20.0] and rows["y"].n_vecs == 1
+
+    def test_runs_on_embeddings_table(self, spark, embeddings):
+        from easydb_server_spark.operators.similarity import label_centroids
+
+        dim = len(embeddings.select("embedding").first()[0])
+        out = label_centroids(embeddings, "embedding", "label").collect()
+        assert all(len(r.centroid) == dim for r in out)
+        assert sum(r.n_vecs for r in out) == embeddings.count()
+
 
 class TestMultimodal:
     def test_binary_features_pipeline(self, spark, docs):

@@ -5,8 +5,9 @@ driver verification with no failure anywhere else.
 
 Round-3 window: the 22 entries rounds 1-2 never drove (tpch_* from r2,
 sup_*, skew_*, r2 dedup/text additions), the 16 new TPC-H completions,
-the 6 entries whose code or oracle changed in r3, 4 filler re-verifies,
-and one real Structured Streaming entry closing the window at 50.
+the 6 entries whose code or oracle changed in r3, the 4 new r3
+corpus-curation queries, and one real Structured Streaming entry
+closing the window at 50.
 """
 
 PRIORITY_WINDOW = 50
@@ -47,6 +48,11 @@ def test_window_holds_the_r3_unverified_families():
         "dedup_pipeline_keepers",
         "join_inner_revenue",
         "sim_topk_ivf",
+        # r3 new corpus-curation operators
+        "text_decontaminate",
+        "text_length_histogram",
+        "text_ngram_topk",
+        "emb_label_centroids",
     ):
         assert name in window, name
 
