@@ -299,26 +299,41 @@ def topk_cosine_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def label_centroids(corpus: DataFrame, vec_col: str, label_col: str) -> DataFrame:
-    """Per-label embedding centroid (element-wise mean, ROUNDed to 5
-    decimals for cross-engine float parity) plus member count — class
-    prototypes for classification/clustering QA over a labeled corpus.
+def label_centroid_rows(corpus: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Long-form per-label centroid: one ``(label, pos, m, n_vecs)`` row
+    per vector element (element-wise mean ROUNDed to 5 decimals for
+    cross-engine float parity, 0-based position, member count).
 
-    posexplode → (label, pos) means → re-assembled array: the shuffle
-    carries (label, pos, partial-sum) triples, never whole vectors —
-    the same trick as ivf_centroids' update step, linear at 100 TB.
+    Scalar columns only — the conformance harness canonicalizes result
+    frames by hashing sorted cells and cannot hash array cells, so the
+    oracle-checked query uses this shape (see queries/__init__.py's
+    result-schema contract).
+
+    posexplode → (label, pos) means: the shuffle carries
+    (label, pos, partial-sum) triples, never whole vectors — the same
+    trick as ivf_centroids' update step, linear at 100 TB.
     """
     v = corpus.select(F.col(label_col).alias("label"), _as_double(F.col(vec_col)).alias("vec"))
-    per_pos = (
+    return (
         v.select("label", F.posexplode("vec").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 5).alias("m"), F.count(F.lit(1)).alias("n"))
+        .agg(F.round(F.avg("val"), 5).alias("m"), F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def label_centroids(corpus: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label embedding centroid (array form) plus member count —
+    class prototypes for classification/clustering QA over a labeled
+    corpus. Wide wrapper over :func:`label_centroid_rows`; prefer the
+    long form when the result must round-trip through scalar-only
+    harnesses.
+    """
+    per_pos = label_centroid_rows(corpus, vec_col, label_col)
     return (
         per_pos.groupBy("label")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
-            F.max("n").alias("n_vecs"),
+            F.max("n_vecs").alias("n_vecs"),
         )
         .select("label", "n_vecs", F.transform("pm", lambda s: s["m"]).alias("centroid"))
     )

@@ -35,9 +35,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Column pruning + predicate pushdown reach the parquet reader
     automatically because callers express plans declaratively.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as
-    a nanosecond LongType under ``legacy.parquet.nanosAsLong``; convert
-    to a real timestamp JVM-side (micros, matching DuckDB truncation).
+    ``events.ts`` arrives in whichever shape the driver generated that
+    round's parquet with — see :func:`normalize_event_ts`.
     """
     if name == "events":
         # runtime-settable; required even when the caller (e.g. the
@@ -49,12 +48,37 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # away from the (timezone-naive) DuckDB oracle — pin UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        import pyspark.sql.functions as F
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
-        # integer DIV, not `/`: nanos exceed 2^53, double division loses
-        # the last microsecond
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zoned TIMESTAMP.
+
+    The driver regenerates the testdata between rounds and the physical
+    type has changed across rounds, so handle every shape:
+
+    - TIMESTAMP(NANOS) → nanosecond LongType under
+      ``legacy.parquet.nanosAsLong`` → integer-DIV to micros (``DIV``,
+      not ``/``: nanos exceed 2^53, double division loses the last
+      microsecond), then ``timestamp_micros``;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ natively
+      in Spark 4 → cast to TIMESTAMP (session tz is pinned UTC, so the
+      wall clock is preserved as the same instant DuckDB sees);
+    - plain TIMESTAMP → pass through.
+
+    Keeping one output type means every downstream ``unix_micros`` /
+    ``window`` / ``withWatermark`` expression analyzes identically
+    regardless of which testdata generation is on disk.
+    """
+    import pyspark.sql.functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1009,18 +1009,20 @@ ORDER BY grp, rank
 
 
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids (class prototypes) + counts."""
+    """Per-label embedding centroids (class prototypes) + counts.
+
+    Long form — one (label, pos, m, n_vecs) row per vector element —
+    because the harness's canonicalizer requires scalar result columns
+    (array cells are unhashable in its sort/hash step).
+    """
     e = load(spark, sf_dir, "embeddings")
-    return S.label_centroids(e, "embedding", "label").orderBy("label")
+    return S.label_centroid_rows(e, "embedding", "label").orderBy("label", "pos")
 
 
 ORACLE_EMB_LABEL_CENTROIDS = """
-WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-per AS (
-  SELECT label, t.i AS pos, ROUND(AVG(vec[t.i]), 5) AS m, COUNT(*) AS n
-  FROM v, UNNEST(generate_series(1, len(vec))) t(i)
-  GROUP BY label, t.i
-)
-SELECT label, MAX(n) AS n_vecs, list(m ORDER BY pos) AS centroid
-FROM per GROUP BY label ORDER BY label
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+SELECT label, t.i - 1 AS pos, ROUND(AVG(vec[t.i]), 5) AS m, COUNT(*) AS n_vecs
+FROM v, UNNEST(generate_series(1, len(vec))) t(i)
+GROUP BY label, t.i
+ORDER BY label, pos
 """

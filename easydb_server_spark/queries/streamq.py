@@ -23,7 +23,10 @@ from easydb_server_spark.streaming.events import run_to_memory
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easydb_server_spark.queries._util import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # streaming state-store partition count is fixed per query at start;
     # a vanilla (driver-built) session defaults to 200 — far too many
     # tasks for this source, and unlike batch, AQE can't coalesce them
@@ -35,9 +38,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return src
+    return normalize_event_ts(src)
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:

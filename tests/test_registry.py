@@ -72,3 +72,37 @@ def test_full_tpch_coverage():
     have = {n for n in REGISTRY if n.startswith("tpch_q")}
     assert have == {f"tpch_q{i}" for i in range(1, 23)}
     assert have <= set(oracle_queries())
+
+
+def test_registry_results_have_scalar_columns_only(spark):
+    """Driver-canonicalizer contract: result columns must be atomic.
+
+    The driver sorts/hashes raw pandas cells; ArrayType/MapType/
+    StructType cells raise ``TypeError: unhashable type`` there, so an
+    array-valued query can never go green regardless of value
+    correctness (emb_label_centroids, round 3). Building the DataFrame
+    only triggers Spark analysis, not execution, so this walks the
+    whole registry cheaply. Streaming entries are excluded — building
+    them runs a real micro-batch (~10 s each); their scalar schemas
+    are locked by test_streaming_recovery.py / the conformance sweep.
+    """
+    from pyspark.sql import types as T
+
+    from easydb_server_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    bad = []
+    for name, (fn, _) in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue
+        schema = fn(spark, SF_DIR).schema
+        bad.extend(
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, complex_types)
+        )
+    assert not bad, (
+        "non-scalar result columns violate the driver canonicalizer "
+        "contract: " + "; ".join(bad)
+    )

@@ -62,11 +62,9 @@ class TestBatch:
     def test_funnels_found_on_events_table(self, spark):
         from easydb_server_spark.operators.stateful import funnel_detection
 
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-        import pyspark.sql.functions as F
+        from easydb_server_spark.queries._util import load
 
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))) \
-            if dict(events.dtypes).get("ts") == "bigint" else events
+        events = load(spark, SF_DIR, "events")
         # sf0.001 inter-event gaps average ~1.7 days per user, so a
         # 1-hour funnel never completes — use a 3-day window here
         out = funnel_detection(events, timeout_s=3 * 86400).collect()
@@ -137,9 +135,9 @@ def test_stream_equals_batch_on_events_table(spark, tmp_path):
         funnel_detection_stream,
     )
 
-    batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(batch_events.dtypes).get("ts") == "bigint":
-        batch_events = batch_events.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from easydb_server_spark.queries._util import load
+
+    batch_events = load(spark, SF_DIR, "events")
     expected = {
         (r.user_id, r.signup_ts, r.purchase_ts)
         for r in funnel_detection(batch_events, 3600).collect()
