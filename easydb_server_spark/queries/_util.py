@@ -74,6 +74,10 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     """
     import pyspark.sql.functions as F
 
+    # the NTZ→TIMESTAMP cast below (and downstream epoch math) is only
+    # wall-clock-preserving under UTC; pin it here rather than relying
+    # on every caller (load, _events_stream, ...) to have done so
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -115,14 +115,24 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = F.round(
         F.sum(_dec("l_extendedprice")).cast("double") / F.sum(_dec("l_quantity")).cast("double"), 4
     ).alias("supply_cost")
-    ps = li.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")).agg(cost)
-    # restrict to EUROPE suppliers BEFORE the min, like the classic
-    # correlated subquery does
     eu_s = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # restrict lineitem to EUROPE suppliers BEFORE the per-(part,
+    # supplier) cost aggregate: 1-of-5-regions smaller shuffle at any
+    # scale, and per-pair aggregates only ever mix one supplier's rows,
+    # so dropping non-EU suppliers' rows cannot change the kept groups.
+    # The filter side is a keys-only projection of one region's slice
+    # of the supplier DIM — broadcast it so the fact table is filtered
+    # in place (scan → semi → partial agg) instead of shuffled on
+    # suppkey just to be discarded
+    eu_keys = F.broadcast(eu_s.select("s_suppkey"))
+    li_eu = li.join(eu_keys, li.l_suppkey == F.col("s_suppkey"), "left_semi")
+    ps = li_eu.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(cost)
     eu_ps = ps.join(eu_s, ps.suppkey == eu_s.s_suppkey)
     w = Window.partitionBy("partkey")
     best = eu_ps.withColumn("min_cost", F.min("supply_cost").over(w)).where(
@@ -373,17 +383,24 @@ ORDER BY nation, o_year DESC
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 important stock (adapted: no partsupp — per-part 'value' is
     NATION_1 suppliers' lineitem revenue; same scalar-threshold HAVING
-    shape: keep parts above 0.1% of the total)."""
+    shape: keep parts above 0.1% of the total).
+
+    The grand total is DERIVED from the per-part aggregate (decimal
+    sums re-summed — exact, so the double cast matches the oracle's
+    global sum), not recomputed from the lineitem⋈supplier join; the
+    shared groupBy exchange is reused (ReusedExchange), so the fact
+    table is scanned and shuffled once."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
     flt = li.join(s, li.l_suppkey == s.s_suppkey).join(
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     )
-    per_part = flt.groupBy("l_partkey").agg(F.sum(_vol()).cast("double").alias("value_d"))
-    total = flt.agg(F.sum(_vol()).cast("double").alias("total_d"))
+    per_part = flt.groupBy("l_partkey").agg(F.sum(_vol()).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").cast("double").alias("total_d"))
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("value_d", F.col("value_dec").cast("double"))
+        .crossJoin(F.broadcast(total))
         .where(F.col("value_d") > F.lit(0.001) * F.col("total_d"))
         .select("l_partkey", F.round("value_d", 2).alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
@@ -635,39 +652,44 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting (adapted: no receipt /
     commit dates — 'late' = shipped >60 days after the order date;
     same EXISTS + NOT-EXISTS double-correlation on the fact table).
-    NATION_2 suppliers, F-status orders."""
+    NATION_2 suppliers, F-status orders.
+
+    Single-scan plan (r5; the same trick as Q18's r3 rewrite): instead
+    of three lineitem branches (base + EXISTS semi + NOT-EXISTS anti —
+    3× fact-table I/O and two extra fact shuffles), aggregate ONCE per
+    (orderkey, suppkey), counting that supplier's late lines, then
+    resolve both correlated predicates with order-level window counts
+    over the already-tiny aggregated frame:
+
+    - EXISTS(other supplier on the order)     ⇔ n_supps > 1
+    - NOT EXISTS(other LATE supplier)         ⇔ n_late_supps == 1
+      (this supplier is late, so it accounts for the single late one)
+
+    numwait then sums the per-pair late-line counts, matching the
+    row-level COUNT(*) of the correlated form."""
     o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
     li = load(spark, sf_dir, "lineitem")
-    l1 = li.select(
-        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("sk1"), F.col("l_shipdate").alias("sd1")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"))
     )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
-    l3 = li.select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"), F.col("l_shipdate").alias("sd3")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_pair.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supps", F.sum((F.col("n_late_lines") > 0).cast("int")).over(w))
+        .where(
+            (F.col("n_late_lines") > 0) & (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+        )
     )
-    late1 = F.col("sd1") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    base = (
-        l1.join(o, F.col("k1") == o.o_orderkey)
-        .where(late1)
-        .join(s, F.col("sk1") == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-    )
-    # EXISTS: some other supplier contributed to the same order
-    base = base.join(
-        l2, (F.col("k2") == F.col("k1")) & (F.col("sk2") != F.col("sk1")), "left_semi"
-    )
-    # NOT EXISTS: no OTHER supplier was also late on that order
-    late3 = F.col("sd3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    base = base.join(
-        l3,
-        (F.col("k3") == F.col("k1")) & (F.col("sk3") != F.col("sk1")) & late3,
-        "left_anti",
-    )
+    nat_s = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     return (
-        base.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        flagged.join(nat_s, flagged.l_suppkey == nat_s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

@@ -93,7 +93,39 @@ class TestPlans:
         p = plan_of(queries["tpch_q18"](spark, SF_DIR))
         assert p.count("lineitem.parquet") == 1
 
-    def test_minhash_pairs_verification_is_candidate_restricted(self, spark, queries):
+    def test_tpch_q21_scans_lineitem_once(self, spark, queries):
+        """r5 rewrite: the EXISTS/NOT-EXISTS double-correlation is
+        resolved with order-level window counts over one per-(orderkey,
+        suppkey) aggregate — the r3/r4 form scanned lineitem three
+        times (base + semi + anti), 3× fact I/O at scale."""
+        p = plan_of(queries["tpch_q21"](spark, SF_DIR))
+        assert p.count("lineitem.parquet") == 1
+
+    def test_tpch_q11_reuses_fact_shuffle(self, spark, queries):
+        """r5 rewrite: the grand total is derived from the per-part
+        aggregate, sharing its shuffle. AQE proves the reuse at
+        runtime (the static plan still prints both branches), so
+        execute and assert the FINAL plan reuses the exchange. Runs at
+        sf0.01: at sf0.001 the NATION_1 slice is empty and AQE folds
+        the whole query to EmptyRelation, leaving nothing to reuse."""
+        df = queries["tpch_q11"](spark, "/root/testdata/sf0.01")
+        df.collect()
+        assert "ReusedExchange" in plan_of(df)
+
+    def test_tpch_q2_semi_filters_fact_before_aggregate(self, spark, queries):
+        """r5 rewrite: lineitem is restricted to EUROPE suppliers with
+        a broadcast semi-join BELOW the per-(part,supplier) cost
+        aggregate — the fact table is filtered in place, never
+        shuffled on suppkey, and the groupBy shuffle carries only the
+        1-of-5-regions survivors."""
+        p = plan_of(queries["tpch_q2"](spark, SF_DIR))
+        assert "BroadcastHashJoin LeftSemi" in p  # not a fact shuffle
+        assert "SortMergeJoin" not in p
+        # parents print first in the formatted tree, so the cost
+        # aggregate appearing ABOVE the semi join means the semi join
+        # executes below (before) it
+        assert p.index("HashAggregate") < p.index("BroadcastHashJoin LeftSemi")
+        assert p.count("lineitem.parquet") == 1
         """The exact-Jaccard verification in minhash_pairs must be
         per-candidate-pair (array_intersect inside the row after
         joining candidates to the per-doc shingle arrays), never a

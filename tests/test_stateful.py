@@ -128,13 +128,10 @@ def test_stream_state_crosses_microbatches(spark, two_batch_stream, tmp_path):
 def test_stream_equals_batch_on_events_table(spark, tmp_path):
     """Differential: the streaming stateful operator over the events
     table (single batch) returns exactly the batch operator's result."""
-    import pyspark.sql.functions as F
-
     from easydb_server_spark.operators.stateful import (
         funnel_detection,
         funnel_detection_stream,
     )
-
     from easydb_server_spark.queries._util import load
 
     batch_events = load(spark, SF_DIR, "events")
