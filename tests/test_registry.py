@@ -3,11 +3,12 @@ a ~50-entry prefix of REGISTRY, so its composition is load-bearing —
 an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
-Round-3 window: the 22 entries rounds 1-2 never drove (tpch_* from r2,
-sup_*, skew_*, r2 dedup/text additions), the 16 new TPC-H completions,
-the 6 entries whose code or oracle changed in r3, the 4 new r3
-corpus-curation queries, and one real Structured Streaming entry
-closing the window at 50.
+Round-5 window (least-driver-evidence-first rotation): the two
+exact-oracle Structured Streaming entries that had zero driver rows in
+r1-r4, the three queries whose plans were rewritten in r5 (tpch_q21 /
+tpch_q11 / tpch_q2), then the r1-green core/window/setop/subquery/
+function families plus two time-series entries closing the window at
+50. Everything driver-green in r2-r4 follows the marker.
 """
 
 PRIORITY_WINDOW = 50
@@ -17,44 +18,32 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "stream_session", (
-        "the driver-verified priority window must close at stream_session; "
+    assert names[PRIORITY_WINDOW - 1] == "ts_sliding", (
+        "the driver-verified priority window must close at ts_sliding; "
         "add new queries AFTER the end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
     )
 
 
-def test_window_holds_the_r3_unverified_families():
+def test_window_holds_the_r5_rotation():
     from easydb_server_spark.queries import REGISTRY
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # all 22 TPC-H queries (6 r2 + 16 new) must sit in the window
-    assert sum(1 for n in window if n.startswith("tpch_")) == 22
-    for prefix, want in (("sup_", 7), ("skew_", 2)):
-        assert sum(1 for n in window if n.startswith(prefix)) == want, prefix
-    for name in (
-        "dedup_simhash_pairs",
-        "dedup_embedding_lsh",
-        "text_normalize",
-        "text_redact",
-        "text_vocab",
-        "text_mixture",
-        "ts_multi_rollup",
-        "ts_rolling_1h",
-        # r3 code/oracle changes re-verified
-        "dedup_minhash_pairs",
-        "dedup_ngram_jaccard",
-        "dedup_clusters",
-        "dedup_pipeline_keepers",
-        "join_inner_revenue",
-        "sim_topk_ivf",
-        # r3 new corpus-curation operators
-        "text_decontaminate",
-        "text_length_histogram",
-        "text_ngram_topk",
-        "emb_label_centroids",
+    # never-driver-verified exact-oracle streams lead the window
+    assert window[:2] == ["stream_sliding", "stream_tumbling"]
+    # plans rewritten in r5 are re-verified next
+    assert window[2:5] == ["tpch_q21", "tpch_q11", "tpch_q2"]
+    # the backfill is the oldest-evidence r1 families, complete
+    for prefix, want in (
+        ("core_", 10),
+        ("window_", 7),
+        ("setop_", 6),
+        ("subq_", 10),
+        ("fn_", 9),
+        ("ts_", 2),
     ):
-        assert name in window, name
+        assert sum(1 for n in window if n.startswith(prefix)) == want, prefix
+    assert "recursive_cte" in window
 
 
 def test_every_query_has_unique_name_and_callable():
