@@ -121,6 +121,31 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
     )
 
 
+def minhash_candidates(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """LSH band-bucket candidate pairs (doc_a, doc_b), unverified.
+
+    Band key = md5 of the concatenated band slice; the self-join is on
+    (band, band_hash), so only docs agreeing on a FULL band ever meet.
+    Exposed separately from :func:`minhash_pairs` so scale sweeps can
+    measure |candidates| directly — the quantity that must stay
+    near-linear in |docs| for LSH dedup to survive a 100 TB corpus.
+    """
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    sig = minhash_signatures(df, text_col, id_col, k)
+    bands = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.format_string("%d:%d", "i", "minhash"))))).alias("band_hash"))
+    )
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -137,20 +162,7 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
     join is on (band, band_hash): at scale the quadratic blowup is
     confined to same-bucket collisions, the whole point of LSH.
     """
-    rows_per_band = MINHASH_N // MINHASH_BANDS
-    sig = minhash_signatures(df, text_col, id_col, k)
-    bands = (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.format_string("%d:%d", "i", "minhash"))))).alias("band_hash"))
-    )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_hash"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = minhash_candidates(df, text_col, id_col, k)
     arrs = shingle_arrays(df, text_col, id_col, k)
     left = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
     right = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
