@@ -86,7 +86,16 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all test tables as temp views for spark.sql queries."""
-    for t in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register test tables as temp views for spark.sql queries.
+
+    Callers that know their table set should pass it: each view
+    registration re-reads the parquet footer schema, so registering
+    all 10 tables to run a one-table query pays ~10× the (driver-side)
+    metadata cost — measurable per-query overhead in the bench loop,
+    and on a real object store every footer read is a remote call.
+    """
+    for t in tables:
         load(spark, sf_dir, t).createOrReplaceTempView(t)

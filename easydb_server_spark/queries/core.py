@@ -92,7 +92,7 @@ def q_core_star_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Qualified ``t.*`` expansion plus sibling columns."""
     from easydb_server_spark.queries._util import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("nation", "region"))
     return spark.sql(
         """
         SELECT n.*, r.r_name

@@ -100,7 +100,7 @@ ORDER BY o_custkey, o_orderkey
 
 def q_edge_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATURAL JOIN over derived relations sharing `nationkey`."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("nation", "supplier"))
     return spark.sql(
         """
         SELECT nationkey, n_name, suppliers
@@ -185,7 +185,7 @@ def q_edge_null_safe_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easydb_server_spark.functions import register_dialect_shims
 
     register_dialect_shims(spark)
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("nation",))
     return spark.sql(
         """
         SELECT n_nationkey,

@@ -20,7 +20,7 @@ from easydb_server_spark.queries._util import load, register_views
 
 def q_subq_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH ... AS: named subqueries, one referencing another."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("orders",))
     return spark.sql(
         """
         WITH cust_spend AS (
@@ -59,7 +59,7 @@ FROM tiers GROUP BY tier ORDER BY tier
 
 def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery in WHERE (avg-price threshold)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("part",))
     return spark.sql(
         """
         SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price
@@ -80,7 +80,7 @@ ORDER BY p_partkey
 
 def q_subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery in SELECT list (per-nation count)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("customer", "nation"))
     return spark.sql(
         """
         SELECT n_nationkey, n_name,
@@ -101,7 +101,7 @@ ORDER BY n_nationkey
 
 def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN (subquery) — decorrelated to a semi-join by Catalyst."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("nation", "region", "supplier"))
     return spark.sql(
         """
         SELECT s_suppkey, s_name
@@ -127,7 +127,7 @@ ORDER BY s_suppkey
 def q_subq_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN with a nullable probe side — the classic three-valued-
     logic trap (SURVEY.md §7.4). Nulls synthesized with NULLIF."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("customer", "nation"))
     return spark.sql(
         """
         SELECT c_custkey FROM customer
@@ -147,7 +147,7 @@ ORDER BY c_custkey
 def q_subq_not_in_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN with a null-free list (the non-degenerate companion to
     q_subq_not_in_nulls, which is empty by three-valued logic)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("customer", "nation"))
     return spark.sql(
         """
         SELECT c_custkey FROM customer
@@ -197,7 +197,7 @@ ORDER BY s_suppkey
 
 def q_subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS with an extra inequality predicate."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
     return spark.sql(
         """
         SELECT s_suppkey, s_name FROM supplier s
@@ -240,7 +240,7 @@ ORDER BY word
 
 def q_subq_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUES literal rowset joined against a real table."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("nation", "region"))
     return spark.sql(
         """
         SELECT v.label, COUNT(*) AS n
