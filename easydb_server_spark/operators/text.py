@@ -313,6 +313,60 @@ def length_histogram(df: DataFrame, len_col: str, group_col: str) -> DataFrame:
     )
 
 
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dup_word_frac: float = 0.1,
+    max_top_bigram_frac: float = 0.06,
+) -> DataFrame:
+    """Intra-document repetition metrics + keep flag (Gopher-style
+    repetition filter — boilerplate/spam documents repeat themselves).
+
+    Per doc: fraction of word occurrences that are repeats, and the
+    share of bigram occurrences claimed by the single most frequent
+    bigram. Both are classic pre-training quality gates.
+
+    Scale shape: the bigram mode is computed by explode →
+    groupBy(doc, bigram) → groupBy(doc) — two shuffles of (doc, gram)
+    partials with map-side combine, never a per-row O(n²)
+    array-mode scan, and the per-doc stats ride along as grouping
+    columns so no join back to the corpus is needed.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("ws"),
+        F.size(words).alias("n_words"),
+        (F.size(words) - F.size(F.array_distinct(words))).alias("n_dup_words"),
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.col("n_words") - 2, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 2)))
+    ex = base.select("doc_id", "n_words", "n_dup_words", F.explode(grams).alias("bigram"))
+    per_doc = (
+        ex.groupBy("doc_id", "n_words", "n_dup_words", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id", "n_words", "n_dup_words")
+        .agg(F.max("n").cast("int").alias("top_bigram_n"), F.sum("n").alias("n_bigrams"))
+    )
+    dup_frac = F.round(
+        F.col("n_dup_words") / F.greatest(F.col("n_words"), F.lit(1)), 6
+    )
+    top_frac = F.round(
+        F.col("top_bigram_n") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        dup_frac.alias("dup_word_frac"),
+        "top_bigram_n",
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac <= F.lit(max_dup_word_frac)) & (top_frac <= F.lit(max_top_bigram_frac))
+        ).alias("keep"),
+    )
+
+
 def ngram_topk(df: DataFrame, text_col: str, group_col: str, n: int = 2, k: int = 10) -> DataFrame:
     """Top-k word n-grams per group by frequency (vocabulary/corpus
     analysis). Counting shuffles (group, ngram) pairs with map-side

@@ -40,9 +40,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r1-r4 (`stream_sliding`, `stream_tumbling`), then the three queries
 # whose plans were rewritten this round (tpch_q21 single-scan,
 # tpch_q11 shared-shuffle total, tpch_q2 pre-aggregate semi-filter),
+# then the two NEW r5 operators (`text_repetition`, `stream_dedup`),
 # then the oldest-evidence entries — the r1-green core/window/setop/
-# subquery/function/time-series families, untouched and un-re-verified
-# since round 1. Everything driver-green in r2-r4 follows, locked by
+# subquery/function families, untouched and un-re-verified since
+# round 1. Everything driver-green in r2-r4 follows, locked by
 # tools/check_conformance.py + pytest.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- exact-oracle streaming entries, never driver-seen (r1-r4) ---
@@ -52,6 +53,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q21": (tpch2.q_tpch_q21, tpch2.ORACLE_TPCH_Q21),
     "tpch_q11": (tpch2.q_tpch_q11, tpch2.ORACLE_TPCH_Q11),
     "tpch_q2": (tpch2.q_tpch_q2, tpch2.ORACLE_TPCH_Q2),
+    # --- NEW r5 operators (zero driver evidence) ---
+    "text_repetition": (llmops.q_text_repetition, llmops.ORACLE_TEXT_REPETITION),
+    "stream_dedup": (streamq.q_stream_dedup, streamq.ORACLE_STREAM_DEDUP),
     # --- oldest evidence: driver-green r1, unseen since ---
     # projections / filters / conditionals / casts / sort-limit
     "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
@@ -101,10 +105,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_hash": (fns.q_fn_hash, fns.ORACLE_FN_HASH),
     "fn_array": (fns.q_fn_array, fns.ORACLE_FN_ARRAY),
     "fn_struct_map": (fns.q_fn_struct_map, fns.ORACLE_FN_STRUCT_MAP),
-    # time-series / event windows (first two fill the 50-slot window)
+    # --- end of the 50-entry priority window ---
     "ts_tumbling": (timeseries.q_ts_tumbling, timeseries.ORACLE_TS_TUMBLING),
     "ts_sliding": (timeseries.q_ts_sliding, timeseries.ORACLE_TS_SLIDING),
-    # --- end of the 50-entry priority window ---
     "ts_session_window": (timeseries.q_ts_session_window, timeseries.ORACLE_TS_SESSION),
     "ts_date_bin": (timeseries.q_ts_date_bin, timeseries.ORACLE_TS_DATE_BIN),
     "ts_gap_detection": (timeseries.q_ts_gap_detection, timeseries.ORACLE_TS_GAP_DETECTION),

@@ -1008,6 +1008,50 @@ ORDER BY grp, rank
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition filter: duplicate-word
+    fraction + top-bigram share per doc, with a keep flag (thresholds
+    tuned to the synthetic corpus's small vocabulary so the flag
+    actually splits it)."""
+    d = load(spark, sf_dir, "documents")
+    return T.repetition_metrics(
+        d, "text", "doc_id", max_dup_word_frac=0.55, max_top_bigram_frac=0.05
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+         CAST(len(ws) - len(list_distinct(ws)) AS INT) AS n_dup_words, ws
+  FROM t
+),
+grams AS (
+  SELECT doc_id, n_words, n_dup_words,
+         array_to_string(ws[t.i + 1 : t.i + 2], ' ') AS bigram
+  FROM b, UNNEST(generate_series(0, greatest(n_words - 2, 0))) t(i)
+),
+counts AS (
+  SELECT doc_id, n_words, n_dup_words, bigram, COUNT(*) AS n
+  FROM grams GROUP BY ALL
+),
+per_doc AS (
+  SELECT doc_id, n_words, n_dup_words,
+         CAST(MAX(n) AS INT) AS top_bigram_n, SUM(n) AS n_bigrams
+  FROM counts GROUP BY ALL
+)
+SELECT doc_id, n_words,
+       ROUND(CAST(n_dup_words AS DOUBLE) / greatest(n_words, 1), 6) AS dup_word_frac,
+       top_bigram_n,
+       ROUND(CAST(top_bigram_n AS DOUBLE) / greatest(n_bigrams, 1), 6) AS top_bigram_frac,
+       (ROUND(CAST(n_dup_words AS DOUBLE) / greatest(n_words, 1), 6) <= 0.55
+        AND ROUND(CAST(top_bigram_n AS DOUBLE) / greatest(n_bigrams, 1), 6) <= 0.05) AS keep
+FROM per_doc ORDER BY doc_id
+"""
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class prototypes) + counts.
 

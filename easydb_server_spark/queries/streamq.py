@@ -99,6 +99,38 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_SESSION = ORACLE_TS_SESSION
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event dedup: ``dropDuplicates`` keyed on (user_id,
+    event_type, 1h event-time window) with a watermark — the standard
+    at-most-once-per-key-per-window ingestion guard for training-data
+    event feeds. The window struct carries event-time metadata, so the
+    dedup state for a window evicts once the watermark passes it —
+    bounded state at unbounded ingest. A single availableNow pass over
+    the bounded table equals the batch DISTINCT oracle."""
+    src = _events_stream(spark, sf_dir)
+    dedup = (
+        src.withWatermark("ts", "2 hours")
+        .withColumn("w", F.window("ts", "1 hour"))
+        .dropDuplicates(["user_id", "event_type", "w"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.start").cast("string").alias("window_start"),
+        )
+    )
+    name = f"stream_dedup_{int(time.time() * 1000)}"
+    run_to_memory(dedup, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "event_type", "window_start")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type,
+       CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start
+FROM events
+ORDER BY user_id, event_type, window_start
+"""
+
+
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): funnel
     detection, run as a real streaming job. No SQL oracle by

@@ -346,6 +346,39 @@ class TestText:
         assert len(rows) == 2  # k cap honored
 
 
+class TestRepetition:
+    def test_repetition_metrics_hand_checked(self, spark):
+        """Hand-computable fixtures: a clean doc, a doc that is one
+        phrase repeated, and the 1-word edge — the sliding-window
+        construction (mirroring ngram_topk/shingle semantics) yields
+        one degenerate 1-word gram there, so top_bigram_frac is 1.0
+        and the doc fails the gate: degenerate docs are exactly what a
+        repetition filter should drop."""
+        from easydb_server_spark.operators.text import repetition_metrics
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),  # all distinct: dup 0, top bigram 1/5
+                (2, "spam ham spam ham spam ham"),  # 4/6 dup; "spam ham" 3/5
+                (3, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in repetition_metrics(
+                df, "text", "doc_id", max_dup_word_frac=0.5, max_top_bigram_frac=0.5
+            ).collect()
+        }
+        assert rows[1].dup_word_frac == 0.0
+        assert rows[1].top_bigram_frac == 0.2 and rows[1].keep
+        assert rows[2].dup_word_frac == round(4 / 6, 6)
+        assert rows[2].top_bigram_n == 3 and rows[2].top_bigram_frac == 0.6
+        assert not rows[2].keep
+        assert rows[3].n_words == 1 and rows[3].dup_word_frac == 0.0
+        assert rows[3].top_bigram_frac == 1.0 and not rows[3].keep
+
+
 class TestLabelCentroids:
     def test_centroid_is_elementwise_mean(self, spark):
         from easydb_server_spark.operators.similarity import label_centroids
