@@ -49,6 +49,7 @@ HEADLINE = [
     "sim_topk_lsh",
     "text_token_counts",
     "text_hash_split",
+    "text_repetition",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)
     "tpch_q3",
