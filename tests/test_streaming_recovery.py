@@ -105,6 +105,53 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     assert ("2024-01-01T00:00:00", 1) not in got
 
 
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpointed streaming dropDuplicates (the stream_dedup shape:
+    key = user, event_type, 1h event-time window): the dedup state
+    store persists in the checkpoint, so a duplicate of an
+    already-seen key arriving in a LATER batch — after a restart — is
+    still dropped. This is the property that makes re-running an
+    ingestion pipeline against a landing zone idempotent."""
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.streaming import stream_events_ndjson
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        dedup = (
+            stream_events_ndjson(spark, str(src_dir))
+            .withWatermark("ts", "2 hours")
+            .withColumn("w", F.window("ts", "1 hour"))
+            .dropDuplicates(["user_id", "event_type", "w"])
+            .select("user_id", "event_type", F.col("w.start").alias("window_start"))
+        )
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_events(src_dir / "b1.json", [1])  # user 1, minute 00:01
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 1
+
+    # restart: a same-key duplicate (user 1, same hour window) plus a
+    # genuinely new key (user 2) land in a second file
+    _write_events(src_dir / "b2.json", [61, 2])  # 61 % 3 == 1, min :01; 2 is new
+    run_once()
+    final = spark.read.parquet(out_dir)
+    assert final.count() == 2  # duplicate dropped ACROSS the restart
+    assert {r.user_id for r in final.collect()} == {1, 2}
+
+
 def test_stream_stream_join_matches_batch_join(spark, tmp_path):
     """Stream-stream interval join (both sides watermarked, time-bound
     both directions → bounded state) produces exactly the batch
