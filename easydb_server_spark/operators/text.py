@@ -52,6 +52,22 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _quality_col(t) -> F.Column:
+    """The composite quality score as one column expression — shared
+    by :func:`quality_score` and :func:`quality_prune` so the two can
+    never drift apart. Rounded for cross-engine portability."""
+    words = _words(t)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    en_stop = _profile_hits(words, LANG_PROFILES["en"])
+    return F.round(
+        (n_words / 400.0) + (en_stop / F.greatest(n_words, F.lit(1)) * 2.0)
+        - (n_punct / F.greatest(n_chars, F.lit(1)) * 5.0),
+        6,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic quality metrics: counts are exact ints; the composite
     score is a fixed linear formula rounded for portability."""
@@ -67,12 +83,75 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n_words.alias("n_words"),
         n_punct.alias("n_punct"),
         en_stop.alias("n_stopwords"),
-        F.round(
-            (n_words / 400.0) + (en_stop / F.greatest(n_words, F.lit(1)) * 2.0)
-            - (n_punct / F.greatest(n_chars, F.lit(1)) * 5.0),
-            6,
-        ).alias("quality"),
+        _quality_col(t).alias("quality"),
     )
+
+
+def quality_prune(
+    df: DataFrame, text_col: str, id_col: str, group_col: str, keep_frac: float = 0.5
+) -> DataFrame:
+    """Quality-based corpus pruning: rank docs by the composite quality
+    score within each group (language/domain) and keep the top
+    ``keep_frac`` — the standard "prune the worst X% per language"
+    curation step before pre-training.
+
+    Exact and deterministic: row_number over (quality DESC, doc_id)
+    with a per-group count, kept ⇔ rank ≤ ceil(frac·n). One shuffle on
+    the group key; both windows share it. With only a handful of huge
+    groups (few languages over a 100 TB corpus) the per-group sort is
+    the bottleneck — at that scale swap the rank for a per-group
+    approx-quantile threshold (same keep set within the sketch's ε,
+    no global sort); the rank form here is the exact, oracle-able
+    reference semantics.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        _quality_col(F.col(text_col)).alias("quality"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    wg = Window.partitionBy("grp")
+    return (
+        base.withColumn("rank_in_grp", F.row_number().over(w))
+        .withColumn("n_grp", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "kept", F.col("rank_in_grp") <= F.ceil(F.lit(keep_frac) * F.col("n_grp"))
+        )
+    )
+
+
+def corpus_shuffle(df: DataFrame, id_col: str, n_shards: int = 8, seed: str = "v1") -> DataFrame:
+    """Deterministic global shuffle + sharding for training order.
+
+    Training pipelines need a reproducible random order that is stable
+    across runs, engines, cluster sizes, and input file order — so the
+    order is a pure function of (seed, id): h = 60-bit md5(seed:id),
+    shard = h mod n_shards, pos = rank of h within the shard. Writing
+    shard s in pos order yields the shuffled corpus; changing the seed
+    reshuffles everything, changing nothing else reshuffles nothing.
+
+    One shuffle on the shard key; the per-shard sort is bounded by
+    |corpus| / n_shards, and n_shards is large (thousands) in a real
+    export, so no single sort is corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), h.alias("h")).withColumn(
+        "shard", (F.col("h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("h"), F.col("doc_id"))
+    return base.withColumn("pos", F.row_number().over(w)).select("doc_id", "shard", "pos")
 
 
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

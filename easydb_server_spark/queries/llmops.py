@@ -1052,6 +1052,66 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+def q_text_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality pruning: keep the top half of each lang by
+    the composite quality score (exact rank semantics)."""
+    d = load(spark, sf_dir, "documents")
+    return T.quality_prune(d, "text", "doc_id", "lang", keep_frac=0.5).orderBy(
+        "grp", "rank_in_grp"
+    )
+
+
+ORACLE_TEXT_QUALITY_PRUNE = f"""
+WITH t AS (
+  SELECT doc_id, lang AS grp, text, string_split(text, ' ') AS ws,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, grp, n_chars, n_words, n_punct,
+         CAST(len(list_filter(ws, w -> list_contains([{", ".join(repr(w) for w in T.LANG_PROFILES["en"])}], w))) AS INT) AS n_stopwords
+  FROM t
+),
+q AS (
+  SELECT doc_id, grp,
+         ROUND((n_words / 400.0) + (CAST(n_stopwords AS DOUBLE) / greatest(n_words, 1) * 2.0)
+               - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0), 6) AS quality
+  FROM t2
+),
+r AS (
+  SELECT doc_id, grp, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id) AS INT) AS rank_in_grp,
+         COUNT(*) OVER (PARTITION BY grp) AS n_grp
+  FROM q
+)
+SELECT doc_id, grp, quality, rank_in_grp, n_grp,
+       rank_in_grp <= CEIL(0.5 * n_grp) AS kept
+FROM r ORDER BY grp, rank_in_grp
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + 8-way sharding of the corpus
+    (reproducible training order as a pure function of seed and id)."""
+    d = load(spark, sf_dir, "documents")
+    return T.corpus_shuffle(d, "doc_id", n_shards=8, seed="v1").orderBy("shard", "pos")
+
+
+ORACLE_CORPUS_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+FROM h
+ORDER BY shard, pos
+"""
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class prototypes) + counts.
 

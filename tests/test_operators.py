@@ -379,6 +379,45 @@ class TestRepetition:
         assert rows[3].top_bigram_frac == 1.0 and not rows[3].keep
 
 
+class TestCorpusShuffle:
+    def test_deterministic_and_seed_sensitive(self, spark):
+        """The shuffled order must be a pure function of (seed, id):
+        identical across input partitionings, different under a new
+        seed, with per-shard positions dense from 1."""
+        from easydb_server_spark.operators.text import corpus_shuffle
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = {(r.doc_id, r.shard, r.pos) for r in corpus_shuffle(df, "doc_id").collect()}
+        b = {
+            (r.doc_id, r.shard, r.pos)
+            for r in corpus_shuffle(df.repartition(7), "doc_id").collect()
+        }
+        assert a == b  # partitioning/input order cannot change the result
+        c = {(r.doc_id, r.shard, r.pos) for r in corpus_shuffle(df, "doc_id", seed="v2").collect()}
+        assert a != c  # a new seed reshuffles
+        by_shard: dict[int, list[int]] = {}
+        for _id, shard, pos in a:
+            by_shard.setdefault(shard, []).append(pos)
+        for shard, positions in by_shard.items():
+            assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+    def test_quality_prune_keeps_exact_fraction(self, spark):
+        from easydb_server_spark.operators.text import quality_prune
+
+        df = spark.createDataFrame(
+            [(i, "word " * (i + 1), "en" if i % 2 == 0 else "de") for i in range(20)],
+            "doc_id long, text string, lang string",
+        )
+        out = quality_prune(df, "text", "doc_id", "lang", keep_frac=0.3).collect()
+        kept = {}
+        for r in out:
+            kept.setdefault(r.grp, [0, 0])
+            kept[r.grp][0] += int(r.kept)
+            kept[r.grp][1] += 1
+        for grp, (k, n) in kept.items():
+            assert k == -(-3 * n // 10), grp  # ceil(0.3 * n)
+
+
 class TestLabelCentroids:
     def test_centroid_is_elementwise_mean(self, spark):
         from easydb_server_spark.operators.similarity import label_centroids

@@ -6,10 +6,10 @@ driver verification with no failure anywhere else.
 Round-5 window (least-driver-evidence-first rotation): the two
 exact-oracle Structured Streaming entries that had zero driver rows in
 r1-r4, the three queries whose plans were rewritten in r5 (tpch_q21 /
-tpch_q11 / tpch_q2), the two NEW r5 operators (text_repetition,
-stream_dedup), then the r1-green core/window/setop/subquery/function
-families closing the window at 50. Everything driver-green in r2-r4
-follows the marker.
+tpch_q11 / tpch_q2), the four NEW r5 operators (text_repetition,
+stream_dedup, text_quality_prune, corpus_shuffle), then the r1-green
+core/window/setop/subquery/function families closing the window at 50.
+Everything driver-green in r2-r4 follows the marker.
 """
 
 PRIORITY_WINDOW = 50
@@ -19,8 +19,8 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "fn_struct_map", (
-        "the driver-verified priority window must close at fn_struct_map; "
+    assert names[PRIORITY_WINDOW - 1] == "fn_hash", (
+        "the driver-verified priority window must close at fn_hash; "
         "add new queries AFTER the end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
     )
@@ -35,14 +35,19 @@ def test_window_holds_the_r5_rotation():
     # plans rewritten in r5 are re-verified next
     assert window[2:5] == ["tpch_q21", "tpch_q11", "tpch_q2"]
     # new r5 operators have zero driver evidence → in the window
-    assert window[5:7] == ["text_repetition", "stream_dedup"]
-    # the backfill is the oldest-evidence r1 families, complete
+    assert window[5:9] == [
+        "text_repetition",
+        "stream_dedup",
+        "text_quality_prune",
+        "corpus_shuffle",
+    ]
+    # the backfill is the oldest-evidence r1 families
     for prefix, want in (
         ("core_", 10),
         ("window_", 7),
         ("setop_", 6),
         ("subq_", 10),
-        ("fn_", 9),
+        ("fn_", 7),
     ):
         assert sum(1 for n in window if n.startswith(prefix)) == want, prefix
     assert "recursive_cte" in window
