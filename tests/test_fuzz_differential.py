@@ -202,3 +202,66 @@ def test_scalar_functions_match_duckdb(engines, sql):
     ocols, orows = canon_frame(con.execute(sql).df())
     assert scols == ocols, sql
     assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
+
+
+@st.composite
+def setop_queries(draw):
+    """Two generated branches over orders glued by a set operation —
+    the branch predicates come from the same strategy as the core
+    fuzz, so the interesting surface is the set-op semantics
+    (bag vs set, ALL multiplicity) across engines."""
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    cols = draw(st.lists(st.sampled_from(INT_COLS + STR_COLS), min_size=1, max_size=2, unique=True))
+    col_list = ", ".join(cols)
+    p1 = draw(predicates)
+    p2 = draw(predicates)
+    return (
+        f"SELECT {col_list} FROM orders WHERE {p1} "
+        f"{op} "
+        f"SELECT {col_list} FROM orders WHERE {p2} "
+        f"ORDER BY {col_list}"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sql=setop_queries())
+def test_set_operations_match_duckdb(engines, sql):
+    spark, con = engines
+    scols, srows = canon_frame(spark.sql(sql).toPandas())
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols, sql
+    assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
+
+
+@st.composite
+def having_queries(draw):
+    """GROUP BY + HAVING over generated thresholds: the HAVING
+    predicate references the aggregate, exercising post-aggregation
+    filtering and its integer/decimal comparison semantics."""
+    group = draw(st.sampled_from(STR_COLS))
+    n = draw(st.integers(0, 5000))
+    preds = draw(st.lists(predicates, min_size=0, max_size=2))
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    having = draw(
+        st.sampled_from(
+            [
+                f"COUNT(*) > {n}",
+                f"COUNT(DISTINCT o_custkey) >= {n}",
+                f"MIN(o_orderkey) < {n * 10}",
+            ]
+        )
+    )
+    return (
+        f"SELECT {group}, COUNT(*) AS agg_val FROM orders{where} "
+        f"GROUP BY {group} HAVING {having} ORDER BY {group}"
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sql=having_queries())
+def test_having_matches_duckdb(engines, sql):
+    spark, con = engines
+    scols, srows = canon_frame(spark.sql(sql).toPandas())
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols, sql
+    assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
