@@ -50,6 +50,8 @@ HEADLINE = [
     "text_token_counts",
     "text_hash_split",
     "text_repetition",
+    "text_quality_prune",
+    "corpus_shuffle",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)
     "tpch_q3",
