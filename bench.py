@@ -52,6 +52,7 @@ HEADLINE = [
     "text_repetition",
     "text_quality_prune",
     "corpus_shuffle",
+    "emb_label_outliers",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)
     "tpch_q3",

@@ -337,3 +337,50 @@ def label_centroids(corpus: DataFrame, vec_col: str, label_col: str) -> DataFram
         )
         .select("label", "n_vecs", F.transform("pm", lambda s: s["m"]).alias("centroid"))
     )
+
+
+def label_outliers(
+    corpus: DataFrame,
+    vec_col: str,
+    label_col: str,
+    id_col: str,
+    bottom_frac: float = 0.1,
+) -> DataFrame:
+    """Embedding-outlier detection: flag the ``bottom_frac`` of each
+    label's members ranked by cosine similarity to their own label
+    centroid — the standard mislabeled/off-distribution pruning step
+    for labeled training corpora.
+
+    Scale shape: centroids are tiny (|labels| rows) and broadcast;
+    cosine is the deterministic left-fold dot product over double-cast
+    arrays (same expression as embedding_neardup_pairs, portable to
+    the SQL oracle); the per-label ranking is one shuffle on the label
+    key. Exact rank semantics (outlier ⇔ rank ≤ ceil(frac·n), vec_id
+    tiebreak); for corpus-sized labels swap the rank for an
+    approx-quantile cosine threshold, as with quality_prune.
+    """
+    from pyspark.sql import Window
+
+    cents = label_centroids(corpus, vec_col, label_col).select("label", "centroid")
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    j = v.join(F.broadcast(cents), "label")
+    nv = F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    nc = F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    scored = j.select(
+        "vec_id",
+        "label",
+        F.round(_dot(F.col("vec"), F.col("centroid")) / (nv * nc), 6).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_centroid").asc(), F.col("vec_id"))
+    wl = Window.partitionBy("label")
+    return (
+        scored.withColumn("rank_in_label", F.row_number().over(w))
+        .withColumn("n_label", F.count(F.lit(1)).over(wl))
+        .withColumn(
+            "outlier", F.col("rank_in_label") <= F.ceil(F.lit(bottom_frac) * F.col("n_label"))
+        )
+    )

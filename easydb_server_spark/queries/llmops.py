@@ -1112,6 +1112,41 @@ ORDER BY shard, pos
 """
 
 
+def q_emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-outlier pruning: bottom 10% of each label by cosine
+    to the label centroid (mislabeled/off-distribution candidates)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.label_outliers(e, "embedding", "label", "vec_id", bottom_frac=0.1).orderBy(
+        "label", "rank_in_label"
+    )
+
+
+ORACLE_EMB_LABEL_OUTLIERS = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+crows AS (
+  SELECT label, t.i - 1 AS pos, ROUND(AVG(vec[t.i]), 5) AS m
+  FROM v, UNNEST(generate_series(1, len(vec))) t(i)
+  GROUP BY label, t.i
+),
+c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM crows GROUP BY label),
+s AS (
+  SELECT v.vec_id, v.label,
+         ROUND(list_cosine_similarity(v.vec, c.centroid), 6) AS cos_centroid
+  FROM v JOIN c USING (label)
+),
+r AS (
+  SELECT vec_id, label, cos_centroid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS INT)
+           AS rank_in_label,
+         COUNT(*) OVER (PARTITION BY label) AS n_label
+  FROM s
+)
+SELECT vec_id, label, cos_centroid, rank_in_label, n_label,
+       rank_in_label <= CEIL(0.1 * n_label) AS outlier
+FROM r ORDER BY label, rank_in_label
+"""
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class prototypes) + counts.
 
