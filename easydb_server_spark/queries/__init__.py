@@ -40,8 +40,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r1-r4 (`stream_sliding`, `stream_tumbling`), then the three queries
 # whose plans were rewritten this round (tpch_q21 single-scan,
 # tpch_q11 shared-shuffle total, tpch_q2 pre-aggregate semi-filter),
-# then the five NEW r5 operators (`text_repetition`, `stream_dedup`,
-# `text_quality_prune`, `corpus_shuffle`, `emb_label_outliers`),
+# then the six NEW r5 operators (`text_repetition`, `stream_dedup`,
+# `text_quality_prune`, `corpus_shuffle`, `emb_label_outliers`,
+# `stream_join`),
 # then the oldest-evidence entries — the r1-green core/window/setop/
 # subquery/function families, untouched and un-re-verified since
 # round 1. Everything driver-green in r2-r4 follows, locked by
@@ -60,6 +61,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality_prune": (llmops.q_text_quality_prune, llmops.ORACLE_TEXT_QUALITY_PRUNE),
     "corpus_shuffle": (llmops.q_corpus_shuffle, llmops.ORACLE_CORPUS_SHUFFLE),
     "emb_label_outliers": (llmops.q_emb_label_outliers, llmops.ORACLE_EMB_LABEL_OUTLIERS),
+    "stream_join": (streamq.q_stream_join, streamq.ORACLE_STREAM_JOIN),
     # --- oldest evidence: driver-green r1, unseen since ---
     # projections / filters / conditionals / casts / sort-limit
     "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
@@ -105,8 +107,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_string": (fns.q_fn_string, fns.ORACLE_FN_STRING),
     "fn_regex": (fns.q_fn_regex, fns.ORACLE_FN_REGEX),
     "fn_datetime": (fns.q_fn_datetime, fns.ORACLE_FN_DATETIME),
-    "fn_datetime_convert": (fns.q_fn_datetime_convert, fns.ORACLE_FN_DATETIME_CONVERT),
     # --- end of the 50-entry priority window ---
+    "fn_datetime_convert": (fns.q_fn_datetime_convert, fns.ORACLE_FN_DATETIME_CONVERT),
     "fn_hash": (fns.q_fn_hash, fns.ORACLE_FN_HASH),
     "fn_array": (fns.q_fn_array, fns.ORACLE_FN_ARRAY),
     "fn_struct_map": (fns.q_fn_struct_map, fns.ORACLE_FN_STRUCT_MAP),

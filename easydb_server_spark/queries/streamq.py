@@ -131,6 +131,37 @@ ORDER BY user_id, event_type, window_start
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run as a real streaming job: each
+    view joined to the same user's purchases within 6 hours after it.
+    Both sides watermarked (≥ the join delay) and the condition bounds
+    event time in both directions, so buffered rows evict once they
+    can no longer match — bounded state at unbounded ingest. A single
+    availableNow pass equals the batch interval join oracle."""
+    from easydb_server_spark.streaming.events import stream_stream_join
+
+    src = _events_stream(spark, sf_dir)
+    joined = stream_stream_join(
+        src.where(F.col("event_type") == "view"),
+        src.where(F.col("event_type") == "purchase"),
+        max_delay="6 hours",
+        watermark="7 hours",
+    ).select("v_id", "p_id", F.col("v_user").alias("user_id"))
+    name = f"stream_join_{int(time.time() * 1000)}"
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name).orderBy("v_id", "p_id")
+
+
+ORACLE_STREAM_JOIN = """
+SELECT v.event_id AS v_id, p.event_id AS p_id, v.user_id
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY v_id, p_id
+"""
+
+
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): funnel
     detection, run as a real streaming job. No SQL oracle by

@@ -6,8 +6,9 @@ driver verification with no failure anywhere else.
 Round-5 window (least-driver-evidence-first rotation): the two
 exact-oracle Structured Streaming entries that had zero driver rows in
 r1-r4, the three queries whose plans were rewritten in r5 (tpch_q21 /
-tpch_q11 / tpch_q2), the five NEW r5 operators (text_repetition,
-stream_dedup, text_quality_prune, corpus_shuffle, emb_label_outliers),
+tpch_q11 / tpch_q2), the six NEW r5 operators (text_repetition,
+stream_dedup, text_quality_prune, corpus_shuffle, emb_label_outliers,
+stream_join),
 then the r1-green core/window/setop/subquery/function families closing
 the window at 50.
 Everything driver-green in r2-r4 follows the marker.
@@ -20,7 +21,7 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "fn_datetime_convert", (
+    assert names[PRIORITY_WINDOW - 1] == "fn_datetime", (
         "the driver-verified priority window must close at fn_datetime_convert; "
         "add new queries AFTER the end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
@@ -36,12 +37,13 @@ def test_window_holds_the_r5_rotation():
     # plans rewritten in r5 are re-verified next
     assert window[2:5] == ["tpch_q21", "tpch_q11", "tpch_q2"]
     # new r5 operators have zero driver evidence → in the window
-    assert window[5:10] == [
+    assert window[5:11] == [
         "text_repetition",
         "stream_dedup",
         "text_quality_prune",
         "corpus_shuffle",
         "emb_label_outliers",
+        "stream_join",
     ]
     # the backfill is the oldest-evidence r1 families
     for prefix, want in (
@@ -49,7 +51,7 @@ def test_window_holds_the_r5_rotation():
         ("window_", 7),
         ("setop_", 6),
         ("subq_", 10),
-        ("fn_", 6),
+        ("fn_", 5),
     ):
         assert sum(1 for n in window if n.startswith(prefix)) == want, prefix
     assert "recursive_cte" in window
