@@ -358,6 +358,12 @@ def label_outliers(
     key. Exact rank semantics (outlier ⇔ rank ≤ ceil(frac·n), vec_id
     tiebreak); for corpus-sized labels swap the rank for an
     approx-quantile cosine threshold, as with quality_prune.
+
+    Zero-norm vectors (or an all-zero label centroid) get
+    ``cos_centroid = 0.0`` instead of the NULL a raw division would
+    yield — NULLs would sort last in the ascending rank (i.e. look
+    MOST central) while DuckDB's list_cosine_similarity NaNs, so both
+    sides pin the degenerate case to the same defined value.
     """
     from pyspark.sql import Window
 
@@ -370,11 +376,11 @@ def label_outliers(
     j = v.join(F.broadcast(cents), "label")
     nv = F.sqrt(_dot(F.col("vec"), F.col("vec")))
     nc = F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
-    scored = j.select(
-        "vec_id",
-        "label",
-        F.round(_dot(F.col("vec"), F.col("centroid")) / (nv * nc), 6).alias("cos_centroid"),
-    )
+    cos = F.when(
+        (nv > 0) & (nc > 0),
+        F.round(_dot(F.col("vec"), F.col("centroid")) / (nv * nc), 6),
+    ).otherwise(F.lit(0.0))
+    scored = j.select("vec_id", "label", cos.alias("cos_centroid"))
     w = Window.partitionBy("label").orderBy(F.col("cos_centroid").asc(), F.col("vec_id"))
     wl = Window.partitionBy("label")
     return (

@@ -71,13 +71,16 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     Keeping one output type means every downstream ``unix_micros`` /
     ``window`` / ``withWatermark`` expression analyzes identically
     regardless of which testdata generation is on disk.
+
+    Precondition: ``spark.sql.session.timeZone`` is UTC — the
+    NTZ→TIMESTAMP cast (and downstream epoch math) is only
+    wall-clock-preserving under UTC. Every entry point that reaches
+    this helper pins it (:func:`load`, ``streamq._events_stream``, and
+    ``session.get_spark`` at construction); this function itself is
+    side-effect-free on session config.
     """
     import pyspark.sql.functions as F
 
-    # the NTZ→TIMESTAMP cast below (and downstream epoch math) is only
-    # wall-clock-preserving under UTC; pin it here rather than relying
-    # on every caller (load, _events_stream, ...) to have done so
-    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

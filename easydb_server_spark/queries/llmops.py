@@ -1130,8 +1130,13 @@ crows AS (
 ),
 c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM crows GROUP BY label),
 s AS (
+  -- zero-norm guard mirrors operators/similarity.py:label_outliers:
+  -- degenerate vectors pin to 0.0 on both engines
   SELECT v.vec_id, v.label,
-         ROUND(list_cosine_similarity(v.vec, c.centroid), 6) AS cos_centroid
+         CASE WHEN list_dot_product(v.vec, v.vec) > 0
+               AND list_dot_product(c.centroid, c.centroid) > 0
+              THEN ROUND(list_cosine_similarity(v.vec, c.centroid), 6)
+              ELSE 0.0 END AS cos_centroid
   FROM v JOIN c USING (label)
 ),
 r AS (

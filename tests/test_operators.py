@@ -192,6 +192,19 @@ class TestSimilarity:
         assert len(sizes) == 16
         assert max(sizes) <= 4 * min(sizes)  # no degenerate mega-cell
 
+    def test_label_outliers_zero_norm_vector_pins_to_zero(self, spark):
+        """An all-zero embedding must score cos_centroid = 0.0 (defined
+        value on both engines), never NULL — NULLs would sort last in
+        the ascending rank and make the degenerate vector look MOST
+        central instead of being rankable."""
+        from easydb_server_spark.operators.similarity import label_outliers
+
+        rows = [(0, "a", [1.0, 0.0]), (1, "a", [0.9, 0.1]), (2, "a", [0.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id int, label string, embedding array<double>")
+        out = {r.vec_id: r for r in label_outliers(df, "embedding", "label", "vec_id", 0.34).collect()}
+        assert out[2].cos_centroid == 0.0
+        assert out[2].rank_in_label == 1 and out[2].outlier
+
 
 class TestText:
     def test_langid_on_real_multilingual_text(self, spark):

@@ -126,6 +126,8 @@ class TestPlans:
         # executes below (before) it
         assert p.index("HashAggregate") < p.index("BroadcastHashJoin LeftSemi")
         assert p.count("lineitem.parquet") == 1
+
+    def test_minhash_pairs_verification_is_candidate_restricted(self, spark, queries):
         """The exact-Jaccard verification in minhash_pairs must be
         per-candidate-pair (array_intersect inside the row after
         joining candidates to the per-doc shingle arrays), never a
