@@ -2,9 +2,25 @@
 
 These run a REAL streaming execution (readStream over the events
 parquet, availableNow trigger, memory sink) and return the final
-result DataFrame — oracled by the same ANSI SQL as the batch
-time-series operators, proving batch/stream semantic equivalence
-(the whole point of reusing one expression for both modes).
+result DataFrame — oracled by ANSI SQL over the same bounded table,
+proving batch/stream semantic equivalence.
+
+All six queries run in **append** output mode — the mode an unbounded
+production stream actually runs in: a window/session is emitted
+exactly once, when the watermark passes its end, and its state is
+evicted. (Complete mode — the r1–r5 form of the three window queries —
+retains every window's state forever, so ``withWatermark`` never
+evicts anything: fine for a bounded replay, unbounded state at a real
+100 TB/day stream.) The price is that the trailing still-open windows
+are withheld, so each oracle restricts itself to watermark-closed
+windows: ``window_end <= max(ts) − delay``.
+
+Emission boundary, verified empirically on the availableNow replay
+(sf0.001, tumbling 1 h / watermark 2 h): Spark's final no-data
+micro-batch flushes groups with ``window_end <= watermark`` where
+``watermark = max(event time) − delay`` truncated to milliseconds;
+the oracles mirror both the comparison and the ms truncation
+(``date_trunc('milliseconds', MAX(ts))``).
 """
 
 from __future__ import annotations
@@ -14,11 +30,6 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from easydb_server_spark.queries.timeseries import (
-    ORACLE_TS_SESSION,
-    ORACLE_TS_SLIDING,
-    ORACLE_TS_TUMBLING,
-)
 from easydb_server_spark.streaming.events import run_to_memory
 
 
@@ -42,7 +53,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming tumbling-window counts == batch ts_tumbling oracle."""
+    """Streaming tumbling-window counts, append mode: each 1 h window
+    is emitted once the 2 h watermark passes its end and its state is
+    evicted — bounded state on an unbounded stream. Oracle = batch
+    tumbling aggregate restricted to watermark-closed windows."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
@@ -51,16 +65,27 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").cast("string").alias("window_start"), "event_type", "n", "total")
     )
     name = f"stream_tumbling_{int(time.time() * 1000)}"
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="append")
     return spark.table(name).orderBy("window_start", "event_type")
 
 
-ORACLE_STREAM_TUMBLING = ORACLE_TS_TUMBLING
+ORACLE_STREAM_TUMBLING = """
+WITH wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2 HOUR AS w FROM events)
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events
+WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming sliding windows (2h size / 1h slide, overlapping
-    state) == batch ts_sliding oracle."""
+    """Streaming sliding windows (2 h size / 1 h slide, overlapping
+    state), append mode: each of the two windows an event lands in is
+    emitted when the watermark passes ITS end — the later-ending
+    overlap stays open longer. Oracle = 2-offset expansion restricted
+    to watermark-closed windows."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
@@ -69,16 +94,27 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").cast("string").alias("window_start"), "n", "sum_value")
     )
     name = f"stream_sliding_{int(time.time() * 1000)}"
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="append")
     return spark.table(name).orderBy("window_start")
 
 
-ORACLE_STREAM_SLIDING = ORACLE_TS_SLIDING
+ORACLE_STREAM_SLIDING = """
+WITH wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2 HOUR AS w FROM events)
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR AS VARCHAR) AS window_start,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+WHERE time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR + INTERVAL 2 HOUR
+        <= (SELECT w FROM wm)
+GROUP BY 1
+ORDER BY window_start
+"""
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming session windows (stateful) == batch gaps-and-islands
-    oracle."""
+    """Streaming session windows (stateful merge), append mode: a
+    session is emitted once the 30 min watermark passes its end (last
+    event + 5 min gap) and its state is evicted. Oracle = batch
+    gaps-and-islands restricted to watermark-closed sessions."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
@@ -92,11 +128,34 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_session_{int(time.time() * 1000)}"
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="append")
     return spark.table(name).orderBy("user_id", "session_start")
 
 
-ORACLE_STREAM_SESSION = ORACLE_TS_SESSION
+ORACLE_STREAM_SESSION = """
+WITH wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 30 MINUTE AS w FROM events),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts) AS VARCHAR) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM islands
+GROUP BY user_id, session_id
+HAVING MAX(ts) + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+ORDER BY user_id, session_start
+"""
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -201,3 +201,38 @@ def test_stream_stream_join_matches_batch_join(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_append_windows_emit_exactly_the_watermark_closed_set(spark):
+    """The three windowed conformance streams run in APPEND mode: the
+    final no-data micro-batch must emit exactly the windows whose end
+    the watermark (max event time − delay) has passed — trailing open
+    windows are withheld and their state evicted, which is the bounded-
+    state contract complete mode could not provide."""
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.queries._util import load
+    from easydb_server_spark.queries.streamq import q_stream_tumbling
+    from tests.conftest import SF_DIR
+
+    emitted = {
+        (r.window_start, r.event_type)
+        for r in q_stream_tumbling(spark, SF_DIR).collect()
+    }
+    e = load(spark, SF_DIR, "events")
+    wm = e.agg(
+        (F.date_trunc("millisecond", F.max("ts")) - F.expr("INTERVAL 2 HOURS")).alias("w")
+    ).collect()[0].w
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+        .select(
+            F.col("w.start").cast("string").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+        )
+    )
+    closed = {(r.ws, r.event_type) for r in batch.where(F.col("we") <= F.lit(wm)).collect()}
+    open_ = {(r.ws, r.event_type) for r in batch.where(F.col("we") > F.lit(wm)).collect()}
+    assert emitted == closed
+    assert open_ and not (emitted & open_)  # trailing windows really were withheld
