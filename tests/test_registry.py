@@ -3,15 +3,15 @@ a ~50-entry prefix of REGISTRY, so its composition is load-bearing —
 an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
-Round-5 window (least-driver-evidence-first rotation): the two
-exact-oracle Structured Streaming entries that had zero driver rows in
-r1-r4, the three queries whose plans were rewritten in r5 (tpch_q21 /
-tpch_q11 / tpch_q2), the six NEW r5 operators (text_repetition,
-stream_dedup, text_quality_prune, corpus_shuffle, emb_label_outliers,
-stream_join),
-then the r1-green core/window/setop/subquery/function families closing
-the window at 50.
-Everything driver-green in r2-r4 follows the marker.
+Round-6 window (changed-code-first, then least-driver-evidence):
+the three windowed streaming queries rewritten to append output mode
+with watermark-closed oracles, the three operators touched this round
+(emb_label_outliers, sim_topk_lsh, text_quality_prune), then the
+cohort last driver-seen in round 2 — edge_* (7), the non-flagship
+join_* (8), the oracled agg_* (13) — and the r2-evidence
+multimodal/dedup/text entries closing the window at 50. Rows-only
+entries stay out of the window (they burn a slot on `no_oracle`).
+Everything driver-green in r4-r5 follows the marker.
 """
 
 PRIORITY_WINDOW = 50
@@ -21,40 +21,41 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "fn_datetime", (
-        "the driver-verified priority window must close at fn_datetime_convert; "
-        "add new queries AFTER the end-of-window marker in queries/__init__.py "
+    assert names[PRIORITY_WINDOW - 1] == "text_pack", (
+        "the driver-verified priority window must close at text_pack "
+        f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
+        "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
     )
 
 
-def test_window_holds_the_r5_rotation():
+def test_window_holds_the_r6_rotation():
     from easydb_server_spark.queries import REGISTRY
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # never-driver-verified exact-oracle streams lead the window
-    assert window[:2] == ["stream_sliding", "stream_tumbling"]
-    # plans rewritten in r5 are re-verified next
-    assert window[2:5] == ["tpch_q21", "tpch_q11", "tpch_q2"]
-    # new r5 operators have zero driver evidence → in the window
-    assert window[5:11] == [
-        "text_repetition",
-        "stream_dedup",
-        "text_quality_prune",
-        "corpus_shuffle",
+    # code changed this round leads the window
+    assert window[:6] == [
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
         "emb_label_outliers",
-        "stream_join",
+        "sim_topk_lsh",
+        "text_quality_prune",
     ]
-    # the backfill is the oldest-evidence r1 families
+    # the backfill is the r2-evidence cohort
     for prefix, want in (
-        ("core_", 10),
-        ("window_", 7),
-        ("setop_", 6),
-        ("subq_", 10),
-        ("fn_", 5),
+        ("edge_", 7),
+        ("join_", 8),
+        ("agg_", 13),
+        ("multimodal_", 3),
+        ("dedup_", 3),
+        ("text_", 10),
     ):
         assert sum(1 for n in window if n.startswith(prefix)) == want, prefix
-    assert "recursive_cte" in window
+    # rows-only entries never occupy a window slot
+    from easydb_server_spark.queries import oracle_queries
+
+    assert set(window) <= set(oracle_queries())
 
 
 def test_every_query_has_unique_name_and_callable():
