@@ -175,7 +175,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # joins: flagship (driver smoke-checked every round via entry())
     "join_inner_revenue": (joins.q_join_inner_revenue, joins.ORACLE_INNER_REVENUE),
     # rows-only by design: HLL sketch values are engine-specific
-    # (error-bound asserted in tests/test_queries_smoke.py)
+    # (error-bound asserted in tests/test_approx_accuracy.py)
     "agg_approx_distinct": (agg.q_agg_approx_distinct, None),
     # --- LLM-data-pipeline: dedup + similarity (driver-green r2/r4) ---
     "dedup_minhash_pairs": (llmops.q_dedup_minhash_pairs, llmops.ORACLE_DEDUP_MINHASH_PAIRS),
