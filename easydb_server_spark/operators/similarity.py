@@ -105,28 +105,78 @@ def _sig_norm_udf(planes: list[list[float]]):
     return sig_norm
 
 
+def _sig_norm_probes_udf(planes: list[list[float]], probes: int):
+    """Query-side variant of :func:`_sig_norm_udf`: (buckets, nrm)
+    where ``buckets`` is the base sign bucket plus the ``probes``
+    nearest single-bit-flip buckets — standard multi-probe LSH.
+
+    "Nearest" = the planes with the smallest |dot| margin: the
+    hyperplanes the vector sits closest to are the ones whose sign a
+    true neighbor most plausibly landed on the other side of. Margins
+    are rounded to 6 decimals with plane-index tiebreak so the SQL
+    oracle (ROW_NUMBER over ROUND(ABS(dot), 6), i) replays the exact
+    probe set despite float summation-order noise.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    weights = np.int64(1) << np.arange(P.shape[1], dtype=np.int64)
+
+    @pandas_udf("struct<buckets: array<bigint>, nrm: double>")
+    def sig_norm_probes(vecs: pd.Series) -> pd.DataFrame:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        D = M @ P
+        base = ((D >= 0).astype(np.int64) * weights).sum(axis=1)
+        # stable argsort: ties on the rounded margin break by plane idx
+        flip_order = np.argsort(np.round(np.abs(D), 6), axis=1, kind="stable")
+        buckets = [
+            [int(b)] + [int(b) ^ (1 << int(i)) for i in row[:probes]]
+            for b, row in zip(base, flip_order)
+        ]
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        return pd.DataFrame({"buckets": buckets, "nrm": nrm})
+
+    return sig_norm_probes
+
+
 def topk_cosine_lsh(
-    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 5, dim: int = 64
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    dim: int = 64,
+    probes: int = 2,
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's sign-signature
-    bucket; exact cosine re-rank inside the bucket.
+    """LSH-bucketed ANN with multi-probe: candidates share one of the
+    query's probe buckets (its own sign-signature bucket plus the
+    ``probes`` nearest single-bit-flip buckets); exact cosine re-rank
+    inside the probed set.
 
     At 100 TB: corpus bucketed once (cheap narrow map), bucket key is
-    the shuffle/join key, per-bucket candidate sets are small. Recall
-    is tunable via planes count / multi-probe; this is the standard
-    trade against brute-force's exactness.
+    the shuffle/join key, per-bucket candidate sets are small. The
+    query side explodes to ``probes + 1`` rows per query BEFORE the
+    broadcast — still tiny — and each corpus vector lives in exactly
+    one bucket, so a (qid, cid) candidate pair appears at most once
+    and needs no distinct. ``probes`` is the recall dial: each probe
+    adds one bucket's worth of candidates (~|corpus| / 2^planes) per
+    query, so candidate volume grows linearly in ``probes`` while
+    recall climbs toward brute-force (measured in
+    tests/test_operators.py::test_multiprobe_lsh_recall).
     """
     from pyspark.sql import Window
 
     planes = lsh_planes(dim)
     sig_norm = _sig_norm_udf(planes)
+    sig_norm_probes = _sig_norm_probes_udf(planes, probes)
     c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
     cb = c.withColumn("sn", sig_norm("cvec")).select(
         "cid", "cvec", F.col("sn.bucket").alias("bucket"), F.col("sn.nrm").alias("cnrm")
     )
-    qb = q.withColumn("sn", sig_norm("qvec")).select(
-        "qid", "qvec", F.col("sn.bucket").alias("bucket"), F.col("sn.nrm").alias("qnrm")
+    qb = (
+        q.withColumn("sn", sig_norm_probes("qvec"))
+        .select("qid", "qvec", F.col("sn.nrm").alias("qnrm"), F.explode("sn.buckets").alias("bucket"))
     )
     cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
     scored = (

@@ -321,14 +321,15 @@ ORDER BY qid, rank
 
 
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-3 (scale path) — exact oracle replays the
-    same deterministic hyperplanes."""
+    """Multi-probe LSH-bucketed ANN top-3 (scale path, probes=2) —
+    exact oracle replays the same deterministic hyperplanes AND the
+    same probe set (base bucket + 2 smallest-margin bit flips)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return S.topk_cosine_lsh(e, q, "embedding", "vec_id", k=3).orderBy("qid", "rank")
+    return S.topk_cosine_lsh(e, q, "embedding", "vec_id", k=3, probes=2).orderBy("qid", "rank")
 
 
-def _oracle_sim_topk_lsh() -> str:
+def _oracle_sim_topk_lsh(probes: int = 2) -> str:
     planes = S.lsh_planes(64)
     plane_lits = ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in planes)
     return f"""
@@ -337,18 +338,36 @@ planes AS (
   SELECT UNNEST(range(0, {S.LSH_PLANES})) AS i,
          UNNEST([{plane_lits}]) AS plane
 ),
+dots AS (
+  SELECT v.vec_id, p.i, list_dot_product(v.vec, p.plane) AS d
+  FROM v CROSS JOIN planes p
+),
 sigs AS (
   SELECT v.vec_id, v.vec,
-         CAST(SUM(CASE WHEN list_dot_product(v.vec, p.plane) >= 0
-                       THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
-  FROM v CROSS JOIN planes p
-  GROUP BY v.vec_id, v.vec
+         (SELECT CAST(SUM(CASE WHEN d.d >= 0 THEN 1 << d.i ELSE 0 END) AS BIGINT)
+          FROM dots d WHERE d.vec_id = v.vec_id) AS bucket
+  FROM v
 ),
-q AS (SELECT * FROM sigs WHERE vec_id < 10),
+-- multi-probe flip bits: the {probes} planes with the smallest
+-- |dot| margin (rounded to 6 dp, plane-index tiebreak) — mirrors
+-- operators/similarity.py:_sig_norm_probes_udf exactly
+qflips AS (
+  SELECT vec_id, i,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(ABS(d), 6) ASC, i ASC) AS rn
+  FROM dots WHERE vec_id < 10
+),
+qprobes AS (
+  SELECT s.vec_id, s.vec, s.bucket AS probe FROM sigs s WHERE s.vec_id < 10
+  UNION ALL
+  SELECT s.vec_id, s.vec, CAST(xor(s.bucket, CAST(1 << f.i AS BIGINT)) AS BIGINT) AS probe
+  FROM sigs s JOIN qflips f USING (vec_id)
+  WHERE f.rn <= {probes} AND s.vec_id < 10
+),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          ROUND(list_cosine_similarity(c.vec, q.vec), 6) AS cosine
-  FROM sigs c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+  FROM sigs c JOIN qprobes q ON c.bucket = q.probe AND c.vec_id != q.vec_id
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
