@@ -395,6 +395,8 @@ def label_outliers(
     label_col: str,
     id_col: str,
     bottom_frac: float = 0.1,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Embedding-outlier detection: flag the ``bottom_frac`` of each
     label's members ranked by cosine similarity to their own label
@@ -404,10 +406,15 @@ def label_outliers(
     Scale shape: centroids are tiny (|labels| rows) and broadcast;
     cosine is the deterministic left-fold dot product over double-cast
     arrays (same expression as embedding_neardup_pairs, portable to
-    the SQL oracle); the per-label ranking is one shuffle on the label
-    key. Exact rank semantics (outlier ⇔ rank ≤ ceil(frac·n), vec_id
-    tiebreak); for corpus-sized labels swap the rank for an
-    approx-quantile cosine threshold, as with quality_prune.
+    the SQL oracle). ``exact=True`` (the oracle-able reference
+    semantics): per-label ranking, one shuffle on the label key,
+    outlier ⇔ rank ≤ ceil(frac·n) with vec_id tiebreak.
+    ``exact=False`` (the 100 TB path for corpus-sized labels): one
+    ``percentile_approx`` cosine threshold per label (partial-
+    aggregable sketch, no per-label global sort), broadcast back,
+    outlier ⇔ cos_centroid ≤ threshold — matches exact within the
+    sketch's rank error (≤ 1/``accuracy``) plus threshold ties, and
+    emits no rank/count columns because nothing is totally ordered.
 
     Zero-norm vectors (or an all-zero label centroid) get
     ``cos_centroid = 0.0`` instead of the NULL a raw division would
@@ -431,6 +438,13 @@ def label_outliers(
         F.round(_dot(F.col("vec"), F.col("centroid")) / (nv * nc), 6),
     ).otherwise(F.lit(0.0))
     scored = j.select("vec_id", "label", cos.alias("cos_centroid"))
+    if not exact:
+        thr = scored.groupBy("label").agg(
+            F.percentile_approx("cos_centroid", bottom_frac, accuracy).alias("c_thr")
+        )
+        return scored.join(F.broadcast(thr), "label").withColumn(
+            "outlier", F.col("cos_centroid") <= F.col("c_thr")
+        )
     w = Window.partitionBy("label").orderBy(F.col("cos_centroid").asc(), F.col("vec_id"))
     wl = Window.partitionBy("label")
     return (

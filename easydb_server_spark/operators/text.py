@@ -88,21 +88,31 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def quality_prune(
-    df: DataFrame, text_col: str, id_col: str, group_col: str, keep_frac: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    keep_frac: float = 0.5,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Quality-based corpus pruning: rank docs by the composite quality
     score within each group (language/domain) and keep the top
     ``keep_frac`` — the standard "prune the worst X% per language"
     curation step before pre-training.
 
-    Exact and deterministic: row_number over (quality DESC, doc_id)
-    with a per-group count, kept ⇔ rank ≤ ceil(frac·n). One shuffle on
-    the group key; both windows share it. With only a handful of huge
-    groups (few languages over a 100 TB corpus) the per-group sort is
-    the bottleneck — at that scale swap the rank for a per-group
-    approx-quantile threshold (same keep set within the sketch's ε,
-    no global sort); the rank form here is the exact, oracle-able
-    reference semantics.
+    ``exact=True`` (the oracle-able reference semantics): row_number
+    over (quality DESC, doc_id) with a per-group count, kept ⇔ rank ≤
+    ceil(frac·n). One shuffle on the group key; both windows share it.
+
+    ``exact=False`` (the 100 TB path): with only a handful of huge
+    groups (few languages over a whole corpus) the per-group sort is
+    the bottleneck, so instead compute one approx-quantile threshold
+    per group (``percentile_approx`` — a partial-aggregable sketch, no
+    global sort), broadcast the tiny (grp, threshold) frame back, and
+    keep ⇔ quality ≥ threshold. The keep set matches exact within the
+    sketch's rank error (≤ 1/``accuracy``) plus threshold ties; no
+    rank/count columns because nothing is ever totally ordered.
     """
     from pyspark.sql import Window
 
@@ -111,6 +121,13 @@ def quality_prune(
         F.col(group_col).alias("grp"),
         _quality_col(F.col(text_col)).alias("quality"),
     )
+    if not exact:
+        thr = base.groupBy("grp").agg(
+            F.percentile_approx("quality", 1.0 - keep_frac, accuracy).alias("q_thr")
+        )
+        return base.join(F.broadcast(thr), "grp").withColumn(
+            "kept", F.col("quality") >= F.col("q_thr")
+        )
     w = Window.partitionBy("grp").orderBy(F.col("quality").desc(), F.col("doc_id"))
     wg = Window.partitionBy("grp")
     return (

@@ -227,6 +227,31 @@ class TestSimilarity:
         assert r2 >= 0.75  # measured 0.85 (sf0.001) / 0.90 (sf0.01)
         assert r2 - r0 >= 0.2  # probing must buy real recall, not noise
 
+    def test_label_outliers_approx_matches_exact_within_sketch_error(self, spark, embeddings):
+        """The exact=False path (percentile_approx cosine threshold per
+        label, no per-label sort) must reproduce the exact outlier set
+        up to sketch rank error and threshold ties."""
+        from easydb_server_spark.operators.similarity import label_outliers
+
+        kw = dict(bottom_frac=0.1)
+        exact = {
+            r.vec_id
+            for r in label_outliers(embeddings, "embedding", "label", "vec_id", **kw).collect()
+            if r.outlier
+        }
+        approx_rows = label_outliers(
+            embeddings, "embedding", "label", "vec_id", exact=False, **kw
+        ).collect()
+        approx = {r.vec_id for r in approx_rows if r.outlier}
+        n = len(approx_rows)
+        sym = len(exact ^ approx)
+        assert sym <= max(2, 0.02 * n), f"{sym} of {n} vectors diverge between exact and approx"
+        thr = {r.label: r.c_thr for r in approx_rows}
+        cosv = {r.vec_id: (r.label, r.cos_centroid) for r in approx_rows}
+        for v in exact ^ approx:
+            label, c = cosv[v]
+            assert c == thr[label], f"vec {v} diverges away from the threshold"
+
     def test_label_outliers_zero_norm_vector_pins_to_zero(self, spark):
         """An all-zero embedding must score cos_centroid = 0.0 (defined
         value on both engines), never NULL — NULLs would sort last in
@@ -464,6 +489,29 @@ class TestCorpusShuffle:
             kept[r.grp][1] += 1
         for grp, (k, n) in kept.items():
             assert k == -(-3 * n // 10), grp  # ceil(0.3 * n)
+
+    def test_quality_prune_approx_matches_exact_within_sketch_error(self, spark):
+        """The exact=False path (percentile_approx threshold, no
+        per-group sort — the corpus-sized-group plan) must reproduce
+        the exact keep set up to sketch rank error and threshold ties:
+        at accuracy=10k on 500 docs the sketch is exact, so the only
+        legitimate divergence is ties at the threshold quality."""
+        from easydb_server_spark.operators.text import quality_prune
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        kw = dict(keep_frac=0.5)
+        exact = {r.doc_id for r in quality_prune(docs, "text", "doc_id", "lang", **kw).collect() if r.kept}
+        approx_rows = quality_prune(docs, "text", "doc_id", "lang", exact=False, **kw).collect()
+        approx = {r.doc_id for r in approx_rows if r.kept}
+        n = len(approx_rows)
+        sym = len(exact ^ approx)
+        assert sym <= max(2, 0.02 * n), f"{sym} of {n} docs diverge between exact and approx"
+        # only threshold-boundary docs may legitimately diverge
+        thr = {r.grp: r.q_thr for r in approx_rows}
+        qual = {r.doc_id: (r.grp, r.quality) for r in approx_rows}
+        for d in exact ^ approx:
+            grp, q = qual[d]
+            assert q == thr[grp], f"doc {d} diverges away from the threshold"
 
 
 class TestLabelCentroids:
