@@ -46,6 +46,9 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        # name the Spark jobs after the query so UI/event-log stages
+        # are attributable when diagnosing per-query variance
+        spark.sparkContext.setJobDescription(f"conformance:{name}")
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
