@@ -478,3 +478,83 @@ def ngram_topk(df: DataFrame, text_col: str, group_col: str, n: int = 2, k: int 
     counts = ex.groupBy("grp", "ngram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("ngram"))
     return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into
+    ``chunk_size``-token chunks that overlap by ``overlap`` tokens —
+    the standard pre-tokenization step that turns long documents into
+    context-window-sized training/retrieval units.
+
+    Chunk i covers whitespace tokens [i·stride, i·stride + chunk_size)
+    with stride = chunk_size − overlap; chunks start while their start
+    offset is inside the document, so every token lands in ≥1 chunk
+    and consecutive chunks share exactly ``overlap`` tokens (except a
+    shorter final chunk). Emits (doc_id, chunk_id, n_tokens, chunk).
+
+    Scale shape: pure column expressions — split/sequence/explode/
+    slice, all JVM-side, no shuffle at all; the explode fan-out is
+    tokens/stride per doc, linear in corpus token count. Downstream
+    grouping keys on (doc_id, chunk_id), which is unique.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # number of chunks − 1 = floor((max(n,1) − 1) / stride)
+    last = F.floor((F.greatest(n, F.lit(1)) - 1) / stride).cast("int")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("ws"),
+        F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("ws"), F.col("chunk_id") * stride + 1, chunk_size)
+    return base.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    seed: str = "v1",
+) -> DataFrame:
+    """Deterministic per-group sampling — the data-mixing step that
+    up/down-weights corpus slices (by language, source, quality band)
+    into a training mixture. Unlike ``df.sampleBy``, membership
+    depends only on (seed, id): stable across runs, engines, cluster
+    sizes and input order, and adding new rows never resamples old
+    ones (the property incremental 100 TB ingestion needs).
+
+    A row is kept iff u(id) < frac(group), where u is the first 15 hex
+    digits of md5(seed:id) scaled to [0, 1) — 60 uniform bits, the
+    same portable hash family as corpus_shuffle/hash_split. Pure
+    column expressions, no shuffle: the keep decision happens in the
+    scan's project, so at scale this is a free rider on the first
+    pass over the corpus.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / float(1 << 60)
+    )
+    frac = F.lit(float(default_frac))
+    for grp, f in sorted(fractions.items()):
+        frac = F.when(F.col(group_col) == grp, F.lit(float(f))).otherwise(frac)
+    return df.withColumn("u", F.round(u, 6)).withColumn("sampled", F.round(u, 6) < frac)

@@ -192,6 +192,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_decontaminate": (llmops.q_text_decontaminate, llmops.ORACLE_TEXT_DECONTAMINATE),
     "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),
+    # --- NEW r6 (zero driver evidence → head of the r7 window) ---
+    "text_chunks": (llmops.q_text_chunks, llmops.ORACLE_TEXT_CHUNKS),
+    "text_stratified_sample": (llmops.q_text_stratified_sample, llmops.ORACLE_TEXT_STRATIFIED_SAMPLE),
     # --- classic TPC-H workloads (driver-green r2-r4) ---
     "tpch_q3": (tpch.q_tpch_q3, tpch.ORACLE_TPCH_Q3),
     "tpch_q10": (tpch.q_tpch_q10, tpch.ORACLE_TPCH_Q10),

@@ -1189,3 +1189,55 @@ FROM v, UNNEST(generate_series(1, len(vec))) t(i)
 GROUP BY label, t.i
 ORDER BY label, pos
 """
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (64-token chunks, 16 overlap) —
+    documents → context-window-sized training/retrieval units."""
+    d = load(spark, sf_dir, "documents")
+    return T.chunk_documents(d, "text", "doc_id", chunk_size=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+# stride = chunk_size - overlap = 48; DuckDB list slice is 1-based
+# inclusive, so [s*48+1 : s*48+64] is exactly chunk s's 64 tokens
+ORACLE_TEXT_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         UNNEST(generate_series(0, CAST(FLOOR((GREATEST(len(ws), 1) - 1) / 48.0) AS INT)))
+           AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS n_tokens,
+       array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling: keep iff the
+    60-bit md5(seed:id) uniform falls below the language's fraction —
+    stable across runs/engines/order, never resamples old rows."""
+    d = load(spark, sf_dir, "documents")
+    return T.stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, default_frac=0.05
+    ).select("doc_id", "lang", "u", "sampled").orderBy("doc_id")
+
+
+ORACLE_TEXT_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ROUND((('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+               / 1152921504606846976.0, 6) AS u
+  FROM documents
+)
+SELECT doc_id, lang, u,
+       u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.1
+                     ELSE 0.05 END AS sampled
+FROM h
+ORDER BY doc_id
+"""

@@ -801,3 +801,63 @@ class TestRangeJoin:
         assert sorted(r["pid"] for r in got.where(F.col("iid") == 2).collect()) == [20, 21]
         assert got.count() == want.count()
         assert got.groupBy("pid", "iid").count().where(F.col("count") > 1).count() == 0
+
+
+class TestChunking:
+    def test_chunks_cover_all_tokens_with_exact_overlap(self, spark):
+        from easydb_server_spark.operators.text import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=2).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # stride 2 over 10 tokens → chunks start at 0,2,4,6,8
+        assert [r.chunk_id for r in rows] == [0, 1, 2, 3, 4]
+        chunks = [r.chunk.split(" ") for r in rows]
+        assert chunks[0] == ["w0", "w1", "w2", "w3"]
+        assert chunks[-1] == ["w8", "w9"]  # shorter final chunk
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[2:] == b[: len(a[2:])]  # consecutive chunks share the overlap
+        covered = {t for c in chunks for t in c}
+        assert covered == {f"w{i}" for i in range(10)}
+        assert all(r.n_tokens == len(r.chunk.split(" ")) for r in rows)
+
+    def test_single_short_doc_yields_one_chunk(self, spark):
+        from easydb_server_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "just three words")], "doc_id long, text string")
+        rows = chunk_documents(df, "text", "doc_id", chunk_size=64, overlap=16).collect()
+        assert len(rows) == 1 and rows[0].n_tokens == 3 and rows[0].chunk == "just three words"
+
+
+class TestStratifiedSample:
+    def test_sample_is_deterministic_and_seed_sensitive(self, spark):
+        from easydb_server_spark.operators.text import stratified_sample
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        fr = {"en": 0.5, "de": 0.25}
+        a = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", fr).collect() if r.sampled}
+        b = {
+            r.doc_id
+            for r in stratified_sample(docs.repartition(7), "doc_id", "lang", fr).collect()
+            if r.sampled
+        }
+        assert a == b  # partitioning/input order cannot change membership
+        c = {
+            r.doc_id
+            for r in stratified_sample(docs, "doc_id", "lang", fr, seed="v2").collect()
+            if r.sampled
+        }
+        assert a != c  # a new seed resamples
+
+    def test_sampled_iff_uniform_below_group_fraction(self, spark):
+        from easydb_server_spark.operators.text import stratified_sample
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        fr = {"en": 0.5, "de": 0.25, "fr": 0.1}
+        for r in stratified_sample(docs, "doc_id", "lang", fr, default_frac=0.05).collect():
+            frac = fr.get(r.lang, 0.05)
+            assert r.sampled == (r.u < frac), (r.doc_id, r.lang, r.u)
+            assert 0.0 <= r.u < 1.0
