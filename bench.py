@@ -52,6 +52,8 @@ HEADLINE = [
     "text_repetition",
     "text_quality_prune",
     "corpus_shuffle",
+    "text_chunks",
+    "text_stratified_sample",
     "emb_label_outliers",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)
