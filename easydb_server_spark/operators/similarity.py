@@ -273,6 +273,7 @@ def neardup_pairs_lsh(
     id_col: str,
     threshold: float = 0.9,
     dim: int = 64,
+    probes: int = 0,
 ) -> DataFrame:
     """LSH-bucketed embedding near-duplicate pairs — the scale path for
     ``dedup.embedding_neardup_pairs``'s brute-force baseline.
@@ -281,9 +282,18 @@ def neardup_pairs_lsh(
     then exact cosine verifies in-row. The all-pairs expansion is
     confined to same-bucket collisions; with 8 planes a true near-dup
     at cosine ≥ 0.9 collides with probability (1 - θ/π)^8 ≈ 0.76 per
-    band — recall dials up with multi-probe or fewer planes, the
-    standard LSH trade. The bucket id is the shuffle key: pair
-    generation distributes, nothing collects.
+    band. ``probes > 0`` dials recall up with multi-probe: the LEFT
+    side of the self-join additionally probes its ``probes``
+    smallest-margin single-bit-flip buckets (same margin ranking as
+    :func:`topk_cosine_lsh`), which recovers pairs whose signatures
+    differ in one low-margin bit. Probing is applied symmetrically
+    (either member reaching the other's bucket counts — a flip margin
+    is a property of each vector, so one-sided probing would silently
+    halve recall), and the resulting double-finds are collapsed by a
+    distinct on the normalized pair — a shuffle bounded by the
+    candidate count, which stays linear in ``probes``. The bucket id
+    remains the shuffle key: pair generation distributes, nothing
+    collects.
     """
     planes = lsh_planes(dim)
     sig_norm = _sig_norm_udf(planes)
@@ -291,8 +301,29 @@ def neardup_pairs_lsh(
     b = v.withColumn("sn", sig_norm("vec")).select(
         "vid", "vec", F.col("sn.bucket").alias("bucket"), F.col("sn.nrm").alias("nrm")
     )
-    x, y = b.alias("x"), b.alias("y")
+    y = b.alias("y")
     cos = _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm"))
+    if probes:
+        sig_norm_probes = _sig_norm_probes_udf(planes, probes)
+        x = (
+            v.withColumn("sn", sig_norm_probes("vec"))
+            .select(
+                "vid", "vec", F.col("sn.nrm").alias("nrm"), F.explode("sn.buckets").alias("bucket")
+            )
+            .alias("x")
+        )
+        return (
+            x.join(y, "bucket")
+            .where(F.col("x.vid") != F.col("y.vid"))
+            .select(
+                F.least(F.col("x.vid"), F.col("y.vid")).alias("id_a"),
+                F.greatest(F.col("x.vid"), F.col("y.vid")).alias("id_b"),
+                F.round(cos, 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+            .distinct()
+        )
+    x = b.alias("x")
     return (
         x.join(y, "bucket")
         .where(F.col("x.vid") < F.col("y.vid"))

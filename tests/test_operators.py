@@ -143,6 +143,36 @@ class TestSimilarity:
         assert {(i, i + 100000) for i in range(8)} <= found
         assert all(r.cosine >= 0.9 and r.id_a < r.id_b for r in rows)
 
+    def test_multiprobe_neardup_pairs_raise_recall_without_duplicates(self, spark, embeddings):
+        """Symmetric multi-probe on the pairs operator must recover
+        strictly more injected ε-perturbed near-dup pairs than
+        single-probe, report each pair exactly once, and remain a
+        superset of the single-probe result."""
+        from easydb_server_spark.operators.similarity import neardup_pairs_lsh
+
+        eps = 0.05
+        dup = embeddings.where(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + eps * F.sin(i.cast("double") + F.col("vec_id").cast("double")),
+            ).alias("embedding"),
+        )
+        corpus = embeddings.select("vec_id", "embedding").unionAll(dup)
+        truth = {(i, i + 100000) for i in range(40)}
+
+        def found(p):
+            rows = neardup_pairs_lsh(corpus, "embedding", "vec_id", threshold=0.9, probes=p).collect()
+            pairs = [(r.id_a, r.id_b) for r in rows]
+            assert len(pairs) == len(set(pairs)), "duplicate pair reported"
+            assert all(a < b for a, b in pairs)
+            return set(pairs)
+
+        f0, f2 = found(0), found(2)
+        assert f0 & truth < f2 & truth  # probing recovers strictly more true pairs
+        assert f0 <= f2  # probing only adds candidates
+
     def test_ivf_kmeans_recall_beats_first_n_centroids(self, spark, embeddings):
         """The seeded-sample + Lloyd-iteration centroids must recall at
         least as well as the old first-N-ids strategy, measured against
