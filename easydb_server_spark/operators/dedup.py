@@ -359,3 +359,51 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold:
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def source_overlap(
+    df: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix: for every pair of
+    corpus slices (crawl snapshots, vendors, dumps), how much content
+    they share verbatim — the contamination estimate that decides
+    whether a "new" source adds anything before it is ingested.
+
+    Per source pair (a < b): n_shared distinct content hashes present
+    in both, each side's distinct-hash count, and the Jaccard overlap
+    n_shared / (n_a + n_b − n_shared), rounded for portability.
+
+    Scale shape: documents reduce to DISTINCT (source, md5) pairs in
+    one map-side-combinable aggregate, so every later stage shuffles
+    32-byte digests, never text. The pair join is keyed on the hash —
+    a hash shared by s sources expands to s·(s−1)/2 pairs, bounded by
+    the (small) source count squared, not the corpus. Nothing
+    collects; output is |sources|² rows at most.
+    """
+    h = df.select(
+        F.col(source_col).alias("src"), F.md5(F.col(text_col)).alias("content_hash")
+    ).distinct()
+    sizes = h.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    x, y = h.alias("x"), h.alias("y")
+    shared = (
+        x.join(y, "content_hash")
+        .where(F.col("x.src") < F.col("y.src"))
+        .groupBy(F.col("x.src").alias("source_a"), F.col("y.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ).alias("overlap_jaccard"),
+        )
+    )

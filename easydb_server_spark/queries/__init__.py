@@ -195,6 +195,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- NEW r6 (zero driver evidence → head of the r7 window) ---
     "text_chunks": (llmops.q_text_chunks, llmops.ORACLE_TEXT_CHUNKS),
     "text_stratified_sample": (llmops.q_text_stratified_sample, llmops.ORACLE_TEXT_STRATIFIED_SAMPLE),
+    "dedup_source_overlap": (llmops.q_dedup_source_overlap, llmops.ORACLE_DEDUP_SOURCE_OVERLAP),
     # --- classic TPC-H workloads (driver-green r2-r4) ---
     "tpch_q3": (tpch.q_tpch_q3, tpch.ORACLE_TPCH_Q3),
     "tpch_q10": (tpch.q_tpch_q10, tpch.ORACLE_TPCH_Q10),

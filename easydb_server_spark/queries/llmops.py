@@ -1241,3 +1241,46 @@ SELECT doc_id, lang, u,
 FROM h
 ORDER BY doc_id
 """
+
+
+def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-dup overlap matrix over a corpus where the
+    first 80 docs are re-ingested under two synthetic snapshot
+    sources (40 shared between them) — the contamination check run
+    before admitting a 'new' source. Everything shuffles as 32-byte
+    digests; output is |sources|² at most."""
+    d = load(spark, sf_dir, "documents")
+    snap_a = d.where(F.col("doc_id") < 80).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text", F.lit("snap_a").alias("source")
+    )
+    snap_b = d.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 120)).select(
+        (F.col("doc_id") + 40000).alias("doc_id"), "text", F.lit("snap_b").alias("source")
+    )
+    corpus = d.select("doc_id", "text", "source").unionAll(snap_a).unionAll(snap_b)
+    return D.source_overlap(corpus, "text", "doc_id", "source").orderBy(
+        "source_a", "source_b"
+    )
+
+
+ORACLE_DEDUP_SOURCE_OVERLAP = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text, 'snap_a' FROM documents WHERE doc_id < 80
+  UNION ALL
+  SELECT doc_id + 40000, text, 'snap_b' FROM documents WHERE doc_id >= 40 AND doc_id < 120
+),
+h AS (SELECT DISTINCT source AS src, md5(text) AS content_hash FROM corpus),
+sizes AS (SELECT src, COUNT(*) AS n FROM h GROUP BY src),
+shared AS (
+  SELECT x.src AS source_a, y.src AS source_b, COUNT(*) AS n_shared
+  FROM h x JOIN h y ON x.content_hash = y.content_hash AND x.src < y.src
+  GROUP BY x.src, y.src
+)
+SELECT s.source_a, s.source_b, s.n_shared, a.n AS n_a, b.n AS n_b,
+       ROUND(CAST(s.n_shared AS DOUBLE) / (a.n + b.n - s.n_shared), 6) AS overlap_jaccard
+FROM shared s
+JOIN sizes a ON a.src = s.source_a
+JOIN sizes b ON b.src = s.source_b
+ORDER BY source_a, source_b
+"""

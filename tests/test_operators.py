@@ -891,3 +891,21 @@ class TestStratifiedSample:
             frac = fr.get(r.lang, 0.05)
             assert r.sampled == (r.u < frac), (r.doc_id, r.lang, r.u)
             assert 0.0 <= r.u < 1.0
+
+
+class TestSourceOverlap:
+    def test_overlap_matrix_counts_and_jaccard(self, spark):
+        from easydb_server_spark.operators.dedup import source_overlap
+
+        rows = [
+            (1, "alpha", "x"), (2, "beta", "x"), (3, "gamma", "x"),
+            (4, "alpha", "y"), (5, "beta", "y"), (6, "delta", "y"),
+            (7, "epsilon", "z"),
+            (8, "alpha", "x"),  # within-source dup: distinct hashes, not doc counts
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {(r.source_a, r.source_b): r for r in source_overlap(df, "text", "doc_id", "source").collect()}
+        assert set(out) == {("x", "y")}  # z shares nothing → no row
+        r = out[("x", "y")]
+        assert (r.n_shared, r.n_a, r.n_b) == (2, 3, 3)
+        assert r.overlap_jaccard == 0.5  # 2 / (3 + 3 - 2)
