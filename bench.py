@@ -54,6 +54,7 @@ HEADLINE = [
     "corpus_shuffle",
     "text_chunks",
     "text_stratified_sample",
+    "dedup_source_overlap",
     "emb_label_outliers",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)
