@@ -265,3 +265,59 @@ def test_having_matches_duckdb(engines, sql):
     ocols, orows = canon_frame(con.execute(sql).df())
     assert scols == ocols, sql
     assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
+
+
+@st.composite
+def chunk_params(draw):
+    chunk_size = draw(st.integers(2, 64))
+    overlap = draw(st.integers(0, chunk_size - 1))
+    return chunk_size, overlap
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(params=chunk_params())
+def test_chunking_matches_duckdb_for_any_geometry(engines_docs, params):
+    """chunk_documents vs a parameterized DuckDB replay across random
+    (chunk_size, overlap) geometries — the 1-based-inclusive list
+    slicing and the ceil-division chunk count are the two places a
+    fence-post error would hide."""
+    chunk_size, overlap = params
+    spark, con, docs = engines_docs
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.operators.text import chunk_documents
+
+    stride = chunk_size - overlap
+    sdf = (
+        chunk_documents(docs, "text", "doc_id", chunk_size=chunk_size, overlap=overlap)
+        .orderBy("doc_id", "chunk_id")
+        .toPandas()
+    )
+    sql = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs50),
+    c AS (
+      SELECT doc_id, ws,
+             UNNEST(generate_series(0, CAST(FLOOR((GREATEST(len(ws), 1) - 1) / {stride}.0) AS INT)))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(ws[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_size}]) AS INT) AS n_tokens,
+           array_to_string(ws[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_size}], ' ') AS chunk
+    FROM c ORDER BY doc_id, chunk_id
+    """
+    scols, srows = canon_frame(sdf)
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols, params
+    assert srows == orows, f"chunk_size={chunk_size} overlap={overlap}"
+
+
+@pytest.fixture(scope="module")
+def engines_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where("doc_id < 50").select(
+        "doc_id", "text"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs50 AS SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' WHERE doc_id < 50"
+    )
+    return spark, con, docs
