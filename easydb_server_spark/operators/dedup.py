@@ -379,10 +379,21 @@ def source_overlap(
     a hash shared by s sources expands to s·(s−1)/2 pairs, bounded by
     the (small) source count squared, not the corpus. Nothing
     collects; output is |sources|² rows at most.
+
+    The digest set feeds THREE consumers (per-source sizes + both
+    sides of the self-join); materialize it once with localCheckpoint
+    (same pattern as ivf_centroids) — without this the corpus text is
+    re-scanned and re-hashed for every consumer (12 scans in the
+    static plan of the conformance query, no exchange reuse), which
+    is the difference between one pass and four over 100 TB.
     """
-    h = df.select(
-        F.col(source_col).alias("src"), F.md5(F.col(text_col)).alias("content_hash")
-    ).distinct()
+    h = (
+        df.select(
+            F.col(source_col).alias("src"), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = h.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     x, y = h.alias("x"), h.alias("y")
     shared = (

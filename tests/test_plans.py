@@ -177,3 +177,14 @@ class TestPartitionPruning:
         p = plan_of(j)
         assert "dynamicpruning" in p.lower() or "PartitionFilters: [" in p
         assert j.count() == src.where(F.col("o_orderstatus") == "F").count()
+
+
+class TestSourceOverlapPlan:
+    def test_source_overlap_hashes_corpus_once(self, spark, queries):
+        """The distinct (source, digest) set feeds three consumers; it
+        must be checkpointed so the corpus text is scanned and hashed
+        exactly once — the un-checkpointed form re-scanned documents
+        12 times in this query's static plan."""
+        p = plan_of(queries["dedup_source_overlap"](spark, SF_DIR))
+        assert "documents.parquet" not in p  # all consumers read the checkpoint
+        assert "Scan ExistingRDD" in p or "LocalTableScan" in p or "Checkpoint" in p
