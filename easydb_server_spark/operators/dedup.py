@@ -361,6 +361,64 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold:
     )
 
 
+def digest_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus digest index: one row per distinct content hash —
+    (content_hash, first_id, n_copies). The persistent artifact that
+    makes dedup *incremental*: built once per corpus in a single
+    map-side-combinable hash-agg (32-byte digests shuffle, never
+    text), then kept as a bucketed table (:func:`write_digest_index`)
+    that each new ingest batch anti-joins against
+    (:func:`incremental_dedup`) without rescanning the corpus.
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("first_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def write_digest_index(index_df: DataFrame, table: str, n_buckets: int = 16) -> None:
+    """Persist a digest index bucketed+sorted on content_hash.
+
+    Bucketing is the 100 TB ingest shape (same trade measured by
+    tools/bucketize.py): one shuffle when the index lands buys every
+    subsequent batch-vs-corpus anti-join an exchange-free probe side —
+    only the (small) new batch shuffles; the index is read co-located
+    and pre-sorted, and the corpus text is never touched again.
+    """
+    (
+        index_df.write.bucketBy(n_buckets, "content_hash")
+        .sortBy("content_hash")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame, text_col: str, id_col: str, index_df: DataFrame
+) -> DataFrame:
+    """Rows of ``new_batch`` genuinely new to the corpus: dedup the
+    batch against itself (keep the smallest id per hash), then
+    anti-join against the corpus digest index. Returns
+    (doc_id, content_hash) — the admit list for the batch.
+
+    Scale shape: the only full-corpus work happened once, when the
+    index was built. Per batch: one hash-agg over the batch (small)
+    and one anti-join whose corpus side is the digest table — reading
+    it bucketed on content_hash means the probe needs NO exchange on
+    the index side (tests/test_incremental_dedup.py locks the plan:
+    the corpus parquet never appears in the scan list, and with
+    broadcast disabled only the batch side shuffles).
+    """
+    b = new_batch.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    batch_first = b.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return batch_first.join(
+        index_df.select("content_hash"), "content_hash", "left_anti"
+    ).select("doc_id", "content_hash")
+
+
 def source_overlap(
     df: DataFrame, text_col: str, id_col: str, source_col: str
 ) -> DataFrame:
@@ -386,6 +444,18 @@ def source_overlap(
     re-scanned and re-hashed for every consumer (12 scans in the
     static plan of the conformance query, no exchange reuse), which
     is the difference between one pass and four over 100 TB.
+
+    Caveats of ``localCheckpoint(eager=True)`` (deliberate trade):
+    merely *constructing* this DataFrame runs the corpus scan+hash
+    job, and the checkpointed digests live on executor local disks —
+    non-fault-tolerant (an executor loss makes them unrecoverable and
+    the job must restart) and incompatible with dynamic
+    executor deallocation. For one-shot analysis that is the right
+    price for a single corpus pass. The durable form of the same idea
+    is :func:`digest_index` + :func:`write_digest_index`: persist the
+    digest set as a bucketed table once at ingest and every later
+    overlap/dedup run — including :func:`incremental_dedup` — reads
+    digests without ever rescanning corpus text.
     """
     h = (
         df.select(

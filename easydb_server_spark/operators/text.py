@@ -493,10 +493,13 @@ def chunk_documents(
     context-window-sized training/retrieval units.
 
     Chunk i covers whitespace tokens [i·stride, i·stride + chunk_size)
-    with stride = chunk_size − overlap; chunks start while their start
-    offset is inside the document, so every token lands in ≥1 chunk
-    and consecutive chunks share exactly ``overlap`` tokens (except a
-    shorter final chunk). Emits (doc_id, chunk_id, n_tokens, chunk).
+    with stride = chunk_size − overlap; the last chunk is the FIRST
+    one whose window reaches the document end (chunk count =
+    max(0, ceil((n − chunk_size)/stride)) + 1), so every token lands
+    in ≥1 chunk, consecutive chunks share exactly ``overlap`` tokens,
+    and no chunk is a subset of its predecessor (a trailing
+    start-inside-the-doc chunk would duplicate training/retrieval
+    units). Emits (doc_id, chunk_id, n_tokens, chunk).
 
     Scale shape: pure column expressions — split/sequence/explode/
     slice, all JVM-side, no shuffle at all; the explode fan-out is
@@ -508,8 +511,9 @@ def chunk_documents(
     stride = chunk_size - overlap
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
-    # number of chunks − 1 = floor((max(n,1) − 1) / stride)
-    last = F.floor((F.greatest(n, F.lit(1)) - 1) / stride).cast("int")
+    # number of chunks − 1 = max(0, ceil((n − chunk_size) / stride)):
+    # the last chunk is the first whose window reaches the doc end
+    last = F.greatest(F.ceil((n - F.lit(chunk_size)) / F.lit(stride)), F.lit(0)).cast("int")
     base = df.select(
         F.col(id_col).alias("doc_id"),
         words.alias("ws"),

@@ -1201,12 +1201,13 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # stride = chunk_size - overlap = 48; DuckDB list slice is 1-based
-# inclusive, so [s*48+1 : s*48+64] is exactly chunk s's 64 tokens
+# inclusive, so [s*48+1 : s*48+64] is exactly chunk s's 64 tokens.
+# Last chunk = first one reaching the doc end: max(0, ceil((n-64)/48))
 ORACLE_TEXT_CHUNKS = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 c AS (
   SELECT doc_id, ws,
-         UNNEST(generate_series(0, CAST(FLOOR((GREATEST(len(ws), 1) - 1) / 48.0) AS INT)))
+         UNNEST(generate_series(0, CAST(GREATEST(CEIL((len(ws) - 64) / 48.0), 0) AS INT)))
            AS chunk_id
   FROM t
 )
@@ -1283,4 +1284,80 @@ FROM shared s
 JOIN sizes a ON a.src = s.source_a
 JOIN sizes b ON b.src = s.source_b
 ORDER BY source_a, source_b
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs < 400 are the already-ingested
+    corpus (digest index), docs >= 400 — plus 30 re-crawls of existing
+    content — are the new batch. The admit list is the batch deduped
+    against itself then anti-joined against the index; only digests
+    ever shuffle, and at scale the index side is a bucketed table so
+    the corpus text is read zero times per batch."""
+    d = load(spark, sf_dir, "documents")
+    idx = D.digest_index(d.where(F.col("doc_id") < 400), "text", "doc_id")
+    recrawl = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    batch = d.where(F.col("doc_id") >= 400).select("doc_id", "text").unionAll(recrawl)
+    return D.incremental_dedup(batch, "text", "doc_id", idx).orderBy("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH idx AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 400
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 30000, text FROM documents WHERE doc_id < 30
+),
+batch_first AS (
+  SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+  FROM batch GROUP BY md5(text)
+)
+SELECT b.doc_id, b.content_hash
+FROM batch_first b
+WHERE b.content_hash NOT IN (SELECT content_hash FROM idx)
+ORDER BY doc_id
+"""
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — dedup at training-unit granularity,
+    the composition RefinedWeb/FineWeb-style pipelines actually run:
+    chunk_documents (64-token windows, 16 overlap) → exact_dedup over
+    the chunk text. Boilerplate that repeats across documents (but
+    never makes whole docs identical) collapses here. Both stages are
+    the already-verified operators; the shuffle still carries 32-byte
+    digests keyed by a synthetic bigint unit id."""
+    d = load(spark, sf_dir, "documents")
+    chunks = T.chunk_documents(d, "text", "doc_id", chunk_size=64, overlap=16)
+    keyed = chunks.select(
+        (F.col("doc_id") * F.lit(100000) + F.col("chunk_id")).alias("unit_id"), "chunk"
+    )
+    return D.exact_dedup(keyed, "chunk", "unit_id").orderBy("content_hash")
+
+
+# chunk expansion mirrors ORACLE_TEXT_CHUNKS (stride 48, cap at the
+# first chunk reaching the doc end); unit_id = doc_id*100000 + chunk_id
+ORACLE_CHUNK_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         UNNEST(generate_series(0, CAST(GREATEST(CEIL((len(ws) - 64) / 48.0), 0) AS INT)))
+           AS chunk_id
+  FROM t
+),
+units AS (
+  SELECT doc_id * 100000 + chunk_id AS unit_id,
+         array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk
+  FROM c
+)
+SELECT md5(chunk) AS content_hash,
+       MIN(unit_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM units
+GROUP BY md5(chunk)
+ORDER BY content_hash
 """

@@ -296,7 +296,7 @@ def test_chunking_matches_duckdb_for_any_geometry(engines_docs, params):
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs50),
     c AS (
       SELECT doc_id, ws,
-             UNNEST(generate_series(0, CAST(FLOOR((GREATEST(len(ws), 1) - 1) / {stride}.0) AS INT)))
+             UNNEST(generate_series(0, CAST(GREATEST(CEIL((len(ws) - {chunk_size}) / {stride}.0), 0) AS INT)))
                AS chunk_id
       FROM t
     )

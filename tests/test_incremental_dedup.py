@@ -1,0 +1,97 @@
+"""Incremental ingest dedup against a persistent bucketed digest index
+(operators/dedup.py: digest_index / write_digest_index /
+incremental_dedup).
+
+The 100 TB ingest claim being locked: once the corpus's digest index
+is written (bucketed on content_hash), deduping a NEW batch touches
+the corpus text zero times — the plan scans only the digest table and
+the batch, the index side of the anti-join needs no Exchange, and the
+index scan reads only the content_hash column.
+"""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from easydb_server_spark.operators.dedup import (
+    digest_index,
+    incremental_dedup,
+    write_digest_index,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def digest_table(spark):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS corpus_digests")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    shutil.rmtree(f"{wh}/corpus_digests", ignore_errors=True)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    write_digest_index(digest_index(docs, "text", "doc_id"), "corpus_digests", n_buckets=8)
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS corpus_digests")
+
+
+def test_incremental_dedup_admits_only_new_content(digest_table):
+    spark = digest_table
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # batch = 20 re-crawled docs (already in the corpus, new ids) + 2
+    # genuinely new docs + an in-batch duplicate of one of them
+    recrawl = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text"
+    )
+    fresh = spark.createDataFrame(
+        [(99001, "colonel mustard in the library"), (99002, "with the candlestick"),
+         (99003, "colonel mustard in the library")],
+        "doc_id long, text string",
+    )
+    batch = recrawl.unionAll(fresh)
+    admitted = incremental_dedup(batch, "text", "doc_id", spark.table("corpus_digests"))
+    rows = {r.doc_id for r in admitted.collect()}
+    # re-crawls rejected; the two new texts admitted once each, keeping
+    # the smallest in-batch id
+    assert rows == {99001, 99002}
+
+
+def test_incremental_dedup_never_rescans_the_corpus(digest_table):
+    spark = digest_table
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # partitions must match the bucket count or the planner abandons
+    # the bucketed scan (autoBucketedScan) and shuffles both sides —
+    # on a real cluster the index bucket count is sized to the job
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        batch = spark.createDataFrame(
+            [(1, "a brand new document")], "doc_id long, text string"
+        )
+        out = incremental_dedup(batch, "text", "doc_id", spark.table("corpus_digests"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # the corpus parquet never appears: the only scans are the
+        # digest table and the in-memory batch
+        assert "documents.parquet" not in plan
+        assert "corpus_digests" in plan
+        # index side is read bucketed → no Exchange feeds it; the one
+        # Exchange in the plan belongs to the (small) batch side
+        assert "Bucketed: true" in plan
+        # exactly one Exchange node (details header "(n) Exchange"):
+        # the batch-side aggregate; the index side reads co-located
+        assert plan.count(") Exchange") == 1
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        # column pruning: the index scan reads only content_hash
+        scan = plan[plan.index("corpus_digests") :]
+        read_schema = scan[scan.index("ReadSchema") : scan.index("ReadSchema") + 200]
+        assert "content_hash" in read_schema
+        assert "first_id" not in read_schema and "n_copies" not in read_schema
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -843,11 +843,12 @@ class TestChunking:
             chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=2).collect(),
             key=lambda r: r.chunk_id,
         )
-        # stride 2 over 10 tokens → chunks start at 0,2,4,6,8
-        assert [r.chunk_id for r in rows] == [0, 1, 2, 3, 4]
+        # stride 2 over 10 tokens → starts 0,2,4,6; chunk [6,10) is the
+        # first to reach the end, so no trailing subset chunk at 8
+        assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
         chunks = [r.chunk.split(" ") for r in rows]
         assert chunks[0] == ["w0", "w1", "w2", "w3"]
-        assert chunks[-1] == ["w8", "w9"]  # shorter final chunk
+        assert chunks[-1] == ["w6", "w7", "w8", "w9"]  # reaches the end exactly
         for a, b in zip(chunks, chunks[1:]):
             assert a[2:] == b[: len(a[2:])]  # consecutive chunks share the overlap
         covered = {t for c in chunks for t in c}
