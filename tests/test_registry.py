@@ -3,15 +3,15 @@ a ~50-entry prefix of REGISTRY, so its composition is load-bearing —
 an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
-Round-6 window (changed-code-first, then least-driver-evidence):
-the three windowed streaming queries rewritten to append output mode
-with watermark-closed oracles, the three operators touched this round
-(emb_label_outliers, sim_topk_lsh, text_quality_prune), then the
-cohort last driver-seen in round 2 — edge_* (7), the non-flagship
-join_* (8), the oracled agg_* (13) — and the r2-evidence
-multimodal/dedup/text entries closing the window at 50. Rows-only
-entries stay out of the window (they burn a slot on `no_oracle`).
-Everything driver-green in r4-r5 follows the marker.
+Round-7 window (new/changed-code-first, then least-driver-evidence):
+the two new r7 entries (dedup_incremental, chunk_dedup) and
+text_chunks (trailing-subset fix), the two remaining never-driver-seen
+r6 entries, the r1-evidence cohort (fn_array/fn_hash/fn_struct_map/
+fn_datetime_convert + seven ts_*), the r2-evidence
+dedup_simhash/text_hash_split, and the oldest r4 entries filling to
+50 (closing at tpch_q5). Rows-only entries stay out of the window
+(they burn a slot on `no_oracle`). Everything driver-green in r4-r6
+follows the marker.
 """
 
 PRIORITY_WINDOW = 50
@@ -21,37 +21,41 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "text_pack", (
-        "the driver-verified priority window must close at text_pack "
+    assert names[PRIORITY_WINDOW - 1] == "tpch_q5", (
+        "the driver-verified priority window must close at tpch_q5 "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
     )
 
 
-def test_window_holds_the_r6_rotation():
+def test_window_holds_the_r7_rotation():
     from easydb_server_spark.queries import REGISTRY
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # code changed this round leads the window
-    assert window[:6] == [
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "emb_label_outliers",
-        "sim_topk_lsh",
-        "text_quality_prune",
+    # new/changed r7 code + never-driver-seen r6 entries lead the window
+    assert window[:5] == [
+        "dedup_incremental",
+        "chunk_dedup",
+        "text_chunks",
+        "text_stratified_sample",
+        "dedup_source_overlap",
     ]
-    # the backfill is the r2-evidence cohort
-    for prefix, want in (
-        ("edge_", 7),
-        ("join_", 8),
-        ("agg_", 13),
-        ("multimodal_", 3),
-        ("dedup_", 3),
-        ("text_", 10),
-    ):
-        assert sum(1 for n in window if n.startswith(prefix)) == want, prefix
+    # the r1-evidence cohort follows
+    assert window[5:16] == [
+        "fn_array",
+        "fn_hash",
+        "fn_struct_map",
+        "fn_datetime_convert",
+        "ts_tumbling",
+        "ts_sliding",
+        "ts_session_window",
+        "ts_date_bin",
+        "ts_gap_detection",
+        "ts_asof_join",
+        "ts_range_join",
+    ]
+    assert window[16:18] == ["dedup_simhash", "text_hash_split"]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
@@ -73,6 +77,45 @@ def test_full_tpch_coverage():
     have = {n for n in REGISTRY if n.startswith("tpch_q")}
     assert have == {f"tpch_q{i}" for i in range(1, 23)}
     assert have <= set(oracle_queries())
+
+
+def test_never_driver_seen_entries_match_their_oracles(spark):
+    """Between-rounds conformance for entries the driver has never
+    verified (no row in any CORRECTNESS_r*.json): run the Spark query
+    and its DuckDB oracle at sf0.001 and compare canonicalized frames.
+    Catches an oracle regression in a brand-new entry immediately,
+    instead of one round later when the rotated window reaches it.
+    Shrinks to a no-op as driver evidence accumulates."""
+    import glob
+    import json
+    import os
+
+    import duckdb
+    import pytest
+
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.queries import REGISTRY
+    from easydb_server_spark.queries._util import TABLES
+    from tests.conftest import REPO, SF_DIR
+
+    seen = set()
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            seen |= set(json.load(fh))
+    fresh = [
+        (name, fn, oracle)
+        for name, (fn, oracle) in REGISTRY.items()
+        if name not in seen and oracle is not None
+    ]
+    if not fresh:
+        pytest.skip("every oracled entry has driver evidence")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for name, fn, oracle in fresh:
+        got = canon_frame(fn(spark, SF_DIR).toPandas())
+        want = canon_frame(con.execute(oracle).df())
+        assert got == want, f"{name}: spark result diverges from its DuckDB oracle"
 
 
 def test_registry_results_have_scalar_columns_only(spark):

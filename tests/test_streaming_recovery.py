@@ -203,6 +203,139 @@ def test_stream_stream_join_matches_batch_join(spark, tmp_path):
     assert len(want) > 0
 
 
+def test_funnel_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState funnel: the per-user state store lives in
+    the checkpoint, so a kill/restart between micro-batches must
+    preserve every funnel state variant — a HALF-OPEN funnel (signup +
+    click before the restart) completes on a purchase after it; a
+    COMPLETED funnel's early reset persists (click + purchase after
+    the restart do NOT re-complete without a fresh signup); and the
+    timeout still applies to pre-restart signups (late purchase is
+    silently dropped). This is the only stateful operator whose
+    recovery was previously untested."""
+    import json as _json
+
+    from easydb_server_spark.operators.stateful import funnel_detection_stream
+    from easydb_server_spark.streaming import stream_events_ndjson
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(i, user, etype, ts):
+        return _json.dumps(
+            {"event_id": i, "ts": ts, "user_id": user, "event_type": etype,
+             "value": 1.0, "props": "{}"}
+        )
+
+    def run_once():
+        q = (
+            funnel_detection_stream(stream_events_ndjson(spark, str(src_dir)), timeout_s=3600.0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: user 1 half-open (signup+click); user 2 completes and
+    # resets; user 3 half-open but will expire before its purchase
+    (src_dir / "b1.json").write_text(
+        "\n".join(
+            [
+                ev(1, 1, "signup", "2024-01-01T00:01:00"),
+                ev(2, 1, "click", "2024-01-01T00:02:00"),
+                ev(3, 2, "signup", "2024-01-01T00:01:00"),
+                ev(4, 2, "click", "2024-01-01T00:02:00"),
+                ev(5, 2, "purchase", "2024-01-01T00:03:00"),
+                ev(6, 3, "signup", "2024-01-01T00:01:00"),
+                ev(7, 3, "click", "2024-01-01T00:02:00"),
+            ]
+        )
+    )
+    run_once()
+    first = {(r.user_id, r.purchase_ts.isoformat()) for r in spark.read.parquet(out_dir).collect()}
+    assert first == {(2, "2024-01-01T00:03:00")}
+
+    # RESTART from the checkpoint. user 1's purchase completes the
+    # pre-restart funnel; user 2's click+purchase find reset state (no
+    # second completion); user 3's purchase is past the 1h timeout
+    (src_dir / "b2.json").write_text(
+        "\n".join(
+            [
+                ev(8, 1, "purchase", "2024-01-01T00:10:00"),
+                ev(9, 2, "click", "2024-01-01T00:10:00"),
+                ev(10, 2, "purchase", "2024-01-01T00:11:00"),
+                ev(11, 3, "purchase", "2024-01-01T02:30:00"),
+            ]
+        )
+    )
+    run_once()
+    final = {
+        (r.user_id, r.signup_ts.isoformat(), r.purchase_ts.isoformat())
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert final == {
+        (2, "2024-01-01T00:01:00", "2024-01-01T00:03:00"),
+        (1, "2024-01-01T00:01:00", "2024-01-01T00:10:00"),
+    }
+
+
+def test_append_window_emits_when_end_equals_watermark_exactly(spark, tmp_path):
+    """Boundary lock for the append-mode oracles' comparator: with
+    watermark = max(ts) − delay, a window whose end lands EXACTLY on
+    the watermark is EMITTED (Spark flushes window_end <= watermark,
+    not <). The sf fixtures never hit this boundary, so the streamq
+    oracles' ``<=`` was empirically untested until now; if a Spark
+    upgrade flipped the comparator this is the test that fails, and
+    the oracles must flip with it."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.streaming import stream_events_ndjson
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    # 1h tumbling windows, 2h delay. Events in [00:00, 01:00) and
+    # [01:00, 02:00); max ts = 03:00:00.000 exactly → watermark =
+    # 01:00:00.000 == end of the first window (ms truncation is a
+    # no-op on a whole second, isolating the comparator).
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:40:00", "user_id": 2,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:20:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T03:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    (src_dir / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    agg = (
+        stream_events_ndjson(spark, str(src_dir))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.window_start, r.n) for r in spark.sql("SELECT * FROM wm_boundary").collect()}
+    # the window ending exactly ON the watermark emitted; the one
+    # ending one hour past it (and the open 03:00 window) did not
+    assert got == {("2024-01-01 00:00:00", 2)}
+
+
 def test_append_windows_emit_exactly_the_watermark_closed_set(spark):
     """The three windowed conformance streams run in APPEND mode: the
     final no-data micro-batch must emit exactly the windows whose end
