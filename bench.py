@@ -92,19 +92,54 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
 
+    # the driver fixtures are single-row-group parquet, which caps any
+    # scan at ONE task (Spark assigns row groups, not byte ranges —
+    # SCALE.md "Bench-floor note"); rewrite them once into a repo-local
+    # ~16-row-group layout (same rows/schema/codec — the shape every
+    # real table has) so the bench measures the engine, not the fixture
+    # geometry. Falls back to the original layout if the rewrite fails.
+    source_dir, layout = sf_dir, "single-row-group (driver fixture, as-given)"
+    try:
+        from tools.relayout import ensure_relayout
+
+        sf_dir = ensure_relayout(sf_dir)
+        layout = f"multi-row-group relayout of {source_dir} (tools/relayout.py)"
+    except Exception:
+        pass
+
     from easydb_server_spark import get_spark
     from easydb_server_spark.queries import spark_queries
 
     spark = get_spark("easydb-bench")
     qs = spark_queries()
 
-    # warm-up: JVM/codegen/file-listing paths
+    # warm-up: JVM/codegen/file-listing paths, plus the Python worker
+    # pool — the first pandas_udf query otherwise pays ~6.6 s of
+    # one-time worker/Arrow startup (tools/attribute_variance.py:
+    # sim_topk_lsh cold first run 9.1 s vs 1.0 s thereafter; with this
+    # warm-up 2.5 s), which BENCH_r06 recorded as a 2.2 s spread
     _drain(qs["core_distinct"](spark, sf_dir))
+    import pandas as _pd  # noqa: F401
+    from pyspark.sql.functions import col as _col, pandas_udf as _pandas_udf
+
+    @_pandas_udf("double")
+    def _noop_udf(s):
+        return s
+
+    spark.range(64).select(_noop_udf(_col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # one untimed warm pass per query: whole-stage codegen compile,
+        # broadcast build, scan listing, and (for UDF queries) the
+        # workers' numpy import are one-time costs — without this the
+        # first timed run records them as spread (BENCH_r06's
+        # sim_topk_lsh: 2.2 s spread on a 0.8 s median; see SCALE.md
+        # "Python-worker warmup variance")
+        spark.sparkContext.setJobDescription(f"bench-warm:{name}")
+        _drain(fn(spark, sf_dir))
         spark.sparkContext.setJobDescription(f"bench:{name}")
         samples = []
         for _ in range(RUNS):
@@ -116,7 +151,7 @@ def main() -> None:
     spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = source_dir.rstrip("/").rsplit("sf", 1)[-1].removesuffix("-mrg")
     print(
         json.dumps(
             {
@@ -126,6 +161,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "layout": layout,
             }
         )
     )
