@@ -55,6 +55,10 @@ HEADLINE = [
     "text_chunks",
     "text_stratified_sample",
     "dedup_source_overlap",
+    "dedup_incremental",
+    "chunk_dedup",
+    "curate_source_cap",
+    "text_unigram_logprob",
     "emb_label_outliers",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)

@@ -562,3 +562,82 @@ def stratified_sample(
     for grp, f in sorted(fractions.items()):
         frac = F.when(F.col(group_col) == grp, F.lit(float(f))).otherwise(frac)
     return df.withColumn("u", F.round(u, 6)).withColumn("sampled", F.round(u, 6) < frac)
+
+
+def source_cap(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    cap: int,
+    seed: str = "cap1",
+) -> DataFrame:
+    """Per-source document cap — the RefinedWeb/CCNet "domain
+    balancing" step: keep at most ``cap`` documents per source so a
+    single mega-domain cannot dominate the training mixture. Which
+    documents survive is decided by ranking on md5(seed:id) — a
+    deterministic uniform draw, so the kept set is stable across
+    runs, engines and input order (and an engine-independent oracle
+    can replay it exactly).
+
+    Scale shape: one shuffle on ``source_col`` plus a per-source sort
+    for ``row_number``. The sort cost is bounded by the largest
+    source's row count; for a pathological mega-domain the two-phase
+    variant (percentile_approx on the rank key → broadcast a
+    per-source keep-threshold, as in ``quality_prune``'s approx path)
+    removes the full sort — documented trade, exact path kept here
+    because the cap semantics ("exactly cap survivors") are what
+    pipelines assert on.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return df.withColumn("cap_rank", F.row_number().over(w)).where(F.col("cap_rank") <= cap)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 200,
+) -> DataFrame:
+    """CCNet-style unigram language-model quality signal: score each
+    document by the mean log10 probability of its words under the
+    corpus's own add-one-smoothed unigram distribution over the
+    top-``vocab_size`` vocabulary (OOV words fall to the smoothing
+    floor ``1/(N+V+1)``). Low scores flag gibberish / boilerplate /
+    wrong-language text; CCNet buckets the corpus into head/middle/
+    tail on exactly this kind of statistic.
+
+    Scale shape: the vocab is explode → map-side-combined groupBy →
+    ``TakeOrderedAndProject`` (top-V, ties broken by term so the set
+    is engine-independent); the two corpus scalars (total word count,
+    vocab size) ride a 1-row broadcast cross-join; scoring joins the
+    exploded words against the V-row vocab via broadcast-hash, and
+    the per-doc aggregation's shuffle carries one partial row per
+    (doc, partition) — the corpus text itself is scanned once and
+    never shuffled.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " +")).alias("term"),
+    ).where(F.col("term") != "")
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term"))
+        .limit(vocab_size)
+    )
+    totals = terms.agg(F.count("*").alias("n_words_corpus")).crossJoin(
+        F.broadcast(vocab.agg(F.count("*").alias("v")))
+    )
+    lp = F.log10(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_words_corpus") + F.col("v") + F.lit(1))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.round(F.avg(lp), 5).alias("mean_logprob"))
+    )

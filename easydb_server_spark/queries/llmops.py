@@ -1361,3 +1361,71 @@ FROM units
 GROUP BY md5(chunk)
 ORDER BY content_hash
 """
+
+
+def q_curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap every source at 60 documents, survivors
+    chosen by deterministic md5 rank so the oracle replays the exact
+    kept set. Summarised per source (n kept + rank-1 doc) so the
+    result is a compact, order-stable matrix."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    capped = T.source_cap(d, "doc_id", "source", cap=60)
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min(F.when(F.col("cap_rank") == 1, F.col("doc_id"))).alias("rank1_doc"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CURATE_SOURCE_CAP = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS cap_rank
+  FROM documents
+),
+kept AS (SELECT * FROM ranked WHERE cap_rank <= 60)
+SELECT source, COUNT(*) AS n_kept,
+       MIN(CASE WHEN cap_rank = 1 THEN doc_id END) AS rank1_doc,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM scoring of every document against the
+    corpus's own top-200 add-one-smoothed unigram distribution."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.unigram_logprob(d, "text", "doc_id", vocab_size=200).orderBy("doc_id")
+
+
+ORACLE_TEXT_UNIGRAM_LOGPROB = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(text, ' +')) t(term)
+  WHERE t.term != ''
+),
+vocab AS (
+  SELECT term, COUNT(*) AS c FROM terms GROUP BY term
+  ORDER BY c DESC, term LIMIT 200
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM terms) AS n_words_corpus,
+         (SELECT COUNT(*) FROM vocab) AS v
+)
+SELECT t.doc_id, COUNT(*) AS n_words,
+       ROUND(AVG(LOG10(CAST(COALESCE(vc.c, 0) + 1 AS DOUBLE)
+                       / (tot.n_words_corpus + tot.v + 1))), 5) AS mean_logprob
+FROM terms t
+LEFT JOIN vocab vc USING (term)
+CROSS JOIN tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""

@@ -910,3 +910,51 @@ class TestSourceOverlap:
         r = out[("x", "y")]
         assert (r.n_shared, r.n_a, r.n_b) == (2, 3, 3)
         assert r.overlap_jaccard == 0.5  # 2 / (3 + 3 - 2)
+
+
+class TestSourceCap:
+    def test_cap_is_respected_and_deterministic(self, spark, docs):
+        from easydb_server_spark.operators.text import source_cap
+
+        d = docs.select("doc_id", "source")
+        out = source_cap(d, "doc_id", "source", cap=10)
+        per_src = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        sizes = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        for src, n in per_src.items():
+            assert n == min(10, sizes[src])
+        # deterministic: same kept set on re-run and under reversed input order
+        kept1 = {r.doc_id for r in out.collect()}
+        kept2 = {r.doc_id for r in source_cap(d.orderBy(F.col("doc_id").desc()), "doc_id", "source", cap=10).collect()}
+        assert kept1 == kept2
+
+    def test_small_sources_pass_through_whole(self, spark):
+        from easydb_server_spark.operators.text import source_cap
+
+        d = spark.createDataFrame([(i, "only") for i in range(4)], "doc_id long, source string")
+        assert source_cap(d, "doc_id", "source", cap=10).count() == 4
+
+
+class TestUnigramLogprob:
+    def test_common_words_score_higher_than_rare(self, spark):
+        from easydb_server_spark.operators.text import unigram_logprob
+
+        rows = [(i, "the cat sat on the mat") for i in range(20)]
+        rows.append((100, "zyxw qvut plonk"))  # gibberish → OOV floor
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.mean_logprob for r in unigram_logprob(d, "text", "doc_id").collect()}
+        assert out[100] < out[0]  # gibberish scores strictly below common text
+
+    def test_oov_hits_smoothing_floor_exactly(self, spark):
+        import math
+
+        from easydb_server_spark.operators.text import unigram_logprob
+
+        # corpus: 4 words total, vocab {a, b}; OOV prob = 1/(4+2+1)
+        d = spark.createDataFrame(
+            [(1, "a a b b"), (2, "zz zz")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.mean_logprob for r in unigram_logprob(d, "text", "doc_id", vocab_size=2).collect()}
+        # counts: a=2, b=2, zz=2 — top-2 by (count desc, term asc) is
+        # {a, b}, so doc 2 is all-OOV: p = 1/(N + V + 1) = 1/9
+        floor = math.log10(1.0 / (6 + 2 + 1))
+        assert out[2] == round(floor, 5)
