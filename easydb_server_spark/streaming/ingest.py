@@ -1,0 +1,115 @@
+"""Continuous-ingest dedup: a document stream exact-deduped against
+the persistent corpus digest index, micro-batch by micro-batch.
+
+This is the streaming form of
+:func:`easydb_server_spark.operators.dedup.incremental_dedup` — the
+shape a 100 TB/day crawl-ingest pipeline actually runs: documents land
+as files, each micro-batch is deduped (a) within itself and (b)
+against everything ever admitted before it, and the admitted batch's
+digests are appended back to the index so the *next* batch sees them.
+
+Why foreachBatch instead of streaming ``dropDuplicates``: content
+hashes never expire, so streaming dedup state on them is unbounded —
+no watermark can ever evict it. Holding that state in the state store
+grows without limit; holding it in a bucketed digest TABLE on storage
+is bounded only by distinct corpus content, survives any restart, is
+shared with the batch operators (one index, both execution modes), and
+keeps the streaming query itself completely stateless.
+
+Replay safety (micro-batch retries after a crash): the index read
+filters ``batch_id < current batch id``, so a half-committed replay of
+batch N never sees N's own digests and recomputes the identical admit
+list; admitted rows land in a deterministic ``batch_id=N`` partition
+with dynamic-partition overwrite, so re-running the batch overwrites
+rather than duplicates; and re-appended digests are harmless because
+anti-join semantics depend only on hash membership, not multiplicity.
+
+Scale shape: per micro-batch the only work proportional to the corpus
+is the probe of the bucketed digest table — co-located, pre-sorted,
+no exchange on the index side (same plan shape
+tests/test_incremental_dedup.py locks for the batch operator). Only
+the batch's 32-byte digests shuffle; corpus text is never re-read.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def stream_docs_ndjson(spark: SparkSession, input_dir: str) -> DataFrame:
+    """NDJSON landing directory → unbounded documents DataFrame."""
+    return spark.readStream.schema(DOC_SCHEMA).json(input_dir)
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    admitted_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    available_now: bool = True,
+):
+    """Start the continuous-ingest dedup query; returns the handle.
+
+    ``index_table``: bucketed digest table (content_hash, first_id,
+    batch_id), created on the first batch, appended per batch.
+    ``admitted_path``: parquet of admitted (doc_id, content_hash),
+    one ``batch_id=N`` partition per micro-batch (idempotent replay).
+    """
+    spark = docs_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        batch_first = b.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+        if sess.catalog.tableExists(index_table):
+            prior = sess.table(index_table).where(F.col("batch_id") < F.lit(batch_id))
+            admitted = batch_first.join(
+                prior.select("content_hash"), "content_hash", "left_anti"
+            )
+        else:
+            admitted = batch_first
+        admitted = admitted.select("doc_id", "content_hash").localCheckpoint(eager=True)
+
+        # 1) admitted docs: deterministic per-batch partition, replay overwrites
+        admitted.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+            "batch_id"
+        ).mode("overwrite").option("partitionOverwriteMode", "dynamic").parquet(
+            admitted_path
+        )
+        # 2) digests back to the bucketed index so batch N+1 sees them
+        (
+            admitted.select(
+                "content_hash",
+                F.col("doc_id").alias("first_id"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.bucketBy(n_buckets, "content_hash")
+            .sortBy("content_hash")
+            .mode("append")
+            .format("parquet")
+            .saveAsTable(index_table)
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"ingest_dedup_{index_table}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

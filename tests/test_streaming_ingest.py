@@ -1,0 +1,127 @@
+"""Continuous-ingest dedup (streaming/ingest.py): cross-batch exact
+dedup whose only state is the persistent bucketed digest index —
+stream/batch equivalence, restart recovery, and replay idempotence."""
+
+import json
+import os
+import uuid
+
+import pyspark.sql.functions as F
+
+
+def _write_docs(path, rows, order=0):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(
+        "".join(
+            json.dumps({"doc_id": i, "text": t, "source": s}) + "\n" for (i, t, s) in rows
+        )
+    )
+    # FileStreamSource batches in mtime order; spaced mtimes make the
+    # batch sequence (and thus cross-batch keeper ids) deterministic
+    t = 1_700_000_000 + order * 60
+    os.utime(path, (t, t))
+
+
+def _run(spark, in_dir, index_table, admitted, ckpt, max_files=1):
+    from easydb_server_spark.streaming.ingest import stream_incremental_dedup
+
+    src = (
+        spark.readStream.schema(_schema())
+        .option("maxFilesPerTrigger", max_files)
+        .json(str(in_dir))
+    )
+    q = stream_incremental_dedup(
+        src, "text", "doc_id", index_table, str(admitted), str(ckpt)
+    )
+    q.awaitTermination()
+
+
+def _schema():
+    from easydb_server_spark.streaming.ingest import DOC_SCHEMA
+
+    return DOC_SCHEMA
+
+
+def test_stream_dedup_matches_batch_first_appearance(spark, tmp_path):
+    """Three micro-batches (one file each) with duplicate content
+    within and across batches: every distinct hash is admitted exactly
+    once, and the admitted set equals the batch-mode answer."""
+    table = f"ingest_idx_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    _write_docs(in_dir / "b0.json", [(1, "alpha", "s"), (2, "beta", "s"), (3, "alpha", "s")], order=0)
+    _write_docs(in_dir / "b1.json", [(4, "beta", "s"), (5, "gamma", "s")], order=1)
+    _write_docs(in_dir / "b2.json", [(6, "alpha", "s"), (7, "delta", "s"), (8, "delta", "s")], order=2)
+    try:
+        _run(spark, in_dir, table, admitted, ckpt)
+        out = spark.read.parquet(str(admitted))
+        rows = out.collect()
+        # one admission per distinct content hash, ever
+        assert len(rows) == len({r.content_hash for r in rows}) == 4
+        # keeper for each hash is its first-ever appearance (batch order
+        # = file order, within-batch keeper = min doc_id)
+        by_hash = {r.content_hash: r.doc_id for r in rows}
+        texts = {1: "alpha", 2: "beta", 5: "gamma", 7: "delta"}
+        got_ids = set(by_hash.values())
+        assert got_ids == set(texts), got_ids
+        # index agrees with the admitted output
+        idx = spark.table(table).collect()
+        assert {(r.content_hash, r.first_id) for r in idx} == {
+            (r.content_hash, r.doc_id) for r in rows
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_restart_resumes_from_checkpoint_without_readmitting(spark, tmp_path):
+    """Stop after two batches, land a third file whose content repeats
+    batch 0, restart on the SAME checkpoint + index: old content is
+    not re-admitted, genuinely new content is."""
+    table = f"ingest_idx_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    _write_docs(in_dir / "b0.json", [(1, "alpha", "s"), (2, "beta", "s")], order=0)
+    _write_docs(in_dir / "b1.json", [(3, "gamma", "s")], order=1)
+    try:
+        _run(spark, in_dir, table, admitted, ckpt)
+        n_first = spark.read.parquet(str(admitted)).count()
+        assert n_first == 3
+        # second run: a re-crawl of alpha/beta plus one new doc
+        _write_docs(in_dir / "b2.json", [(10, "alpha", "s"), (11, "beta", "s"), (12, "epsilon", "s")], order=2)
+        _run(spark, in_dir, table, admitted, ckpt)
+        out = spark.read.parquet(str(admitted))
+        assert out.count() == 4  # only epsilon was new
+        assert out.where(F.col("doc_id").isin(10, 11)).count() == 0
+        assert out.where(F.col("doc_id") == 12).count() == 1
+        # every hash still admitted exactly once
+        assert out.select("content_hash").distinct().count() == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-invoking the foreachBatch body with the same batch_id (what
+    Spark does when a batch crashes mid-commit) recomputes the same
+    admit list and overwrites — not duplicates — its output, because
+    the index probe excludes the replayed batch's own digests."""
+    from easydb_server_spark.streaming.ingest import stream_incremental_dedup
+
+    table = f"ingest_idx_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    _write_docs(in_dir / "b0.json", [(1, "alpha", "s"), (2, "beta", "s")])
+    try:
+        _run(spark, in_dir, table, admitted, ckpt)
+        # simulate the crash-replay of batch 0: a fresh query (new
+        # checkpoint) re-processes the same file under the same
+        # batch_id=0 against an index that already holds batch 0's
+        # digests — exactly the state a mid-commit crash leaves behind
+        src = spark.readStream.schema(_schema()).json(str(in_dir))
+        handle = stream_incremental_dedup(
+            src, "text", "doc_id", table, str(admitted), str(tmp_path / "ckpt2")
+        )
+        handle.awaitTermination()
+        out = spark.read.parquet(str(admitted))
+        # alpha/beta still admitted exactly once each (partition
+        # overwrite + batch_id-scoped index probe)
+        assert out.count() == 2
+        assert out.select("content_hash").distinct().count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
