@@ -84,8 +84,13 @@ class Catalog:
             for i in range(0, len(names), 500):
                 chunk = names[i : i + 500]
                 ph = ",".join("?" for _ in chunk)
+                # BUCKETED rows are listing-only: they must resolve via
+                # the Spark metastore (where the bucket spec lives) — a
+                # path re-registration here would shadow the table with
+                # a plain temp view and silently lose bucketing
                 rows = conn.execute(
-                    f"SELECT table_ref, table_path FROM catalog WHERE table_ref IN ({ph}) ORDER BY id",
+                    f"SELECT table_ref, table_path FROM catalog "
+                    f"WHERE table_ref IN ({ph}) AND type != 'BUCKETED' ORDER BY id",
                     chunk,
                 ).fetchall()
                 out.update({r["table_ref"]: r["table_path"] for r in rows})

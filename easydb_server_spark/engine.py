@@ -97,6 +97,58 @@ class Engine:
         self.catalog.create_table(ct.name, ct.location, ct.columns, ct.comment)
         return {"header": ["summary"], "rows": [["successful"]], "sql_type": "DDL"}
 
+    def ingest_bucketed(
+        self,
+        name: str,
+        source_path: str,
+        bucket_by: str,
+        n_buckets: int = 16,
+    ) -> dict:
+        """Documented superset of the DDL path (A14): land a source
+        file/glob as a *bucketed* managed table instead of a lazy
+        path-registration, so every later equi-join/groupBy on
+        ``bucket_by`` through the gateway is exchange-free.
+
+        The reference's `CREATE TABLE … LOCATION` is metadata-only —
+        right for ad-hoc reads, but every join re-shuffles. This is
+        the ingest-time trade measured by tools/bucketize.py (79 MB
+        shuffle → 944 B): pay one shuffle when the fact table lands,
+        and the metastore's bucket spec makes Catalyst drop the
+        Exchange on both sides of any ``bucket_by``-keyed join of two
+        co-bucketed tables (locked by tests/test_bucketing.py and
+        test_ingest_bucketed.py). At 100 TB this is the difference
+        between re-shuffling the fact table per query and never
+        shuffling it again.
+
+        Gateway reads resolve the table straight from the Spark
+        catalog (engine registration only rewrites names it knows, so
+        unknown names fall through to the metastore — where the
+        bucket metadata lives). The engine catalog records the row
+        for /tables listing parity.
+        """
+        from easydb_server_spark.sources.readers import read_path
+
+        df = read_path(self.spark, source_path)
+        (
+            df.repartition(n_buckets, bucket_by)
+            .write.bucketBy(n_buckets, bucket_by)
+            .sortBy(bucket_by)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        location = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").where(
+            "col_name = 'Location'"
+        ).collect()[0][1]
+        self.catalog.create_table(name, location, type_="BUCKETED")
+        return {
+            "header": ["summary"],
+            "rows": [["successful"]],
+            "sql_type": "DDL",
+            "bucketed_by": bucket_by,
+            "n_buckets": n_buckets,
+        }
+
     def export(self, sql: str, fmt: str, distributed: bool = False) -> str:
         """Uncapped export → file path (A16–A18). ``distributed=True``
         returns a part-file directory written in parallel by executors
