@@ -59,6 +59,8 @@ HEADLINE = [
     "chunk_dedup",
     "curate_source_cap",
     "text_unigram_logprob",
+    "dedup_ngram_spans",
+    "text_ccnet_buckets",
     "emb_label_outliers",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)

@@ -488,3 +488,44 @@ def source_overlap(
             ).alias("overlap_jaccard"),
         )
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicate n-gram spans — the substring-granular
+    dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every token position whose length-``n``
+    word gram occurs in ≥ ``min_docs`` distinct documents. Catches
+    boilerplate *spans* (license headers, templates, navigation text)
+    embedded in otherwise-unique documents — invisible to the
+    document-level MinHash/SimHash families, which flag whole docs.
+    Returns (doc_id, pos, gram_hash, n_docs) per flagged position;
+    callers clip or down-weight the spans.
+
+    Scale shape: grams explode JVM-side and immediately reduce to
+    60-bit md5 hashes, so no stage ever shuffles gram text. The
+    doc-frequency count is DISTINCT (gram_hash, doc) → map-side
+    combinable count over 8-byte keys. Flagged grams — the duplicated
+    tail of the gram distribution, orders of magnitude smaller than
+    the corpus — join back to the exploded positions on the hash.
+    This is the scalable approximation of the paper's suffix-array
+    pass: one corpus scan, two digest-width shuffles, no Python.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"), F.size(words).alias("nw"))
+    idx = F.when(F.col("nw") >= n, F.sequence(F.lit(0), F.col("nw") - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))
+    hashed = base.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", _shingle_hash60(F.col("gram")).alias("gram_hash"))
+    flagged = (
+        hashed.select("gram_hash", "doc_id")
+        .distinct()
+        .groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return hashed.join(flagged, "gram_hash").select("doc_id", "pos", "gram_hash", "n_docs")

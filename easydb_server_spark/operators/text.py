@@ -641,3 +641,39 @@ def unigram_logprob(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_words"), F.round(F.avg(lp), 5).alias("mean_logprob"))
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 200,
+) -> DataFrame:
+    """CCNet-style corpus partition: rank every document by its
+    unigram-LM score (:func:`unigram_logprob`) and split the corpus at
+    the exact 1/3 and 2/3 score percentiles into head (most fluent) /
+    middle / tail buckets — the stratification CCNet publishes its
+    Common Crawl releases in, and the usual knob for trading data
+    quantity against quality when composing a training mixture.
+
+    Scale shape: scoring is :func:`unigram_logprob`'s broadcast-join
+    pipeline; the two cut points are scalars computed by a percentile
+    aggregate and broadcast back via a 1-row cross join — the corpus
+    is never globally sorted. At real scale the exact percentile
+    flips to ``percentile_approx`` (the same documented trade as
+    ``quality_prune``'s approx path); thresholds are rounded so the
+    bucket boundaries are engine-portable.
+    """
+    scored = unigram_logprob(df, text_col, id_col, vocab_size)
+    th = scored.agg(
+        F.round(F.expr("percentile(mean_logprob, 1.0/3)"), 4).alias("t_lo"),
+        F.round(F.expr("percentile(mean_logprob, 2.0/3)"), 4).alias("t_hi"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "mean_logprob",
+        F.when(F.col("mean_logprob") >= F.col("t_hi"), "head")
+        .when(F.col("mean_logprob") >= F.col("t_lo"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -37,7 +37,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 50), so each round the window front-loads the entries with the LEAST
 # driver-verified evidence. This round (r7): first the code that is
 # NEW or CHANGED this round — `dedup_incremental` + `chunk_dedup` +
-# `curate_source_cap` + `text_unigram_logprob`
+# `curate_source_cap` + `text_unigram_logprob` + `dedup_ngram_spans` +
+# `text_ccnet_buckets`
 # (new operators/compositions) and `text_chunks` (trailing-subset
 # chunk fix, per ADVICE) — then the three r6 entries that have never
 # had a driver row (`text_stratified_sample`, `dedup_source_overlap`;
@@ -55,6 +56,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),
     "text_unigram_logprob": (llmops.q_text_unigram_logprob, llmops.ORACLE_TEXT_UNIGRAM_LOGPROB),
+    "dedup_ngram_spans": (llmops.q_dedup_ngram_spans, llmops.ORACLE_DEDUP_NGRAM_SPANS),
+    "text_ccnet_buckets": (llmops.q_text_ccnet_buckets, llmops.ORACLE_TEXT_CCNET_BUCKETS),
     "text_chunks": (llmops.q_text_chunks, llmops.ORACLE_TEXT_CHUNKS),
     # --- new in r6, never driver-seen ---
     "text_stratified_sample": (llmops.q_text_stratified_sample, llmops.ORACLE_TEXT_STRATIFIED_SAMPLE),

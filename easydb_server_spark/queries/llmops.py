@@ -1429,3 +1429,112 @@ CROSS JOIN tot
 GROUP BY t.doc_id
 ORDER BY t.doc_id
 """
+
+
+def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup summary: per document, how much of it is
+    covered by 5-gram spans that also appear in other documents. The
+    per-doc totals come straight off the documents scan (n_spans is a
+    pure column expression), so only flagged spans aggregate."""
+    d = load(spark, sf_dir, "documents")
+    spans = D.duplicate_ngram_spans(d, "text", "doc_id", n=5, min_docs=2)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.max("n_docs").alias("max_gram_docs"),
+        F.min("pos").alias("first_flagged_pos"),
+    )
+    totals = d.select(
+        "doc_id",
+        F.greatest(F.size(F.split(F.col("text"), " ")) - 4, F.lit(0)).alias("n_spans"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            F.round(
+                F.coalesce("n_flagged", F.lit(0)) / F.greatest("n_spans", F.lit(1)), 6
+            ).alias("dup_span_frac"),
+            F.coalesce("max_gram_docs", F.lit(0)).alias("max_gram_docs"),
+            F.coalesce("first_flagged_pos", F.lit(-1)).alias("first_flagged_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_NGRAM_SPANS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, t.i AS pos, array_to_string(ws[t.i + 1 : t.i + 5], ' ') AS gram
+  FROM w, UNNEST(generate_series(0, len(ws) - 5)) t(i)
+  WHERE len(ws) >= 5
+),
+h AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash FROM g
+),
+c AS (SELECT gram_hash, COUNT(DISTINCT doc_id) AS n_docs FROM h GROUP BY gram_hash),
+f AS (
+  SELECT h.doc_id, h.pos, c.n_docs FROM h JOIN c USING (gram_hash) WHERE c.n_docs >= 2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_flagged, MAX(n_docs) AS max_gram_docs,
+         MIN(pos) AS first_flagged_pos
+  FROM f GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, GREATEST(len(ws) - 4, 0) AS n_spans FROM w
+)
+SELECT t.doc_id, t.n_spans,
+       COALESCE(p.n_flagged, 0) AS n_flagged,
+       ROUND(CAST(COALESCE(p.n_flagged, 0) AS DOUBLE) / GREATEST(t.n_spans, 1), 6)
+         AS dup_span_frac,
+       COALESCE(p.max_gram_docs, 0) AS max_gram_docs,
+       COALESCE(p.first_flagged_pos, -1) AS first_flagged_pos
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail stratification of the corpus by
+    unigram-LM score, exact tercile cut points."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.ccnet_buckets(d, "text", "doc_id", vocab_size=200).orderBy("doc_id")
+
+
+ORACLE_TEXT_CCNET_BUCKETS = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(text, ' +')) t(term)
+  WHERE t.term != ''
+),
+vocab AS (
+  SELECT term, COUNT(*) AS c FROM terms GROUP BY term
+  ORDER BY c DESC, term LIMIT 200
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM terms) AS n_words_corpus,
+         (SELECT COUNT(*) FROM vocab) AS v
+),
+scored AS (
+  SELECT t.doc_id,
+         ROUND(AVG(LOG10(CAST(COALESCE(vc.c, 0) + 1 AS DOUBLE)
+                         / (tot.n_words_corpus + tot.v + 1))), 5) AS mean_logprob
+  FROM terms t
+  LEFT JOIN vocab vc USING (term)
+  CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+th AS (
+  SELECT ROUND(PERCENTILE_CONT(1.0/3) WITHIN GROUP (ORDER BY mean_logprob), 4) AS t_lo,
+         ROUND(PERCENTILE_CONT(2.0/3) WITHIN GROUP (ORDER BY mean_logprob), 4) AS t_hi
+  FROM scored
+)
+SELECT s.doc_id, s.mean_logprob,
+       CASE WHEN s.mean_logprob >= th.t_hi THEN 'head'
+            WHEN s.mean_logprob >= th.t_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN th
+ORDER BY s.doc_id
+"""

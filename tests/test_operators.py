@@ -958,3 +958,49 @@ class TestUnigramLogprob:
         # {a, b}, so doc 2 is all-OOV: p = 1/(N + V + 1) = 1/9
         floor = math.log10(1.0 / (6 + 2 + 1))
         assert out[2] == round(floor, 5)
+
+
+class TestNgramSpans:
+    def test_injected_boilerplate_span_is_flagged(self, spark):
+        from easydb_server_spark.operators.dedup import duplicate_ngram_spans
+
+        boiler = "all rights reserved see license file for details"
+        rows = [
+            (1, f"unique document one {boiler} something else entirely here"),
+            (2, f"totally different text {boiler} and more words after that"),
+            (3, "this document shares nothing with any other document at all"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = duplicate_ngram_spans(d, "text", "doc_id", n=5, min_docs=2).collect()
+        docs = {r.doc_id for r in spans}
+        assert docs == {1, 2}  # the boilerplate carriers, not doc 3
+        # the shared 8-word span yields 4 flagged 5-gram positions/doc
+        assert all(r.n_docs == 2 for r in spans)
+        assert len([r for r in spans if r.doc_id == 1]) == 4
+
+    def test_short_docs_yield_no_spans(self, spark):
+        from easydb_server_spark.operators.dedup import duplicate_ngram_spans
+
+        d = spark.createDataFrame([(1, "too short"), (2, "too short")], "doc_id long, text string")
+        assert duplicate_ngram_spans(d, "text", "doc_id", n=5).count() == 0
+
+
+class TestCcnetBuckets:
+    def test_terciles_partition_and_rank_sensibly(self, spark):
+        from easydb_server_spark.operators.text import ccnet_buckets
+
+        common = "the quick brown fox jumps over the lazy dog again"
+        rows = [(i, common) for i in range(12)]
+        rows += [(100 + i, "qzx wvu plonk gribble flumph snark blorp") for i in range(6)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ccnet_buckets(d, "text", "doc_id").collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r)
+        # gibberish docs (all-OOV) never land in head
+        assert all(r.doc_id < 100 for r in by_bucket.get("head", []))
+        # bucket score ordering: min(head) >= max(tail)
+        if "head" in by_bucket and "tail" in by_bucket:
+            assert min(r.mean_logprob for r in by_bucket["head"]) >= max(
+                r.mean_logprob for r in by_bucket["tail"]
+            )
