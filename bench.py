@@ -61,6 +61,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "dedup_ngram_spans",
     "text_ccnet_buckets",
+    "text_tfidf_keywords",
     "emb_label_outliers",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)

@@ -677,3 +677,47 @@ def ccnet_buckets(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def tfidf_keywords(df: DataFrame, text_col: str, id_col: str, top_k: int = 5) -> DataFrame:
+    """Per-document top-k keywords by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, the scikit-learn smoothing) — the
+    classic topical-summary / index-term extractor, and the cheap
+    feature behind corpus clustering and near-topic retrieval.
+    Ranking uses the ROUNDED score with term tie-breaks, so the top-k
+    set is identical across engines and float environments.
+
+    Scale shape: per-(doc, term) counts and per-term doc frequencies
+    are both map-side-combinable aggregates over exploded terms; the
+    scalar N rides a 1-row broadcast cross-join; the tf⋈idf join is
+    keyed on the term (broadcast when the vocabulary is bounded,
+    plain shuffle-hash otherwise — text never shuffles, terms do);
+    the final top-k is a per-doc window whose sort is bounded by a
+    single document's distinct-term count, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " +")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)

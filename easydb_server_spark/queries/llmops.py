@@ -1538,3 +1538,40 @@ SELECT s.doc_id, s.mean_logprob,
 FROM scored s CROSS JOIN th
 ORDER BY s.doc_id
 """
+
+
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (smoothed idf, rounded-score
+    deterministic ranking)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        T.tfidf_keywords(d, "text", "doc_id", top_k=3)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_TEXT_TFIDF_KEYWORDS = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(text, ' +')) t(term)
+  WHERE t.term != ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, tfidf
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""

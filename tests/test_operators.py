@@ -1004,3 +1004,24 @@ class TestCcnetBuckets:
             assert min(r.mean_logprob for r in by_bucket["head"]) >= max(
                 r.mean_logprob for r in by_bucket["tail"]
             )
+
+
+class TestTfidfKeywords:
+    def test_distinctive_term_outranks_common_term(self, spark):
+        from easydb_server_spark.operators.text import tfidf_keywords
+
+        rows = [(i, "the common words everyone shares") for i in range(9)]
+        rows.append((100, "the common words everyone shares zyxqspecial zyxqspecial"))
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = tfidf_keywords(d, "text", "doc_id", top_k=1).collect()
+        top = {r.doc_id: r.term for r in out}
+        assert top[100] == "zyxqspecial"  # df=1 + tf=2 beats corpus-wide terms
+        assert all(r.rank == 1 for r in out)
+
+    def test_top_k_bound_and_deterministic_ties(self, spark):
+        from easydb_server_spark.operators.text import tfidf_keywords
+
+        d = spark.createDataFrame([(1, "b a c a b c")], "doc_id long, text string")
+        out = tfidf_keywords(d, "text", "doc_id", top_k=2).collect()
+        # all three terms tie on tf-idf; term-asc tie-break keeps a, b
+        assert [r.term for r in sorted(out, key=lambda r: r.rank)] == ["a", "b"]
