@@ -505,12 +505,16 @@ def duplicate_ngram_spans(
 
     Scale shape: grams explode JVM-side and immediately reduce to
     60-bit md5 hashes, so no stage ever shuffles gram text. The
-    doc-frequency count is DISTINCT (gram_hash, doc) → map-side
-    combinable count over 8-byte keys. Flagged grams — the duplicated
-    tail of the gram distribution, orders of magnitude smaller than
-    the corpus — join back to the exploded positions on the hash.
-    This is the scalable approximation of the paper's suffix-array
-    pass: one corpus scan, two digest-width shuffles, no Python.
+    doc-frequency count dedups grams INSIDE the row (`array_distinct`
+    before its explode), so the per-doc distinct step costs zero
+    shuffles and the count is a single map-side-combinable aggregate
+    over 8-byte keys. Flagged grams — the duplicated tail of the gram
+    distribution, orders of magnitude smaller than the corpus — join
+    back to the exploded positions on the hash (broadcast when the
+    tail fits, AQE decides otherwise). This is the scalable
+    approximation of the paper's suffix-array pass: two corpus scans
+    (doc frequencies, then positions), ONE digest-width shuffle, no
+    Python.
     """
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"), F.size(words).alias("nw"))
@@ -522,8 +526,8 @@ def duplicate_ngram_spans(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
     ).select("doc_id", "pos", _shingle_hash60(F.col("gram")).alias("gram_hash"))
     flagged = (
-        hashed.select("gram_hash", "doc_id")
-        .distinct()
+        base.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .select(_shingle_hash60(F.col("gram")).alias("gram_hash"))
         .groupBy("gram_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
