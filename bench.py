@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_ngram_spans",
     "text_ccnet_buckets",
     "text_tfidf_keywords",
+    "emb_quantize",
     "emb_label_outliers",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)

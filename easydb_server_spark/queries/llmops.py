@@ -1575,3 +1575,43 @@ SELECT doc_id, rank, term, tf, df, tfidf
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization, summarized to scalar columns for
+    the driver comparator (per-vector scale + quantized checksums)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = S.quantize_embeddings(e, "embedding", "vec_id")
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qvec", zero, lambda a, x: a + x).alias("sum_q"),
+        F.aggregate("qvec", zero, lambda a, x: a + x * x).alias("sum_q2"),
+        F.element_at("qvec", 1).cast("bigint").alias("q_first"),
+        F.element_at("qvec", -1).cast("bigint").alias("q_last"),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMB_QUANTIZE = """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, s,
+         CASE WHEN s > 0
+              THEN list_transform(xs, x -> CAST(ROUND(127.0 * x / s) AS BIGINT))
+              ELSE list_transform(xs, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM q
+)
+SELECT vec_id, ROUND(s, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_q2,
+       qv[1] AS q_first,
+       qv[len(qv)] AS q_last
+FROM qq
+ORDER BY vec_id
+"""

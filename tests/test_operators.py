@@ -1025,3 +1025,28 @@ class TestTfidfKeywords:
         out = tfidf_keywords(d, "text", "doc_id", top_k=2).collect()
         # all three terms tie on tf-idf; term-asc tie-break keeps a, b
         assert [r.term for r in sorted(out, key=lambda r: r.rank)] == ["a", "b"]
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_within_bound(self, spark, embeddings):
+        import math
+
+        from easydb_server_spark.operators.similarity import quantize_embeddings
+
+        rows = quantize_embeddings(embeddings.limit(50), "embedding", "vec_id").collect()
+        orig = {r.vec_id: r.embedding for r in embeddings.limit(50).collect()}
+        for r in rows:
+            x = orig[r.vec_id]
+            assert len(r.qvec) == len(x)
+            assert all(-127 <= q <= 127 for q in r.qvec)
+            # dequantized component error <= scale/254 (+ rounding slop
+            # from the stored 6-decimal scale)
+            for q, xi in zip(r.qvec, x):
+                assert math.isclose(q * r.scale / 127.0, xi, abs_tol=r.scale / 254 + 1e-4)
+
+    def test_zero_vector_is_all_zeros(self, spark):
+        from easydb_server_spark.operators.similarity import quantize_embeddings
+
+        d = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+        r = quantize_embeddings(d, "embedding", "vec_id").first()
+        assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
