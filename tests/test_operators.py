@@ -1050,3 +1050,37 @@ class TestQuantizeEmbeddings:
         d = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
         r = quantize_embeddings(d, "embedding", "vec_id").first()
         assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
+
+
+class TestUnigramMaterialize:
+    def test_materialized_path_is_equivalent_and_scans_less(self, spark, docs):
+        import contextlib
+        import io
+
+        from easydb_server_spark.operators.text import ccnet_buckets, unigram_logprob
+
+        d = docs.select("doc_id", "text").limit(200)
+
+        def plan(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+        # order matters: Spark's CacheManager matches by canonical
+        # plan, so the lazy variant must be inspected/collected BEFORE
+        # materialize=True caches the shared term-count subtree
+        lazy = unigram_logprob(d, "text", "doc_id")
+        try:
+            assert "InMemoryTableScan" not in plan(lazy)
+            lazy_rows = sorted(map(tuple, lazy.collect()))
+            b_lazy_rows = sorted(map(tuple, ccnet_buckets(d, "text", "doc_id").collect()))
+            mat = unigram_logprob(d, "text", "doc_id", materialize=True)
+            # the term-count consumers read the cache, not the corpus
+            assert "InMemoryTableScan" in plan(mat)
+            assert lazy_rows == sorted(map(tuple, mat.collect()))
+            b_mat = ccnet_buckets(d, "text", "doc_id", materialize=True)
+            assert "InMemoryTableScan" in plan(b_mat)
+            assert b_lazy_rows == sorted(map(tuple, b_mat.collect()))
+        finally:
+            spark.catalog.clearCache()
