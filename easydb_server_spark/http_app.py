@@ -10,6 +10,12 @@ error ``{"resp_msg": msg, "resp_code": 1}`` with HTTP 400/404/422/500
 - ``POST /query/export`` — uncapped download (csv/tsv/json)
 - ``GET  /query/history`` — last 30 statements
 - ``GET  /health``
+
+Documented superset (no reference counterpart):
+
+- ``POST /ingest``     — land a source as a bucketed managed table
+  (`{"table", "location", "bucket_by", "n_buckets"?}`) so later
+  gateway equi-joins/groupBys on the key are exchange-free
 """
 
 from __future__ import annotations
@@ -82,6 +88,27 @@ def create_app(engine: Engine) -> Flask:
             download_name=os.path.basename(path),
             mimetype="application/octet-stream",
         )
+
+    @app.post("/ingest")
+    def ingest():
+        # documented superset endpoint (no reference counterpart): land
+        # a source file/glob as a bucketed managed table so later
+        # gateway joins/groupBys on the bucket key are exchange-free
+        # (Engine.ingest_bucketed; plan lock in test_ingest_bucketed.py)
+        body = request.get_json(silent=True) or {}
+        missing = [k for k in ("table", "location", "bucket_by") if not body.get(k)]
+        if missing:
+            return (
+                jsonify({"resp_msg": f"missing {', '.join(missing)}", "resp_code": 1}),
+                400,
+            )
+        out = engine.ingest_bucketed(
+            body["table"],
+            body["location"],
+            body["bucket_by"],
+            n_buckets=int(body.get("n_buckets", 16)),
+        )
+        return _ok(out)
 
     @app.get("/query/history")
     def history():

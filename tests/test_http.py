@@ -91,3 +91,37 @@ class TestEndpoints:
             json={"sql": "select id from user", "file_type": "csv"},
         )
         assert os.path.isdir(r2.get_json()["data"]["path"])
+
+
+class TestIngestEndpoint:
+    def test_ingest_lands_bucketed_table_queryable_via_fetch(self, client, engine):
+        from tests.conftest import SF_DIR
+
+        try:
+            r = client.post(
+                "/ingest",
+                json={
+                    "table": "http_ing_orders",
+                    "location": f"{SF_DIR}/orders.parquet",
+                    "bucket_by": "o_orderkey",
+                    "n_buckets": 4,
+                },
+            )
+            body = r.get_json()
+            assert r.status_code == 200 and body["resp_code"] == 0
+            assert body["data"]["bucketed_by"] == "o_orderkey"
+            q = client.post(
+                "/fetch", json={"sql": "SELECT COUNT(*) AS n FROM http_ing_orders"}
+            )
+            qb = q.get_json()
+            assert q.status_code == 200 and qb["data"]["rows"][0][0] != "0"
+            # listed in the catalog
+            listed = {t["table_ref"] for t in client.get("/catalog").get_json()["data"]}
+            assert "http_ing_orders" in listed
+        finally:
+            engine.spark.sql("DROP TABLE IF EXISTS http_ing_orders")
+
+    def test_ingest_missing_fields_is_400(self, client):
+        r = client.post("/ingest", json={"table": "x"})
+        assert r.status_code == 400
+        assert "location" in r.get_json()["resp_msg"]
