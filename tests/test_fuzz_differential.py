@@ -321,3 +321,87 @@ def engines_docs(spark):
         f"CREATE VIEW docs50 AS SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' WHERE doc_id < 50"
     )
     return spark, con, docs
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cap=st.integers(1, 30))
+def test_source_cap_matches_duckdb_for_any_cap(engines_docs_src, cap):
+    """source_cap vs a DuckDB ROW_NUMBER replay across random caps —
+    the md5 rank key and the tie-break must agree exactly for the kept
+    set to be engine-portable."""
+    spark, con, docs = engines_docs_src
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.operators.text import source_cap
+
+    sdf = (
+        source_cap(docs, "doc_id", "source", cap=cap)
+        .select("doc_id", "source", "cap_rank")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    sql = f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS cap_rank
+      FROM docs_src
+    )
+    SELECT doc_id, source, CAST(cap_rank AS INT) AS cap_rank
+    FROM ranked WHERE cap_rank <= {cap} ORDER BY doc_id
+    """
+    scols, srows = canon_frame(sdf)
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols
+    assert srows == orows, f"cap={cap}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(2, 8), min_docs=st.integers(2, 4))
+def test_ngram_spans_match_duckdb_for_any_geometry(engines_docs, n, min_docs):
+    """duplicate_ngram_spans vs a DuckDB replay across random
+    (n, min_docs) — position indexing and the len(ws) >= n boundary
+    are where fence-post errors would hide."""
+    spark, con, docs = engines_docs
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.operators.dedup import duplicate_ngram_spans
+
+    sdf = (
+        duplicate_ngram_spans(docs, "text", "doc_id", n=n, min_docs=min_docs)
+        .select("doc_id", "pos", "gram_hash", "n_docs")
+        .orderBy("doc_id", "pos")
+        .toPandas()
+    )
+    sql = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs50),
+    g AS (
+      SELECT doc_id, t.i AS pos, array_to_string(ws[t.i + 1 : t.i + {n}], ' ') AS gram
+      FROM w, UNNEST(generate_series(0, len(ws) - {n})) t(i)
+      WHERE len(ws) >= {n}
+    ),
+    h AS (
+      SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash FROM g
+    ),
+    c AS (SELECT gram_hash, COUNT(DISTINCT doc_id) AS n_docs FROM h GROUP BY gram_hash)
+    SELECT h.doc_id, CAST(h.pos AS INT) AS pos, h.gram_hash,
+           CAST(c.n_docs AS BIGINT) AS n_docs
+    FROM h JOIN c USING (gram_hash) WHERE c.n_docs >= {min_docs}
+    ORDER BY h.doc_id, h.pos
+    """
+    scols, srows = canon_frame(sdf)
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols
+    assert srows == orows, f"n={n} min_docs={min_docs}"
+
+
+@pytest.fixture(scope="module")
+def engines_docs_src(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where("doc_id < 120").select(
+        "doc_id", "source"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs_src AS SELECT doc_id, source FROM '{SF_DIR}/documents.parquet' WHERE doc_id < 120"
+    )
+    return spark, con, docs
