@@ -56,6 +56,7 @@ HEADLINE = [
     "text_stratified_sample",
     "dedup_source_overlap",
     "dedup_incremental",
+    "dedup_incremental_fuzzy",
     "chunk_dedup",
     "curate_source_cap",
     "text_unigram_logprob",

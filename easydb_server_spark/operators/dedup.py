@@ -121,6 +121,24 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
     )
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, i, minhash) signature rows → (doc_id, band, band_hash)
+    LSH band rows; the band key is md5 of the sorted band slice."""
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    return (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(F.collect_list(F.format_string("%d:%d", "i", "minhash"))),
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
 def minhash_candidates(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """LSH band-bucket candidate pairs (doc_a, doc_b), unverified.
 
@@ -130,13 +148,7 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
     measure |candidates| directly — the quantity that must stay
     near-linear in |docs| for LSH dedup to survive a 100 TB corpus.
     """
-    rows_per_band = MINHASH_N // MINHASH_BANDS
-    sig = minhash_signatures(df, text_col, id_col, k)
-    bands = (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.format_string("%d:%d", "i", "minhash"))))).alias("band_hash"))
-    )
+    bands = _band_rows(minhash_signatures(df, text_col, id_col, k))
     return (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
@@ -533,3 +545,96 @@ def duplicate_ngram_spans(
         .where(F.col("n_docs") >= min_docs)
     )
     return hashed.join(flagged, "gram_hash").select("doc_id", "pos", "gram_hash", "n_docs")
+
+
+def minhash_index(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> tuple[DataFrame, DataFrame]:
+    """The persistent FUZZY-dedup artifact, companion to
+    :func:`digest_index`: per-doc LSH band rows (doc_id, band,
+    band_hash) plus signature rows (doc_id, i, minhash). Built once
+    per corpus — one shingle+hash pass — then kept as bucketed tables
+    (:func:`write_minhash_index`) that each ingest batch probes
+    (:func:`incremental_neardup`) without ever rescanning corpus text.
+    """
+    sig = minhash_signatures(df, text_col, id_col, k)
+    return _band_rows(sig), sig
+
+
+def write_minhash_index(
+    bands_df: DataFrame, sigs_df: DataFrame, table_prefix: str, n_buckets: int = 16
+) -> None:
+    """Persist the fuzzy index: bands bucketed on band_hash (the probe
+    key — batch band rows join co-located buckets, no exchange on the
+    index side), signatures bucketed on doc_id (the verify key)."""
+    (
+        bands_df.write.bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    (
+        sigs_df.write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_sigs")
+    )
+
+
+def incremental_neardup(
+    new_batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_bands: DataFrame,
+    index_sigs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicates of a new ingest batch against the EXISTING
+    corpus, without rescanning corpus text — the fuzzy half of the
+    incremental-ingest story (:func:`incremental_dedup` is the exact
+    half). Returns (batch_id, corpus_id, est_jaccard) for pairs with
+    estimated Jaccard ≥ ``threshold``.
+
+    Candidates come from probing the batch's LSH band rows against the
+    corpus band index on (band, band_hash); similarity is the standard
+    MinHash estimate — the fraction of agreeing signature components —
+    so verification needs only the 16-int signatures both sides
+    already have, never the corpus shingle sets. The estimate is
+    deterministic md5 arithmetic, which is why an engine-independent
+    oracle can replay it bit-for-bit.
+
+    Scale shape: per batch, the corpus-proportional work is two
+    bucketed probes (bands on band_hash, signatures on doc_id) — the
+    same trade measured for the exact digest index; candidates stay
+    linear by the LSH sweep evidence; the 16-component verify is
+    O(|candidates|).
+    """
+    b_sig = minhash_signatures(new_batch, text_col, id_col, k)
+    b_bands = _band_rows(b_sig)
+    cand = (
+        b_bands.select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
+        .join(
+            index_bands.select(F.col("doc_id").alias("corpus_id"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    bs = b_sig.select(F.col("doc_id").alias("batch_id"), "i", F.col("minhash").alias("mh_b"))
+    cs = index_sigs.select(
+        F.col("doc_id").alias("corpus_id"), "i", F.col("minhash").alias("mh_c")
+    )
+    return (
+        cand.join(bs, "batch_id")
+        .join(cs, ["corpus_id", "i"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mh_b") == F.col("mh_c"), 1).otherwise(0))
+                / F.lit(float(MINHASH_N)),
+                6,
+            ).alias("est_jaccard")
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )

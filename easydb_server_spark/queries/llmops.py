@@ -1615,3 +1615,87 @@ SELECT vec_id, ROUND(s, 6) AS scale,
 FROM qq
 ORDER BY vec_id
 """
+
+
+def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental ingest: docs < 400 are the indexed corpus;
+    the new batch is docs >= 400 plus 30 exact re-crawls and 30
+    first-word-truncated near-dups of corpus content. The batch's LSH
+    band rows probe the corpus band index; similarity is the MinHash
+    signature-agreement estimate — corpus text is never rescanned."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 400).select("doc_id", "text")
+    bands, sigs = D.minhash_index(corpus, "text", "doc_id")
+    ws = F.split(F.col("text"), " ")
+    exact_dup = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    near_dup = d.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)).select(
+        (F.col("doc_id") + 60000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))).alias("text"),
+    )
+    batch = (
+        d.where(F.col("doc_id") >= 400).select("doc_id", "text")
+        .unionAll(exact_dup)
+        .unionAll(near_dup)
+    )
+    return D.incremental_neardup(
+        batch, "text", "doc_id", bands, sigs, threshold=0.5
+    ).orderBy("batch_id", "corpus_id")
+
+
+ORACLE_DEDUP_INCREMENTAL_FUZZY = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 50000, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 60000,
+         array_to_string((string_split(text, ' '))[2 : len(string_split(text, ' '))], ' ')
+  FROM documents WHERE doc_id >= 30 AND doc_id < 60
+),
+all_docs AS (
+  SELECT doc_id, text, 'c' AS side FROM corpus
+  UNION ALL
+  SELECT doc_id, text, 'b' AS side FROM batch
+),
+words AS (SELECT doc_id, side, string_split(text, ' ') AS ws FROM all_docs),
+sh_all AS (
+  SELECT w.doc_id, w.side, array_to_string(w.ws[t.i + 1 : t.i + 3], ' ') AS shingle
+  FROM words w, UNNEST(generate_series(0, greatest(len(w.ws) - 3, 0))) t(i)
+),
+sh AS (SELECT DISTINCT doc_id, side, shingle FROM sh_all),
+hashed AS (
+  SELECT doc_id, side, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0 FROM sh
+),
+params(i, a, b) AS (VALUES {{params}}),
+sigs AS (
+  SELECT h.doc_id, h.side, p.i, MIN((p.a * h.h0 + p.b) % {D.MINHASH_P}) AS minhash
+  FROM hashed h CROSS JOIN params p
+  GROUP BY h.doc_id, h.side, p.i
+),
+bands AS (
+  SELECT doc_id, side, CAST(i // {D.MINHASH_N // D.MINHASH_BANDS} AS INT) AS band,
+         md5(array_to_string(list_sort(list(printf('%d:%d', i, minhash))), ',')) AS band_hash
+  FROM sigs GROUP BY doc_id, side, band
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bands b
+  JOIN bands c ON b.band = c.band AND b.band_hash = c.band_hash
+  WHERE b.side = 'b' AND c.side = 'c'
+),
+est AS (
+  SELECT cand.batch_id, cand.corpus_id,
+         ROUND(SUM(CASE WHEN sb.minhash = sc.minhash THEN 1 ELSE 0 END)
+               / {float(D.MINHASH_N)}, 6) AS est_jaccard
+  FROM cand
+  JOIN sigs sb ON sb.doc_id = cand.batch_id AND sb.side = 'b'
+  JOIN sigs sc ON sc.doc_id = cand.corpus_id AND sc.side = 'c' AND sc.i = sb.i
+  GROUP BY cand.batch_id, cand.corpus_id
+)
+SELECT batch_id, corpus_id, est_jaccard
+FROM est WHERE est_jaccard >= 0.5
+ORDER BY batch_id, corpus_id
+""".replace("{params}", _params_values())

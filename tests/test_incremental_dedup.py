@@ -95,3 +95,68 @@ def test_incremental_dedup_never_rescans_the_corpus(digest_table):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@pytest.fixture(scope="module")
+def minhash_tables(spark):
+    import shutil
+
+    from easydb_server_spark.operators.dedup import minhash_index, write_minhash_index
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    for t in ("corpus_mh_bands", "corpus_mh_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where("doc_id < 200")
+    bands, sigs = minhash_index(docs, "text", "doc_id")
+    write_minhash_index(bands, sigs, "corpus_mh", n_buckets=8)
+    yield spark
+    for t in ("corpus_mh_bands", "corpus_mh_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_neardup_finds_injected_copies(minhash_tables):
+    from easydb_server_spark.operators.dedup import incremental_neardup
+
+    spark = minhash_tables
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # batch: 8 exact copies of indexed corpus docs + 5 fresh docs
+    copies = docs.where("doc_id < 8").select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text"
+    )
+    fresh = docs.where("doc_id >= 300 AND doc_id < 305").select("doc_id", "text")
+    batch = copies.unionAll(fresh)
+    out = incremental_neardup(
+        batch, "text", "doc_id",
+        spark.table("corpus_mh_bands"), spark.table("corpus_mh_sigs"),
+        threshold=0.9,
+    ).collect()
+    found = {(r.batch_id, r.corpus_id) for r in out}
+    # each exact copy matches its original at estimate 1.0
+    assert {(i + 90000, i) for i in range(8)} <= found
+    exact = [r for r in out if r.batch_id - r.corpus_id == 90000]
+    assert all(r.est_jaccard == 1.0 for r in exact)
+
+
+def test_incremental_neardup_never_rescans_corpus_text(minhash_tables):
+    """The 100 TB fuzzy-ingest claim: probing a new batch against the
+    persistent MinHash index reads ONLY the two bucketed index tables
+    and the batch — the corpus documents parquet never appears in the
+    plan's scan list."""
+    from easydb_server_spark.operators.dedup import incremental_neardup
+
+    spark = minhash_tables
+    batch = spark.createDataFrame(
+        [(1, "some new document text here"), (2, "another new document")],
+        "doc_id long, text string",
+    )
+    df = incremental_neardup(
+        batch, "text", "doc_id",
+        spark.table("corpus_mh_bands"), spark.table("corpus_mh_sigs"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "documents.parquet" not in plan
+    assert plan.count("Scan parquet") >= 2  # the two index tables
