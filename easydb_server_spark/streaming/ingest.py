@@ -113,3 +113,154 @@ def stream_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_pipeline(
+    docs_stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    digest_table: str,
+    admitted_path: str,
+    checkpoint_dir: str,
+    min_quality: float | None = None,
+    neardup_prefix: str | None = None,
+    neardup_threshold: float = 0.9,
+    n_buckets: int = 16,
+):
+    """The full continuous-ingest curation pipeline, per micro-batch:
+
+    1. **quality gate** (optional): drop documents whose composite
+       quality score (`operators.text._quality_col` — the same
+       expression the batch pruners use) is below ``min_quality``.
+       Stateless column filter, costs nothing.
+    2. **exact dedup**: batch deduped within itself, then anti-joined
+       against the persistent digest index (same replay-safe shape as
+       :func:`stream_incremental_dedup`).
+    3. **fuzzy rejection** (optional, ``neardup_prefix``): survivors'
+       LSH band rows probe the persistent MinHash band index
+       (``<prefix>_bands`` / ``<prefix>_sigs``); anything whose
+       signature-agreement estimate against ANY indexed doc reaches
+       ``neardup_threshold`` is rejected. Corpus text is never read.
+    4. admitted docs land in a ``batch_id=N`` partition; their digests
+       AND band/signature rows append to the indexes so batch N+1
+       sees them. All index reads filter ``batch_id < current`` —
+       crash-replay recomputes the identical admit list.
+
+    State story is the same as :func:`stream_incremental_dedup`: the
+    streaming query itself holds ZERO state — every byte of dedup
+    memory lives in bucketed tables on storage, shared with the batch
+    operators and bounded by distinct corpus content, not by ingest
+    volume.
+    """
+    from easydb_server_spark.operators.dedup import _band_rows, minhash_signatures
+    from easydb_server_spark.operators.text import _quality_col
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b = batch_df
+        if min_quality is not None:
+            b = b.where(_quality_col(F.col(text_col)) >= F.lit(float(min_quality)))
+        hashed = b.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.md5(F.col(text_col)).alias("content_hash"),
+        )
+        batch_first = (
+            hashed.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .join(hashed.select("doc_id", "text"), "doc_id")
+        )
+        if sess.catalog.tableExists(digest_table):
+            prior = sess.table(digest_table).where(F.col("batch_id") < F.lit(batch_id))
+            survivors = batch_first.join(
+                prior.select("content_hash"), "content_hash", "left_anti"
+            )
+        else:
+            survivors = batch_first
+
+        if neardup_prefix is not None and sess.catalog.tableExists(f"{neardup_prefix}_bands"):
+            sig = minhash_signatures(survivors, "text", "doc_id")
+            bands = _band_rows(sig)
+            idx_bands = sess.table(f"{neardup_prefix}_bands").where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+            idx_sigs = sess.table(f"{neardup_prefix}_sigs").where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+            cand = (
+                bands.select(F.col("doc_id").alias("b_id"), "band", "band_hash")
+                .join(
+                    idx_bands.select(F.col("doc_id").alias("c_id"), "band", "band_hash"),
+                    ["band", "band_hash"],
+                )
+                .select("b_id", "c_id")
+                .distinct()
+            )
+            near = (
+                cand.join(
+                    sig.select(F.col("doc_id").alias("b_id"), "i", F.col("minhash").alias("mh_b")),
+                    "b_id",
+                )
+                .join(
+                    idx_sigs.select(
+                        F.col("doc_id").alias("c_id"), "i", F.col("minhash").alias("mh_c")
+                    ),
+                    ["c_id", "i"],
+                )
+                .groupBy("b_id", "c_id")
+                .agg(F.sum(F.when(F.col("mh_b") == F.col("mh_c"), 1).otherwise(0)).alias("n_agree"))
+                .where(F.col("n_agree") >= F.lit(int(round(neardup_threshold * 16))))
+                .select(F.col("b_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(near, "doc_id", "left_anti")
+
+        admitted = survivors.select("doc_id", "content_hash", "text").localCheckpoint(
+            eager=True
+        )
+        admitted.select("doc_id", "content_hash").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.partitionBy("batch_id").mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(admitted_path)
+        (
+            admitted.select(
+                "content_hash",
+                F.col("doc_id").alias("first_id"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.bucketBy(n_buckets, "content_hash")
+            .sortBy("content_hash")
+            .mode("append")
+            .format("parquet")
+            .saveAsTable(digest_table)
+        )
+        if neardup_prefix is not None:
+            a_sig = minhash_signatures(
+                admitted.select("doc_id", "text"), "text", "doc_id"
+            ).localCheckpoint(eager=True)
+            a_bands = _band_rows(a_sig)
+            (
+                a_bands.withColumn("batch_id", F.lit(batch_id))
+                .write.bucketBy(n_buckets, "band_hash")
+                .sortBy("band_hash")
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(f"{neardup_prefix}_bands")
+            )
+            (
+                a_sig.withColumn("batch_id", F.lit(batch_id))
+                .write.bucketBy(n_buckets, "doc_id")
+                .sortBy("doc_id")
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(f"{neardup_prefix}_sigs")
+            )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"ingest_pipeline_{digest_table}")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -125,3 +125,51 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
         assert out.select("content_hash").distinct().count() == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pipeline_quality_gate_exact_and_fuzzy_rejection(spark, tmp_path):
+    """Full ingest-curation pipeline across three micro-batches: the
+    quality gate drops junk, the digest index drops exact re-crawls,
+    and the MinHash band index drops near-duplicates (truncated
+    re-crawls) — while genuinely new documents are admitted."""
+    from easydb_server_spark.streaming.ingest import stream_ingest_pipeline
+
+    table = f"pipe_idx_{uuid.uuid4().hex[:8]}"
+    prefix = f"pipe_mh_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to the hills where it finds a quiet place to rest at last"
+    )
+    other = (
+        "a completely different story about ships and tides is told here "
+        "sailors cross the open sea and chart the stars to find the way home"
+    )
+    near = " ".join(good.split()[1:])  # first word dropped -> near-dup
+    junk = "!!! ??? ,,, ;;;"  # punctuation soup fails the quality gate
+    _write_docs(in_dir / "b0.json", [(1, good, "s")], order=0)
+    _write_docs(in_dir / "b1.json", [(2, other, "s"), (3, junk, "s")], order=1)
+    _write_docs(in_dir / "b2.json", [(4, good, "s"), (5, near, "s")], order=2)
+    try:
+        src = (
+            spark.readStream.schema(_schema())
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_ingest_pipeline(
+            src, "text", "doc_id", table, str(admitted), str(ckpt),
+            min_quality=0.0, neardup_prefix=prefix, neardup_threshold=0.9,
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(str(admitted))
+        ids = {r.doc_id for r in out.collect()}
+        # 1: admitted (fresh); 2: admitted (fresh); 3: quality-gated;
+        # 4: exact re-crawl of 1 -> digest-rejected;
+        # 5: near-dup of 1 -> band-index-rejected
+        assert ids == {1, 2}, ids
+        # both indexes carry exactly the admitted docs
+        assert {r.first_id for r in spark.table(table).collect()} == {1, 2}
+        assert {r.doc_id for r in spark.table(f"{prefix}_sigs").select("doc_id").distinct().collect()} == {1, 2}
+    finally:
+        for t in (table, f"{prefix}_bands", f"{prefix}_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
