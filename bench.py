@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_incremental_fuzzy",
     "chunk_dedup",
+    "chunk_pack",
     "curate_source_cap",
     "text_unigram_logprob",
     "dedup_ngram_spans",

@@ -1699,3 +1699,49 @@ SELECT batch_id, corpus_id, est_jaccard
 FROM est WHERE est_jaccard >= 0.5
 ORDER BY batch_id, corpus_id
 """.replace("{params}", _params_values())
+
+
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch prep at chunk granularity: documents chunked to
+    64-token windows (stride 48), chunks keyed per training unit and
+    packed per source into ~256-token bins — the composed
+    chunk-then-pack pipeline a pretraining dataloader consumes. Both
+    halves are the already-verified operators; the bin assignment is
+    the cumulative-window formulation, so the oracle replays it."""
+    d = load(spark, sf_dir, "documents")
+    chunks = T.chunk_documents(d, "text", "doc_id", chunk_size=64, overlap=16)
+    units = chunks.join(d.select("doc_id", "source"), "doc_id").select(
+        (F.col("doc_id") * F.lit(100000) + F.col("chunk_id")).alias("unit_id"),
+        "chunk",
+        "source",
+    )
+    return T.pack_sequences(units, "chunk", "unit_id", "source", token_budget=256).orderBy(
+        "grp", "bin"
+    )
+
+
+ORACLE_CHUNK_PACK = """
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, source, ws,
+         UNNEST(generate_series(0, CAST(GREATEST(CEIL((len(ws) - 64) / 48.0), 0) AS INT)))
+           AS chunk_id
+  FROM t
+),
+units AS (
+  SELECT source AS grp, doc_id * 100000 + chunk_id AS doc,
+         len(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens
+  FROM c
+),
+b AS (
+  SELECT grp, doc, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / 256.0) AS BIGINT) AS bin
+  FROM units
+)
+SELECT grp, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc) AS first_doc, MAX(doc) AS last_doc
+FROM b GROUP BY grp, bin ORDER BY grp, bin
+"""
