@@ -405,3 +405,53 @@ def engines_docs_src(spark):
         f"CREATE VIEW docs_src AS SELECT doc_id, source FROM '{SF_DIR}/documents.parquet' WHERE doc_id < 120"
     )
     return spark, con, docs
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(budget=st.integers(16, 1024))
+def test_packing_matches_duckdb_for_any_budget(engines_docs_pack, budget):
+    """pack_sequences vs a DuckDB cumulative-window replay across
+    random token budgets — the boundary rule (a crossing document
+    stays in the earlier bin) must agree for every budget."""
+    spark, con, docs = engines_docs_pack
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.operators.text import pack_sequences
+
+    sdf = (
+        pack_sequences(docs, "text", "doc_id", "source", token_budget=budget)
+        .orderBy("grp", "bin")
+        .toPandas()
+    )
+    sql = f"""
+    WITH t AS (
+      SELECT source AS grp, doc_id AS doc, len(string_split(text, ' ')) AS n_tokens
+      FROM docs_pack
+    ),
+    b AS (
+      SELECT grp, doc, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                        / {budget}.0) AS BIGINT) AS bin
+      FROM t
+    )
+    SELECT grp, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc) AS first_doc, MAX(doc) AS last_doc
+    FROM b GROUP BY grp, bin ORDER BY grp, bin
+    """
+    scols, srows = canon_frame(sdf)
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols
+    assert srows == orows, f"budget={budget}"
+
+
+@pytest.fixture(scope="module")
+def engines_docs_pack(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where("doc_id < 150").select(
+        "doc_id", "text", "source"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs_pack AS SELECT doc_id, text, source FROM '{SF_DIR}/documents.parquet' WHERE doc_id < 150"
+    )
+    return spark, con, docs
