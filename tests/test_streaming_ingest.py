@@ -173,3 +173,49 @@ def test_pipeline_quality_gate_exact_and_fuzzy_rejection(spark, tmp_path):
     finally:
         for t in (table, f"{prefix}_bands", f"{prefix}_sigs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pipeline_restart_resumes_with_both_indexes(spark, tmp_path):
+    """Kill the pipeline after its first batch, land a second file
+    containing an exact dup, a near-dup, and a fresh doc, restart on
+    the same checkpoint: both persistent indexes (digest + band) carry
+    over and reject their respective duplicate kinds."""
+    from easydb_server_spark.streaming.ingest import stream_ingest_pipeline
+
+    table = f"pipe_idx_{uuid.uuid4().hex[:8]}"
+    prefix = f"pipe_mh_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    base = (
+        "every morning the market opens with traders shouting numbers "
+        "across the floor while screens flicker with prices from around the world"
+    )
+    near = " ".join(base.split()[1:])
+    fresh = (
+        "meanwhile in the quiet library a student turns pages slowly "
+        "taking careful notes about the history of navigation and maps"
+    )
+    _write_docs(in_dir / "b0.json", [(1, base, "s")], order=0)
+
+    def run():
+        src = (
+            spark.readStream.schema(_schema())
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_ingest_pipeline(
+            src, "text", "doc_id", table, str(admitted), str(ckpt),
+            neardup_prefix=prefix, neardup_threshold=0.9,
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        assert spark.read.parquet(str(admitted)).count() == 1
+        _write_docs(in_dir / "b1.json", [(10, base, "s"), (11, near, "s"), (12, fresh, "s")], order=1)
+        run()
+        out = spark.read.parquet(str(admitted))
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {1, 12}, ids  # exact (10) and near (11) dups rejected
+    finally:
+        for t in (table, f"{prefix}_bands", f"{prefix}_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
