@@ -43,6 +43,7 @@ HEADLINE = [
     "ts_asof_join",
     "ts_range_join",
     "ts_rolling_1h",
+    "ts_resample_locf",
     "dedup_minhash",
     "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",

@@ -340,3 +340,45 @@ GROUP BY GROUPING SETS (
 )
 ORDER BY day, is_day_level, hour ASC NULLS FIRST, event_type
 """
+
+
+def q_ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid resampling with last-observation-carried-forward
+    for eight users' event values — the gap-fill a dashboard/feature
+    pipeline runs over an irregular stream."""
+    from easydb_server_spark.operators.resample import resample_locf
+
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    out = resample_locf(e, "ts", "user_id", "value", step="1 hour")
+    return out.select(
+        "user_id", F.col("grid_ts").cast("string").alias("grid_ts"), "value_locf"
+    ).orderBy("user_id", "grid_ts")
+
+
+ORACLE_TS_RESAMPLE_LOCF = """
+WITH ev AS (SELECT user_id AS k, ts, value FROM events WHERE user_id < 8),
+b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM ev
+),
+keys AS (SELECT DISTINCT k FROM ev),
+grid AS (
+  SELECT k, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts FROM keys, b
+),
+u AS (
+  SELECT k, ts AS gts, CAST(value AS DOUBLE) AS v, 0 AS is_grid FROM ev
+  UNION ALL
+  SELECT k, gts, NULL, 1 FROM grid
+),
+f AS (
+  SELECT k, gts, is_grid,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY gts, is_grid, v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS value_locf
+  FROM u
+)
+SELECT k AS user_id, CAST(gts AS VARCHAR) AS grid_ts,
+       ROUND(value_locf, 2) AS value_locf
+FROM f WHERE is_grid = 1
+ORDER BY user_id, grid_ts
+"""

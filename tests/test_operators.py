@@ -1084,3 +1084,41 @@ class TestUnigramMaterialize:
             assert b_lazy_rows == sorted(map(tuple, b_mat.collect()))
         finally:
             spark.catalog.clearCache()
+
+
+class TestResampleLocf:
+    def test_fill_carries_forward_and_respects_gaps(self, spark):
+        from datetime import datetime
+
+        from easydb_server_spark.operators.resample import resample_locf
+
+        rows = [
+            (1, datetime(2025, 1, 1, 0, 30), 10.0),
+            (1, datetime(2025, 1, 1, 3, 15), 20.0),
+            (2, datetime(2025, 1, 1, 2, 0), 7.0),
+        ]
+        d = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = {
+            (r.user_id, r.grid_ts.hour): r.value_locf
+            for r in resample_locf(d, "ts", "user_id", "value").collect()
+        }
+        # grid spans hour 0..3 (global bounds) for both keys
+        assert out[(1, 0)] is None  # grid point precedes first event (00:30)
+        assert out[(1, 1)] == 10.0 and out[(1, 2)] == 10.0  # carried forward
+        assert out[(1, 3)] == 10.0  # 03:00 precedes the 03:15 event
+        assert out[(2, 0)] is None and out[(2, 1)] is None
+        assert out[(2, 2)] == 7.0 and out[(2, 3)] == 7.0  # event AT the grid point counts
+
+    def test_equal_timestamp_tie_is_deterministic(self, spark):
+        from datetime import datetime
+
+        from easydb_server_spark.operators.resample import resample_locf
+
+        rows = [
+            (1, datetime(2025, 1, 1, 0, 0), 3.0),
+            (1, datetime(2025, 1, 1, 0, 0), 9.0),
+        ]
+        d = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = resample_locf(d, "ts", "user_id", "value").collect()
+        # ties order by value; the fill takes the max — deterministically
+        assert all(r.value_locf == 9.0 for r in out)
