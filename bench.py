@@ -44,6 +44,7 @@ HEADLINE = [
     "ts_range_join",
     "ts_rolling_1h",
     "ts_resample_locf",
+    "ts_resample_interp",
     "dedup_minhash",
     "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",

@@ -382,3 +382,57 @@ SELECT k AS user_id, CAST(gts AS VARCHAR) AS grid_ts,
 FROM f WHERE is_grid = 1
 ORDER BY user_id, grid_ts
 """
+
+
+def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid linear interpolation of eight users' event values —
+    the time-weighted fill between each grid point's neighbors."""
+    from easydb_server_spark.operators.resample import resample_interp
+
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    out = resample_interp(e, "ts", "user_id", "value", step="1 hour")
+    return out.select(
+        "user_id", F.col("grid_ts").cast("string").alias("grid_ts"), "value_interp"
+    ).orderBy("user_id", "grid_ts")
+
+
+ORACLE_TS_RESAMPLE_INTERP = """
+WITH ev0 AS (
+  SELECT user_id AS k, ts, CAST(value AS DOUBLE) AS value
+  FROM events WHERE user_id < 8 AND value IS NOT NULL
+),
+b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM ev0
+),
+keys AS (SELECT DISTINCT k FROM ev0),
+grid AS (
+  SELECT k, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts FROM keys, b
+),
+u AS (
+  SELECT k, ts AS gts, epoch_us(ts) AS et, value AS v, 0 AS is_grid FROM ev0
+  UNION ALL
+  SELECT k, gts, NULL, NULL, 1 FROM grid
+),
+f AS (
+  SELECT k, gts, is_grid,
+         LAST_VALUE(et IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY gts, is_grid, v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY gts, is_grid, v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+         FIRST_VALUE(et IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY gts, is_grid, v
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY gts, is_grid, v
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+  FROM u
+)
+SELECT k AS user_id, CAST(gts AS VARCHAR) AS grid_ts,
+       ROUND(CASE WHEN t0 = epoch_us(gts) THEN v0
+                  ELSE v0 + (v1 - v0) * CAST(epoch_us(gts) - t0 AS DOUBLE)
+                                       / CAST(t1 - t0 AS DOUBLE) END, 4) AS value_interp
+FROM f WHERE is_grid = 1
+ORDER BY user_id, grid_ts
+"""

@@ -1122,3 +1122,37 @@ class TestResampleLocf:
         out = resample_locf(d, "ts", "user_id", "value").collect()
         # ties order by value; the fill takes the max — deterministically
         assert all(r.value_locf == 9.0 for r in out)
+
+
+class TestResampleInterp:
+    def test_linear_blend_between_neighbors(self, spark):
+        from datetime import datetime
+
+        from easydb_server_spark.operators.resample import resample_interp
+
+        rows = [
+            (1, datetime(2025, 1, 1, 0, 0), 10.0),
+            (1, datetime(2025, 1, 1, 4, 0), 50.0),
+        ]
+        d = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = {
+            r.grid_ts.hour: r.value_interp
+            for r in resample_interp(d, "ts", "user_id", "value").collect()
+        }
+        # exact endpoints + linear blend at 1/4, 1/2, 3/4
+        assert out[0] == 10.0 and out[4] == 50.0
+        assert out[1] == 20.0 and out[2] == 30.0 and out[3] == 40.0
+
+    def test_missing_side_yields_null(self, spark):
+        from datetime import datetime
+
+        from easydb_server_spark.operators.resample import resample_interp
+
+        rows = [(1, datetime(2025, 1, 1, 1, 30), 5.0), (1, datetime(2025, 1, 1, 2, 30), 6.0)]
+        d = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = {
+            r.grid_ts.hour: r.value_interp
+            for r in resample_interp(d, "ts", "user_id", "value").collect()
+        }
+        assert out[1] is None  # 01:00 has no earlier neighbor
+        assert out[2] == 5.5  # midpoint of 01:30->02:30

@@ -4,14 +4,15 @@ an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
 Round-7 window (new/changed-code-first, then least-driver-evidence):
-the eleven new r7 entries (dedup_incremental, chunk_dedup,
+the twelve new r7 entries (dedup_incremental, chunk_dedup,
 curate_source_cap, text_unigram_logprob, dedup_ngram_spans,
 text_ccnet_buckets, text_tfidf_keywords, emb_quantize,
-dedup_incremental_fuzzy, chunk_pack, ts_resample_locf) and text_chunks (trailing-subset fix), the two
+dedup_incremental_fuzzy, chunk_pack, ts_resample_locf,
+ts_resample_interp) and text_chunks (trailing-subset fix), the two
 remaining never-driver-seen r6 entries, the r1-evidence cohort
 (fn_array/fn_hash/fn_struct_map/fn_datetime_convert + seven ts_*),
 the r2-evidence dedup_simhash/text_hash_split, and the oldest r4
-entries filling to 50 (closing at join_inner_revenue). Rows-only entries stay
+entries filling to 50 (closing at ts_rolling_1h). Rows-only entries stay
 out of the window
 (they burn a slot on `no_oracle`). Everything driver-green in r4-r6
 follows the marker.
@@ -24,8 +25,8 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "join_inner_revenue", (
-        "the driver-verified priority window must close at join_inner_revenue "
+    assert names[PRIORITY_WINDOW - 1] == "ts_rolling_1h", (
+        "the driver-verified priority window must close at ts_rolling_1h "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
@@ -37,7 +38,7 @@ def test_window_holds_the_r7_rotation():
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
     # new/changed r7 code + never-driver-seen r6 entries lead the window
-    assert window[:14] == [
+    assert window[:15] == [
         "dedup_incremental",
         "chunk_dedup",
         "curate_source_cap",
@@ -49,12 +50,13 @@ def test_window_holds_the_r7_rotation():
         "dedup_incremental_fuzzy",
         "chunk_pack",
         "ts_resample_locf",
+        "ts_resample_interp",
         "text_chunks",
         "text_stratified_sample",
         "dedup_source_overlap",
     ]
     # the r1-evidence cohort follows
-    assert window[14:25] == [
+    assert window[15:26] == [
         "fn_array",
         "fn_hash",
         "fn_struct_map",
@@ -67,7 +69,7 @@ def test_window_holds_the_r7_rotation():
         "ts_asof_join",
         "ts_range_join",
     ]
-    assert window[25:27] == ["dedup_simhash", "text_hash_split"]
+    assert window[26:28] == ["dedup_simhash", "text_hash_split"]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
