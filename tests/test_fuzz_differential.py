@@ -455,3 +455,58 @@ def engines_docs_pack(spark):
         f"CREATE VIEW docs_pack AS SELECT doc_id, text, source FROM '{SF_DIR}/documents.parquet' WHERE doc_id < 150"
     )
     return spark, con, docs
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(step=st.sampled_from(["30 minutes", "1 hour", "2 hours", "5 hours"]))
+def test_resample_locf_matches_duckdb_for_any_step(engines_events, step):
+    """resample_locf vs the DuckDB window replay across grid steps —
+    the grid generation and the at-or-before fill must agree for any
+    step size."""
+    spark, con, events = engines_events
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.operators.resample import resample_locf
+
+    sdf = (
+        resample_locf(events, "ts", "user_id", "value", step=step)
+        .select("user_id", F.col("grid_ts").cast("string").alias("grid_ts"), "value_locf")
+        .orderBy("user_id", "grid_ts")
+        .toPandas()
+    )
+    sql = f"""
+    WITH ev AS (SELECT user_id AS k, ts, value FROM ev3),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM ev),
+    keys AS (SELECT DISTINCT k FROM ev),
+    grid AS (SELECT k, UNNEST(generate_series(t0, t1, INTERVAL {step})) AS gts FROM keys, b),
+    u AS (
+      SELECT k, ts AS gts, CAST(value AS DOUBLE) AS v, 0 AS is_grid FROM ev
+      UNION ALL SELECT k, gts, NULL, 1 FROM grid
+    ),
+    f AS (
+      SELECT k, gts, is_grid,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY gts, is_grid, v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+      FROM u
+    )
+    SELECT k AS user_id, CAST(gts AS VARCHAR) AS grid_ts, ROUND(value_locf, 2) AS value_locf
+    FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ts
+    """
+    scols, srows = canon_frame(sdf)
+    ocols, orows = canon_frame(con.execute(sql).df())
+    assert scols == ocols
+    assert srows == orows, f"step={step}"
+
+
+@pytest.fixture(scope="module")
+def engines_events(spark):
+    from easydb_server_spark.queries._util import load
+
+    events = load(spark, SF_DIR, "events").where("user_id < 3").select("user_id", "ts", "value")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ev3 AS SELECT user_id, ts, value FROM '{SF_DIR}/events.parquet' WHERE user_id < 3"
+    )
+    return spark, con, events
