@@ -570,6 +570,7 @@ def source_cap(
     source_col: str,
     cap: int,
     seed: str = "cap1",
+    exact: bool = True,
 ) -> DataFrame:
     """Per-source document cap — the RefinedWeb/CCNet "domain
     balancing" step: keep at most ``cap`` documents per source so a
@@ -579,17 +580,36 @@ def source_cap(
     runs, engines and input order (and an engine-independent oracle
     can replay it exactly).
 
-    Scale shape: one shuffle on ``source_col`` plus a per-source sort
-    for ``row_number``. The sort cost is bounded by the largest
-    source's row count; for a pathological mega-domain the two-phase
-    variant (percentile_approx on the rank key → broadcast a
-    per-source keep-threshold, as in ``quality_prune``'s approx path)
-    removes the full sort — documented trade, exact path kept here
-    because the cap semantics ("exactly cap survivors") are what
-    pipelines assert on.
+    ``exact=True`` (oracle-able reference semantics): one shuffle on
+    ``source_col`` plus a per-source sort for ``row_number`` — exactly
+    ``cap`` survivors per source. Sort cost is bounded by the largest
+    source's row count.
+
+    ``exact=False`` (the mega-domain path): no sort ANYWHERE. Because
+    the rank key is a uniform draw, "the cap lowest-ranked of n" is
+    approximated by the threshold test u < (cap/n)·2⁶⁰ — one
+    map-side-combinable per-source count, broadcast back, and the
+    keep decision happens in the scan's project. Kept count is
+    Binomial(n, cap/n): ≈ cap ± √cap, and the kept set agrees with
+    the exact path up to that boundary noise (pytest-locked). For a
+    domain with billions of rows this converts the one non-linear
+    stage into a pure filter.
     """
     from pyspark.sql import Window
 
+    if not exact:
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_src"))
+        thr = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("_n_src")) * float(1 << 60)
+        return (
+            df.join(F.broadcast(counts), source_col)
+            .where(u < thr)
+            .drop("_n_src")
+        )
     rank_key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     w = Window.partitionBy(source_col).orderBy(rank_key.asc(), F.col(id_col).asc())
     return df.withColumn("cap_rank", F.row_number().over(w)).where(F.col("cap_rank") <= cap)

@@ -1156,3 +1156,37 @@ class TestResampleInterp:
         }
         assert out[1] is None  # 01:00 has no earlier neighbor
         assert out[2] == 5.5  # midpoint of 01:30->02:30
+
+
+class TestSourceCapApprox:
+    def test_sortless_path_approximates_exact_within_binomial_noise(self, spark, docs):
+        import math
+
+        from easydb_server_spark.operators.text import source_cap
+
+        d = docs.select("doc_id", "source")
+        cap = 40
+        exact = source_cap(d, "doc_id", "source", cap=cap)
+        approx = source_cap(d, "doc_id", "source", cap=cap, exact=False)
+        sizes = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        n_exact = {r.source: r.n for r in exact.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        n_approx = {r.source: r.n for r in approx.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        kept_exact = {r.doc_id for r in exact.collect()}
+        kept_approx = {r.doc_id for r in approx.collect()}
+        for src, n in sizes.items():
+            want = min(cap, n)
+            assert n_exact[src] == want
+            # binomial noise around the cap (sources under the cap pass whole)
+            assert abs(n_approx.get(src, 0) - want) <= 3 * math.sqrt(cap) + 1
+        # the two keep sets agree up to the rank boundary
+        inter = len(kept_exact & kept_approx)
+        assert inter >= 0.7 * len(kept_exact)
+        # no sort in the approx plan
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            approx.explain("formatted")
+        assert "Sort" not in buf.getvalue()
+        assert "Window" not in buf.getvalue()
