@@ -1,13 +1,24 @@
-"""Text-analysis operators for training-data pipelines.
+"""Text-analysis and corpus-curation operators for training-data
+pipelines.
 
-- :func:`language_id` — n-gram/stopword-ratio language heuristic.
-- :func:`quality_score` — length/punctuation/stopword quality metrics.
-- :func:`token_counts` — whitespace + BPE-ish regex token counting.
-- :func:`fingerprint` — min-hash document fingerprint (rolling-hash
-  family over word shingles).
+Scoring / filtering: :func:`language_id`, :func:`quality_score`,
+:func:`quality_prune` (exact + approx-quantile), :func:`token_counts`,
+:func:`repetition_metrics`, :func:`unigram_logprob` +
+:func:`ccnet_buckets` (CCNet-style LM quality stack),
+:func:`tfidf_keywords`.
+
+Sampling / mixing / splitting: :func:`weighted_mixture`,
+:func:`hash_split`, :func:`stratified_sample`, :func:`corpus_shuffle`,
+:func:`source_cap` (domain balancing, exact + sortless threshold).
+
+Training-unit prep: :func:`chunk_documents`, :func:`pack_sequences`,
+:func:`decontaminate`, :func:`normalize_text`, :func:`redact_pii`,
+:func:`fingerprint`, :func:`vocabulary`, :func:`ngram_topk`,
+:func:`length_histogram`.
 
 All pure JVM column expressions (no UDFs) — whole-stage codegen over
-the documents scan, trivially parallel at 100 TB.
+the documents scan, trivially parallel at 100 TB; the only shuffles
+are keyed aggregates/windows documented per function.
 """
 
 from __future__ import annotations
