@@ -691,6 +691,8 @@ def ccnet_buckets(
     id_col: str,
     vocab_size: int = 200,
     materialize: bool = False,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet-style corpus partition: rank every document by its
     unigram-LM score (:func:`unigram_logprob`) and split the corpus at
@@ -702,10 +704,11 @@ def ccnet_buckets(
     Scale shape: scoring is :func:`unigram_logprob`'s broadcast-join
     pipeline; the two cut points are scalars computed by a percentile
     aggregate and broadcast back via a 1-row cross join — the corpus
-    is never globally sorted. At real scale the exact percentile
-    flips to ``percentile_approx`` (the same documented trade as
-    ``quality_prune``'s approx path); thresholds are rounded so the
-    bucket boundaries are engine-portable.
+    is never globally sorted. ``exact=False`` computes the cuts with
+    ``percentile_approx`` instead — a partial-aggregable sketch, the
+    same trade as ``quality_prune``'s approx path, with bucket
+    agreement locked within the sketch's rank error; thresholds are
+    rounded so the bucket boundaries are engine-portable.
     """
     # per-doc scores feed both the threshold aggregate and the output
     # projection; materialize=True caches them (one row per document —
@@ -715,10 +718,20 @@ def ccnet_buckets(
     scored = unigram_logprob(df, text_col, id_col, vocab_size, materialize=materialize)
     if materialize:
         scored = scored.cache()
-    th = scored.agg(
-        F.round(F.expr("percentile(mean_logprob, 1.0/3)"), 4).alias("t_lo"),
-        F.round(F.expr("percentile(mean_logprob, 2.0/3)"), 4).alias("t_hi"),
-    )
+    if exact:
+        th = scored.agg(
+            F.round(F.expr("percentile(mean_logprob, 1.0/3)"), 4).alias("t_lo"),
+            F.round(F.expr("percentile(mean_logprob, 2.0/3)"), 4).alias("t_hi"),
+        )
+    else:
+        # the 100 TB cut: percentile_approx is a partial-aggregable
+        # sketch — no stage ever totally orders the scores; rank error
+        # is bounded by 1/accuracy of the corpus (same trade as
+        # quality_prune's approx path)
+        th = scored.agg(
+            F.round(F.percentile_approx("mean_logprob", 1.0 / 3, accuracy), 4).alias("t_lo"),
+            F.round(F.percentile_approx("mean_logprob", 2.0 / 3, accuracy), 4).alias("t_hi"),
+        )
     return scored.crossJoin(F.broadcast(th)).select(
         "doc_id",
         "mean_logprob",

@@ -1190,3 +1190,19 @@ class TestSourceCapApprox:
             approx.explain("formatted")
         assert "Sort" not in buf.getvalue()
         assert "Window" not in buf.getvalue()
+
+
+class TestCcnetApprox:
+    def test_sketch_cuts_agree_with_exact_within_rank_error(self, spark, docs):
+        from easydb_server_spark.operators.text import ccnet_buckets
+
+        d = docs.select("doc_id", "text")
+        exact = {r.doc_id: r.bucket for r in ccnet_buckets(d, "text", "doc_id").collect()}
+        approx = {
+            r.doc_id: r.bucket
+            for r in ccnet_buckets(d, "text", "doc_id", exact=False).collect()
+        }
+        n = len(exact)
+        agree = sum(1 for k, v in exact.items() if approx[k] == v)
+        # sketch rank error <= n/accuracy docs per cut (2 cuts), plus ties
+        assert agree >= n - max(4, 2 * n // 10_000 + 2)
