@@ -45,6 +45,7 @@ HEADLINE = [
     "ts_rolling_1h",
     "ts_resample_locf",
     "ts_resample_interp",
+    "ts_zorder_key",
     "dedup_minhash",
     "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",

@@ -436,3 +436,45 @@ SELECT k AS user_id, CAST(gts AS VARCHAR) AS grid_ts,
 FROM f WHERE is_grid = 1
 ORDER BY user_id, grid_ts
 """
+
+
+def q_ts_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order key over (user_id, value) for the first 5000
+    events — the multi-dimensional clustering key behind
+    OPTIMIZE ZORDER BY, computed as pure scan-side bit arithmetic
+    against broadcast corpus bounds."""
+    from easydb_server_spark.operators.zorder import zorder_key
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") <= 5000)
+    return (
+        zorder_key(e, ["user_id", "value"], bits=8)
+        .select("event_id", "zkey")
+        .orderBy("event_id")
+    )
+
+
+def _zorder_oracle(cols: list[str], bits: int) -> str:
+    n = len(cols)
+    scale = float((1 << bits) - 1)
+    qs = []
+    for c in cols:
+        qs.append(
+            f"CAST(FLOOR((CAST({c} AS DOUBLE) - mn_{c}) / GREATEST(mx_{c} - mn_{c}, 1e-12) * {scale}) AS BIGINT) AS q_{c}"
+        )
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"((( q_{c} >> {i}) & 1) << {i * n + j})")
+    bounds = ", ".join(
+        f"MIN(CAST({c} AS DOUBLE)) AS mn_{c}, MAX(CAST({c} AS DOUBLE)) AS mx_{c}" for c in cols
+    )
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE event_id <= 5000),
+b AS (SELECT {bounds} FROM ev),
+q AS (SELECT ev.event_id, {', '.join(qs)} FROM ev, b)
+SELECT event_id, CAST({' + '.join(terms)} AS BIGINT) AS zkey
+FROM q ORDER BY event_id
+"""
+
+
+ORACLE_TS_ZORDER_KEY = _zorder_oracle(["user_id", "value"], 8)

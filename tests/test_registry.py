@@ -4,15 +4,15 @@ an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
 Round-7 window (new/changed-code-first, then least-driver-evidence):
-the twelve new r7 entries (dedup_incremental, chunk_dedup,
+the thirteen new r7 entries (dedup_incremental, chunk_dedup,
 curate_source_cap, text_unigram_logprob, dedup_ngram_spans,
 text_ccnet_buckets, text_tfidf_keywords, emb_quantize,
 dedup_incremental_fuzzy, chunk_pack, ts_resample_locf,
-ts_resample_interp) and text_chunks (trailing-subset fix), the two
+ts_resample_interp, ts_zorder_key) and text_chunks (trailing-subset fix), the two
 remaining never-driver-seen r6 entries, the r1-evidence cohort
 (fn_array/fn_hash/fn_struct_map/fn_datetime_convert + seven ts_*),
 the r2-evidence dedup_simhash/text_hash_split, and the oldest r4
-entries filling to 50 (closing at ts_rolling_1h). Rows-only entries stay
+entries filling to 50 (closing at ts_multi_rollup). Rows-only entries stay
 out of the window
 (they burn a slot on `no_oracle`). Everything driver-green in r4-r6
 follows the marker.
@@ -25,8 +25,8 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "ts_rolling_1h", (
-        "the driver-verified priority window must close at ts_rolling_1h "
+    assert names[PRIORITY_WINDOW - 1] == "ts_multi_rollup", (
+        "the driver-verified priority window must close at ts_multi_rollup "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
@@ -38,7 +38,7 @@ def test_window_holds_the_r7_rotation():
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
     # new/changed r7 code + never-driver-seen r6 entries lead the window
-    assert window[:15] == [
+    assert window[:16] == [
         "dedup_incremental",
         "chunk_dedup",
         "curate_source_cap",
@@ -51,12 +51,13 @@ def test_window_holds_the_r7_rotation():
         "chunk_pack",
         "ts_resample_locf",
         "ts_resample_interp",
+        "ts_zorder_key",
         "text_chunks",
         "text_stratified_sample",
         "dedup_source_overlap",
     ]
     # the r1-evidence cohort follows
-    assert window[15:26] == [
+    assert window[16:27] == [
         "fn_array",
         "fn_hash",
         "fn_struct_map",
@@ -69,7 +70,7 @@ def test_window_holds_the_r7_rotation():
         "ts_asof_join",
         "ts_range_join",
     ]
-    assert window[26:28] == ["dedup_simhash", "text_hash_split"]
+    assert window[27:29] == ["dedup_simhash", "text_hash_split"]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
