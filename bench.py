@@ -46,6 +46,8 @@ HEADLINE = [
     "ts_resample_locf",
     "ts_resample_interp",
     "ts_zorder_key",
+    "profile_documents",
+    "quality_gate_events",
     "dedup_minhash",
     "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",

@@ -1745,3 +1745,89 @@ SELECT grp, bin, COUNT(*) AS n_docs,
        MIN(doc) AS first_doc, MAX(doc) AS last_doc
 FROM b GROUP BY grp, bin ORDER BY grp, bin
 """
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile of the documents table — the first thing
+    a pipeline runs on a new corpus drop."""
+    from easydb_server_spark.operators.profile import profile_table
+
+    d = load(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "lang", "source", "n_chars"]).orderBy("column")
+
+
+ORACLE_PROFILE_DOCUMENTS = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM documents),
+per AS (
+  SELECT 'doc_id' AS column, COUNT(*) - COUNT(doc_id) AS n_null,
+         COUNT(DISTINCT doc_id) AS n_distinct,
+         CAST(MIN(doc_id) AS VARCHAR) AS min_value, CAST(MAX(doc_id) AS VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+         MIN(lang), MAX(lang) FROM documents
+  UNION ALL
+  SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+         MIN(source), MAX(source) FROM documents
+  UNION ALL
+  SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+)
+SELECT per.column, n.n_rows, per.n_null,
+       ROUND(CAST(per.n_null AS DOUBLE) / GREATEST(n.n_rows, 1), 6) AS null_rate,
+       per.n_distinct, per.min_value, per.max_value
+FROM per, n
+ORDER BY per.column
+"""
+
+
+def q_quality_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative ingestion gate over the events table: five rules
+    evaluated in one scan; NULL predicate results count as violations
+    (the strict reading)."""
+    from easydb_server_spark.operators.profile import quality_checks
+
+    e = load(spark, sf_dir, "events")
+    rules = [
+        ("event_id_present", "event_id IS NOT NULL"),
+        ("user_nonnegative", "user_id >= 0"),
+        ("known_event_type", "event_type IN ('view','click','purchase','signup','error')"),
+        ("value_in_range", "value >= -1000 AND value <= 100000"),
+        ("ts_in_window", "ts >= TIMESTAMP '2020-01-01 00:00:00'"),
+    ]
+    return quality_checks(e, rules).orderBy("rule")
+
+
+ORACLE_QUALITY_GATE_EVENTS = """
+WITH checks(rule, predicate) AS (
+  VALUES
+    ('event_id_present', 'event_id IS NOT NULL'),
+    ('user_nonnegative', 'user_id >= 0'),
+    ('known_event_type', 'event_type IN (''view'',''click'',''purchase'',''signup'',''error'')'),
+    ('value_in_range', 'value >= -1000 AND value <= 100000'),
+    ('ts_in_window', 'ts >= TIMESTAMP ''2020-01-01 00:00:00''')
+),
+v AS (
+  SELECT 'event_id_present' AS rule,
+         CAST(SUM(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+  FROM events
+  UNION ALL
+  SELECT 'user_nonnegative',
+         CAST(SUM(CASE WHEN user_id >= 0 THEN 0 ELSE 1 END) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'known_event_type',
+         CAST(SUM(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+                       THEN 0 ELSE 1 END) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value_in_range',
+         CAST(SUM(CASE WHEN value >= -1000 AND value <= 100000 THEN 0 ELSE 1 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'ts_in_window',
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2020-01-01 00:00:00' THEN 0 ELSE 1 END) AS BIGINT)
+  FROM events
+)
+SELECT c.rule, c.predicate, v.n_violations, v.n_violations = 0 AS passed
+FROM checks c JOIN v USING (rule)
+ORDER BY c.rule
+"""

@@ -1206,3 +1206,44 @@ class TestCcnetApprox:
         agree = sum(1 for k, v in exact.items() if approx[k] == v)
         # sketch rank error <= n/accuracy docs per cut (2 cuts), plus ties
         assert agree >= n - max(4, 2 * n // 10_000 + 2)
+
+
+class TestProfileAndChecks:
+    def test_profile_counts_nulls_and_distincts(self, spark):
+        from easydb_server_spark.operators.profile import profile_table
+
+        d = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, s string"
+        )
+        prof = {r.column: r for r in profile_table(d, ["id", "s"]).collect()}
+        assert prof["id"].n_rows == 4 and prof["id"].n_null == 0
+        assert prof["id"].n_distinct == 4 and prof["id"].min_value == "1"
+        assert prof["s"].n_null == 1 and prof["s"].null_rate == 0.25
+        assert prof["s"].n_distinct == 2  # countDistinct ignores nulls
+        assert prof["s"].max_value == "b"
+
+    def test_checks_count_null_predicates_as_violations(self, spark):
+        from easydb_server_spark.operators.profile import quality_checks
+
+        d = spark.createDataFrame([(1, 5.0), (2, None), (3, -1.0)], "id long, v double")
+        out = {r.rule: r for r in quality_checks(d, [
+            ("v_positive", "v > 0"),
+            ("id_present", "id IS NOT NULL"),
+        ]).collect()}
+        # v > 0: row 2 is NULL (violation, strict), row 3 is false
+        assert out["v_positive"].n_violations == 2 and not out["v_positive"].passed
+        assert out["id_present"].n_violations == 0 and out["id_present"].passed
+
+    def test_single_scan_for_all_rules(self, spark):
+        import contextlib
+        import io
+
+        from easydb_server_spark.operators.profile import quality_checks
+
+        d = spark.range(100).selectExpr("id", "id * 2 AS v")
+        df = quality_checks(d, [("a", "v >= 0"), ("b", "id < 1000"), ("c", "v % 2 = 0")])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        # all three rules fused into one aggregate over one scan
+        assert buf.getvalue().count("Scan ") <= 1
