@@ -48,6 +48,7 @@ HEADLINE = [
     "ts_zorder_key",
     "profile_documents",
     "quality_gate_events",
+    "profile_drift",
     "dedup_minhash",
     "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",

@@ -97,3 +97,48 @@ def quality_checks(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
             (F.col("r.n_violations") == 0).alias("passed"),
         )
     )
+
+
+def profile_drift(
+    reference: DataFrame,
+    candidate: DataFrame,
+    cols: list[str],
+    max_null_rate_increase: float = 0.05,
+    max_distinct_ratio_change: float = 0.5,
+) -> DataFrame:
+    """Snapshot-to-snapshot drift report — the monitoring step between
+    profiling and gating: compare a new drop's per-column profile
+    against the reference corpus and flag columns whose null rate
+    jumped or whose distinct-count density changed beyond tolerance
+    (schema rot, upstream format changes, silent truncation).
+
+    Two one-pass profiles + a |cols|-row join; nothing here scales
+    with data beyond the two profile scans.
+    """
+    ref = profile_table(reference, cols).select(
+        "column",
+        F.col("null_rate").alias("ref_null_rate"),
+        (F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1))).alias("ref_density"),
+    )
+    cand = profile_table(candidate, cols).select(
+        "column",
+        F.col("null_rate").alias("cand_null_rate"),
+        (F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1))).alias("cand_density"),
+    )
+    null_jump = F.round(F.col("cand_null_rate") - F.col("ref_null_rate"), 6)
+    density_change = F.round(
+        F.abs(F.col("cand_density") - F.col("ref_density"))
+        / F.greatest(F.col("ref_density"), F.lit(1e-12)),
+        6,
+    )
+    return ref.join(cand, "column").select(
+        "column",
+        "ref_null_rate",
+        "cand_null_rate",
+        null_jump.alias("null_rate_increase"),
+        density_change.alias("distinct_density_change"),
+        (
+            (null_jump <= max_null_rate_increase)
+            & (density_change <= max_distinct_ratio_change)
+        ).alias("ok"),
+    )

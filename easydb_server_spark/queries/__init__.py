@@ -41,7 +41,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # `text_ccnet_buckets` + `text_tfidf_keywords` + `emb_quantize` +
 # `dedup_incremental_fuzzy` + `chunk_pack` + `ts_resample_locf` +
 # `ts_resample_interp` + `ts_zorder_key` + `profile_documents` +
-# `quality_gate_events`
+# `quality_gate_events` + `profile_drift`
 # (new operators/compositions) and `text_chunks` (trailing-subset
 # chunk fix, per ADVICE) — then the three r6 entries that have never
 # had a driver row (`text_stratified_sample`, `dedup_source_overlap`;
@@ -70,6 +70,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_zorder_key": (timeseries.q_ts_zorder_key, timeseries.ORACLE_TS_ZORDER_KEY),
     "profile_documents": (llmops.q_profile_documents, llmops.ORACLE_PROFILE_DOCUMENTS),
     "quality_gate_events": (llmops.q_quality_gate_events, llmops.ORACLE_QUALITY_GATE_EVENTS),
+    "profile_drift": (llmops.q_profile_drift, llmops.ORACLE_PROFILE_DRIFT),
     "text_chunks": (llmops.q_text_chunks, llmops.ORACLE_TEXT_CHUNKS),
     # --- new in r6, never driver-seen ---
     "text_stratified_sample": (llmops.q_text_stratified_sample, llmops.ORACLE_TEXT_STRATIFIED_SAMPLE),
@@ -111,9 +112,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sup_higher_order": (superset.q_sup_higher_order, superset.ORACLE_SUP_HIGHER_ORDER),
     "sup_lateral": (superset.q_sup_lateral, superset.ORACLE_SUP_LATERAL),
     "sup_variant": (superset.q_sup_variant, superset.ORACLE_SUP_VARIANT),
+    # --- end of the 50-entry priority window ---
     # --- r4 evidence: skew mitigation + rollups + flagship join ---
     "skew_salted_join": (skewq.q_skew_salted_join, skewq.ORACLE_SKEW_SALTED_JOIN),
-    # --- end of the 50-entry priority window ---
     "skew_salted_agg": (skewq.q_skew_salted_agg, skewq.ORACLE_SKEW_SALTED_AGG),
     "ts_multi_rollup": (timeseries.q_ts_multi_rollup, timeseries.ORACLE_TS_MULTI_ROLLUP),
     "ts_rolling_1h": (timeseries.q_ts_rolling_1h, timeseries.ORACLE_TS_ROLLING_1H),

@@ -1831,3 +1831,60 @@ SELECT c.rule, c.predicate, v.n_violations, v.n_violations = 0 AS passed
 FROM checks c JOIN v USING (rule)
 ORDER BY c.rule
 """
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift report between the first and second halves of the
+    documents corpus (standing in for reference vs new snapshot),
+    with nulls injected into the candidate's lang column so the
+    null-rate jump trips the gate."""
+    from easydb_server_spark.operators.profile import profile_drift
+
+    d = load(spark, sf_dir, "documents")
+    mid = 250
+    ref = d.where(F.col("doc_id") < mid)
+    cand = d.where(F.col("doc_id") >= mid).withColumn(
+        "lang", F.when(F.col("doc_id") % 10 == 0, None).otherwise(F.col("lang"))
+    )
+    return profile_drift(ref, cand, ["lang", "source", "n_chars"]).orderBy("column")
+
+
+ORACLE_PROFILE_DRIFT = """
+WITH ref AS (SELECT * FROM documents WHERE doc_id < 250),
+cand AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+         source, n_chars
+  FROM documents WHERE doc_id >= 250
+),
+rp AS (
+  SELECT 'lang' AS column,
+         ROUND(CAST(COUNT(*) - COUNT(lang) AS DOUBLE) / GREATEST(COUNT(*), 1), 6) AS nr,
+         CAST(COUNT(DISTINCT lang) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+  FROM ref
+  UNION ALL
+  SELECT 'source', ROUND(CAST(COUNT(*) - COUNT(source) AS DOUBLE) / GREATEST(COUNT(*), 1), 6),
+         CAST(COUNT(DISTINCT source) AS DOUBLE) / GREATEST(COUNT(*), 1) FROM ref
+  UNION ALL
+  SELECT 'n_chars', ROUND(CAST(COUNT(*) - COUNT(n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1), 6),
+         CAST(COUNT(DISTINCT n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1) FROM ref
+),
+cp AS (
+  SELECT 'lang' AS column,
+         ROUND(CAST(COUNT(*) - COUNT(lang) AS DOUBLE) / GREATEST(COUNT(*), 1), 6) AS nr,
+         CAST(COUNT(DISTINCT lang) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+  FROM cand
+  UNION ALL
+  SELECT 'source', ROUND(CAST(COUNT(*) - COUNT(source) AS DOUBLE) / GREATEST(COUNT(*), 1), 6),
+         CAST(COUNT(DISTINCT source) AS DOUBLE) / GREATEST(COUNT(*), 1) FROM cand
+  UNION ALL
+  SELECT 'n_chars', ROUND(CAST(COUNT(*) - COUNT(n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1), 6),
+         CAST(COUNT(DISTINCT n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1) FROM cand
+)
+SELECT rp."column", rp.nr AS ref_null_rate, cp.nr AS cand_null_rate,
+       ROUND(cp.nr - rp.nr, 6) AS null_rate_increase,
+       ROUND(ABS(cp.dd - rp.dd) / GREATEST(rp.dd, 1e-12), 6) AS distinct_density_change,
+       ROUND(cp.nr - rp.nr, 6) <= 0.05
+         AND ROUND(ABS(cp.dd - rp.dd) / GREATEST(rp.dd, 1e-12), 6) <= 0.5 AS ok
+FROM rp JOIN cp USING ("column")
+ORDER BY rp."column"
+"""

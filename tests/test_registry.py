@@ -4,16 +4,16 @@ an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
 Round-7 window (new/changed-code-first, then least-driver-evidence):
-the fifteen new r7 entries (dedup_incremental, chunk_dedup,
+the sixteen new r7 entries (dedup_incremental, chunk_dedup,
 curate_source_cap, text_unigram_logprob, dedup_ngram_spans,
 text_ccnet_buckets, text_tfidf_keywords, emb_quantize,
 dedup_incremental_fuzzy, chunk_pack, ts_resample_locf,
 ts_resample_interp, ts_zorder_key, profile_documents,
-quality_gate_events) and text_chunks (trailing-subset fix), the two
+quality_gate_events, profile_drift) and text_chunks (trailing-subset fix), the two
 remaining never-driver-seen r6 entries, the r1-evidence cohort
 (fn_array/fn_hash/fn_struct_map/fn_datetime_convert + seven ts_*),
 the r2-evidence dedup_simhash/text_hash_split, and the oldest r4
-entries filling to 50 (closing at skew_salted_join). Rows-only entries stay
+entries filling to 50 (closing at sup_variant). Rows-only entries stay
 out of the window
 (they burn a slot on `no_oracle`). Everything driver-green in r4-r6
 follows the marker.
@@ -26,8 +26,8 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "skew_salted_join", (
-        "the driver-verified priority window must close at skew_salted_join "
+    assert names[PRIORITY_WINDOW - 1] == "sup_variant", (
+        "the driver-verified priority window must close at sup_variant "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
@@ -39,7 +39,7 @@ def test_window_holds_the_r7_rotation():
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
     # new/changed r7 code + never-driver-seen r6 entries lead the window
-    assert window[:18] == [
+    assert window[:19] == [
         "dedup_incremental",
         "chunk_dedup",
         "curate_source_cap",
@@ -55,12 +55,13 @@ def test_window_holds_the_r7_rotation():
         "ts_zorder_key",
         "profile_documents",
         "quality_gate_events",
+        "profile_drift",
         "text_chunks",
         "text_stratified_sample",
         "dedup_source_overlap",
     ]
     # the r1-evidence cohort follows
-    assert window[18:29] == [
+    assert window[19:30] == [
         "fn_array",
         "fn_hash",
         "fn_struct_map",
@@ -73,7 +74,7 @@ def test_window_holds_the_r7_rotation():
         "ts_asof_join",
         "ts_range_join",
     ]
-    assert window[29:31] == ["dedup_simhash", "text_hash_split"]
+    assert window[30:32] == ["dedup_simhash", "text_hash_split"]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
