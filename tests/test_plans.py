@@ -143,6 +143,20 @@ class TestPlans:
             if "Join condition" in line or "Left keys" in line or "Right keys" in line:
                 assert not re.search(r"\bh#\d+", line), line
 
+    def test_minhash_signatures_have_zero_exchange(self, spark):
+        """MinHash signatures and LSH band keys must compute entirely
+        inside the scan's projection (higher-order fold over the
+        shingle array) — at 100 TB, any Exchange here shuffles the
+        whole corpus before the first candidate exists. The r6 form
+        paid two (signature groupBy + band groupBy); the array form
+        pays zero."""
+        from easydb_server_spark.operators.dedup import minhash_bands, minhash_signatures
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for df in (minhash_signatures(docs, "text", "doc_id"), minhash_bands(docs, "text", "doc_id")):
+            p = plan_of(df)
+            assert "Exchange" not in p, p
+
 
 class TestPartitionPruning:
     def test_partition_filter_prunes_directories(self, spark, tmp_path_factory):
