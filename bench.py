@@ -70,7 +70,9 @@ HEADLINE = [
     "dedup_ngram_spans",
     "text_ccnet_buckets",
     "text_tfidf_keywords",
+    "text_contamination_spans",
     "emb_quantize",
+    "sim_semdedup",
     "emb_label_outliers",
     "multimodal_features",
     # composed TPC-H workloads (multi-join + agg + top-k)

@@ -613,6 +613,56 @@ def duplicate_ngram_spans(
     return hashed.join(flagged, "gram_hash").select("doc_id", "pos", "gram_hash", "n_docs")
 
 
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-overlap n-gram spans — the span-granular form of
+    :func:`easydb_server_spark.operators.text.decontaminate` (which
+    drops whole documents): every corpus token position whose
+    length-``n`` word gram also occurs in the benchmark/eval set.
+    This is the published LLM decontamination recipe (GPT-3 Appendix C
+    13-gram overlap; PaLM removes the overlapping SPAN so the rest of
+    the document survives — far less destructive than doc-level drops
+    when a long page quotes one eval question). Returns
+    (doc_id, pos, gram_hash) per contaminated position; callers clip
+    the span or mask its loss.
+
+    Scale shape: the benchmark side reduces to a DISTINCT set of
+    60-bit gram digests (benchmarks are orders of magnitude smaller
+    than the corpus) and broadcasts; the corpus side is ONE scan →
+    posexplode → in-scan md5 → broadcast hash probe. The corpus is
+    never shuffled and never scanned twice — unlike
+    :func:`duplicate_ngram_spans`, which must aggregate corpus-wide
+    doc frequencies, the flag set here is known up front.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), words.alias("ws"), F.size(words).alias("nw")
+    )
+    idx = F.when(F.col("nw") >= n, F.sequence(F.lit(0), F.col("nw") - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))
+    positions = base.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id", "pos", _shingle_hash60(F.col("gram")).alias("gram_hash")
+    )
+    bwords = F.split(F.col(text_col), " ")
+    bidx = F.when(F.size(bwords) >= n, F.sequence(F.lit(0), F.size(bwords) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bgrams = F.transform(bidx, lambda i: F.concat_ws(" ", F.slice(bwords, i + 1, n)))
+    bench_h = (
+        benchmark.select(F.explode(F.array_distinct(bgrams)).alias("gram"))
+        .select(_shingle_hash60(F.col("gram")).alias("gram_hash"))
+        .distinct()
+    )
+    return positions.join(F.broadcast(bench_h), "gram_hash").select("doc_id", "pos", "gram_hash")
+
+
 def minhash_index(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> tuple[DataFrame, DataFrame]:
     """The persistent FUZZY-dedup artifact, companion to
     :func:`digest_index`: per-doc LSH band rows (doc_id, band,

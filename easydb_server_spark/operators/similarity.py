@@ -511,3 +511,58 @@ def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         F.round(s, 6).alias("scale"),
         q.alias("qvec"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    n_iters: int = 1,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    cell then within-cell cosine — the embedding-space analogue of
+    MinHash dedup, catching paraphrases and re-renderings that share
+    no n-grams. A vector is DROPPED when its cell contains a
+    higher-priority (smaller-id) vector with cosine ≥ ``threshold``;
+    exactly one member of every within-cell duplicate set survives.
+    Returns (vec_id, cell, keep) for the whole corpus.
+
+    Scale shape — the reason the paper clusters first: the quadratic
+    pair work is confined to single cells, and ``n_cells`` grows with
+    the corpus so cell size stays bounded (the paper runs 50k clusters
+    over 5B embeddings). Centroids come from the same deterministic
+    seeded k-means as IVF (:func:`ivf_centroids` — broadcast, corpus
+    never shuffled for assignment); the self-join shuffles on the cell
+    id, so skew is bounded by the largest cell, the knob ``n_cells``
+    controls. Cross-cell near-dups are the recall trade the paper
+    accepts — measured there at <1% of pairs for reasonable k.
+    """
+    c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, id_col, n_cells, n_iters)
+    )
+    assigned = _assign_cells(c, cents).withColumn(
+        "nrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    cos = _dot(F.col("x.cvec"), F.col("y.cvec")) / (F.col("x.nrm") * F.col("y.nrm"))
+    drops = (
+        x.join(y, "cell")
+        .where(F.col("y.cid") < F.col("x.cid"))
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col("x.cid").alias("cid"))
+        .distinct()
+    )
+    return (
+        assigned.join(drops.withColumn("_dropped", F.lit(True)), "cid", "left")
+        .select(
+            F.col("cid").alias("vec_id"),
+            "cell",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

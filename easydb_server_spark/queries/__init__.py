@@ -55,6 +55,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tools/check_conformance.py + pytest.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new/changed this round (r7) ---
+    "text_contamination_spans": (
+        llmops.q_text_contamination_spans,
+        llmops.ORACLE_TEXT_CONTAMINATION_SPANS,
+    ),
+    "sim_semdedup": (llmops.q_sim_semdedup, llmops.ORACLE_SIM_SEMDEDUP),
     "dedup_incremental": (llmops.q_dedup_incremental, llmops.ORACLE_DEDUP_INCREMENTAL),
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),
@@ -110,9 +115,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),
     "sup_unpivot": (superset.q_sup_unpivot, superset.ORACLE_SUP_UNPIVOT),
     "sup_higher_order": (superset.q_sup_higher_order, superset.ORACLE_SUP_HIGHER_ORDER),
+    # --- end of the 50-entry priority window ---
+    # (sup_lateral / sup_variant moved just below the line when the two
+    # late-r7 entries — text_contamination_spans, sim_semdedup — took
+    # the front; both are r4-driver-green and J-verified since)
     "sup_lateral": (superset.q_sup_lateral, superset.ORACLE_SUP_LATERAL),
     "sup_variant": (superset.q_sup_variant, superset.ORACLE_SUP_VARIANT),
-    # --- end of the 50-entry priority window ---
     # --- r4 evidence: skew mitigation + rollups + flagship join ---
     "skew_salted_join": (skewq.q_skew_salted_join, skewq.ORACLE_SKEW_SALTED_JOIN),
     "skew_salted_agg": (skewq.q_skew_salted_agg, skewq.ORACLE_SKEW_SALTED_AGG),

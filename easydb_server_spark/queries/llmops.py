@@ -1888,3 +1888,142 @@ SELECT rp."column", rp.nr AS ref_null_rate, cp.nr AS cand_null_rate,
 FROM rp JOIN cp USING ("column")
 ORDER BY rp."column"
 """
+
+
+# ---------- span-level decontamination + SemDeDup (round 7) ----------
+
+
+def q_text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (GPT-3 App. C / PaLM):
+    per training doc, which 3-gram positions overlap the src0 eval
+    set — the clip-don't-drop alternative to text_decontaminate."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("source") == "src0")
+    train = d.where(F.col("source") != "src0")
+    spans = D.contamination_spans(train, bench, "text", "doc_id", n=3)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contam"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+    )
+    totals = train.select(
+        "doc_id",
+        F.greatest(F.size(F.split(F.col("text"), " ")) - 2, F.lit(0)).alias("n_spans"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_contam", F.lit(0)).alias("n_contam"),
+            F.round(
+                F.coalesce("n_contam", F.lit(0)) / F.greatest("n_spans", F.lit(1)), 6
+            ).alias("contam_frac"),
+            F.coalesce("first_pos", F.lit(-1)).alias("first_pos"),
+            F.coalesce("last_pos", F.lit(-1)).alias("last_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_CONTAMINATION_SPANS = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, source, t.i AS pos, array_to_string(ws[t.i + 1 : t.i + 3], ' ') AS gram
+  FROM w, UNNEST(generate_series(0, len(ws) - 3)) t(i)
+  WHERE len(ws) >= 3
+),
+h AS (
+  SELECT doc_id, source, pos,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash
+  FROM g
+),
+bench AS (SELECT DISTINCT gram_hash FROM h WHERE source = 'src0'),
+f AS (
+  SELECT h.doc_id, h.pos FROM h JOIN bench USING (gram_hash)
+  WHERE h.source != 'src0'
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_contam, MIN(pos) AS first_pos, MAX(pos) AS last_pos
+  FROM f GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, GREATEST(len(ws) - 2, 0) AS n_spans FROM w WHERE source != 'src0'
+)
+SELECT t.doc_id, t.n_spans,
+       COALESCE(p.n_contam, 0) AS n_contam,
+       ROUND(CAST(COALESCE(p.n_contam, 0) AS DOUBLE) / GREATEST(t.n_spans, 1), 6)
+         AS contam_frac,
+       COALESCE(p.first_pos, -1) AS first_pos,
+       COALESCE(p.last_pos, -1) AS last_pos
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a dup-injected embedding corpus: k-means cells →
+    within-cell cosine ≥ 0.9 → keep the smallest id per dup set.
+    Injected exact copies land in their originals' cells (identical
+    dot products, deterministic tie-break), so recall on true dups is
+    exercised; oracle replays the deterministic k-means."""
+    e = load(spark, sf_dir, "embeddings")
+    dups = e.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding").unionAll(dups)
+    return S.semdedup(corpus, "embedding", "vec_id", n_cells=16, threshold=0.9).orderBy(
+        "vec_id"
+    )
+
+
+ORACLE_SIM_SEMDEDUP = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+v AS (
+  SELECT vec_id, vec FROM base
+  UNION ALL
+  SELECT vec_id + 10000, vec FROM base WHERE vec_id < 30
+),
+init AS (
+  SELECT vec_id AS cell, vec AS centroid FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+a0 AS (
+  SELECT cid, cell FROM (
+    SELECT v.vec_id AS cid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_dot_product(v.vec, c.centroid), 6) DESC, c.cell) AS r
+    FROM v CROSS JOIN init c
+  ) WHERE r = 1
+),
+upd AS (
+  SELECT a0.cell, t.i AS pos, ROUND(AVG(v.vec[t.i]), 5) AS m
+  FROM a0 JOIN v ON v.vec_id = a0.cid,
+       UNNEST(generate_series(1, len(v.vec))) t(i)
+  GROUP BY a0.cell, t.i
+),
+newc AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM upd GROUP BY cell),
+cents AS (
+  SELECT i.cell, COALESCE(n.centroid, i.centroid) AS centroid
+  FROM init i LEFT JOIN newc n ON n.cell = i.cell
+),
+assigned AS (
+  SELECT cid, cell FROM (
+    SELECT v.vec_id AS cid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_dot_product(v.vec, c.centroid), 6) DESC, c.cell) AS r
+    FROM v CROSS JOIN cents c
+  ) WHERE r = 1
+),
+drops AS (
+  SELECT DISTINCT x.cid
+  FROM assigned x
+  JOIN assigned y ON x.cell = y.cell AND y.cid < x.cid
+  JOIN v xv ON xv.vec_id = x.cid
+  JOIN v yv ON yv.vec_id = y.cid
+  WHERE ROUND(list_cosine_similarity(xv.vec, yv.vec), 6) >= 0.9
+)
+SELECT a.cid AS vec_id, a.cell, (d.cid IS NULL) AS keep
+FROM assigned a LEFT JOIN drops d ON d.cid = a.cid
+ORDER BY vec_id
+"""

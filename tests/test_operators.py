@@ -1247,3 +1247,84 @@ class TestProfileAndChecks:
             df.explain("formatted")
         # all three rules fused into one aggregate over one scan
         assert buf.getvalue().count("Scan ") <= 1
+
+
+class TestContaminationSpans:
+    def test_flags_exact_positions_of_benchmark_grams(self, spark):
+        from easydb_server_spark.operators.dedup import contamination_spans
+
+        train = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),       # grams at pos 0..3; "c d e" contaminated (pos 2)
+                (2, "x y z"),             # clean
+                (3, "c d e c d e x"),     # "c d e" at pos 0 and 3; "e c d" / "d e c" / "d e x" / "e c d" clean
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(100, "q q c d e q")], "doc_id long, text string")
+        out = contamination_spans(train, bench, "text", "doc_id", n=3)
+        got = {(r.doc_id, r.pos) for r in out.collect()}
+        assert got == {(1, 2), (3, 0), (3, 3)}
+
+    def test_corpus_side_never_shuffles(self, spark):
+        """The benchmark digest set broadcasts; the corpus side must be
+        scan → posexplode → hash → broadcast probe with no Exchange on
+        the corpus branch (at 100 TB an Exchange here shuffles the
+        whole training corpus). The plan's only Exchange belongs to the
+        tiny benchmark distinct."""
+        import contextlib
+        import io
+
+        from easydb_server_spark.operators.dedup import contamination_spans
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        bench = docs.where(F.col("source") == "src0")
+        train = docs.where(F.col("source") != "src0")
+        df = contamination_spans(train, bench, "text", "doc_id", n=3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "BroadcastHashJoin" in p
+        # corpus branch shuffle-free: the plan's only shuffle Exchange
+        # is the tiny benchmark distinct feeding the broadcast
+        import re
+
+        nodes = re.findall(r"\(\d+\) (BroadcastExchange|Exchange)\b", p)
+        assert nodes.count("Exchange") <= 1, p
+        assert nodes.count("BroadcastExchange") <= 1, p
+
+
+class TestSemDeDup:
+    def test_injected_copies_dropped_originals_kept(self, spark, embeddings):
+        from easydb_server_spark.operators.similarity import semdedup
+
+        dups = embeddings.where(F.col("vec_id") < 30).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+        corpus = embeddings.select("vec_id", "embedding").unionAll(dups)
+        out = semdedup(corpus, "embedding", "vec_id", n_cells=8, threshold=0.9).collect()
+        n = corpus.count()
+        assert len(out) == n  # one row per vector, keep flag set
+        by_id = {r.vec_id: r for r in out}
+        # every injected exact copy shares its original's cell
+        # (identical dots, deterministic tie-break) and must be dropped
+        for i in range(min(30, len([r for r in out if r.vec_id >= 10000]))):
+            dup = by_id[10000 + i]
+            orig = by_id[i]
+            assert dup.cell == orig.cell
+            assert dup.keep is False
+
+    def test_exactly_one_survivor_per_duplicate_set(self, spark, embeddings):
+        from easydb_server_spark.operators.similarity import semdedup
+
+        # three exact copies of vector 0 → exactly one keeper among them
+        copies = embeddings.where(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+        )
+        copies2 = embeddings.where(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 30000).alias("vec_id"), "embedding"
+        )
+        corpus = embeddings.select("vec_id", "embedding").unionAll(copies).unionAll(copies2)
+        out = {r.vec_id: r.keep for r in semdedup(corpus, "embedding", "vec_id", n_cells=8).collect()}
+        assert out[0] is True and out[20000] is False and out[30000] is False
