@@ -71,6 +71,7 @@ HEADLINE = [
     "text_ccnet_buckets",
     "text_tfidf_keywords",
     "text_contamination_spans",
+    "text_bpe_merges",
     "emb_quantize",
     "sim_semdedup",
     "emb_label_outliers",

@@ -784,3 +784,96 @@ def tfidf_keywords(df: DataFrame, text_col: str, id_col: str, top_k: int = 5) ->
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str, n_merges: int = 8, min_count: int = 1
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    tokenizer-induction step of an LLM data pipeline. Learns the first
+    ``n_merges`` merges over the corpus and returns the merge table
+    (rank, left, right, merged, pair_count), the artifact a tokenizer
+    ships with.
+
+    Spark-first shape: the corpus collapses to the distinct-word
+    frequency table in ONE shuffle (classic BPE trains on the word
+    histogram, not the corpus — 100 TB of text is a few million
+    distinct words), and every superstep after that runs on that
+    bounded table: adjacent-pair counts via an in-row zip + one
+    map-side-combinable groupBy, top pair by (count desc, pair asc) —
+    a 1-row collect, the same driver-superstep pattern as
+    :func:`easydb_server_spark.operators.clusters.connected_components`
+    — then the greedy left-to-right merge applied per word as a pure
+    higher-order fold (no Python, no shuffle). The per-iteration
+    lineage is cut with an eager localCheckpoint so ``n_merges``
+    supersteps stay O(1) plan depth; a production 30k-merge run would
+    batch non-overlapping top pairs per superstep, which changes the
+    constant, not the shape.
+
+    The fold replicates exact greedy BPE semantics: a position merges
+    iff it matches (left, right) and its left neighbour did not just
+    merge — identical to the reference algorithm's non-overlapping
+    left-to-right scan (e.g. run "aaaa" with pair (a,a) → [aa][aa],
+    "aaa" → [aa][a]).
+    """
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "word",
+            "wc",
+            F.transform(
+                F.sequence(F.lit(0), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i + 1, 1),
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for k in range(n_merges):
+        lefts = F.slice("syms", 1, F.size("syms") - 1)
+        rights = F.slice("syms", 2, F.size("syms") - 1)
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.zip_with(lefts, rights, lambda x, y: F.struct(x.alias("l"), y.alias("r")))
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((k, a, b, a + b, cnt))
+
+        def _make_fold(a: str, b: str):
+            def _fold(acc: F.Column, s: F.Column) -> F.Column:
+                can_merge = (
+                    (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b))
+                )
+                return F.when(
+                    can_merge,
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return _fold
+
+        _fold = _make_fold(a, b)
+
+        vocab = vocab.select(
+            "word",
+            "wc",
+            F.aggregate("syms", F.array().cast("array<string>"), _fold).alias("syms"),
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )

@@ -60,6 +60,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         llmops.ORACLE_TEXT_CONTAMINATION_SPANS,
     ),
     "sim_semdedup": (llmops.q_sim_semdedup, llmops.ORACLE_SIM_SEMDEDUP),
+    "text_bpe_merges": (llmops.q_text_bpe_merges, llmops.ORACLE_TEXT_BPE_MERGES),
     "dedup_incremental": (llmops.q_dedup_incremental, llmops.ORACLE_DEDUP_INCREMENTAL),
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),
@@ -114,11 +115,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sup_pivot": (superset.q_sup_pivot, superset.ORACLE_SUP_PIVOT),
     "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),
     "sup_unpivot": (superset.q_sup_unpivot, superset.ORACLE_SUP_UNPIVOT),
-    "sup_higher_order": (superset.q_sup_higher_order, superset.ORACLE_SUP_HIGHER_ORDER),
     # --- end of the 50-entry priority window ---
-    # (sup_lateral / sup_variant moved just below the line when the two
-    # late-r7 entries — text_contamination_spans, sim_semdedup — took
-    # the front; both are r4-driver-green and J-verified since)
+    # (sup_higher_order / sup_lateral / sup_variant moved just below the
+    # line when the three late-r7 entries — text_contamination_spans,
+    # sim_semdedup, text_bpe_merges — took the front; all three are
+    # r4-driver-green and J-verified since)
+    "sup_higher_order": (superset.q_sup_higher_order, superset.ORACLE_SUP_HIGHER_ORDER),
     "sup_lateral": (superset.q_sup_lateral, superset.ORACLE_SUP_LATERAL),
     "sup_variant": (superset.q_sup_variant, superset.ORACLE_SUP_VARIANT),
     # --- r4 evidence: skew mitigation + rollups + flagship join ---

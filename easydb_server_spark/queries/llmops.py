@@ -2027,3 +2027,71 @@ SELECT a.cid AS vec_id, a.cell, (d.cid IS NULL) AS keep
 FROM assigned a LEFT JOIN drops d ON d.cid = a.cid
 ORDER BY vec_id
 """
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 6 merges learned from the
+    corpus word histogram (driver-superstep loop; greedy left-to-right
+    merge as an in-row fold). Oracle replays all 6 supersteps as an
+    unrolled CTE pipeline with gaps-and-islands parity for the
+    overlapping-run case."""
+    d = load(spark, sf_dir, "documents")
+    return T.bpe_merges(d, "text", n_merges=6).orderBy("rank")
+
+
+def _oracle_bpe(n_merges: int) -> str:
+    stages = []
+    for k in range(n_merges):
+        stages.append(
+            f"""p{k} AS (
+  SELECT syms[t.i] AS l, syms[t.i + 1] AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+  FROM v{k}, UNNEST(generate_series(1, len(syms) - 1)) t(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+t{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+e{k} AS (
+  SELECT v.word, v.wc, u.i AS i, v.syms[u.i] AS sym,
+         (u.i < len(v.syms) AND v.syms[u.i] = tk.l AND v.syms[u.i + 1] = tk.r) AS m
+  FROM v{k} v CROSS JOIN t{k} tk, UNNEST(generate_series(1, len(v.syms))) u(i)
+),
+g{k} AS (
+  SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) AS isl FROM e{k}
+),
+s{k} AS (
+  SELECT *, (m AND (i - MIN(i) OVER (PARTITION BY word, m, isl)) % 2 = 0) AS st
+  FROM g{k}
+),
+c{k} AS (
+  SELECT *, COALESCE(LAG(st) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+  FROM s{k}
+),
+v{k + 1} AS (
+  SELECT c.word, c.wc,
+         list(CASE WHEN c.st THEN tk.l || tk.r ELSE c.sym END ORDER BY c.i) AS syms
+  FROM c{k} c CROSS JOIN t{k} tk
+  WHERE NOT c.consumed
+  GROUP BY c.word, c.wc
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count FROM t{k}'
+        for k in range(n_merges)
+    )
+    return (
+        """WITH v0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc,
+         list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE word != ''
+  GROUP BY word
+),
+"""
+        + ",\n".join(stages)
+        + "\nSELECT * FROM (\n"
+        + finals
+        + "\n) ORDER BY rank"
+    )
+
+
+ORACLE_TEXT_BPE_MERGES = _oracle_bpe(6)

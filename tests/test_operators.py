@@ -1328,3 +1328,69 @@ class TestSemDeDup:
         corpus = embeddings.select("vec_id", "embedding").unionAll(copies).unionAll(copies2)
         out = {r.vec_id: r.keep for r in semdedup(corpus, "embedding", "vec_id", n_cells=8).collect()}
         assert out[0] is True and out[20000] is False and out[30000] is False
+
+
+class TestBpeMerges:
+    @staticmethod
+    def _ref_bpe(texts, n):
+        """Pure-Python reference BPE (Sennrich et al. 2016 pseudocode):
+        word histogram, most-frequent adjacent pair with (count desc,
+        pair asc) tie-break, greedy left-to-right non-overlapping
+        merge."""
+        from collections import Counter
+
+        wc = Counter(w for t in texts for w in t.split(" ") if w)
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for k in range(n):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wc[w]
+            if not pc:
+                break
+            (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+            merges.append((k, a, b, a + b, cnt))
+            for w in vocab:
+                s, out, i = vocab[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_matches_reference_implementation(self, spark):
+        """Covers the tricky cases: overlapping runs (aaaa/aaa with
+        pair (a,a) must tile left-to-right), merged tokens as pair
+        members (b+an, lo+w, t+he), and full tie-breaking."""
+        from easydb_server_spark.operators.text import bpe_merges
+
+        texts = [
+            "aaaa aaa banana bandana",
+            "low lower lowest low",
+            "the the the cat sat on the mat",
+            "banana band",
+        ]
+        want = self._ref_bpe(texts, 8)
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r.rank, r.left, r.right, r.merged, int(r.pair_count))
+            for r in bpe_merges(df, "text", 8).orderBy("rank").collect()
+        ]
+        assert got == want
+
+    def test_matches_reference_on_fixture_corpus(self, spark):
+        from easydb_server_spark.operators.text import bpe_merges
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        texts = [r.text for r in docs.select("text").collect()]
+        want = self._ref_bpe(texts, 5)
+        got = [
+            (r.rank, r.left, r.right, r.merged, int(r.pair_count))
+            for r in bpe_merges(docs, "text", 5).orderBy("rank").collect()
+        ]
+        assert got == want
