@@ -72,6 +72,7 @@ HEADLINE = [
     "text_tfidf_keywords",
     "text_contamination_spans",
     "text_bpe_merges",
+    "text_bm25",
     "emb_quantize",
     "sim_semdedup",
     "emb_label_outliers",

@@ -877,3 +877,84 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def _eq_term(t: str):
+    """One-arg lambda factory for F.filter (a default-arg closure would
+    change the lambda's arity and be mis-read as (element, index))."""
+
+    def _eq(w: F.Column) -> F.Column:
+        return w == F.lit(t)
+
+    return _eq
+
+
+def bm25_rank(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a keyword query
+    (Robertson et al.; idf form = Lucene's ``ln(1 + (N-df+0.5)/(df+0.5))``,
+    which keeps idf non-negative). The full-text-retrieval primitive a
+    training-data pipeline uses for targeted corpus slicing (e.g.
+    pulling a topical subcorpus) and the lexical half of hybrid
+    (BM25 + dense) retrieval next to the ANN operators.
+
+    Scale shape: per-term tf and the document length are in-row
+    ``filter``/``size`` expressions over the split array (the query is
+    a handful of literal terms — each is one compiled predicate, no
+    join against a term table); the corpus statistics (N, avgdl, per-
+    term document frequencies) are ONE global aggregate — a single
+    broadcast row — and the final top-k compiles to
+    TakeOrderedAndProject. The corpus is scanned twice (stats, score)
+    and never shuffled; at 100 TB both scans are embarrassingly
+    parallel and the second can reuse a persisted stats row across
+    queries.
+
+    Determinism for the exact oracle: every input to the score is an
+    integer (tf, df, N, dl, the exact long sum behind avgdl), the
+    float expression applies in one fixed order, and the ranking key
+    is the ROUNDed score with doc-id tie-break — bit-identical across
+    engines.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("dl"),
+        *[
+            F.size(F.filter(words, _eq_term(t))).alias(f"tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        part = idf * (
+            F.col(f"tf{i}")
+            * F.lit(k1 + 1.0)
+            / (F.col(f"tf{i}") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+        )
+        score = part if score is None else score + part
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(topk)
+    )

@@ -2095,3 +2095,50 @@ v{k + 1} AS (
 
 
 ORACLE_TEXT_BPE_MERGES = _oracle_bpe(6)
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for the keyword query {customer, join, vector}.
+    Every score input is an integer (tf/df/N/dl and the exact long sum
+    behind avgdl) and the float expression applies in one fixed order,
+    so the DuckDB oracle is bit-identical."""
+    d = load(spark, sf_dir, "documents")
+    return T.bm25_rank(d, "text", "doc_id", ["customer", "join", "vector"], topk=15)
+
+
+def _oracle_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75, topk: int = 15) -> str:
+    # interpolate the exact Python-computed float constants so both
+    # engines parse identical doubles (repr round-trips)
+    k1p1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = "\n   + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(tf{i} * {k1p1} / (tf{i} + {repr(k1)} * ({one_minus_b} + {repr(b)} * dl / (sum_dl / n_docs))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tf_cols}
+  FROM d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, dl,
+       ROUND({score}, 6) AS score
+FROM base CROSS JOIN stats
+ORDER BY score DESC, doc_id LIMIT {topk}
+"""
+
+
+ORACLE_TEXT_BM25 = _oracle_bm25(["customer", "join", "vector"])

@@ -202,3 +202,19 @@ class TestSourceOverlapPlan:
         p = plan_of(queries["dedup_source_overlap"](spark, SF_DIR))
         assert "documents.parquet" not in p  # all consumers read the checkpoint
         assert "Scan ExistingRDD" in p or "LocalTableScan" in p or "Checkpoint" in p
+
+
+class TestBm25Plan:
+    def test_bm25_topk_compiles_to_take_ordered_with_no_corpus_shuffle(self, spark):
+        """BM25's ranking must be TakeOrderedAndProject (per-partition
+        heaps), and the corpus must never shuffle — the only exchange
+        feeds the single broadcast stats row."""
+        import re
+
+        from easydb_server_spark.operators.text import bm25_rank
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        p = plan_of(bm25_rank(docs, "text", "doc_id", ["customer", "join"], topk=10))
+        assert "TakeOrderedAndProject" in p
+        nodes = re.findall(r"\(\d+\) (BroadcastExchange|Exchange)\b", p)
+        assert nodes.count("Exchange") <= 1, p  # stats partial-agg only
