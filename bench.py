@@ -73,6 +73,7 @@ HEADLINE = [
     "text_contamination_spans",
     "text_bpe_merges",
     "text_bm25",
+    "sim_hybrid_rrf",
     "emb_quantize",
     "sim_semdedup",
     "emb_label_outliers",

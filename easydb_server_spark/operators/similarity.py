@@ -566,3 +566,42 @@ def semdedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    hybrid retrieval combines a lexical (BM25) and a dense (ANN) rank
+    list without score calibration: fused = Σ_lists 1/(k + rank), an
+    id absent from a list contributing 0. Returns the fused top
+    ``topk`` with each source rank (-1 when absent).
+
+    Scale shape: the inputs are already top-N rank lists — bounded,
+    broadcastable frames — so the fusion is |lists|-way outer joins of
+    tiny tables plus one TakeOrderedAndProject; the corpora behind the
+    rank lists are never touched again. Determinism: ranks are
+    integers, 1/(k+rank) is one double op, and the sum applies in
+    list order, so an engine replaying the same rank lists fuses
+    bit-identically.
+    """
+    fused = None
+    for i, r in enumerate(rankings):
+        r2 = r.select(F.col(id_col).alias("id"), F.col("rank").cast("int").alias(f"rank_{i}"))
+        fused = r2 if fused is None else fused.join(r2, "id", "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        part = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(f"rank_{i}")), F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        fused.select(
+            "id",
+            *[F.coalesce(F.col(f"rank_{i}"), F.lit(-1)).alias(f"rank_{i}") for i in range(len(rankings))],
+            F.round(score, 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("id"))
+        .limit(topk)
+    )

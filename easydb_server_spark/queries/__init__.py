@@ -62,6 +62,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim_semdedup": (llmops.q_sim_semdedup, llmops.ORACLE_SIM_SEMDEDUP),
     "text_bpe_merges": (llmops.q_text_bpe_merges, llmops.ORACLE_TEXT_BPE_MERGES),
     "text_bm25": (llmops.q_text_bm25, llmops.ORACLE_TEXT_BM25),
+    "sim_hybrid_rrf": (llmops.q_sim_hybrid_rrf, llmops.ORACLE_SIM_HYBRID_RRF),
     "dedup_incremental": (llmops.q_dedup_incremental, llmops.ORACLE_DEDUP_INCREMENTAL),
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),
@@ -114,13 +115,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- r4 evidence: documented supersets ---
     "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),
     "sup_pivot": (superset.q_sup_pivot, superset.ORACLE_SUP_PIVOT),
-    "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),
     # --- end of the 50-entry priority window ---
-    # (sup_unpivot / sup_higher_order / sup_lateral / sup_variant moved
-    # just below the line when the four late-r7 entries —
-    # text_contamination_spans, sim_semdedup, text_bpe_merges, text_bm25
-    # — took the front; all four sup_* are r4-driver-green and
-    # J-verified since)
+    # (five sup_* entries moved just below the line when the five
+    # late-r7 entries — text_contamination_spans, sim_semdedup,
+    # text_bpe_merges, text_bm25, sim_hybrid_rrf — took the front; all
+    # five sup_* are r4-driver-green and J-verified since)
+    "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),
     "sup_unpivot": (superset.q_sup_unpivot, superset.ORACLE_SUP_UNPIVOT),
     "sup_higher_order": (superset.q_sup_higher_order, superset.ORACLE_SUP_HIGHER_ORDER),
     "sup_lateral": (superset.q_sup_lateral, superset.ORACLE_SUP_LATERAL),

@@ -2142,3 +2142,88 @@ ORDER BY score DESC, doc_id LIMIT {topk}
 
 
 ORACLE_TEXT_BM25 = _oracle_bm25(["customer", "join", "vector"])
+
+
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (lexical) fused with exact-cosine
+    top-50 of query vector 42 (dense) by reciprocal-rank fusion —
+    the standard RAG retrieval shape; doc_id and vec_id share the id
+    space by fixture construction."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    lex = T.bm25_rank(d, "text", "doc_id", ["customer", "join", "vector"], topk=50)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex_ranks = lex.select("doc_id", F.row_number().over(wl).alias("rank")).withColumnRenamed(
+        "doc_id", "id"
+    )
+    q = e.where(F.col("vec_id") == 42)
+    dense = S.topk_cosine_bruteforce(e, q, "embedding", "vec_id", k=50)
+    dense_ranks = dense.select(F.col("cid").alias("id"), "rank")
+    return S.rrf_fuse([lex_ranks, dense_ranks], topk=10)
+
+
+def _oracle_hybrid(terms: list[str]) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tf_cols}
+  FROM d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+),
+lex AS (
+  SELECT doc_id,
+       ROUND({_bm25_score_sql(terms)}, 6) AS score
+  FROM base CROSS JOIN stats
+  ORDER BY score DESC, doc_id LIMIT 50
+),
+lex_ranks AS (
+  SELECT doc_id AS id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS r0
+  FROM lex
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+qv AS (SELECT * FROM v WHERE vec_id = 42),
+dscored AS (
+  SELECT c.vec_id AS cid, ROUND(list_cosine_similarity(c.vec, qv.vec), 6) AS cosine
+  FROM v c CROSS JOIN qv WHERE c.vec_id != qv.vec_id
+),
+dense_ranks AS (
+  SELECT cid AS id, CAST(rank AS INT) AS r1 FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, cid) AS rank FROM dscored
+  ) WHERE rank <= 50
+),
+fused AS (
+  SELECT COALESCE(l.id, d.id) AS id, l.r0, d.r1
+  FROM lex_ranks l FULL OUTER JOIN dense_ranks d ON l.id = d.id
+)
+SELECT id, COALESCE(r0, -1) AS rank_0, COALESCE(r1, -1) AS rank_1,
+       ROUND(COALESCE(1.0 / (60 + r0), 0.0) + COALESCE(1.0 / (60 + r1), 0.0), 6) AS rrf
+FROM fused
+ORDER BY rrf DESC, id LIMIT 10
+"""
+
+
+def _bm25_score_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    k1p1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
+    return "\n   + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(tf{i} * {k1p1} / (tf{i} + {repr(k1)} * ({one_minus_b} + {repr(b)} * dl / (sum_dl / n_docs))))"
+        for i in range(len(terms))
+    )
+
+
+ORACLE_SIM_HYBRID_RRF = _oracle_hybrid(["customer", "join", "vector"])
