@@ -162,15 +162,11 @@ def _band_hash_cols(mins: F.Column) -> list[F.Column]:
     return cols
 
 
-def minhash_bands(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(doc_id, band, band_hash) LSH band rows, zero-shuffle.
-
-    Band keys compute straight off :func:`minhash_sig_array`'s array
-    column inside the projection; the only explode is 4 rows per doc.
-    The r6 path shuffled twice before the bucket join (signature
-    groupBy + band groupBy); this path shuffles zero times until the
-    candidate self-join itself."""
-    sigarr = minhash_sig_array(df, text_col, id_col, k)
+def bands_from_sig_array(sigarr: DataFrame) -> DataFrame:
+    """(doc_id, mins) signature arrays → (doc_id, band, band_hash) LSH
+    band rows. Pure md5-of-16-ints arithmetic — no text access — so a
+    materialized signature table yields its band index without
+    re-reading the corpus."""
     banded = sigarr.select("doc_id", *_band_hash_cols(F.col("mins")))
     pairs = F.array(
         *[
@@ -181,6 +177,17 @@ def minhash_bands(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     return banded.select("doc_id", F.explode(pairs).alias("_b")).select(
         "doc_id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash")
     )
+
+
+def minhash_bands(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, band, band_hash) LSH band rows, zero-shuffle.
+
+    Band keys compute straight off :func:`minhash_sig_array`'s array
+    column inside the projection; the only explode is 4 rows per doc.
+    The r6 path shuffled twice before the bucket join (signature
+    groupBy + band groupBy); this path shuffles zero times until the
+    candidate self-join itself."""
+    return bands_from_sig_array(minhash_sig_array(df, text_col, id_col, k))
 
 
 def _band_rows(sig: DataFrame) -> DataFrame:
@@ -666,12 +673,26 @@ def contamination_spans(
 def minhash_index(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> tuple[DataFrame, DataFrame]:
     """The persistent FUZZY-dedup artifact, companion to
     :func:`digest_index`: per-doc LSH band rows (doc_id, band,
-    band_hash) plus signature rows (doc_id, i, minhash). Built once
-    per corpus — one shingle+hash pass — then kept as bucketed tables
+    band_hash) plus one signature ARRAY row per doc (doc_id, mins) —
+    array form so the verify join later moves one 128-byte row per
+    doc instead of 16 rows, and signature agreement computes in-row
+    with no aggregate. Built once per corpus — zero-shuffle hash
+    passes — then kept as bucketed tables
     (:func:`write_minhash_index`) that each ingest batch probes
     (:func:`incremental_neardup`) without ever rescanning corpus text.
+
+    The signature arrays are materialized eagerly (localCheckpoint,
+    same pattern as ``ivf_centroids``): both index artifacts derive
+    from them, so corpus text is shingled and hashed exactly ONCE —
+    the band keys are md5s over the 16 minima, not over text. This is
+    an ingest-time builder, so running the hash job at construction is
+    the intended semantic; at a real 100 TB the same role is played by
+    writing the signature table first and deriving the band table from
+    it (:func:`bands_from_sig_array`), which is also the
+    fault-tolerant form.
     """
-    return minhash_bands(df, text_col, id_col, k), minhash_signatures(df, text_col, id_col, k)
+    sigarr = minhash_sig_array(df, text_col, id_col, k).localCheckpoint(eager=True)
+    return bands_from_sig_array(sigarr), sigarr
 
 
 def write_minhash_index(
@@ -714,18 +735,20 @@ def incremental_neardup(
     Candidates come from probing the batch's LSH band rows against the
     corpus band index on (band, band_hash); similarity is the standard
     MinHash estimate — the fraction of agreeing signature components —
-    so verification needs only the 16-int signatures both sides
+    so verification needs only the 16-int signature arrays both sides
     already have, never the corpus shingle sets. The estimate is
     deterministic md5 arithmetic, which is why an engine-independent
     oracle can replay it bit-for-bit.
 
     Scale shape: per batch, the corpus-proportional work is two
-    bucketed probes (bands on band_hash, signatures on doc_id) — the
-    same trade measured for the exact digest index; candidates stay
-    linear by the LSH sweep evidence; the 16-component verify is
-    O(|candidates|).
+    bucketed probes (bands on band_hash, signature arrays on doc_id) —
+    the same trade measured for the exact digest index; candidates
+    stay linear by the LSH sweep evidence. The verify joins ONE
+    128-byte array row per side and counts agreements in-row
+    (``zip_with``/``filter``) — no 16-way row explosion, no aggregate,
+    strictly O(|candidates|).
     """
-    b_sig = minhash_signatures(new_batch, text_col, id_col, k)
+    b_arr = minhash_sig_array(new_batch, text_col, id_col, k)
     b_bands = minhash_bands(new_batch, text_col, id_col, k)
     cand = (
         b_bands.select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
@@ -736,20 +759,21 @@ def incremental_neardup(
         .select("batch_id", "corpus_id")
         .distinct()
     )
-    bs = b_sig.select(F.col("doc_id").alias("batch_id"), "i", F.col("minhash").alias("mh_b"))
-    cs = index_sigs.select(
-        F.col("doc_id").alias("corpus_id"), "i", F.col("minhash").alias("mh_c")
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mins_b"), F.col("mins_c"), lambda x, y: x == y), lambda v: v
+        )
     )
     return (
-        cand.join(bs, "batch_id")
-        .join(cs, ["corpus_id", "i"])
-        .groupBy("batch_id", "corpus_id")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("mh_b") == F.col("mh_c"), 1).otherwise(0))
-                / F.lit(float(MINHASH_N)),
-                6,
-            ).alias("est_jaccard")
+        cand.join(b_arr.select(F.col("doc_id").alias("batch_id"), F.col("mins").alias("mins_b")), "batch_id")
+        .join(
+            index_sigs.select(F.col("doc_id").alias("corpus_id"), F.col("mins").alias("mins_c")),
+            "corpus_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(n_agree / F.lit(float(MINHASH_N)), 6).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
     )

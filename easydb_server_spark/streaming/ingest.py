@@ -152,11 +152,7 @@ def stream_ingest_pipeline(
     operators and bounded by distinct corpus content, not by ingest
     volume.
     """
-    from easydb_server_spark.operators.dedup import (
-        _band_rows,
-        minhash_bands,
-        minhash_signatures,
-    )
+    from easydb_server_spark.operators.dedup import minhash_bands, minhash_sig_array
     from easydb_server_spark.operators.text import _quality_col
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -183,7 +179,7 @@ def stream_ingest_pipeline(
             survivors = batch_first
 
         if neardup_prefix is not None and sess.catalog.tableExists(f"{neardup_prefix}_bands"):
-            sig = minhash_signatures(survivors, "text", "doc_id")
+            sig = minhash_sig_array(survivors, "text", "doc_id")
             bands = minhash_bands(survivors, "text", "doc_id")
             idx_bands = sess.table(f"{neardup_prefix}_bands").where(
                 F.col("batch_id") < F.lit(batch_id)
@@ -200,20 +196,24 @@ def stream_ingest_pipeline(
                 .select("b_id", "c_id")
                 .distinct()
             )
+            n_agree = F.size(
+                F.filter(
+                    F.zip_with(F.col("mins_b"), F.col("mins_c"), lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
             near = (
                 cand.join(
-                    sig.select(F.col("doc_id").alias("b_id"), "i", F.col("minhash").alias("mh_b")),
+                    sig.select(F.col("doc_id").alias("b_id"), F.col("mins").alias("mins_b")),
                     "b_id",
                 )
                 .join(
                     idx_sigs.select(
-                        F.col("doc_id").alias("c_id"), "i", F.col("minhash").alias("mh_c")
+                        F.col("doc_id").alias("c_id"), F.col("mins").alias("mins_c")
                     ),
-                    ["c_id", "i"],
+                    "c_id",
                 )
-                .groupBy("b_id", "c_id")
-                .agg(F.sum(F.when(F.col("mh_b") == F.col("mh_c"), 1).otherwise(0)).alias("n_agree"))
-                .where(F.col("n_agree") >= F.lit(int(round(neardup_threshold * 16))))
+                .where(n_agree >= F.lit(int(round(neardup_threshold * 16))))
                 .select(F.col("b_id").alias("doc_id"))
                 .distinct()
             )
@@ -240,10 +240,10 @@ def stream_ingest_pipeline(
             .saveAsTable(digest_table)
         )
         if neardup_prefix is not None:
-            a_sig = minhash_signatures(
+            a_sig = minhash_sig_array(
                 admitted.select("doc_id", "text"), "text", "doc_id"
             ).localCheckpoint(eager=True)
-            a_bands = _band_rows(a_sig)
+            a_bands = minhash_bands(admitted.select("doc_id", "text"), "text", "doc_id")
             (
                 a_bands.withColumn("batch_id", F.lit(batch_id))
                 .write.bucketBy(n_buckets, "band_hash")

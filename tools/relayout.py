@@ -33,14 +33,28 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 TARGET_ROW_GROUPS = 16
-MIN_ROWS_PER_GROUP = 4096  # tiny dims stay single-group
+# Floors: tiny dims (nation/region) stay single-group, but the floor is
+# BYTES-aware — a row-count floor alone left the 5k-row documents table
+# at 2 row groups, serializing every text/MinHash pass on 2 cores while
+# 30 idled (the r7 fuzzy-dedup bench was task-starved, not slow).
+# Multiple row groups in ONE small file don't help either: Spark's
+# split size is max(openCostInBytes=4 MB, bytes/parallelism), so any
+# sub-4 MB file is one task no matter its row groups. Real ingests
+# land a DIRECTORY of part-files, and Spark's bin-packing charges each
+# file openCost, giving one task per file — so the relayout writes
+# that shape. A table only stays a single file when even two files
+# would be below the bytes floor.
+MIN_ROWS_PER_GROUP = 256
+MIN_BYTES_PER_GROUP = 128 * 1024
 
 
 def ensure_relayout(sf_dir: str, target_groups: int = TARGET_ROW_GROUPS) -> str:
-    """Rewrite ``sf_dir``'s tables with ~``target_groups`` row groups
-    each into ``<repo>/benchdata/<sfname>-mrg``; return that path.
-    Idempotent: tables are rewritten only when missing or older than
-    their source."""
+    """Rewrite each of ``sf_dir``'s tables as a DIRECTORY of
+    ~``target_groups`` part-files (the multi-file layout every real
+    ingest produces) into ``<repo>/benchdata/<sfname>-mrg``; return
+    that path. Spark reads the directory transparently under the same
+    ``<table>.parquet`` name. Idempotent: tables are rewritten only
+    when missing or older than their source."""
     src = Path(sf_dir)
     out = _REPO / "benchdata" / f"{src.name}-mrg"
     out.mkdir(parents=True, exist_ok=True)
@@ -49,8 +63,26 @@ def ensure_relayout(sf_dir: str, target_groups: int = TARGET_ROW_GROUPS) -> str:
         if dst.exists() and dst.stat().st_mtime >= f.stat().st_mtime:
             continue
         t = pq.read_table(f)
-        per_group = max(-(-t.num_rows // target_groups), MIN_ROWS_PER_GROUP)
-        pq.write_table(t, dst, row_group_size=per_group, compression="zstd")
+        bytes_per_row = max(f.stat().st_size / max(t.num_rows, 1), 1.0)
+        min_rows = max(MIN_ROWS_PER_GROUP, int(MIN_BYTES_PER_GROUP / bytes_per_row))
+        per_file = max(-(-t.num_rows // target_groups), min_rows)
+        n_files = max(t.num_rows // per_file, 1)
+        if n_files <= 1:
+            pq.write_table(t, dst, compression="zstd")
+            continue
+        if dst.exists() and dst.is_file():
+            dst.unlink()
+        dst.mkdir(parents=True, exist_ok=True)
+        for old in dst.glob("part-*.parquet"):
+            old.unlink()
+        per_file = -(-t.num_rows // n_files)
+        for i in range(n_files):
+            pq.write_table(
+                t.slice(i * per_file, per_file),
+                dst / f"part-{i:05d}.parquet",
+                compression="zstd",
+            )
+        os.utime(dst)
     return str(out)
 
 
