@@ -549,6 +549,11 @@ def semdedup(
     assigned = _assign_cells(c, cents).withColumn(
         "nrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
     )
+    # lazy checkpoint: the assignment feeds BOTH sides of the cell
+    # self-join and the final keep-flag projection; materializing it
+    # once (at first action — no construction-time job) saves two
+    # redundant assignment passes over the corpus
+    assigned = assigned.localCheckpoint(eager=False)
     x, y = assigned.alias("x"), assigned.alias("y")
     cos = _dot(F.col("x.cvec"), F.col("y.cvec")) / (F.col("x.nrm") * F.col("y.nrm"))
     drops = (
