@@ -74,6 +74,7 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bm25",
     "sim_hybrid_rrf",
+    "text_shard_manifest",
     "emb_quantize",
     "sim_semdedup",
     "emb_label_outliers",

@@ -107,3 +107,44 @@ def export_query(df: DataFrame, fmt: str, distributed: bool = False) -> str:
     finally:
         shutil.rmtree(parts_dir, ignore_errors=True)
     return path
+
+
+def export_training_shards(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_dir: str,
+    n_shards: int = 8,
+    seed: str = "v1",
+) -> DataFrame:
+    """Write the corpus as deterministic, reproducibly-ordered training
+    shards (NdJSON, one directory per shard) plus a manifest — the
+    sink of a curation pipeline, in the layout training loaders
+    stream: ``shard=N/part-*.json`` with rows in
+    :func:`easydb_server_spark.operators.text.corpus_shuffle` order
+    and a ``_manifest`` parquet recording (shard, n_docs, n_tokens,
+    content_digest) for integrity checks.
+
+    Scale shape: ONE shuffle (repartition on shard) + a bounded
+    per-shard sort on the 60-bit order key; rows of a shard co-locate,
+    so each shard writes as one ordered file regardless of cluster
+    size. The manifest is a map-side-combinable aggregate
+    (:func:`shard_manifest`) — rerunning the export anywhere
+    reproduces both files and manifest bit-for-bit (locked by
+    tests/test_sources.py::TestTrainingShards).
+    """
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.text import corpus_shuffle, shard_manifest
+
+    order = corpus_shuffle(df, id_col, n_shards=n_shards, seed=seed)
+    rows = (
+        df.join(order, df[id_col] == order["doc_id"])
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .select("shard", "pos", df[id_col].alias("id"), F.col(text_col).alias("text"))
+    )
+    rows.write.partitionBy("shard").mode("overwrite").json(out_dir)
+    manifest = shard_manifest(df, text_col, id_col, n_shards=n_shards, seed=seed)
+    manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "_manifest"))
+    return manifest

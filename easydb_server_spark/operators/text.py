@@ -958,3 +958,42 @@ def bm25_rank(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(topk)
     )
+
+
+def shard_manifest(
+    df: DataFrame, text_col: str, id_col: str, n_shards: int = 8, seed: str = "v1"
+) -> DataFrame:
+    """Deterministic manifest of a training-shard export — per shard:
+    document count, whitespace-token count, and an order-insensitive
+    content digest (sum of per-doc 32-bit text hashes — exact in a
+    64-bit sum up to 2^31 docs per shard, far beyond any real shard).
+    The shard assignment is :func:`corpus_shuffle`'s hash order, so
+    the manifest is a pure function of (seed, corpus): rerunning the
+    export on any cluster reproduces it bit-for-bit, and a consumer
+    can verify a shard by recomputing three numbers.
+
+    Scale shape: everything is map-side-combinable aggregation over
+    the shard key — one shuffle of n_shards·partitions partial rows.
+    The digest is deliberately order-insensitive (an abelian sum) so
+    no per-shard sort or collect_list is needed; shard ORDER integrity
+    is carried by the (shard, pos) keys the writer emits, not by the
+    digest.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    th = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("bigint")
+    base = df.select(
+        (h % n_shards).cast("int").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        th.alias("text_h"),
+    )
+    return base.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("text_h").alias("content_digest"),
+    )

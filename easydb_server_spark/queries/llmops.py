@@ -2227,3 +2227,27 @@ def _bm25_score_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
 
 
 ORACLE_SIM_HYBRID_RRF = _oracle_hybrid(["customer", "join", "vector"])
+
+
+def q_text_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest: deterministic shard assignment
+    (corpus_shuffle hash order) with per-shard doc/token counts and an
+    order-insensitive content digest — the integrity artifact the
+    shard writer (export.export_training_shards) emits."""
+    d = load(spark, sf_dir, "documents")
+    return T.shard_manifest(d, "text", "doc_id", n_shards=8, seed="v1").orderBy("shard")
+
+
+ORACLE_TEXT_SHARD_MANIFEST = """
+WITH base AS (
+  SELECT CAST(CAST(('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS text_h
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(text_h) AS BIGINT) AS content_digest
+FROM base GROUP BY shard ORDER BY shard
+"""

@@ -510,3 +510,47 @@ def engines_events(spark):
         f"CREATE VIEW ev3 AS SELECT user_id, ts, value FROM '{SF_DIR}/events.parquet' WHERE user_id < 3"
     )
     return spark, con, events
+
+
+@pytest.fixture(scope="module")
+def engines_docs_bm25(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where("doc_id < 50").select(
+        "doc_id", "text"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' WHERE doc_id < 50"
+    )
+    return spark, con, docs
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    terms=st.lists(
+        st.sampled_from(
+            ["customer", "join", "vector", "hash", "row", "scan", "merge", "zzz_absent"]
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    kb=st.sampled_from([(1.2, 0.75), (1.5, 0.75), (0.9, 0.4), (2.0, 1.0), (1.2, 0.0)]),
+)
+def test_bm25_matches_duckdb_for_any_query(engines_docs_bm25, terms, kb):
+    """bm25_rank vs the generated DuckDB oracle across random term sets
+    (including a zero-df term — idf must stay finite and the term
+    contribute 0) and (k1, b) corners (b=0 disables length norm, b=1
+    full norm) — the float-expression ordering and repr-interpolated
+    constants must agree bit-for-bit everywhere, not just at the
+    conformance point."""
+    k1, b = kb
+    spark, con, docs = engines_docs_bm25
+    from easydb_server_spark.operators.text import bm25_rank
+    from easydb_server_spark.queries.llmops import _oracle_bm25
+
+    sdf = bm25_rank(docs, "text", "doc_id", terms, k1=k1, b=b, topk=20).toPandas()
+    odf = con.execute(_oracle_bm25(terms, k1=k1, b=b, topk=20)).df()
+    scols, srows = canon_frame(sdf)
+    ocols, orows = canon_frame(odf)
+    assert scols == ocols, (terms, kb)
+    assert srows == orows, (terms, kb)

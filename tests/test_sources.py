@@ -4,6 +4,7 @@ import pandas as pd
 import pytest
 
 from easydb_server_spark.errors import NotFoundError, UnsupportedFormatError
+from tests.conftest import SF_DIR
 from easydb_server_spark.results import format_cell
 from easydb_server_spark.sources import DataSourceFormat, get_format, read_path
 from easydb_server_spark.sources.excel import read_xlsx, set_excel_loader
@@ -267,3 +268,40 @@ class TestStringify:
 
         assert format_cell(datetime.datetime(2024, 1, 2, 3, 4, 5)) == "2024-01-02T03:04:05"
         assert format_cell(datetime.date(2024, 1, 2)) == "2024-01-02"
+
+
+class TestTrainingShards:
+    def test_export_writes_ordered_shards_matching_manifest(self, spark, tmp_path):
+        import glob
+        import json
+
+        from easydb_server_spark.export import export_training_shards
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where("doc_id < 200")
+        out = str(tmp_path / "shards")
+        manifest = {r.shard: r for r in export_training_shards(
+            docs, "text", "doc_id", out, n_shards=4, seed="v1"
+        ).collect()}
+        assert set(manifest) == {0, 1, 2, 3}
+        assert sum(r.n_docs for r in manifest.values()) == docs.count()
+        # every shard directory holds its manifest's doc count, rows in pos order
+        for s, row in manifest.items():
+            lines = []
+            for f in sorted(glob.glob(f"{out}/shard={s}/part-*.json")):
+                with open(f) as fh:
+                    lines += [json.loads(line) for line in fh if line.strip()]
+            assert len(lines) == row.n_docs, s
+            assert [r["pos"] for r in lines] == sorted(r["pos"] for r in lines), s
+        # manifest parquet persisted alongside the shards
+        mf = spark.read.parquet(f"{out}/_manifest").collect()
+        assert {r.shard: r.content_digest for r in mf} == {
+            s: row.content_digest for s, row in manifest.items()
+        }
+
+    def test_export_is_deterministic_across_runs(self, spark, tmp_path):
+        from easydb_server_spark.export import export_training_shards
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where("doc_id < 100")
+        m1 = export_training_shards(docs, "text", "doc_id", str(tmp_path / "a"), n_shards=4).collect()
+        m2 = export_training_shards(docs, "text", "doc_id", str(tmp_path / "b"), n_shards=4).collect()
+        assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
