@@ -72,6 +72,7 @@ HEADLINE = [
     "text_tfidf_keywords",
     "text_contamination_spans",
     "text_bpe_merges",
+    "text_bpe_apply",
     "text_bm25",
     "sim_hybrid_rrf",
     "text_shard_manifest",

@@ -997,3 +997,56 @@ def shard_manifest(
         F.sum("n_tokens").alias("n_tokens"),
         F.sum("text_h").alias("content_digest"),
     )
+
+
+def bpe_apply(
+    df: DataFrame, text_col: str, id_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned BPE merge table (rank order) and report per-doc
+    token counts — the other half of :func:`bpe_merges`: training
+    produces the merge list, this encodes the corpus with it (the
+    pre-training tokenize step whose output feeds chunking/packing).
+    Returns (doc_id, n_words, n_chars, n_tokens) with
+    n_tokens = symbols after all merges.
+
+    Scale shape: encoding is computed once per DISTINCT word — the
+    corpus collapses to its word histogram exactly like training, each
+    merge applies as the same greedy left-to-right higher-order fold
+    (no Python, no shuffle beyond the distinct), and documents join
+    the (word → n_tokens) map broadcast-style to sum their counts.
+    At 100 TB the encode cost is vocab-bounded, not corpus-bounded;
+    the corpus pays one explode + one broadcast join + one groupBy.
+    """
+
+    def _make_fold(a: str, b: str):
+        def _fold(acc: F.Column, s: F.Column) -> F.Column:
+            can_merge = (
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b))
+            )
+            return F.when(
+                can_merge,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return _fold
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    syms = F.transform(
+        F.sequence(F.lit(0), F.length("word") - 1),
+        lambda i: F.substring(F.col("word"), i + 1, 1),
+    )
+    for a, b in merges:
+        syms = F.aggregate(syms, F.array().cast("array<string>"), _make_fold(a, b))
+    encoded = vocab.select("word", F.size(syms).alias("word_tokens"))
+    return (
+        words.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("word_tokens").alias("n_tokens"),
+        )
+    )

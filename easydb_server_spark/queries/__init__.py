@@ -64,6 +64,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_bm25": (llmops.q_text_bm25, llmops.ORACLE_TEXT_BM25),
     "sim_hybrid_rrf": (llmops.q_sim_hybrid_rrf, llmops.ORACLE_SIM_HYBRID_RRF),
     "text_shard_manifest": (llmops.q_text_shard_manifest, llmops.ORACLE_TEXT_SHARD_MANIFEST),
+    "text_bpe_apply": (llmops.q_text_bpe_apply, llmops.ORACLE_TEXT_BPE_APPLY),
     "dedup_incremental": (llmops.q_dedup_incremental, llmops.ORACLE_DEDUP_INCREMENTAL),
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),
@@ -114,13 +115,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),
     # --- r4 evidence: documented supersets ---
-    "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),
     # --- end of the 50-entry priority window ---
-    # (six sup_* entries moved just below the line when the six
+    # (all seven sup_* entries moved just below the line when the seven
     # late-r7 entries — text_contamination_spans, sim_semdedup,
-    # text_bpe_merges, text_bm25, sim_hybrid_rrf, text_shard_manifest —
-    # took the front; all six sup_* are r4-driver-green and J-verified
-    # since)
+    # text_bpe_merges, text_bm25, sim_hybrid_rrf, text_shard_manifest,
+    # text_bpe_apply — took the front; all seven sup_* are
+    # r4-driver-green and J-verified since)
+    "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),
     "sup_pivot": (superset.q_sup_pivot, superset.ORACLE_SUP_PIVOT),
     "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),
     "sup_unpivot": (superset.q_sup_unpivot, superset.ORACLE_SUP_UNPIVOT),

@@ -2251,3 +2251,68 @@ SELECT shard,
        CAST(SUM(text_h) AS BIGINT) AS content_digest
 FROM base GROUP BY shard ORDER BY shard
 """
+
+
+BPE_APPLY_MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("s", "t"), ("er", "s")]
+
+
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with a fixed merge table (rank order, incl. a
+    merged-token pair er+s): per-doc token counts after all merges —
+    the tokenize step whose output feeds chunking/packing. Oracle
+    replays every merge as an unrolled islands-parity rewrite stage."""
+    d = load(spark, sf_dir, "documents")
+    return T.bpe_apply(d, "text", "doc_id", BPE_APPLY_MERGES).orderBy("doc_id")
+
+
+def _bpe_apply_stage(k: int, a: str, b: str) -> str:
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    return f"""e{k} AS (
+  SELECT v.word, u.i AS i, v.syms[u.i] AS sym,
+         (u.i < len(v.syms) AND v.syms[u.i] = '{qa}' AND v.syms[u.i + 1] = '{qb}') AS m
+  FROM w{k} v, UNNEST(generate_series(1, len(v.syms))) u(i)
+),
+g{k} AS (
+  SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) AS isl FROM e{k}
+),
+s{k} AS (
+  SELECT *, (m AND (i - MIN(i) OVER (PARTITION BY word, m, isl)) % 2 = 0) AS st
+  FROM g{k}
+),
+c{k} AS (
+  SELECT *, COALESCE(LAG(st) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+  FROM s{k}
+),
+w{k + 1} AS (
+  SELECT word, list(CASE WHEN st THEN '{qa}{qb}' ELSE sym END ORDER BY i) AS syms
+  FROM c{k}
+  WHERE NOT consumed
+  GROUP BY word
+)"""
+
+
+def _oracle_bpe_apply(merges: list[tuple[str, str]]) -> str:
+    stages = ",\n".join(_bpe_apply_stage(k, a, b) for k, (a, b) in enumerate(merges))
+    n = len(merges)
+    return f"""
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+words_ne AS (SELECT doc_id, word FROM words WHERE word != ''),
+w0 AS (
+  SELECT word, list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+  FROM (SELECT DISTINCT word FROM words_ne)
+),
+{stages},
+enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS word_tokens FROM w{n})
+SELECT d.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.word_tokens) AS BIGINT) AS n_tokens
+FROM words_ne d JOIN enc e USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_TEXT_BPE_APPLY = _oracle_bpe_apply(BPE_APPLY_MERGES)

@@ -1394,3 +1394,35 @@ class TestBpeMerges:
             for r in bpe_merges(docs, "text", 5).orderBy("rank").collect()
         ]
         assert got == want
+
+
+class TestBpeApply:
+    def test_matches_reference_encode(self, spark):
+        """bpe_apply vs a pure-Python greedy encoder over the same
+        fixed merge list — includes a merged-token pair (er+s) so the
+        rank-order dependency is exercised."""
+        from easydb_server_spark.operators.text import bpe_apply
+
+        merges = [("e", "r"), ("o", "r"), ("i", "n"), ("s", "t"), ("er", "s")]
+
+        def encode_word(w):
+            s = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return len(s)
+
+        texts = {1: "ersatz errors persist", 2: "in order to sort strings", 3: "x"}
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {r.doc_id: (r.n_words, r.n_chars, r.n_tokens) for r in bpe_apply(df, "text", "doc_id", merges).collect()}
+        for doc_id, t in texts.items():
+            ws = [w for w in t.split(" ") if w]
+            want = (len(ws), sum(len(w) for w in ws), sum(encode_word(w) for w in ws))
+            assert got[doc_id] == want, doc_id
