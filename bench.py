@@ -76,6 +76,7 @@ HEADLINE = [
     "text_bm25",
     "sim_hybrid_rrf",
     "text_shard_manifest",
+    "curation_pipeline",
     "emb_quantize",
     "sim_semdedup",
     "emb_label_outliers",

@@ -65,6 +65,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim_hybrid_rrf": (llmops.q_sim_hybrid_rrf, llmops.ORACLE_SIM_HYBRID_RRF),
     "text_shard_manifest": (llmops.q_text_shard_manifest, llmops.ORACLE_TEXT_SHARD_MANIFEST),
     "text_bpe_apply": (llmops.q_text_bpe_apply, llmops.ORACLE_TEXT_BPE_APPLY),
+    "curation_pipeline": (llmops.q_curation_pipeline, llmops.ORACLE_CURATION_PIPELINE),
     "dedup_incremental": (llmops.q_dedup_incremental, llmops.ORACLE_DEDUP_INCREMENTAL),
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),

@@ -2316,3 +2316,84 @@ ORDER BY d.doc_id
 
 
 ORACLE_TEXT_BPE_APPLY = _oracle_bpe_apply(BPE_APPLY_MERGES)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full batch curation flow in ONE plan — the composition a
+    pre-training data run executes end to end: quality gate (composite
+    ≥ 0.2, prunes the worst quartile) → exact dedup (min doc_id per
+    md5) → benchmark decontamination vs the src0 eval set → 64/16
+    token chunking → per-source chunk/token yield. Every stage is a
+    verified operator; the composition inherits each stage's scale
+    shape (scan-side gate, digest-width dedup shuffle, broadcast
+    decontamination probe, zero-shuffle chunking, map-side-combinable
+    final rollup)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("source") == "src0")
+    train = d.where(F.col("source") != "src0")
+    gated = train.where(T._quality_col(F.col("text")) >= 0.2)
+    keep = D.exact_dedup(gated, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
+    deduped = gated.join(keep, "doc_id")
+    clean = T.decontaminate(deduped, bench, "text", "doc_id")
+    chunks = T.chunk_documents(clean, "text", "doc_id", chunk_size=64, overlap=16)
+    return (
+        chunks.join(clean.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    stop = ", ".join(repr(w) for w in T.LANG_PROFILES["en"])
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct
+  FROM documents WHERE source != 'src0'
+),
+q2 AS (
+  SELECT *, CAST(len(list_filter(ws, w -> list_contains([{stop}], w))) AS INT) AS n_stop
+  FROM q
+),
+gated AS (
+  SELECT doc_id, source, text, ws FROM q2
+  WHERE ROUND((n_words / 400.0) + (CAST(n_stop AS DOUBLE) / greatest(n_words, 1) * 2.0)
+              - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0), 6) >= 0.2
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+dsh_all AS (
+  SELECT doc_id, array_to_string(ws[t.i + 1 : t.i + 3], ' ') AS shingle
+  FROM dd, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) t(i)
+),
+dsh AS (
+  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM dsh_all
+),
+bw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
+bsh_all AS (
+  SELECT array_to_string(ws[t.i + 1 : t.i + 3], ' ') AS shingle
+  FROM bw, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) t(i)
+),
+bsh AS (SELECT DISTINCT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM bsh_all),
+bad AS (SELECT DISTINCT s.doc_id FROM dsh s JOIN bsh USING (h)),
+clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+c AS (
+  SELECT doc_id, source, ws,
+         UNNEST(generate_series(0, CAST(GREATEST(CEIL((len(ws) - 64) / 48.0), 0) AS INT)))
+           AS chunk_id
+  FROM clean
+),
+ch AS (SELECT source, CAST(len(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS n_tokens FROM c)
+SELECT source, COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM ch GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_CURATION_PIPELINE = _oracle_curation_pipeline()
