@@ -88,21 +88,36 @@ RESIZED_SCHEMA = "item_id bigint, payload binary, width int, height int"
 FRAMES_SCHEMA = "item_id bigint, frame_idx int, frame binary"
 
 
-def resize_images(df: DataFrame, blob_col: str, id_col: str, width: int, height: int) -> DataFrame:
-    """Resize pipeline shape: Arrow-batched mapInPandas, one output row
-    per input image. The actual pixel work is stubbed (no PIL in this
-    container): the fake 'resize' deterministically truncates/pads the
-    payload to width*height bytes, so schema, batching, and plumbing
-    are real and testable."""
+def resize_images(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    width: int,
+    height: int,
+    codec: str | None = None,
+) -> DataFrame:
+    """Resize pipeline: Arrow-batched mapInPandas, one output row per
+    input image. ``codec="bmp"`` performs a REAL nearest-neighbor pixel
+    resample (pure-numpy 24-bit BMP codec,
+    :mod:`easydb_server_spark.operators.bmp`) and re-encodes; other
+    codecs are stubbed (no PIL/ffmpeg in this container): the fake
+    'resize' deterministically truncates/pads the payload to
+    width*height bytes, so schema, batching, and plumbing are real and
+    testable either way."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "bmp":
+            from easydb_server_spark.operators.bmp import resize_bmp
         target = width * height
         for pdf in batches:
             out = []
             for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 payload = bytes(blob) or b"\x00"
-                fake = (payload * (target // len(payload) + 1))[:target]
-                out.append((item_id, fake, width, height))
+                if codec == "bmp":
+                    resized = resize_bmp(payload, width, height)
+                else:
+                    resized = (payload * (target // len(payload) + 1))[:target]
+                out.append((item_id, resized, width, height))
             yield pd.DataFrame(out, columns=["item_id", "payload", "width", "height"])
 
     return df.select(id_col, blob_col).mapInPandas(do_resize, RESIZED_SCHEMA)
