@@ -1475,3 +1475,67 @@ class TestBmpCodec:
         got = decode_bmp(bytes(out.payload))
         assert got.shape == (4, 3, 3)
         assert np.array_equal(got, resize_nearest(px, 3, 4))
+
+
+class TestLateR7EdgeCases:
+    def test_bm25_empty_corpus_and_absent_terms(self, spark):
+        from easydb_server_spark.operators.text import bm25_rank
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert bm25_rank(empty, "text", "doc_id", ["x"]).collect() == []
+        one = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        rows = bm25_rank(one, "text", "doc_id", ["zzz"]).collect()
+        assert len(rows) == 1 and rows[0].score == 0.0
+
+    def test_bpe_merges_degenerate_corpora(self, spark):
+        from easydb_server_spark.operators.text import bpe_merges
+
+        # single-char words: no adjacent pairs → zero merges
+        df = spark.createDataFrame([("a b c",)], "text string")
+        assert bpe_merges(df, "text", 4).collect() == []
+        # empty corpus
+        empty = spark.createDataFrame([], "text string")
+        assert bpe_merges(empty, "text", 4).collect() == []
+        # fewer learnable merges than requested: stops early, no error
+        tiny = spark.createDataFrame([("ab ab",)], "text string")
+        got = bpe_merges(tiny, "text", 8).collect()
+        assert [(r.left, r.right) for r in got] == [("a", "b")]
+
+    def test_bpe_apply_empty_merges_counts_chars(self, spark):
+        from easydb_server_spark.operators.text import bpe_apply
+
+        df = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+        r = bpe_apply(df, "text", "doc_id", []).collect()[0]
+        assert (r.n_words, r.n_chars, r.n_tokens) == (2, 5, 5)
+
+    def test_semdedup_fewer_vectors_than_cells(self, spark):
+        from easydb_server_spark.operators.similarity import semdedup
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r.vec_id: r.keep for r in semdedup(df, "embedding", "vec_id", n_cells=16).collect()}
+        assert out == {1: True, 2: True, 3: False}  # 3 is an exact dup of 1
+
+    def test_contamination_spans_no_overlap_and_short_docs(self, spark):
+        from easydb_server_spark.operators.dedup import contamination_spans
+
+        train = spark.createDataFrame([(1, "a b"), (2, "x y z")], "doc_id long, text string")
+        bench = spark.createDataFrame([(9, "p q r s")], "doc_id long, text string")
+        assert contamination_spans(train, bench, "text", "doc_id", n=3).collect() == []
+
+    def test_rrf_single_list_is_rank_order(self, spark):
+        from easydb_server_spark.operators.similarity import rrf_fuse
+
+        r = spark.createDataFrame([(10, 1), (20, 2)], "id long, rank int")
+        out = rrf_fuse([r], topk=5).collect()
+        assert [o.id for o in out] == [10, 20]
+
+    def test_shard_manifest_covers_all_docs_exactly_once(self, spark):
+        from easydb_server_spark.operators.text import shard_manifest
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        m = shard_manifest(docs, "text", "doc_id", n_shards=5).collect()
+        assert sum(r.n_docs for r in m) == docs.count()
+        assert {r.shard for r in m} <= set(range(5))
