@@ -126,6 +126,7 @@ def stream_ingest_pipeline(
     neardup_prefix: str | None = None,
     neardup_threshold: float = 0.9,
     n_buckets: int = 16,
+    benchmark_digest_table: str | None = None,
 ):
     """The full continuous-ingest curation pipeline, per micro-batch:
 
@@ -141,7 +142,15 @@ def stream_ingest_pipeline(
        (``<prefix>_bands`` / ``<prefix>_sigs``); anything whose
        signature-agreement estimate against ANY indexed doc reaches
        ``neardup_threshold`` is rejected. Corpus text is never read.
-    4. admitted docs land in a ``batch_id=N`` partition; their digests
+    4. **decontamination** (optional, ``benchmark_digest_table``): a
+       persisted table of DISTINCT 60-bit benchmark shingle digests
+       (one ``h`` column — write it once with
+       ``text.decontaminate``'s bench side); any survivor sharing a
+       3-shingle with the eval set is rejected. The digest table is
+       tiny and static, so the per-batch cost is a broadcast semi
+       probe of the batch's shingles — the identical shape the batch
+       operator uses.
+    5. admitted docs land in a ``batch_id=N`` partition; their digests
        AND band/signature rows append to the indexes so batch N+1
        sees them. All index reads filter ``batch_id < current`` —
        crash-replay recomputes the identical admit list.
@@ -219,6 +228,20 @@ def stream_ingest_pipeline(
             )
             survivors = survivors.join(near, "doc_id", "left_anti")
 
+        if benchmark_digest_table is not None and sess.catalog.tableExists(
+            benchmark_digest_table
+        ):
+            from easydb_server_spark.operators.dedup import _shingle_hash60, word_shingles
+
+            bench_h = sess.table(benchmark_digest_table).select("h")
+            s_sh = word_shingles(survivors, "text", "doc_id").select(
+                "doc_id", _shingle_hash60(F.col("shingle")).alias("h")
+            )
+            contaminated = (
+                s_sh.join(F.broadcast(bench_h), "h", "left_semi").select("doc_id").distinct()
+            )
+            survivors = survivors.join(contaminated, "doc_id", "left_anti")
+
         admitted = survivors.select("doc_id", "content_hash", "text").localCheckpoint(
             eager=True
         )
@@ -267,4 +290,25 @@ def stream_ingest_pipeline(
         .queryName(f"ingest_pipeline_{digest_table}")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def write_benchmark_digests(
+    benchmark: DataFrame, text_col: str, id_col: str, table: str
+) -> None:
+    """Persist the eval set's DISTINCT 60-bit shingle digests once (one
+    ``h`` column); the ingest pipeline broadcast-probes this table per
+    micro-batch (``benchmark_digest_table=``). Benchmarks are tiny and
+    static, so this is a one-time write the size of the eval set's
+    shingle vocabulary — the streaming analogue of the batch
+    ``text.decontaminate`` bench side."""
+    from easydb_server_spark.operators.dedup import _shingle_hash60, word_shingles
+
+    (
+        word_shingles(benchmark, text_col, id_col)
+        .select(_shingle_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
     )

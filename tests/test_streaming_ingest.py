@@ -219,3 +219,44 @@ def test_pipeline_restart_resumes_with_both_indexes(spark, tmp_path):
     finally:
         for t in (table, f"{prefix}_bands", f"{prefix}_sigs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pipeline_rejects_benchmark_contaminated_docs(spark, tmp_path):
+    """Decontamination stage: a persisted benchmark digest table makes
+    the pipeline reject any batch doc sharing a 3-shingle with the
+    eval set, while clean docs are admitted — the streaming analogue
+    of batch text_decontaminate."""
+    from easydb_server_spark.streaming.ingest import (
+        stream_ingest_pipeline,
+        write_benchmark_digests,
+    )
+
+    table = f"pipe_idx_{uuid.uuid4().hex[:8]}"
+    bench_table = f"pipe_bench_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    eval_text = "what is the capital of france and when was it founded"
+    clean = (
+        "a long treatise on the migration of birds across continents "
+        "with careful notes about wind currents and seasonal timing"
+    )
+    # shares the 3-shingle "capital of france" with the eval set
+    contaminated = "many quiz pages mention the capital of france in passing"
+    bench = spark.createDataFrame([(999, eval_text)], "doc_id long, text string")
+    write_benchmark_digests(bench, "text", "doc_id", bench_table)
+    _write_docs(in_dir / "b0.json", [(1, clean, "s"), (2, contaminated, "s")], order=0)
+    try:
+        src = (
+            spark.readStream.schema(_schema())
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_ingest_pipeline(
+            src, "text", "doc_id", table, str(admitted), str(ckpt),
+            benchmark_digest_table=bench_table,
+        )
+        q.awaitTermination()
+        ids = {r.doc_id for r in spark.read.parquet(str(admitted)).collect()}
+        assert ids == {1}, ids
+    finally:
+        for t in (table, bench_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
