@@ -610,3 +610,79 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col("id"))
         .limit(topk)
     )
+
+
+def write_ivf_store(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    n_cells: int = 16,
+    n_iters: int = 1,
+) -> None:
+    """Persist the IVF serving artifact: the corpus assigned to cells
+    and written PARTITIONED BY cell (``<table>``), plus the centroids
+    (``<table>_centroids``). Built once per corpus — the vector-store
+    ingest step; queries then touch only their probed cells'
+    partitions (:func:`topk_cosine_ivf_store`).
+
+    At 100 TB this is the ANN layout decision: cell = directory, so a
+    probe reads nprobe/n_cells of the store via partition pruning —
+    the same bytes an IVF index would touch — and the corpus
+    embeddings are never rescanned per query batch.
+    """
+    cents = ivf_centroids(corpus, vec_col, id_col, n_cells, n_iters)
+    c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
+    assigned = _assign_cells(c, cents)
+    (
+        assigned.select("cell", "cid", "cvec")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    cents.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_centroids")
+
+
+def topk_cosine_ivf_store(
+    spark,
+    table: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN serving against a persisted IVF store: queries rank the
+    stored centroids (broadcast, tiny), the probed cell ids — a
+    bounded driver list, nprobe × |queries| at most — push down as a
+    partition filter on the cell-partitioned store, and the exact
+    re-rank runs only over those partitions' vectors.
+
+    Scale shape: the store scan is PRUNED to nprobe/n_cells of the
+    data (PartitionFilters, locked by
+    tests/test_operators.py::TestIvfStore) — query cost is independent
+    of total store size for fixed cell geometry, the property that
+    makes a 10-billion-vector store servable. Results are identical to
+    the in-memory :func:`topk_cosine_ivf` under the same centroids.
+    """
+    from pyspark.sql import Window
+
+    cents = spark.table(f"{table}_centroids")
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
+    probed = _assign_cells(q, cents, id_col="qid", vec_col="qvec", top=nprobe)
+    cells = [r.cell for r in probed.select("cell").distinct().collect()]
+    store = spark.table(table).where(F.col("cell").isin(cells))
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
+    scored = (
+        store.withColumn("cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+        .join(
+            F.broadcast(probed.withColumn("qnrm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))),
+            "cell",
+        )
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1539,3 +1539,42 @@ class TestLateR7EdgeCases:
         m = shard_manifest(docs, "text", "doc_id", n_shards=5).collect()
         assert sum(r.n_docs for r in m) == docs.count()
         assert {r.shard for r in m} <= set(range(5))
+
+
+class TestIvfStore:
+    def test_store_serving_matches_inmemory_ivf_and_prunes_partitions(self, spark, embeddings):
+        import contextlib
+        import io
+        import uuid
+
+        from easydb_server_spark.operators.similarity import (
+            ivf_centroids,
+            topk_cosine_ivf,
+            topk_cosine_ivf_store,
+            write_ivf_store,
+        )
+
+        table = f"ivf_store_{uuid.uuid4().hex[:8]}"
+        try:
+            write_ivf_store(embeddings, "embedding", "vec_id", table, n_cells=8)
+            q = embeddings.where(F.col("vec_id") < 5)
+            got = topk_cosine_ivf_store(
+                spark, table, q, "embedding", "vec_id", k=3, nprobe=2
+            )
+            # identical results to the in-memory path under the SAME centroids
+            cents = spark.table(f"{table}_centroids")
+            want = topk_cosine_ivf(
+                embeddings, q, "embedding", "vec_id", k=3, n_cells=8, nprobe=2,
+                centroids=cents,
+            )
+            assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+            # the store scan is partition-pruned to the probed cells
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                got.explain("formatted")
+            p = buf.getvalue()
+            scan_block = p.split("Location:")[1] if "Location:" in p else p
+            assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        finally:
+            for t in (table, f"{table}_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
