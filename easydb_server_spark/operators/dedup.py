@@ -717,6 +717,22 @@ def write_minhash_index(
     )
 
 
+def _sigs_as_arrays(index_sigs: DataFrame) -> DataFrame:
+    """Accept either the array-form signature index (doc_id, mins) or
+    the legacy row form (doc_id, i, minhash), reassembling the latter
+    in-plan — so a pipeline whose persisted ``_sigs`` table predates
+    the array layout keeps restarting cleanly instead of failing on a
+    missing ``mins`` column. New writes are always array-form; the
+    reassembly groupBy is paid only on legacy tables."""
+    if "mins" in index_sigs.columns:
+        return index_sigs
+    return (
+        index_sigs.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "minhash"))).alias("_pm"))
+        .select("doc_id", F.transform("_pm", lambda s: s["minhash"]).alias("mins"))
+    )
+
+
 def incremental_neardup(
     new_batch: DataFrame,
     text_col: str,
@@ -748,6 +764,7 @@ def incremental_neardup(
     (``zip_with``/``filter``) — no 16-way row explosion, no aggregate,
     strictly O(|candidates|).
     """
+    index_sigs = _sigs_as_arrays(index_sigs)
     b_arr = minhash_sig_array(new_batch, text_col, id_col, k)
     b_bands = minhash_bands(new_batch, text_col, id_col, k)
     cand = (

@@ -336,6 +336,29 @@ def neardup_pairs_lsh(
     )
 
 
+def _rank_probed(assigned: DataFrame, probed: DataFrame, k: int) -> DataFrame:
+    """Shared IVF re-rank: cell-joined exact cosine + per-query top-k.
+    ``assigned`` = (cid, cvec, cell) candidates; ``probed`` =
+    (qid, qvec, cell) probe rows (broadcast). Used by both the
+    in-memory and the persisted-store paths so their results can never
+    diverge."""
+    from pyspark.sql import Window
+
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
+    scored = (
+        assigned.withColumn("cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+        .join(
+            F.broadcast(probed.withColumn("qnrm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))),
+            "cell",
+        )
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
+        .distinct()  # a candidate may appear via multiple probed cells
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -368,16 +391,7 @@ def topk_cosine_ivf(
     )
     assigned = _assign_cells(c, cents)
     probed = _assign_cells(q, cents, id_col="qid", vec_col="qvec", top=nprobe)
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
-    scored = (
-        assigned.withColumn("cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
-        .join(F.broadcast(probed.withColumn("qnrm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))), "cell")
-        .where(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
-        .distinct()  # a candidate may appear via multiple probed cells
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_probed(assigned, probed, k)
 
 
 def label_centroid_rows(corpus: DataFrame, vec_col: str, label_col: str) -> DataFrame:
@@ -593,6 +607,8 @@ def rrf_fuse(
     list order, so an engine replaying the same rank lists fuses
     bit-identically.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one rank list")
     fused = None
     for i, r in enumerate(rankings):
         r2 = r.select(F.col(id_col).alias("id"), F.col("rank").cast("int").alias(f"rank_{i}"))
@@ -673,16 +689,4 @@ def topk_cosine_ivf_store(
     probed = _assign_cells(q, cents, id_col="qid", vec_col="qvec", top=nprobe)
     cells = [r.cell for r in probed.select("cell").distinct().collect()]
     store = spark.table(table).where(F.col("cell").isin(cells))
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
-    scored = (
-        store.withColumn("cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
-        .join(
-            F.broadcast(probed.withColumn("qnrm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))),
-            "cell",
-        )
-        .where(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
-        .distinct()
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_probed(store, probed, k)

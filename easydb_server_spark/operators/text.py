@@ -786,6 +786,26 @@ def tfidf_keywords(df: DataFrame, text_col: str, id_col: str, top_k: int = 5) ->
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)
 
 
+def _bpe_fold(a: str, b: str):
+    """Greedy left-to-right BPE merge of pair (a, b) as a fold over a
+    symbol array: a position merges iff it matches and its left
+    neighbour did not just merge (non-overlapping scan — "aaaa" with
+    (a,a) tiles to [aa][aa], "aaa" to [aa][a]). Shared by training
+    (:func:`bpe_merges`) and encoding (:func:`bpe_apply`) so the two
+    can never desynchronize."""
+
+    def _fold(acc: F.Column, s: F.Column) -> F.Column:
+        can_merge = (
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b))
+        )
+        return F.when(
+            can_merge,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return _fold
+
+
 def bpe_merges(
     df: DataFrame, text_col: str, n_merges: int = 8, min_count: int = 1
 ) -> DataFrame:
@@ -854,19 +874,7 @@ def bpe_merges(
         a, b, cnt = top[0].l, top[0].r, int(top[0].cnt)
         merges.append((k, a, b, a + b, cnt))
 
-        def _make_fold(a: str, b: str):
-            def _fold(acc: F.Column, s: F.Column) -> F.Column:
-                can_merge = (
-                    (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b))
-                )
-                return F.when(
-                    can_merge,
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
-                ).otherwise(F.concat(acc, F.array(s)))
-
-            return _fold
-
-        _fold = _make_fold(a, b)
+        _fold = _bpe_fold(a, b)
 
         vocab = vocab.select(
             "word",
@@ -922,6 +930,8 @@ def bm25_rank(
     is the ROUNDed score with doc-id tie-break — bit-identical across
     engines.
     """
+    if not query_terms:
+        raise ValueError("bm25_rank needs at least one query term")
     words = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1018,18 +1028,6 @@ def bpe_apply(
     the corpus pays one explode + one broadcast join + one groupBy.
     """
 
-    def _make_fold(a: str, b: str):
-        def _fold(acc: F.Column, s: F.Column) -> F.Column:
-            can_merge = (
-                (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b))
-            )
-            return F.when(
-                can_merge,
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
-            ).otherwise(F.concat(acc, F.array(s)))
-
-        return _fold
-
     words = df.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
@@ -1039,7 +1037,7 @@ def bpe_apply(
         lambda i: F.substring(F.col("word"), i + 1, 1),
     )
     for a, b in merges:
-        syms = F.aggregate(syms, F.array().cast("array<string>"), _make_fold(a, b))
+        syms = F.aggregate(syms, F.array().cast("array<string>"), _bpe_fold(a, b))
     encoded = vocab.select("word", F.size(syms).alias("word_tokens"))
     return (
         words.join(F.broadcast(encoded), "word")

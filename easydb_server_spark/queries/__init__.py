@@ -114,14 +114,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- r4 evidence: text analysis ---
     "text_decontaminate": (llmops.q_text_decontaminate, llmops.ORACLE_TEXT_DECONTAMINATE),
     "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
+    # --- end of the 50-entry priority window (closes at
+    # text_length_histogram, position 50; locked by
+    # tests/test_registry.py::test_priority_window_prefix_is_stable) ---
+    # (text_ngram_topk and all seven sup_* entries moved just below the
+    # line when the EIGHT late-r7 entries — text_contamination_spans,
+    # sim_semdedup, text_bpe_merges, text_bm25, sim_hybrid_rrf,
+    # text_shard_manifest, text_bpe_apply, curation_pipeline — took the
+    # front; all eight displaced entries are r4-driver-green and
+    # J-verified since)
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),
     # --- r4 evidence: documented supersets ---
-    # --- end of the 50-entry priority window ---
-    # (all seven sup_* entries moved just below the line when the seven
-    # late-r7 entries — text_contamination_spans, sim_semdedup,
-    # text_bpe_merges, text_bm25, sim_hybrid_rrf, text_shard_manifest,
-    # text_bpe_apply — took the front; all seven sup_* are
-    # r4-driver-green and J-verified since)
     "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),
     "sup_pivot": (superset.q_sup_pivot, superset.ORACLE_SUP_PIVOT),
     "sup_mode": (superset.q_sup_mode, superset.ORACLE_SUP_MODE),

@@ -2106,10 +2106,20 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_rank(d, "text", "doc_id", ["customer", "join", "vector"], topk=15)
 
 
-def _oracle_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75, topk: int = 15) -> str:
-    # interpolate the exact Python-computed float constants so both
-    # engines parse identical doubles (repr round-trips)
+def _bm25_score_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """The BM25 score expression, ONE copy — the repr-interpolated
+    float constants are what keep Spark and DuckDB bit-identical, so
+    every oracle (text_bm25, sim_hybrid_rrf, the fuzz test) must build
+    from here."""
     k1p1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
+    return "\n   + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(tf{i} * {k1p1} / (tf{i} + {repr(k1)} * ({one_minus_b} + {repr(b)} * dl / (sum_dl / n_docs))))"
+        for i in range(len(terms))
+    )
+
+
+def _oracle_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75, topk: int = 15) -> str:
     tf_cols = ",\n         ".join(
         f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}" for i, t in enumerate(terms)
     )
@@ -2117,11 +2127,7 @@ def _oracle_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75, topk: int =
         f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
         for i in range(len(terms))
     )
-    score = "\n   + ".join(
-        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
-        f"(tf{i} * {k1p1} / (tf{i} + {repr(k1)} * ({one_minus_b} + {repr(b)} * dl / (sum_dl / n_docs))))"
-        for i in range(len(terms))
-    )
+    score = _bm25_score_sql(terms, k1, b)
     return f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 base AS (
@@ -2215,15 +2221,6 @@ SELECT id, COALESCE(r0, -1) AS rank_0, COALESCE(r1, -1) AS rank_1,
 FROM fused
 ORDER BY rrf DESC, id LIMIT 10
 """
-
-
-def _bm25_score_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
-    k1p1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
-    return "\n   + ".join(
-        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
-        f"(tf{i} * {k1p1} / (tf{i} + {repr(k1)} * ({one_minus_b} + {repr(b)} * dl / (sum_dl / n_docs))))"
-        for i in range(len(terms))
-    )
 
 
 ORACLE_SIM_HYBRID_RRF = _oracle_hybrid(["customer", "join", "vector"])

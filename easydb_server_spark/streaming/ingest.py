@@ -161,7 +161,11 @@ def stream_ingest_pipeline(
     operators and bounded by distinct corpus content, not by ingest
     volume.
     """
-    from easydb_server_spark.operators.dedup import minhash_bands, minhash_sig_array
+    from easydb_server_spark.operators.dedup import (
+        bands_from_sig_array,
+        incremental_neardup,
+        minhash_sig_array,
+    )
     from easydb_server_spark.operators.text import _quality_col
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -188,42 +192,25 @@ def stream_ingest_pipeline(
             survivors = batch_first
 
         if neardup_prefix is not None and sess.catalog.tableExists(f"{neardup_prefix}_bands"):
-            sig = minhash_sig_array(survivors, "text", "doc_id")
-            bands = minhash_bands(survivors, "text", "doc_id")
+            # delegate to the batch operator so the streaming admit
+            # decision can never drift from incremental_neardup's
+            # (same est_jaccard >= threshold semantics, same plan)
             idx_bands = sess.table(f"{neardup_prefix}_bands").where(
                 F.col("batch_id") < F.lit(batch_id)
             )
             idx_sigs = sess.table(f"{neardup_prefix}_sigs").where(
                 F.col("batch_id") < F.lit(batch_id)
             )
-            cand = (
-                bands.select(F.col("doc_id").alias("b_id"), "band", "band_hash")
-                .join(
-                    idx_bands.select(F.col("doc_id").alias("c_id"), "band", "band_hash"),
-                    ["band", "band_hash"],
-                )
-                .select("b_id", "c_id")
-                .distinct()
-            )
-            n_agree = F.size(
-                F.filter(
-                    F.zip_with(F.col("mins_b"), F.col("mins_c"), lambda x, y: x == y),
-                    lambda v: v,
-                )
-            )
             near = (
-                cand.join(
-                    sig.select(F.col("doc_id").alias("b_id"), F.col("mins").alias("mins_b")),
-                    "b_id",
+                incremental_neardup(
+                    survivors,
+                    "text",
+                    "doc_id",
+                    idx_bands,
+                    idx_sigs,
+                    threshold=neardup_threshold,
                 )
-                .join(
-                    idx_sigs.select(
-                        F.col("doc_id").alias("c_id"), F.col("mins").alias("mins_c")
-                    ),
-                    "c_id",
-                )
-                .where(n_agree >= F.lit(int(round(neardup_threshold * 16))))
-                .select(F.col("b_id").alias("doc_id"))
+                .select(F.col("batch_id").alias("doc_id"))
                 .distinct()
             )
             survivors = survivors.join(near, "doc_id", "left_anti")
@@ -266,7 +253,9 @@ def stream_ingest_pipeline(
             a_sig = minhash_sig_array(
                 admitted.select("doc_id", "text"), "text", "doc_id"
             ).localCheckpoint(eager=True)
-            a_bands = minhash_bands(admitted.select("doc_id", "text"), "text", "doc_id")
+            # bands derive from the just-checkpointed signature arrays
+            # (md5 over 16 ints) — the batch text is never re-shingled
+            a_bands = bands_from_sig_array(a_sig)
             (
                 a_bands.withColumn("batch_id", F.lit(batch_id))
                 .write.bucketBy(n_buckets, "band_hash")

@@ -160,3 +160,30 @@ def test_incremental_neardup_never_rescans_corpus_text(minhash_tables):
     plan = buf.getvalue()
     assert "documents.parquet" not in plan
     assert plan.count("Scan parquet") >= 2  # the two index tables
+
+
+def test_incremental_neardup_accepts_legacy_row_form_sigs(minhash_tables):
+    """Schema migration: an index whose _sigs table predates the array
+    layout (doc_id, i, minhash rows) must keep working across a
+    restart — the adapter reassembles arrays in-plan and the result is
+    identical to the array-form index."""
+    from easydb_server_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_signatures,
+    )
+
+    spark = minhash_tables
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    legacy_sigs = minhash_signatures(docs.where("doc_id < 200"), "text", "doc_id")
+    batch = docs.where("doc_id < 4").select((F.col("doc_id") + 90000).alias("doc_id"), "text")
+    got = incremental_neardup(
+        batch, "text", "doc_id",
+        spark.table("corpus_mh_bands"), legacy_sigs, threshold=0.9,
+    ).collect()
+    want = incremental_neardup(
+        batch, "text", "doc_id",
+        spark.table("corpus_mh_bands"), spark.table("corpus_mh_sigs"), threshold=0.9,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # every injected copy is found (other genuine near-dups may also match)
+    assert {(i + 90000, i) for i in range(4)} <= {(r.batch_id, r.corpus_id) for r in got}

@@ -13,10 +13,10 @@ quality_gate_events, profile_drift) and text_chunks (trailing-subset fix), the t
 remaining never-driver-seen r6 entries, the r1-evidence cohort
 (fn_array/fn_hash/fn_struct_map/fn_datetime_convert + seven ts_*),
 the r2-evidence dedup_simhash/text_hash_split, and the oldest r4
-entries filling to 50 (closing at sup_higher_order; the eight late-r7 entries
-(text_contamination_spans, sim_semdedup, text_bpe_merges, text_bm25,
-sim_hybrid_rrf, text_shard_manifest, text_bpe_apply,
-curation_pipeline) lead). Rows-only entries stay
+entries filling to 50 (closing at text_length_histogram; the eight
+late-r7 entries — text_contamination_spans, sim_semdedup,
+text_bpe_merges, text_bm25, sim_hybrid_rrf, text_shard_manifest,
+text_bpe_apply, curation_pipeline — lead). Rows-only entries stay
 out of the window
 (they burn a slot on `no_oracle`). Everything driver-green in r4-r6
 follows the marker.

@@ -46,6 +46,11 @@ TARGET_ROW_GROUPS = 16
 # would be below the bytes floor.
 MIN_ROWS_PER_GROUP = 256
 MIN_BYTES_PER_GROUP = 128 * 1024
+# bump on any change to the layout rules: a sentinel file keyed on this
+# version forces a full rebuild, so outputs produced by an older layout
+# (e.g. the pre-multi-file single-file form) can't pass the mtime check
+# and silently keep the geometry a newer version exists to fix
+LAYOUT_VERSION = 2
 
 
 def ensure_relayout(sf_dir: str, target_groups: int = TARGET_ROW_GROUPS) -> str:
@@ -55,33 +60,44 @@ def ensure_relayout(sf_dir: str, target_groups: int = TARGET_ROW_GROUPS) -> str:
     that path. Spark reads the directory transparently under the same
     ``<table>.parquet`` name. Idempotent: tables are rewritten only
     when missing or older than their source."""
+    import shutil
+
     src = Path(sf_dir)
     out = _REPO / "benchdata" / f"{src.name}-mrg"
+    sentinel = out / f".layout-v{LAYOUT_VERSION}"
+    if out.exists() and not sentinel.exists():
+        shutil.rmtree(out)  # stale layout version: rebuild everything
     out.mkdir(parents=True, exist_ok=True)
+    sentinel.touch()
     for f in sorted(src.glob("*.parquet")):
         dst = out / f.name
         if dst.exists() and dst.stat().st_mtime >= f.stat().st_mtime:
             continue
+        if dst.exists():  # source changed: clear both file and dir forms
+            shutil.rmtree(dst) if dst.is_dir() else dst.unlink()
         t = pq.read_table(f)
         bytes_per_row = max(f.stat().st_size / max(t.num_rows, 1), 1.0)
         min_rows = max(MIN_ROWS_PER_GROUP, int(MIN_BYTES_PER_GROUP / bytes_per_row))
         per_file = max(-(-t.num_rows // target_groups), min_rows)
         n_files = max(t.num_rows // per_file, 1)
+        # write to a temp path, then atomic rename: an interrupted run
+        # can never leave a partially-written dst that the mtime check
+        # would later accept as complete
+        tmp = out / f".tmp-{f.name}"
+        if tmp.exists():
+            shutil.rmtree(tmp) if tmp.is_dir() else tmp.unlink()
         if n_files <= 1:
-            pq.write_table(t, dst, compression="zstd")
-            continue
-        if dst.exists() and dst.is_file():
-            dst.unlink()
-        dst.mkdir(parents=True, exist_ok=True)
-        for old in dst.glob("part-*.parquet"):
-            old.unlink()
-        per_file = -(-t.num_rows // n_files)
-        for i in range(n_files):
-            pq.write_table(
-                t.slice(i * per_file, per_file),
-                dst / f"part-{i:05d}.parquet",
-                compression="zstd",
-            )
+            pq.write_table(t, tmp, compression="zstd")
+        else:
+            tmp.mkdir(parents=True)
+            per_file = -(-t.num_rows // n_files)
+            for i in range(n_files):
+                pq.write_table(
+                    t.slice(i * per_file, per_file),
+                    tmp / f"part-{i:05d}.parquet",
+                    compression="zstd",
+                )
+        tmp.rename(dst)
         os.utime(dst)
     return str(out)
 
