@@ -67,6 +67,7 @@ HEADLINE = [
     "chunk_pack",
     "curate_source_cap",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "dedup_ngram_spans",
     "text_ccnet_buckets",
     "text_tfidf_keywords",

@@ -1048,3 +1048,58 @@ def bpe_apply(
             F.sum("word_tokens").alias("n_tokens"),
         )
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str, lam: float = 0.7) -> DataFrame:
+    """Interpolated bigram language-model quality signal — the next
+    step up from :func:`unigram_logprob` toward CCNet's KenLM scorer:
+    each document's mean log10 probability under
+    ``p(w|prev) = λ·c(prev,w)/c(prev) + (1−λ)·(c(w)+1)/(N+V+1)``
+    (corpus-trained, add-one-smoothed unigram backoff). Bigram
+    perplexity separates fluent text from shuffled/boilerplate tokens
+    that unigram statistics cannot distinguish.
+
+    Scale shape: the unigram table is vocab-bounded and broadcastable;
+    the bigram-count table is bounded by DISTINCT observed bigrams
+    (≤ corpus tokens — at 100 TB this is the big artifact, keyed and
+    shuffled once at build, then a keyed join per scoring batch; a
+    production run persists it bucketed on the pair key exactly like
+    the dedup digest index). Scoring is three keyed joins + one
+    map-side-combinable per-doc aggregate. Only documents with ≥2
+    tokens appear (a bigram model scores pairs).
+    """
+    raw = F.split(F.col(text_col), " +")
+    words = F.filter(raw, lambda w: w != F.lit(""))
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    toks = base.select("doc_id", F.explode("ws").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("cu"))
+    totals = uni.agg(
+        F.sum("cu").cast("long").alias("n_corpus"), F.count("*").alias("v")
+    )
+    idx = F.when(F.size("ws") >= 2, F.sequence(F.lit(0), F.size("ws") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i + 1).alias("prev"),
+            F.element_at(F.col("ws"), i + 2).alias("w"),
+        ),
+    )
+    pairs = base.select("doc_id", F.explode(pair_structs).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w")
+    )
+    bi = pairs.groupBy("prev", "w").agg(F.count("*").alias("cb"))
+    scored = (
+        pairs.join(bi, ["prev", "w"])
+        .join(uni.select(F.col("term").alias("prev"), F.col("cu").alias("c_prev")), "prev")
+        .join(uni.select(F.col("term").alias("w"), F.col("cu").alias("c_w")), "w")
+        .crossJoin(F.broadcast(totals))
+    )
+    p = F.lit(lam) * (F.col("cb") / F.col("c_prev")) + F.lit(1.0 - lam) * (
+        (F.col("c_w") + F.lit(1)) / (F.col("n_corpus") + F.col("v") + F.lit(1))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(F.log10(p)), 5).alias("mean_logprob"),
+    )

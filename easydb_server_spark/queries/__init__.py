@@ -66,6 +66,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_shard_manifest": (llmops.q_text_shard_manifest, llmops.ORACLE_TEXT_SHARD_MANIFEST),
     "text_bpe_apply": (llmops.q_text_bpe_apply, llmops.ORACLE_TEXT_BPE_APPLY),
     "curation_pipeline": (llmops.q_curation_pipeline, llmops.ORACLE_CURATION_PIPELINE),
+    "text_bigram_logprob": (llmops.q_text_bigram_logprob, llmops.ORACLE_TEXT_BIGRAM_LOGPROB),
     "dedup_incremental": (llmops.q_dedup_incremental, llmops.ORACLE_DEDUP_INCREMENTAL),
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),
@@ -113,16 +114,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_label_centroids": (llmops.q_emb_label_centroids, llmops.ORACLE_EMB_LABEL_CENTROIDS),
     # --- r4 evidence: text analysis ---
     "text_decontaminate": (llmops.q_text_decontaminate, llmops.ORACLE_TEXT_DECONTAMINATE),
-    "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
     # --- end of the 50-entry priority window (closes at
-    # text_length_histogram, position 50; locked by
+    # text_decontaminate, position 50; locked by
     # tests/test_registry.py::test_priority_window_prefix_is_stable) ---
-    # (text_ngram_topk and all seven sup_* entries moved just below the
-    # line when the EIGHT late-r7 entries — text_contamination_spans,
+    "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
+    # (text_length_histogram, text_ngram_topk and the seven sup_* entries
+    # moved just below the
+    # line when the NINE late-r7 entries — text_contamination_spans,
     # sim_semdedup, text_bpe_merges, text_bm25, sim_hybrid_rrf,
-    # text_shard_manifest, text_bpe_apply, curation_pipeline — took the
-    # front; all eight displaced entries are r4-driver-green and
-    # J-verified since)
+    # text_shard_manifest, text_bpe_apply, curation_pipeline,
+    # text_bigram_logprob — took the front; all nine displaced entries
+    # are r4-driver-green and J-verified since)
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),
     # --- r4 evidence: documented supersets ---
     "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),

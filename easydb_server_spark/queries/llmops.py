@@ -2394,3 +2394,44 @@ FROM ch GROUP BY source ORDER BY source
 
 
 ORACLE_CURATION_PIPELINE = _oracle_curation_pipeline()
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (λ=0.7, add-one unigram
+    backoff), self-trained on the corpus — the CCNet-style perplexity
+    signal one model order up from text_unigram_logprob."""
+    d = load(spark, sf_dir, "documents")
+    return T.bigram_logprob(d, "text", "doc_id", lam=0.7).orderBy("doc_id")
+
+
+def _oracle_bigram_logprob(lam: float = 0.7) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), w -> w != '') AS ws
+  FROM documents
+),
+toks AS (SELECT doc_id, UNNEST(ws) AS term FROM d),
+uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cu FROM toks GROUP BY term),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_corpus, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, ws[t.i + 1] AS prev, ws[t.i + 2] AS w
+  FROM d, UNNEST(generate_series(0, len(ws) - 2)) t(i)
+  WHERE len(ws) >= 2
+),
+bi AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY prev, w)
+SELECT p.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(log10(
+         {lam!r} * (b.cb / u1.cu)
+         + {1.0 - lam!r} * ((u2.cu + 1) / (t.n_corpus + t.v + 1))
+       )), 5) AS mean_logprob
+FROM pairs p
+JOIN bi b ON b.prev = p.prev AND b.w = p.w
+JOIN uni u1 ON u1.term = p.prev
+JOIN uni u2 ON u2.term = p.w
+CROSS JOIN tot t
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+ORACLE_TEXT_BIGRAM_LOGPROB = _oracle_bigram_logprob(0.7)
