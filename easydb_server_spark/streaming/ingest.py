@@ -301,3 +301,77 @@ def write_benchmark_digests(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def stream_export_shards(
+    docs_stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 8,
+    seed: str = "v1",
+    available_now: bool = True,
+):
+    """Continuous training-shard export: each micro-batch's documents
+    append into the same deterministic shard layout the batch exporter
+    (:func:`easydb_server_spark.export.export_training_shards`) writes,
+    plus a per-(batch, shard) manifest increment.
+
+    Shard assignment is the same pure function of (seed, id) —
+    corpus_shuffle's 60-bit hash — so batch and streaming exports of
+    the same documents land in the same shards, and a manifest
+    roll-up (SUM over batches per shard) equals the batch manifest of
+    the union. Rows carry (batch_id, h) so a training loader can
+    stream each shard in deterministic (batch_id, h) order.
+
+    Replay safety: rows land under ``shard=S/batch_id=N`` with
+    dynamic-partition overwrite and the manifest increments are keyed
+    by batch_id — a replayed micro-batch overwrites its own partitions
+    and its manifest rows are re-derivable (readers aggregate with
+    ``GROUP BY shard``, so a duplicate append from a crash between the
+    two writes is detectable via batch_id and idempotent to rebuild).
+
+    Scale shape per batch: one narrow projection (hash + shard), one
+    partitioned append, one map-side-combinable manifest aggregate —
+    nothing proportional to history.
+    """
+    from easydb_server_spark.operators.text import shard_manifest
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        rows = batch_df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("text"),
+            h.alias("h"),
+        ).withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        (
+            rows.withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("shard", "batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .json(out_dir)
+        )
+        manifest = shard_manifest(batch_df, text_col, id_col, n_shards=n_shards, seed=seed)
+        (
+            manifest.withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{out_dir}/_manifest")
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("export_shards")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

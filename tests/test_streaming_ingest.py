@@ -260,3 +260,43 @@ def test_pipeline_rejects_benchmark_contaminated_docs(spark, tmp_path):
     finally:
         for t in (table, bench_table):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_export_shards_matches_batch_manifest(spark, tmp_path):
+    """Streaming shard export across two micro-batches: the rolled-up
+    manifest (SUM per shard over batches) equals the BATCH
+    shard_manifest of the union, and every written row sits in the
+    shard its hash dictates."""
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.text import shard_manifest
+    from easydb_server_spark.streaming.ingest import stream_export_shards
+
+    in_dir, out, ckpt = tmp_path / "in", tmp_path / "shards", tmp_path / "ckpt"
+    docs = [(i, f"doc number {i} with some text body {i * 7}") for i in range(40)]
+    _write_docs(in_dir / "b0.json", [(i, t, "s") for i, t in docs[:20]], order=0)
+    _write_docs(in_dir / "b1.json", [(i, t, "s") for i, t in docs[20:]], order=1)
+    src = (
+        spark.readStream.schema(_schema()).option("maxFilesPerTrigger", 1).json(str(in_dir))
+    )
+    q = stream_export_shards(src, "text", "doc_id", str(out), str(ckpt), n_shards=4)
+    q.awaitTermination()
+
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_digest)
+        for r in shard_manifest(batch_df, "text", "doc_id", n_shards=4).collect()
+    }
+    rolled = (
+        spark.read.parquet(f"{out}/_manifest")
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("content_digest").alias("content_digest"),
+        )
+    )
+    got = {r.shard: (r.n_docs, r.n_tokens, r.content_digest) for r in rolled.collect()}
+    assert got == want
+    rows = spark.read.json(f"{out}/shard=*/batch_id=*", pathGlobFilter="*.json")
+    assert rows.count() == 40
