@@ -150,6 +150,25 @@ def quality_prune(
     )
 
 
+def _order_hash(id_col: str, seed: str) -> F.Column:
+    """The deterministic 60-bit training-order hash of (seed, id) —
+    the ONE definition of shard membership, shared by
+    :func:`corpus_shuffle`, :func:`shard_manifest`, and the streaming
+    exporter so batch and streaming shards can never disagree."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _text_hash32(text_col: str) -> F.Column:
+    """32-bit per-doc content hash for the abelian manifest digest."""
+    return F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("bigint")
+
+
 def corpus_shuffle(df: DataFrame, id_col: str, n_shards: int = 8, seed: str = "v1") -> DataFrame:
     """Deterministic global shuffle + sharding for training order.
 
@@ -166,15 +185,7 @@ def corpus_shuffle(df: DataFrame, id_col: str, n_shards: int = 8, seed: str = "v
     """
     from pyspark.sql import Window
 
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-    )
+    h = _order_hash(id_col, seed)
     base = df.select(F.col(id_col).alias("doc_id"), h.alias("h")).withColumn(
         "shard", (F.col("h") % n_shards).cast("int")
     )
@@ -989,14 +1000,8 @@ def shard_manifest(
     is carried by the (shard, pos) keys the writer emits, not by the
     digest.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    th = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("bigint")
+    h = _order_hash(id_col, seed)
+    th = _text_hash32(text_col)
     base = df.select(
         (h % n_shards).cast("int").alias("shard"),
         F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
@@ -1050,7 +1055,13 @@ def bpe_apply(
     )
 
 
-def bigram_logprob(df: DataFrame, text_col: str, id_col: str, lam: float = 0.7) -> DataFrame:
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.7,
+    materialize: bool = False,
+) -> DataFrame:
     """Interpolated bigram language-model quality signal — the next
     step up from :func:`unigram_logprob` toward CCNet's KenLM scorer:
     each document's mean log10 probability under
@@ -1067,12 +1078,23 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str, lam: float = 0.7) 
     the dedup digest index). Scoring is three keyed joins + one
     map-side-combinable per-doc aggregate. Only documents with ≥2
     tokens appear (a bigram model scores pairs).
+
+    Like :func:`unigram_logprob`, the count tables feed multiple
+    consumers and Catalyst shares no subtrees across them, so the
+    static plan re-derives the explodes per consumer.
+    ``materialize=True`` caches the unigram and bigram count tables
+    (both vocabulary-bounded, lazy, fault-tolerant) — the 100 TB
+    setting where a corpus scan costs hours; at bench scale the cached
+    read overhead exceeds the recompute saved, so the default is
+    False. Equality of the two paths is pytest-locked.
     """
     raw = F.split(F.col(text_col), " +")
     words = F.filter(raw, lambda w: w != F.lit(""))
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
     toks = base.select("doc_id", F.explode("ws").alias("term"))
     uni = toks.groupBy("term").agg(F.count("*").alias("cu"))
+    if materialize:
+        uni = uni.cache()
     totals = uni.agg(
         F.sum("cu").cast("long").alias("n_corpus"), F.count("*").alias("v")
     )
@@ -1090,6 +1112,8 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str, lam: float = 0.7) 
         "doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w")
     )
     bi = pairs.groupBy("prev", "w").agg(F.count("*").alias("cb"))
+    if materialize:
+        bi = bi.cache()
     scored = (
         pairs.join(bi, ["prev", "w"])
         .join(uni.select(F.col("term").alias("prev"), F.col("cu").alias("c_prev")), "prev")

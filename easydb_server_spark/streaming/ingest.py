@@ -314,16 +314,18 @@ def stream_export_shards(
     available_now: bool = True,
 ):
     """Continuous training-shard export: each micro-batch's documents
-    append into the same deterministic shard layout the batch exporter
-    (:func:`easydb_server_spark.export.export_training_shards`) writes,
-    plus a per-(batch, shard) manifest increment.
+    append under ``shard=S/batch_id=N`` plus a per-(batch, shard)
+    manifest increment.
 
-    Shard assignment is the same pure function of (seed, id) —
-    corpus_shuffle's 60-bit hash — so batch and streaming exports of
-    the same documents land in the same shards, and a manifest
-    roll-up (SUM over batches per shard) equals the batch manifest of
-    the union. Rows carry (batch_id, h) so a training loader can
-    stream each shard in deterministic (batch_id, h) order.
+    Shard MEMBERSHIP is the same pure function of (seed, id) as the
+    batch exporter's — `text._order_hash`, one shared definition — so
+    a per-shard manifest roll-up (SUM over batches) equals the batch
+    manifest of the union, and a document exported by either path
+    lands in the same shard. The LAYOUTS differ and are not meant to
+    interleave in one directory: the batch exporter writes
+    ``shard=N`` with a materialized ``pos`` order; the streaming
+    layout adds the ``batch_id`` partition level and orders within a
+    shard by (batch_id, h), both carried on each row.
 
     Replay safety: rows land under ``shard=S/batch_id=N`` with
     dynamic-partition overwrite and the manifest increments are keyed
@@ -332,33 +334,37 @@ def stream_export_shards(
     ``GROUP BY shard``, so a duplicate append from a crash between the
     two writes is detectable via batch_id and idempotent to rebuild).
 
-    Scale shape per batch: one narrow projection (hash + shard), one
-    partitioned append, one map-side-combinable manifest aggregate —
-    nothing proportional to history.
+    Scale shape per batch: ONE hash projection feeds both the
+    partitioned append and the (checkpointed) manifest aggregate — the
+    batch is read and hashed once; nothing is proportional to history.
     """
-    from easydb_server_spark.operators.text import shard_manifest
+    from easydb_server_spark.operators.text import _order_hash, _text_hash32
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        rows = batch_df.select(
-            F.col(id_col).alias("id"),
-            F.col(text_col).alias("text"),
-            h.alias("h"),
-        ).withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        rows = (
+            batch_df.select(
+                F.col(id_col).alias("id"),
+                F.col(text_col).alias("text"),
+                _order_hash(id_col, seed).alias("h"),
+                _text_hash32(text_col).alias("text_h"),
+                F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+            )
+            .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+            .localCheckpoint(eager=True)  # one batch read feeds both writes
+        )
         (
-            rows.withColumn("batch_id", F.lit(batch_id))
+            rows.select("id", "text", "h", "shard")
+            .withColumn("batch_id", F.lit(batch_id))
             .write.partitionBy("shard", "batch_id")
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .json(out_dir)
         )
-        manifest = shard_manifest(batch_df, text_col, id_col, n_shards=n_shards, seed=seed)
+        manifest = rows.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("text_h").alias("content_digest"),
+        )
         (
             manifest.withColumn("batch_id", F.lit(batch_id))
             .write.partitionBy("batch_id")

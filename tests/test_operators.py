@@ -1578,3 +1578,40 @@ class TestIvfStore:
         finally:
             for t in (table, f"{table}_centroids"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestBigramLogprob:
+    def test_hand_computed_interpolated_probabilities(self, spark):
+        """Tiny corpus with known counts: 'a b a b', 'a b c', 'solo'.
+        Unigrams: a=3 b=3 c=1 solo=1 (N=8, V=4); bigrams: (a,b)=3
+        (b,a)=1 (b,c)=1. Locks the lambda-interpolation, the add-one
+        denominator N+V+1 (the 1-token doc still counts toward N and
+        V), and the >=2-token filtering."""
+        import math
+
+        from easydb_server_spark.operators.text import bigram_logprob
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in bigram_logprob(df, "text", "doc_id", lam=0.7).collect()}
+
+        def p(cb, c_prev, c_w):
+            return 0.7 * (cb / c_prev) + (1.0 - 0.7) * ((c_w + 1) / (8 + 4 + 1))
+
+        # doc 1 bigrams: (a,b) (b,a) (a,b)
+        lp1 = (2 * math.log10(p(3, 3, 3)) + math.log10(p(1, 3, 3))) / 3
+        # doc 2 bigrams: (a,b) (b,c)
+        lp2 = (math.log10(p(3, 3, 3)) + math.log10(p(1, 3, 1))) / 2
+        assert got[1].n_bigrams == 3 and got[1].mean_logprob == round(lp1, 5)
+        assert got[2].n_bigrams == 2 and got[2].mean_logprob == round(lp2, 5)
+        # the 'solo' (and any <2-token) doc scores no bigrams
+        assert 3 not in got
+
+    def test_materialized_path_is_identical(self, spark, docs):
+        from easydb_server_spark.operators.text import bigram_logprob
+
+        a = bigram_logprob(docs, "text", "doc_id").collect()
+        b = bigram_logprob(docs, "text", "doc_id", materialize=True).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -298,5 +298,16 @@ def test_stream_export_shards_matches_batch_manifest(spark, tmp_path):
     )
     got = {r.shard: (r.n_docs, r.n_tokens, r.content_digest) for r in rolled.collect()}
     assert got == want
-    rows = spark.read.json(f"{out}/shard=*/batch_id=*", pathGlobFilter="*.json")
+    rows = spark.read.json(str(out))
     assert rows.count() == 40
+    # every written row sits in the shard the SHARED hash dictates —
+    # recomputed here from the row's own id via _order_hash, so a
+    # drifted copy of the hash in the exporter cannot stay green
+    from easydb_server_spark.operators.text import _order_hash
+
+    mismatch = rows.where(
+        (_order_hash("id", "v1") % 4).cast("int") != F.col("shard")
+    ).count()
+    assert mismatch == 0
+    # and the h column the loader orders by is the same hash
+    assert rows.where(_order_hash("id", "v1") != F.col("h")).count() == 0
