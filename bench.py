@@ -68,6 +68,7 @@ HEADLINE = [
     "curate_source_cap",
     "text_unigram_logprob",
     "text_bigram_logprob",
+    "text_curriculum",
     "dedup_ngram_spans",
     "text_ccnet_buckets",
     "text_tfidf_keywords",

@@ -1127,3 +1127,41 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(F.log10(p)), 5).alias("mean_logprob"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 200,
+    n_shards: int = 8,
+    seed: str = "v1",
+) -> DataFrame:
+    """Quality-curriculum training order: documents phased by their
+    CCNet bucket (phase 0 = head/most fluent → 2 = tail) with a
+    reproducible hash order within each (phase, shard) — the
+    quality-descending curriculum a pre-training run consumes phase by
+    phase, each phase streamed shard-parallel.
+
+    Composition of two verified operators: :func:`ccnet_buckets`
+    supplies the phase; :func:`corpus_shuffle`'s `_order_hash` supplies
+    the within-phase order, sharded so no sort is ever larger than
+    |phase|/n_shards — the same bounded-sort argument as the shard
+    exporter, on top of ccnet's never-globally-sorted scoring.
+    """
+    from pyspark.sql import Window
+
+    b = ccnet_buckets(df, text_col, id_col, vocab_size)
+    phase = (
+        F.when(F.col("bucket") == "head", 0)
+        .when(F.col("bucket") == "middle", 1)
+        .otherwise(2)
+    )
+    h = _order_hash("doc_id", seed)
+    base = b.select(
+        "doc_id", "bucket", phase.alias("phase"), h.alias("h")
+    ).withColumn("shard", (F.col("h") % n_shards).cast("int"))
+    w = Window.partitionBy("phase", "shard").orderBy(F.col("h"), F.col("doc_id"))
+    return base.withColumn("pos", F.row_number().over(w)).select(
+        "doc_id", "bucket", "phase", "shard", "pos"
+    )

@@ -38,7 +38,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver-verified evidence. This round (r7), in order: (a) the NINE
 # late-r7 additions (contamination spans, SemDeDup, BPE train+apply,
 # BM25, hybrid RRF, shard manifest, the composed curation pipeline,
-# bigram LM), (b) the seventeen mid-r7 additions (incremental/fuzzy
+# bigram LM, the quality curriculum), (b) the seventeen mid-r7 additions (incremental/fuzzy
 # ingest dedup, chunk compositions, source caps, CCNet stack, tf-idf,
 # quantization, resampling, z-order, profiling/gates/drift, plus the
 # text_chunks trailing-subset fix per ADVICE), (c) the two r6 entries
@@ -64,6 +64,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_bpe_apply": (llmops.q_text_bpe_apply, llmops.ORACLE_TEXT_BPE_APPLY),
     "curation_pipeline": (llmops.q_curation_pipeline, llmops.ORACLE_CURATION_PIPELINE),
     "text_bigram_logprob": (llmops.q_text_bigram_logprob, llmops.ORACLE_TEXT_BIGRAM_LOGPROB),
+    "text_curriculum": (llmops.q_text_curriculum, llmops.ORACLE_TEXT_CURRICULUM),
     "dedup_incremental": (llmops.q_dedup_incremental, llmops.ORACLE_DEDUP_INCREMENTAL),
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),
@@ -110,18 +111,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sim_topk_ivf": (llmops.q_sim_topk_ivf, llmops.ORACLE_SIM_TOPK_IVF),
     "emb_label_centroids": (llmops.q_emb_label_centroids, llmops.ORACLE_EMB_LABEL_CENTROIDS),
     # --- r4 evidence: text analysis ---
-    "text_decontaminate": (llmops.q_text_decontaminate, llmops.ORACLE_TEXT_DECONTAMINATE),
     # --- end of the 50-entry priority window (closes at
-    # text_decontaminate, position 50; locked by
+    # emb_label_centroids, position 50; locked by
     # tests/test_registry.py::test_priority_window_prefix_is_stable) ---
+    "text_decontaminate": (llmops.q_text_decontaminate, llmops.ORACLE_TEXT_DECONTAMINATE),
     "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
-    # (text_length_histogram, text_ngram_topk and the seven sup_* entries
-    # moved just below the
-    # line when the NINE late-r7 entries — text_contamination_spans,
+    # (text_decontaminate, text_length_histogram, text_ngram_topk and the
+    # seven sup_* entries moved just below the
+    # line when the TEN late-r7 entries — text_contamination_spans,
     # sim_semdedup, text_bpe_merges, text_bm25, sim_hybrid_rrf,
     # text_shard_manifest, text_bpe_apply, curation_pipeline,
-    # text_bigram_logprob — took the front; all nine displaced entries
-    # are r4-driver-green and J-verified since)
+    # text_bigram_logprob, text_curriculum — took the front; all ten
+    # displaced entries are r4-driver-green and J-verified since)
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),
     # --- r4 evidence: documented supersets ---
     "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),

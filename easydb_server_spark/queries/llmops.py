@@ -2435,3 +2435,57 @@ ORDER BY p.doc_id
 
 
 ORACLE_TEXT_BIGRAM_LOGPROB = _oracle_bigram_logprob(0.7)
+
+
+def q_text_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-descending curriculum order: CCNet phase (head=0 →
+    tail=2) + reproducible sharded hash order within each phase."""
+    d = load(spark, sf_dir, "documents")
+    return T.curriculum_order(d, "text", "doc_id", n_shards=4).orderBy("doc_id")
+
+
+ORACLE_TEXT_CURRICULUM = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(text, ' +')) t(term)
+  WHERE t.term != ''
+),
+vocab AS (
+  SELECT term, COUNT(*) AS c FROM terms GROUP BY term
+  ORDER BY c DESC, term LIMIT 200
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM terms) AS n_words_corpus,
+         (SELECT COUNT(*) FROM vocab) AS v
+),
+scored AS (
+  SELECT t.doc_id,
+         ROUND(AVG(LOG10(CAST(COALESCE(vc.c, 0) + 1 AS DOUBLE)
+                         / (tot.n_words_corpus + tot.v + 1))), 5) AS mean_logprob
+  FROM terms t
+  LEFT JOIN vocab vc USING (term)
+  CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+th AS (
+  SELECT ROUND(PERCENTILE_CONT(1.0/3) WITHIN GROUP (ORDER BY mean_logprob), 4) AS t_lo,
+         ROUND(PERCENTILE_CONT(2.0/3) WITHIN GROUP (ORDER BY mean_logprob), 4) AS t_hi
+  FROM scored
+),
+bucketed AS (
+  SELECT s.doc_id,
+         CASE WHEN s.mean_logprob >= th.t_hi THEN 'head'
+              WHEN s.mean_logprob >= th.t_lo THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         CASE WHEN s.mean_logprob >= th.t_hi THEN 0
+              WHEN s.mean_logprob >= th.t_lo THEN 1
+              ELSE 2 END AS phase,
+         CAST(('0x' || substr(md5('v1:' || CAST(s.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM scored s CROSS JOIN th
+),
+sharded AS (SELECT *, CAST(h % 4 AS INT) AS shard FROM bucketed)
+SELECT doc_id, bucket, phase, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard ORDER BY h, doc_id) AS INT) AS pos
+FROM sharded
+ORDER BY doc_id
+"""

@@ -13,10 +13,11 @@ quality_gate_events, profile_drift) and text_chunks (trailing-subset fix), the t
 remaining never-driver-seen r6 entries, the r1-evidence cohort
 (fn_array/fn_hash/fn_struct_map/fn_datetime_convert + seven ts_*),
 the r2-evidence dedup_simhash/text_hash_split, and the oldest r4
-entries filling to 50 (closing at text_decontaminate; the nine
+entries filling to 50 (closing at emb_label_centroids; the ten
 late-r7 entries — text_contamination_spans, sim_semdedup,
 text_bpe_merges, text_bm25, sim_hybrid_rrf, text_shard_manifest,
-text_bpe_apply, curation_pipeline, text_bigram_logprob — lead). Rows-only entries stay
+text_bpe_apply, curation_pipeline, text_bigram_logprob,
+text_curriculum — lead). Rows-only entries stay
 out of the window
 (they burn a slot on `no_oracle`). Everything driver-green in r4-r6
 follows the marker.
@@ -29,8 +30,8 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "text_decontaminate", (
-        "the driver-verified priority window must close at text_decontaminate "
+    assert names[PRIORITY_WINDOW - 1] == "emb_label_centroids", (
+        "the driver-verified priority window must close at emb_label_centroids "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
@@ -42,7 +43,7 @@ def test_window_holds_the_r7_rotation():
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
     # new/changed r7 code + never-driver-seen r6 entries lead the window
-    assert window[:28] == [
+    assert window[:29] == [
         "text_contamination_spans",
         "sim_semdedup",
         "text_bpe_merges",
@@ -52,6 +53,7 @@ def test_window_holds_the_r7_rotation():
         "text_bpe_apply",
         "curation_pipeline",
         "text_bigram_logprob",
+        "text_curriculum",
         "dedup_incremental",
         "chunk_dedup",
         "curate_source_cap",
@@ -73,7 +75,7 @@ def test_window_holds_the_r7_rotation():
         "dedup_source_overlap",
     ]
     # the r1-evidence cohort follows
-    assert window[28:39] == [
+    assert window[29:40] == [
         "fn_array",
         "fn_hash",
         "fn_struct_map",
@@ -86,7 +88,7 @@ def test_window_holds_the_r7_rotation():
         "ts_asof_join",
         "ts_range_join",
     ]
-    assert window[39:41] == ["dedup_simhash", "text_hash_split"]
+    assert window[40:42] == ["dedup_simhash", "text_hash_split"]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
