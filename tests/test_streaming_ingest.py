@@ -311,3 +311,52 @@ def test_stream_export_shards_matches_batch_manifest(spark, tmp_path):
     assert mismatch == 0
     # and the h column the loader orders by is the same hash
     assert rows.where(_order_hash("id", "v1") != F.col("h")).count() == 0
+
+
+def test_stream_export_shards_restart_resumes_cleanly(spark, tmp_path):
+    """Kill the export after batch 0, land a second file, restart on
+    the same checkpoint: batch 1 is exported exactly once, nothing is
+    duplicated, and the rolled-up manifest still equals the batch
+    manifest of the union."""
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.text import shard_manifest
+    from easydb_server_spark.streaming.ingest import stream_export_shards
+
+    in_dir, out, ckpt = tmp_path / "in", tmp_path / "shards", tmp_path / "ckpt"
+    docs = [(i, f"restart corpus item {i} body {i * 13}") for i in range(30)]
+    _write_docs(in_dir / "b0.json", [(i, t, "s") for i, t in docs[:15]], order=0)
+
+    def run():
+        src = (
+            spark.readStream.schema(_schema())
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_export_shards(src, "text", "doc_id", str(out), str(ckpt), n_shards=4)
+        q.awaitTermination()
+
+    run()
+    assert spark.read.json(str(out)).count() == 15
+    _write_docs(in_dir / "b1.json", [(i, t, "s") for i, t in docs[15:]], order=1)
+    run()
+    rows = spark.read.json(str(out))
+    assert rows.count() == 30
+    assert rows.select("id").distinct().count() == 30
+    want = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_digest)
+        for r in shard_manifest(
+            spark.createDataFrame(docs, "doc_id long, text string"), "text", "doc_id", n_shards=4
+        ).collect()
+    }
+    rolled = (
+        spark.read.parquet(f"{out}/_manifest")
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("content_digest").alias("content_digest"),
+        )
+    )
+    got = {r.shard: (r.n_docs, r.n_tokens, r.content_digest) for r in rolled.collect()}
+    assert got == want
