@@ -183,3 +183,15 @@ def test_registry_results_have_scalar_columns_only(spark):
         "non-scalar result columns violate the driver canonicalizer "
         "contract: " + "; ".join(bad)
     )
+
+
+def test_bench_headline_names_are_registry_entries():
+    """A typo'd HEADLINE name only fails at bench runtime (KeyError in
+    the driver's per-round bench run) — catch it in CI instead."""
+    import bench
+
+    from easydb_server_spark.queries import REGISTRY
+
+    missing = [q for q in bench.HEADLINE if q not in REGISTRY]
+    assert missing == [], missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no duplicates
