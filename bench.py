@@ -178,19 +178,56 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = source_dir.rstrip("/").rsplit("sf", 1)[-1].removesuffix("-mrg")
-    print(
-        json.dumps(
-            {
-                "metric": f"headline-suite wall-clock (median of {RUNS} warm runs per query)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "layout": layout,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full detail (per-query spread, fixture layout, run count) goes to
+    # a repo file; the driver's per-round record keeps only the LAST
+    # 2000 chars of stdout, and the r7 line (medians at 3 dp + spreads)
+    # was ~3.6 kB — BENCH_r07.json came back `parsed: null`, losing 49
+    # of 63 medians from the official record. The printed line is the
+    # compact form: total + per-query medians at 2 dp, ~1.6 kB for the
+    # 63-query suite (re-check BENCHLINE_BUDGET below when adding
+    # headline queries).
+    detail = {
+        "metric": f"headline-suite wall-clock (median of {RUNS} warm runs per query)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sf": sf_val,
+        "layout": layout,
+    }
+    detail_path = Path(_REPO) / "BENCHDETAIL.md"
+    detail_path.write_text(
+        "# Bench detail (latest local run)\n\n"
+        "Written by `bench.py` on every run. The stdout line keeps only\n"
+        "compact 2-dp medians (driver tail capture is 2000 chars —\n"
+        "BENCH_r07.json lesson); the full record, including per-query\n"
+        "spread (max−min of the timed runs) and the fixture layout used,\n"
+        "lives here.\n\n```json\n" + json.dumps(detail, indent=1) + "\n```\n"
     )
+
+    line = json.dumps(
+        {
+            "metric": f"headline suite (median of {RUNS} warm runs)",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    # hard guard: the driver tail-captures 2000 chars; leave margin for
+    # a trailing newline and any stray stdout after us
+    BENCHLINE_BUDGET = 1900
+    if len(line) > BENCHLINE_BUDGET:
+        # drop to integer-centisecond values, then to total-only — a
+        # parseable partial record always beats a truncated full one
+        line = json.dumps(
+            {"metric": "headline suite", "value": total, "unit": "sec", "sf": sf_val},
+            separators=(",", ":"),
+        )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -195,3 +195,29 @@ def test_bench_headline_names_are_registry_entries():
     missing = [q for q in bench.HEADLINE if q not in REGISTRY]
     assert missing == [], missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no duplicates
+
+
+def test_bench_stdout_line_fits_driver_tail_capture():
+    """The driver records only the last 2000 chars of bench stdout;
+    BENCH_r07.json came back `parsed: null` because the r7 line was
+    3.6 kB. Lock the compact line (worst-case 2-dp medians) under the
+    budget so adding headline queries can't silently break the round
+    record again."""
+    import json
+
+    import bench
+
+    worst = json.dumps(
+        {
+            "metric": f"headline suite (median of {bench.RUNS} warm runs)",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 99.99 for n in bench.HEADLINE},
+            "sf": 0.001,
+        },
+        separators=(",", ":"),
+    )
+    assert len(worst) <= 1900, (
+        f"compact bench line would be {len(worst)} chars; trim HEADLINE "
+        "or shorten the emitted form (driver tail capture is 2000)"
+    )
