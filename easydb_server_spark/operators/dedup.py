@@ -53,11 +53,24 @@ def shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Dat
     Pure JVM expressions: split → sliding windows via transform over an
     index sequence → array_distinct. No shuffle; per-doc stats (shingle
     counts) come straight off this without a second scan.
+
+    NULL-text docs are dropped — the r6 explode-form semantics this
+    family had before the zero-shuffle rewrite. Without the filter a
+    null text shingles to [""] (null-skipping concat_ws), giving every
+    null-text doc the SAME non-null signature and band keys, so they
+    all become mutual LSH candidates — spurious pairs plus a quadratic
+    candidate blowup on corpora with many null rows (round-8 ADVICE;
+    locked by tests/test_dedup_nulls.py). The conformance fixtures
+    carry no null text, so the DuckDB oracles see identical inputs
+    either way.
     """
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    return df.select(F.col(id_col).alias("doc_id"), F.array_distinct(shingle).alias("shingles"))
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.array_distinct(shingle).alias("shingles"))
+    )
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
@@ -108,6 +121,10 @@ def minhash_sig_array(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> 
     (a·h0+b < 2^63, exact), so the SQL oracles, which replay the
     cross-join form, still match bit-for-bit. Measured at sf0.1:
     3.04 s → 0.36 s (8.4×), diff rows 0.
+
+    NULL-text docs never appear (dropped in :func:`shingle_arrays`,
+    matching both the oracle's UNNEST semantics and the explode form
+    this replaced — see the round-8 ADVICE note there).
     """
     params = _hash_params()
     arrs = shingle_arrays(df, text_col, id_col, k)
@@ -723,14 +740,68 @@ def _sigs_as_arrays(index_sigs: DataFrame) -> DataFrame:
     in-plan — so a pipeline whose persisted ``_sigs`` table predates
     the array layout keeps restarting cleanly instead of failing on a
     missing ``mins`` column. New writes are always array-form; the
-    reassembly groupBy is paid only on legacy tables."""
+    reassembly groupBy is paid only on legacy tables. Extra columns
+    beyond the signature (e.g. the streaming ``batch_id``) survive the
+    reassembly — they group alongside doc_id.
+
+    Read-side shim only: a pipeline that also APPENDS array rows to a
+    legacy table must rewrite it first
+    (:func:`migrate_sigs_table_to_arrays`) — parquet appends require
+    the existing table's schema.
+    """
     if "mins" in index_sigs.columns:
         return index_sigs
+    extra = [c for c in index_sigs.columns if c not in ("doc_id", "i", "minhash")]
     return (
-        index_sigs.groupBy("doc_id")
+        index_sigs.groupBy("doc_id", *extra)
         .agg(F.array_sort(F.collect_list(F.struct("i", "minhash"))).alias("_pm"))
-        .select("doc_id", F.transform("_pm", lambda s: s["minhash"]).alias("mins"))
+        .select("doc_id", F.transform("_pm", lambda s: s["minhash"]).alias("mins"), *extra)
     )
+
+
+def migrate_sigs_table_to_arrays(spark, table: str, n_buckets: int = 16) -> bool:
+    """One-time in-place rewrite of a LEGACY row-form signature table
+    (doc_id, i, minhash[, batch_id]) to the array layout (doc_id, mins
+    [, batch_id]), preserving bucketing on doc_id. Returns True if a
+    rewrite happened.
+
+    Why: `_sigs_as_arrays` makes legacy tables READABLE, but a pipeline
+    that also appends (streaming ingest writes each admitted batch's
+    signatures back to the index) cannot append array rows to a
+    row-form parquet table — Spark refuses the schema mismatch at the
+    first index write, so "restarts cleanly" held only until the first
+    admitted batch (round-8 ADVICE, verified AnalysisException). Ingest
+    pipelines call this before their first append; the rewrite cost is
+    one pass over the signature table (16 ints per doc — orders of
+    magnitude smaller than corpus text) paid once per table lifetime,
+    after which the check is a metadata-only column peek.
+
+    The rewrite materializes the converted rows eagerly
+    (localCheckpoint) before overwriting, because Spark cannot
+    overwrite a table from a plan that still reads it lazily. Crash
+    safety: a crash BEFORE the overwrite commits leaves the legacy
+    table intact (parquet table overwrite is last-directory-swap), so
+    the migration simply reruns on the next start. Session note: the
+    rewrite refreshes THIS session's relation cache only — other live
+    sessions (e.g. the interactive session that started a stream whose
+    foreachBatch clone ran the migration) see the new schema after
+    their own ``spark.catalog.refreshTable(table)``, standard Spark
+    cross-session behavior.
+    """
+    if not spark.catalog.tableExists(table):
+        return False
+    t = spark.table(table)
+    if "mins" in t.columns:
+        return False
+    converted = _sigs_as_arrays(t).localCheckpoint(eager=True)
+    (
+        converted.write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return True
 
 
 def incremental_neardup(

@@ -142,6 +142,17 @@ def stream_ingest_pipeline(
        (``<prefix>_bands`` / ``<prefix>_sigs``); anything whose
        signature-agreement estimate against ANY indexed doc reaches
        ``neardup_threshold`` is rejected. Corpus text is never read.
+
+       Threshold-semantics cutover (r7, unified with the batch
+       operator): the gate is ``est_jaccard = n_agree/16 >=
+       threshold``, i.e. at the 0.9 default n_agree must be ≥ 15 of
+       16. The pre-r7 inline check was ``n_agree >= round(0.9·16) =
+       14``, so borderline docs with exactly 14 agreements (est 0.875)
+       that the old gate REJECTED are now admitted. A pipeline
+       upgraded mid-stream that replays a checkpointed batch can
+       therefore compute a different admit list than the run it
+       resumes; pass ``neardup_threshold=14/16`` to reproduce the old
+       cut exactly. (PARITY.md "Streaming near-dup threshold".)
     4. **decontamination** (optional, ``benchmark_digest_table``): a
        persisted table of DISTINCT 60-bit benchmark shingle digests
        (one ``h`` column — write it once with
@@ -164,12 +175,20 @@ def stream_ingest_pipeline(
     from easydb_server_spark.operators.dedup import (
         bands_from_sig_array,
         incremental_neardup,
+        migrate_sigs_table_to_arrays,
         minhash_sig_array,
     )
     from easydb_server_spark.operators.text import _quality_col
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        if neardup_prefix is not None:
+            # legacy row-form (doc_id, i, minhash[, batch_id]) sigs
+            # tables are readable via _sigs_as_arrays but NOT
+            # appendable with array rows — rewrite once to array form
+            # before this batch touches the index (round-8 ADVICE);
+            # no-op (a metadata column peek) on already-array tables
+            migrate_sigs_table_to_arrays(sess, f"{neardup_prefix}_sigs", n_buckets)
         b = batch_df
         if min_quality is not None:
             b = b.where(_quality_col(F.col(text_col)) >= F.lit(float(min_quality)))
