@@ -46,11 +46,24 @@ TARGET_ROW_GROUPS = 16
 # would be below the bytes floor.
 MIN_ROWS_PER_GROUP = 256
 MIN_BYTES_PER_GROUP = 128 * 1024
+# Relational tables get a larger floor: splitting 2.6 MB of orders into
+# 16×166 KB files made every scan pay 16 task launches for ~10 ms of
+# filter work — the r7 bench's setop_union_all (orders scanned twice)
+# ran 2× slower on the relayout than on the single file, with an
+# identical plan (SCALE.md "Per-task overhead on tiny relational
+# scans"). The fine 128 KB floor exists for the CPU-heavy text and
+# embedding tables, where work per byte is orders of magnitude higher
+# (MinHash/BPE/cosine per row) and task starvation — not task
+# overhead — was the measured bottleneck. This mirrors real-cluster
+# tuning: CPU-bound stages want small input splits, IO-light scans
+# want big ones.
+FINE_SPLIT_TABLES = {"documents", "embeddings"}
+MIN_BYTES_PER_GROUP_RELATIONAL = 1024 * 1024
 # bump on any change to the layout rules: a sentinel file keyed on this
 # version forces a full rebuild, so outputs produced by an older layout
 # (e.g. the pre-multi-file single-file form) can't pass the mtime check
 # and silently keep the geometry a newer version exists to fix
-LAYOUT_VERSION = 2
+LAYOUT_VERSION = 3
 
 
 def ensure_relayout(sf_dir: str, target_groups: int = TARGET_ROW_GROUPS) -> str:
@@ -77,7 +90,12 @@ def ensure_relayout(sf_dir: str, target_groups: int = TARGET_ROW_GROUPS) -> str:
             shutil.rmtree(dst) if dst.is_dir() else dst.unlink()
         t = pq.read_table(f)
         bytes_per_row = max(f.stat().st_size / max(t.num_rows, 1), 1.0)
-        min_rows = max(MIN_ROWS_PER_GROUP, int(MIN_BYTES_PER_GROUP / bytes_per_row))
+        byte_floor = (
+            MIN_BYTES_PER_GROUP
+            if f.stem in FINE_SPLIT_TABLES
+            else MIN_BYTES_PER_GROUP_RELATIONAL
+        )
+        min_rows = max(MIN_ROWS_PER_GROUP, int(byte_floor / bytes_per_row))
         per_file = max(-(-t.num_rows // target_groups), min_rows)
         n_files = max(t.num_rows // per_file, 1)
         # write to a temp path, then atomic rename: an interrupted run
