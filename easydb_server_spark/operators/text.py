@@ -817,8 +817,46 @@ def _bpe_fold(a: str, b: str):
     return _fold
 
 
+def _bpe_batch_prefix(
+    ranked: list, remaining: int
+) -> list[tuple[str, str, int]]:
+    """Select the batchable PREFIX of a ranked (l, r, cnt) pair list:
+    accept pairs while each is symbol-disjoint from every previously
+    accepted pair's {left, right, merged}; stop at the first conflict.
+
+    Why a prefix and why disjointness: merging (a, b) only changes the
+    counts of pairs that touch a, b, or the new token ab. A later pair
+    sharing no symbol with any earlier accepted merge therefore has
+    exactly the count greedy would see after those merges, and because
+    we never SKIP a conflicting pair (we stop), no pair ranked between
+    two accepted ones can silently outrank them. The one residual
+    divergence from pure greedy: a merge can CREATE pairs involving its
+    new token, and a created pair could in principle outrank a later
+    batch member — hence batching is a documented near-greedy
+    approximation (exact on histograms whose top pairs are independent,
+    the common natural-language case) while ``batch_k=1`` remains
+    byte-exact greedy.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for row in ranked:
+        if len(accepted) >= remaining:
+            break
+        a, b, m = row.l, row.r, row.l + row.r
+        if a in used or b in used or m in used:
+            break
+        accepted.append((a, b, int(row.cnt)))
+        used |= {a, b, m}
+    return accepted
+
+
 def bpe_merges(
-    df: DataFrame, text_col: str, n_merges: int = 8, min_count: int = 1
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+    min_count: int = 1,
+    batch_k: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
     tokenizer-induction step of an LLM data pipeline. Learns the first
@@ -831,15 +869,23 @@ def bpe_merges(
     histogram, not the corpus — 100 TB of text is a few million
     distinct words), and every superstep after that runs on that
     bounded table: adjacent-pair counts via an in-row zip + one
-    map-side-combinable groupBy, top pair by (count desc, pair asc) —
-    a 1-row collect, the same driver-superstep pattern as
-    :func:`easydb_server_spark.operators.clusters.connected_components`
-    — then the greedy left-to-right merge applied per word as a pure
-    higher-order fold (no Python, no shuffle). The per-iteration
-    lineage is cut with an eager localCheckpoint so ``n_merges``
-    supersteps stay O(1) plan depth; a production 30k-merge run would
-    batch non-overlapping top pairs per superstep, which changes the
-    constant, not the shape.
+    map-side-combinable groupBy, a top-``batch_k`` collect, then the
+    greedy left-to-right merges applied per word as pure higher-order
+    folds (no Python, no shuffle). The per-superstep lineage is cut
+    with an eager localCheckpoint so plan depth stays O(1).
+
+    ``batch_k`` is the production dial (r7 verdict ask): each superstep
+    collects the top ``batch_k`` pairs and applies the symbol-disjoint
+    PREFIX of them in ONE pass (chained folds inside a single
+    projection), so a 30k-merge train runs ~merges/batch_k Spark jobs
+    instead of one per merge (``stats["supersteps"]`` records the
+    actual count; SCALE.md "BPE superstep batching" has the sweep).
+    ``batch_k=1`` (default, the conformance path) is byte-exact greedy;
+    ``batch_k>1`` is near-greedy — exact whenever the batched pairs are
+    independent (see :func:`_bpe_batch_prefix` for the precise
+    argument), which `tests/test_bpe_batch.py` locks on corpora where
+    the equivalence provably holds AND on an adversarial overlapping
+    corpus where the prefix rule must fall back to singles.
 
     The fold replicates exact greedy BPE semantics: a position merges
     iff it matches (left, right) and its left neighbour did not just
@@ -864,7 +910,8 @@ def bpe_merges(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for k in range(n_merges):
+    supersteps = 0
+    while len(merges) < n_merges:
         lefts = F.slice("syms", 1, F.size("syms") - 1)
         rights = F.slice("syms", 2, F.size("syms") - 1)
         pairs = (
@@ -879,19 +926,32 @@ def bpe_merges(
             .agg(F.sum("wc").alias("cnt"))
             .where(F.col("cnt") >= min_count)
         )
-        top = pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()).limit(1).collect()
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(max(int(batch_k), 1))
+            .collect()
+        )
+        supersteps += 1
         if not top:
             break
-        a, b, cnt = top[0].l, top[0].r, int(top[0].cnt)
-        merges.append((k, a, b, a + b, cnt))
+        batch = _bpe_batch_prefix(top, n_merges - len(merges))
+        base = len(merges)
+        merges.extend(
+            (base + i, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(batch)
+        )
 
-        _fold = _bpe_fold(a, b)
-
-        vocab = vocab.select(
-            "word",
-            "wc",
-            F.aggregate("syms", F.array().cast("array<string>"), _fold).alias("syms"),
-        ).localCheckpoint(eager=True)
+        # all accepted merges apply in ONE projection: fold for merge 1
+        # feeds fold for merge 2, … — K merges, one job, one checkpoint
+        syms_col: F.Column = F.col("syms")
+        for a, b, _cnt in batch:
+            syms_col = F.aggregate(
+                syms_col, F.array().cast("array<string>"), _bpe_fold(a, b)
+            )
+        vocab = vocab.select("word", "wc", syms_col.alias("syms")).localCheckpoint(
+            eager=True
+        )
+    if stats is not None:
+        stats["supersteps"] = supersteps
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
