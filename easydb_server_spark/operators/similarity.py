@@ -188,14 +188,44 @@ def topk_cosine_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+# auto n_cells policy: bound the within-cell quadratic work by holding
+# cell size near DEFAULT_TARGET_CELL_ROWS as the corpus grows; the cap
+# keeps the broadcast centroid table small (65536 cells × 64 dims × 8 B
+# ≈ 34 MB — at the cap, callers building billion-vector stores should
+# size n_cells explicitly, e.g. FAISS-style ~4·√N)
+DEFAULT_TARGET_CELL_ROWS = 128
+MAX_AUTO_CELLS = 65536
+
+
+def _resolve_n_cells(corpus: DataFrame, n_cells: int | None) -> int:
+    """``n_cells=None`` → ``clamp(ceil(rows / target), 16, 65536)``.
+
+    The r7 10× sweep measured semdedup's wall blowup at 6.0× with cells
+    FIXED at 16 vs 3.5× with cells scaled 10× — the one operator whose
+    scale safety depended on the caller remembering a dial. Auto-sizing
+    makes bounded cell size the default; an explicit ``n_cells``
+    overrides (the conformance queries pin 16 for oracle parity). Costs
+    one corpus ``count()`` when auto — metadata-cheap on parquet.
+    """
+    if n_cells is not None:
+        return int(n_cells)
+    n = corpus.count()
+    return int(min(max(16, -(-n // DEFAULT_TARGET_CELL_ROWS)), MAX_AUTO_CELLS))
+
+
 def ivf_centroids(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_iters: int = 1,
 ) -> DataFrame:
     """Deterministic k-means centroids for IVF cells → (cell, centroid).
+
+    ``n_cells=None`` auto-sizes to ``max(16, ceil(rows/128))`` capped
+    at 65536 (:func:`_resolve_n_cells`) so cell population — and with
+    it every downstream within-cell quadratic — stays bounded as the
+    corpus grows without the caller setting a dial.
 
     Init: the ``n_cells`` vectors with the smallest md5(id) — a seeded
     pseudo-random sample spread across the corpus (portable: the SQL
@@ -216,6 +246,7 @@ def ivf_centroids(
     and n_cells·dim is tiny. k-means|| style oversampling would slot in
     here without changing the contract.
     """
+    n_cells = _resolve_n_cells(corpus, n_cells)
     c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
     cents = (
         c.withColumn("hk", F.md5(F.col("cid").cast("string")))
@@ -365,7 +396,7 @@ def topk_cosine_ivf(
     vec_col: str,
     id_col: str,
     k: int = 3,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 2,
     n_iters: int = 1,
     centroids: DataFrame | None = None,
@@ -375,10 +406,11 @@ def topk_cosine_ivf(
     re-rank exactly inside them.
 
     Centroids come from :func:`ivf_centroids` (seeded sample +
-    deterministic k-means refinement) unless a (cell, centroid) frame
-    is passed in. At 100 TB the cell id is the partition/join key: the
-    corpus is bucketed once, each query touches nprobe/n_cells of the
-    data — the classic recall/cost dial.
+    deterministic k-means refinement; ``n_cells=None`` auto-sizes to
+    bounded cell population — see :func:`_resolve_n_cells`) unless a
+    (cell, centroid) frame is passed in. At 100 TB the cell id is the
+    partition/join key: the corpus is bucketed once, each query
+    touches nprobe/n_cells of the data — the classic recall/cost dial.
     """
     from pyspark.sql import Window
 
@@ -531,7 +563,7 @@ def semdedup(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.9,
     n_iters: int = 1,
     centroids: DataFrame | None = None,
@@ -547,7 +579,13 @@ def semdedup(
     Scale shape — the reason the paper clusters first: the quadratic
     pair work is confined to single cells, and ``n_cells`` grows with
     the corpus so cell size stays bounded (the paper runs 50k clusters
-    over 5B embeddings). Centroids come from the same deterministic
+    over 5B embeddings). ``n_cells=None`` (default) auto-sizes to
+    ``max(16, ceil(rows/128))`` so the bounded-cell property holds
+    WITHOUT the caller remembering the dial — the r7 10× sweep
+    measured 6.0× wall blowup with cells fixed at 16 vs 3.5× with
+    scaled cells (SCALE.md "Index-growth" + round-8 auto-cells rerun);
+    an explicit value overrides (conformance pins 16 for oracle
+    parity). Centroids come from the same deterministic
     seeded k-means as IVF (:func:`ivf_centroids` — broadcast, corpus
     never shuffled for assignment); the self-join shuffles on the cell
     id, so skew is bounded by the largest cell, the knob ``n_cells``
@@ -633,7 +671,7 @@ def write_ivf_store(
     vec_col: str,
     id_col: str,
     table: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_iters: int = 1,
 ) -> None:
     """Persist the IVF serving artifact: the corpus assigned to cells
@@ -681,6 +719,14 @@ def topk_cosine_ivf_store(
     of total store size for fixed cell geometry, the property that
     makes a 10-billion-vector store servable. Results are identical to
     the in-memory :func:`topk_cosine_ivf` under the same centroids.
+
+    Driver-side bound assumption (standard for partition pruning): the
+    probed cell ids are collected to build the partition filter, so
+    the driver holds ≤ min(nprobe × |queries|, n_cells) ids. This
+    serving path is for BATCH query sets (the normal ANN-serving
+    shape); an unbounded query STREAM should instead join on the cell
+    id against the bucketed store (no collect), giving up static
+    pruning for a co-located probe.
     """
     from pyspark.sql import Window
 

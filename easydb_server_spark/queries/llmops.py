@@ -428,10 +428,14 @@ ORACLE_DEDUP_EMBEDDING_LSH = _oracle_dedup_embedding_lsh()
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-3 (nprobe=2 over 16 training-free cells)."""
+    """IVF-bucketed ANN top-3 (nprobe=2 over 16 training-free cells;
+    pinned explicitly — the oracle replays LIMIT 16 — so the auto
+    n_cells policy can evolve without touching conformance)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
-    return S.topk_cosine_ivf(e, q, "embedding", "vec_id", k=3).orderBy("qid", "rank")
+    return S.topk_cosine_ivf(e, q, "embedding", "vec_id", k=3, n_cells=16).orderBy(
+        "qid", "rank"
+    )
 
 
 ORACLE_SIM_TOPK_IVF = """

@@ -154,6 +154,12 @@ def main() -> None:
             lambda: semdedup(emb1, "embedding", "vec_id", n_cells=16),
             lambda: semdedup(emb10, "embedding", "vec_id", n_cells=160),
         ),
+        # r8: n_cells=None auto-sizes to ceil(rows/128) — must track the
+        # scaled-cells line above without the caller setting the dial
+        "semdedup_auto_cells": (
+            lambda: semdedup(emb1, "embedding", "vec_id"),
+            lambda: semdedup(emb10, "embedding", "vec_id"),
+        ),
         "contamination_spans": (
             lambda: contamination_spans(
                 docs1.where(F.col("source") != "src0"), bench, "text", "doc_id", n=3
