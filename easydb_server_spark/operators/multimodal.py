@@ -97,9 +97,10 @@ def resize_images(
     codec: str | None = None,
 ) -> DataFrame:
     """Resize pipeline: Arrow-batched mapInPandas, one output row per
-    input image. ``codec="bmp"`` performs a REAL nearest-neighbor pixel
-    resample (pure-numpy 24-bit BMP codec,
-    :mod:`easydb_server_spark.operators.bmp`) and re-encodes; other
+    input image. ``codec="bmp"`` / ``codec="png"`` perform a REAL
+    nearest-neighbor pixel resample (pure-numpy/stdlib codecs,
+    :mod:`easydb_server_spark.operators.bmp` /
+    :mod:`easydb_server_spark.operators.png`) and re-encode; other
     codecs are stubbed (no PIL/ffmpeg in this container): the fake
     'resize' deterministically truncates/pads the payload to
     width*height bytes, so schema, batching, and plumbing are real and
@@ -107,14 +108,18 @@ def resize_images(
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "bmp":
-            from easydb_server_spark.operators.bmp import resize_bmp
+            from easydb_server_spark.operators.bmp import resize_bmp as real_resize
+        elif codec == "png":
+            from easydb_server_spark.operators.png import resize_png as real_resize
+        else:
+            real_resize = None
         target = width * height
         for pdf in batches:
             out = []
             for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 payload = bytes(blob) or b"\x00"
-                if codec == "bmp":
-                    resized = resize_bmp(payload, width, height)
+                if real_resize is not None:
+                    resized = real_resize(payload, width, height)
                 else:
                     resized = (payload * (target // len(payload) + 1))[:target]
                 out.append((item_id, resized, width, height))
