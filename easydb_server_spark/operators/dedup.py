@@ -804,6 +804,99 @@ def migrate_sigs_table_to_arrays(spark, table: str, n_buckets: int = 16) -> bool
     return True
 
 
+def compact_minhash_index(
+    spark, table_prefix: str, n_buckets: int = 16
+) -> dict[str, int]:
+    """Compact an append-mode fuzzy index: repeated
+    :func:`incremental_neardup` ingest admits append new band/signature
+    rows forever — every micro-batch adds a file set per bucket, and a
+    re-admitted doc_id (re-crawl) leaves its superseded signature
+    behind. Compaction rewrites both tables once:
+
+    - **sigs**: one row per doc_id, the newest ``batch_id`` winning
+      (plain dedupe when the table has no batch column); legacy
+      row-form tables are converted to array form on the way.
+    - **bands**: REGENERATED from the kept signatures
+      (:func:`bands_from_sig_array` — pure md5 arithmetic, no text
+      access), so bands and sigs cannot disagree after compaction and
+      superseded docs' band rows vanish with their signatures.
+    - both tables land re-bucketed with ``repartition(n_buckets, key)``
+      before the bucketed write, so each bucket is exactly ONE file —
+      the file-count growth of N appends (≥ N files per bucket)
+      resets, while probe plans stay exchange-free on the index side
+      (bucketed on the same keys; locked by
+      tests/test_index_compaction.py across append/compact cycles).
+
+    Returns ``{"sigs_rows": ..., "bands_rows": ...}``. Same
+    crash-safety shape as :func:`migrate_sigs_table_to_arrays`:
+    converted rows are materialized eagerly before the overwrite, and
+    a crash before commit leaves the previous table intact, so the
+    compaction simply reruns.
+    """
+    from pyspark.sql import Window
+
+    sigs_t, bands_t = f"{table_prefix}_sigs", f"{table_prefix}_bands"
+    sigs = _sigs_as_arrays(spark.table(sigs_t))
+    has_batch = "batch_id" in sigs.columns
+    if has_batch:
+        w = Window.partitionBy("doc_id").orderBy(F.col("batch_id").desc())
+        keep = sigs.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1).drop("_r")
+    else:
+        keep = sigs.dropDuplicates(["doc_id"])
+    keep = keep.localCheckpoint(eager=True)
+    bands = bands_from_sig_array(keep.select("doc_id", "mins"))
+    if has_batch:
+        bands = bands.join(keep.select("doc_id", "batch_id"), "doc_id")
+    bands = bands.localCheckpoint(eager=True)
+    (
+        keep.repartition(n_buckets, "doc_id")
+        .write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(sigs_t)
+    )
+    (
+        bands.repartition(n_buckets, "band_hash")
+        .write.bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(bands_t)
+    )
+    return {"sigs_rows": keep.count(), "bands_rows": bands.count()}
+
+
+def compact_digest_index(spark, table: str, n_buckets: int = 16) -> int:
+    """Compact an append-mode exact-dedup digest index: keep ONE row
+    per content_hash (the earliest ``batch_id`` — the original
+    admission — when the streaming batch column exists), rewrite
+    bucketed on content_hash with one file per bucket. Anti-join
+    semantics depend only on hash membership, so replay-duplicated
+    digests and file-count growth are the only things compaction
+    removes; results are unchanged by construction and probe plans
+    stay exchange-free on the index side. Returns the kept row count.
+    """
+    from pyspark.sql import Window
+
+    t = spark.table(table)
+    if "batch_id" in t.columns:
+        w = Window.partitionBy("content_hash").orderBy(F.col("batch_id").asc())
+        keep = t.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1).drop("_r")
+    else:
+        keep = t.dropDuplicates(["content_hash"])
+    keep = keep.localCheckpoint(eager=True)
+    (
+        keep.repartition(n_buckets, "content_hash")
+        .write.bucketBy(n_buckets, "content_hash")
+        .sortBy("content_hash")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return keep.count()
+
+
 def incremental_neardup(
     new_batch: DataFrame,
     text_col: str,
@@ -838,11 +931,19 @@ def incremental_neardup(
     index_sigs = _sigs_as_arrays(index_sigs)
     b_arr = minhash_sig_array(new_batch, text_col, id_col, k)
     b_bands = minhash_bands(new_batch, text_col, id_col, k)
+    # the probe joins on band_hash ALONE: the band index is already
+    # baked into the hash (md5 over the band slice's "i:minhash"
+    # strings, where i identifies the band), so adding `band` to the
+    # key changes nothing semantically but DEFEATS the bucketed scan —
+    # Spark plans a (band, band_hash) join against a band_hash-bucketed
+    # table as "Bucketed: false (disabled by query planner)" and
+    # shuffles the whole index side (locked the other way by
+    # tests/test_index_compaction.py: both index scans Bucketed: true)
     cand = (
-        b_bands.select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
+        b_bands.select(F.col("doc_id").alias("batch_id"), "band_hash")
         .join(
-            index_bands.select(F.col("doc_id").alias("corpus_id"), "band", "band_hash"),
-            ["band", "band_hash"],
+            index_bands.select(F.col("doc_id").alias("corpus_id"), "band_hash"),
+            "band_hash",
         )
         .select("batch_id", "corpus_id")
         .distinct()
