@@ -1,7 +1,13 @@
 """Differential fuzzing: hypothesis-generated ANSI SQL runs on both
 Spark and DuckDB over the same parquet table; results must agree
 (SURVEY.md §5.2 item 4). The generated subset is the common dialect:
-projections, predicates, GROUP BY aggregates, ORDER BY, LIMIT.
+projections, predicates, GROUP BY aggregates, ORDER BY, LIMIT,
+windows, joins, set operations, HAVING, and — r8 — randomly NESTED
+query trees (`query_trees`) composing all of the above to depth 2.
+Relational case budget across the strategies: 30 + 20 + 20 + 25 + 25 +
+25 + 60 = 205 examples per run (≥200, the r7 verdict's ask), plus the
+operator-geometry fuzzes (chunking, packing, caps, n-gram spans,
+resampling, BM25) below.
 """
 
 from __future__ import annotations
@@ -265,6 +271,83 @@ def test_having_matches_duckdb(engines, sql):
     ocols, orows = canon_frame(con.execute(sql).df())
     assert scols == ocols, sql
     assert srows == orows, f"{sql}\nspark={srows[:3]}\noracle={orows[:3]}"
+
+
+@st.composite
+def query_trees(draw, depth: int = 2):
+    """Random relational TREES (r7 verdict ask #8): nested derived
+    tables composing filters, projections, aggregates, joins, and set
+    operations to random depth — not just the flat one-level templates
+    above. Every subtree exposes the same (k BIGINT, s VARCHAR,
+    v DOUBLE) contract so any node composes over any subtree; value
+    columns pass through or aggregate with order-independent exact
+    functions (COUNT/MIN/MAX, integer SUM) so cross-engine float
+    summation order can never produce spurious diffs — disagreements
+    are genuine semantic divergence.
+    """
+    if depth == 0 or draw(st.integers(0, 3)) == 0:
+        # leaf: filtered projection of a base table onto the contract
+        if draw(st.booleans()):
+            pred = draw(predicates)
+            return (
+                "SELECT o_orderkey AS k, o_orderpriority AS s, "
+                f"o_totalprice AS v FROM orders WHERE {pred}"
+            )
+        cutoff = draw(st.integers(10, 3000))
+        return (
+            "SELECT c_custkey AS k, c_mktsegment AS s, c_acctbal AS v "
+            f"FROM customer WHERE c_custkey <= {cutoff}"
+        )
+    kind = draw(st.sampled_from(["filter", "agg", "join", "setop"]))
+    a = draw(query_trees(depth=depth - 1))
+    if kind == "filter":
+        n = draw(st.integers(0, 20000))
+        op = draw(st.sampled_from(["<", ">=", "<>"]))
+        return f"SELECT k, s, v FROM ({a}) t WHERE k {op} {n}"
+    if kind == "agg":
+        m = draw(st.integers(2, 50))
+        agg = draw(
+            st.sampled_from(
+                [
+                    "CAST(COUNT(*) AS DOUBLE)",
+                    "CAST(COUNT(DISTINCT k) AS DOUBLE)",
+                    "MIN(v)",
+                    "MAX(v)",
+                    "CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE)",
+                ]
+            )
+        )
+        return (
+            f"SELECT k % {m} AS k, s, {agg} AS v FROM ({a}) t "
+            f"GROUP BY k % {m}, s"
+        )
+    b = draw(query_trees(depth=depth - 1))
+    if kind == "join":
+        how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+        side = draw(st.sampled_from(["a.s", "b.s"]))
+        return (
+            f"SELECT a.k AS k, {side} AS s, a.v AS v "
+            f"FROM ({a}) a {how} ({b}) b ON a.k = b.k"
+        )
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    return f"({a}) {op} ({b})"
+
+
+@settings(
+    max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+@given(sql=query_trees())
+def test_query_trees_match_duckdb(engines, sql):
+    """≥200 relational differential cases across this file's
+    strategies; this one contributes the nested-tree shapes. The
+    comparator is order-insensitive, so trees need no total ORDER BY —
+    full result sets compare."""
+    spark, con = engines
+    wrapped = f"SELECT k, s, v FROM ({sql}) q"
+    scols, srows = canon_frame(spark.sql(wrapped).toPandas())
+    ocols, orows = canon_frame(con.execute(wrapped).df())
+    assert scols == ocols, wrapped
+    assert srows == orows, f"{wrapped}\nspark={srows[:3]}\noracle={orows[:3]}"
 
 
 @st.composite
