@@ -3,24 +3,17 @@ a ~50-entry prefix of REGISTRY, so its composition is load-bearing —
 an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
-Round-7 window (new/changed-code-first, then least-driver-evidence):
-the sixteen new r7 entries (dedup_incremental, chunk_dedup,
-curate_source_cap, text_unigram_logprob, dedup_ngram_spans,
-text_ccnet_buckets, text_tfidf_keywords, emb_quantize,
-dedup_incremental_fuzzy, chunk_pack, ts_resample_locf,
-ts_resample_interp, ts_zorder_key, profile_documents,
-quality_gate_events, profile_drift) and text_chunks (trailing-subset fix), the two
-remaining never-driver-seen r6 entries, the r1-evidence cohort
-(fn_array/fn_hash/fn_struct_map/fn_datetime_convert + seven ts_*),
-the r2-evidence dedup_simhash/text_hash_split, and the oldest r4
-entries filling to 50 (closing at emb_label_centroids; the ten
-late-r7 entries — text_contamination_spans, sim_semdedup,
-text_bpe_merges, text_bm25, sim_hybrid_rrf, text_shard_manifest,
-text_bpe_apply, curation_pipeline, text_bigram_logprob,
-text_curriculum — lead). Rows-only entries stay
-out of the window
-(they burn a slot on `no_oracle`). Everything driver-green in r4-r6
-follows the marker.
+Round-8 window (changed-code-first, then least-driver-evidence): the
+eleven entries whose operator code changed this round (the dedup
+family's shingle null-drop + band_hash-only incremental probe,
+batch-superstep BPE, auto n_cells in semdedup/IVF, and the composed
+curation pipeline over those stages), then the thirty-three remaining
+r4-evidence entries — the cohort the r7 verdict asked to refresh
+(supersets, skew, rollups, the TPC-H suite) — then six oldest
+r5-evidence entries filling to 50 (closing at core_projection). After
+a green r8, no oracled entry's newest driver evidence is older than
+r5. Rows-only entries stay out of the window (they burn a slot on
+`no_oracle`). Everything driver-green in r5-r7 follows the marker.
 """
 
 PRIORITY_WINDOW = 50
@@ -30,65 +23,56 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "emb_label_centroids", (
-        "the driver-verified priority window must close at emb_label_centroids "
+    assert names[PRIORITY_WINDOW - 1] == "core_projection", (
+        "the driver-verified priority window must close at core_projection "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
     )
 
 
-def test_window_holds_the_r7_rotation():
+def test_window_holds_the_r8_rotation():
     from easydb_server_spark.queries import REGISTRY
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # new/changed r7 code + never-driver-seen r6 entries lead the window
-    assert window[:29] == [
-        "text_contamination_spans",
-        "sim_semdedup",
-        "text_bpe_merges",
-        "text_bm25",
-        "sim_hybrid_rrf",
-        "text_shard_manifest",
-        "text_bpe_apply",
-        "curation_pipeline",
-        "text_bigram_logprob",
-        "text_curriculum",
-        "dedup_incremental",
-        "chunk_dedup",
-        "curate_source_cap",
-        "text_unigram_logprob",
-        "dedup_ngram_spans",
-        "text_ccnet_buckets",
-        "text_tfidf_keywords",
-        "emb_quantize",
+    # entries with r8 code changes lead the window
+    assert window[:11] == [
+        "dedup_minhash",
+        "dedup_minhash_pairs",
         "dedup_incremental_fuzzy",
-        "chunk_pack",
-        "ts_resample_locf",
-        "ts_resample_interp",
-        "ts_zorder_key",
-        "profile_documents",
-        "quality_gate_events",
-        "profile_drift",
-        "text_chunks",
-        "text_stratified_sample",
-        "dedup_source_overlap",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "dedup_pipeline_keepers",
+        "text_decontaminate",
+        "text_bpe_merges",
+        "sim_semdedup",
+        "sim_topk_ivf",
+        "curation_pipeline",
     ]
-    # the r1-evidence cohort follows
-    assert window[29:40] == [
-        "fn_array",
-        "fn_hash",
-        "fn_struct_map",
-        "fn_datetime_convert",
-        "ts_tumbling",
-        "ts_sliding",
-        "ts_session_window",
-        "ts_date_bin",
-        "ts_gap_detection",
-        "ts_asof_join",
-        "ts_range_join",
+    # the refreshed r4-evidence cohort follows (supersets, skew,
+    # rollups, the full TPC-H suite), then the oldest-r5 fill
+    assert window[11:20] == [
+        "text_length_histogram",
+        "text_ngram_topk",
+        "sup_json",
+        "sup_pivot",
+        "sup_mode",
+        "sup_unpivot",
+        "sup_higher_order",
+        "sup_lateral",
+        "sup_variant",
     ]
-    assert window[40:42] == ["dedup_simhash", "text_hash_split"]
+    assert [n for n in window if n.startswith("tpch_")] == [
+        f"tpch_q{i}" for i in (1, 3, 7, 10, 14, 18, 19, 4, 5, 6, 8, 9, 12, 13, 15, 16, 17, 20, 22, 21, 11, 2)
+    ]
+    assert window[44:] == [
+        "tpch_q21",
+        "tpch_q11",
+        "tpch_q2",
+        "text_repetition",
+        "corpus_shuffle",
+        "core_projection",
+    ]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
