@@ -179,3 +179,82 @@ def test_compact_digest_index_keeps_first_admission(spark):
         assert len(_table_files(spark, table)) <= 4
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_pipeline_resumes_after_offline_compaction(spark, tmp_path):
+    """The ops pattern compaction is FOR: run the ingest pipeline, stop
+    it, compact both persistent indexes offline, land more files,
+    restart on the same checkpoint — exact and fuzzy rejection must
+    keep working against the compacted tables, and the new batch's
+    appends must land cleanly on the rewritten (re-bucketed) layout.
+
+    (In-band compaction inside a running stream is deliberately NOT
+    offered: deleting a re-admitted doc's superseded signature can
+    change the admit list a crash-replayed micro-batch computes —
+    offline compaction between runs has no such window.)
+    """
+    import json
+    import os
+    import uuid as _uuid
+
+    from easydb_server_spark.operators.dedup import (
+        compact_digest_index,
+        compact_minhash_index,
+    )
+    from easydb_server_spark.streaming.ingest import DOC_SCHEMA, stream_ingest_pipeline
+
+    table = f"cmp_pipe_{_uuid.uuid4().hex[:8]}"
+    prefix = f"cmp_pmh_{_uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+
+    def write_docs(name, rows, order):
+        in_dir.mkdir(parents=True, exist_ok=True)
+        p = in_dir / name
+        p.write_text(
+            "".join(
+                json.dumps({"doc_id": i, "text": t, "source": "s"}) + "\n"
+                for i, t in rows
+            )
+        )
+        t = 1_700_000_000 + order * 60
+        os.utime(p, (t, t))
+
+    def run():
+        src = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_ingest_pipeline(
+            src, "text", "doc_id", table, str(admitted), str(ckpt),
+            neardup_prefix=prefix, neardup_threshold=0.9,
+        )
+        q.awaitTermination()
+
+    try:
+        # long base text: a 1-word drop must stay >= 15/16 signature
+        # agreement to trip the 0.9 fuzzy gate (short texts land ~0.875)
+        long_base = TEXTS[1] + " " + TEXTS[2]
+        write_docs("b0.json", [(1, TEXTS[0]), (2, long_base)], 0)
+        write_docs("b1.json", [(3, TEXTS[2])], 1)
+        run()
+        # offline compaction between runs
+        compact_minhash_index(spark, prefix, n_buckets=16)
+        compact_digest_index(spark, table, n_buckets=16)
+        for t in (table, f"{prefix}_bands", f"{prefix}_sigs"):
+            spark.catalog.refreshTable(t)
+        # new files: exact dup of 1, near-dup of 2, fresh doc
+        near = " ".join(long_base.split()[1:])
+        write_docs("b2.json", [(10, TEXTS[0]), (11, near), (12, TEXTS[3])], 2)
+        run()
+        ids = {r.doc_id for r in spark.read.parquet(str(admitted)).collect()}
+        assert ids == {1, 2, 3, 12}, ids
+        spark.catalog.refreshTable(f"{prefix}_sigs")
+        sig_docs = {
+            r.doc_id
+            for r in spark.table(f"{prefix}_sigs").select("doc_id").distinct().collect()
+        }
+        assert sig_docs == {1, 2, 3, 12}
+    finally:
+        for t in (table, f"{prefix}_bands", f"{prefix}_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
