@@ -79,6 +79,9 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "text_shard_manifest",
     "curation_pipeline",
+    # r8 additions: DSIR importance resampling + span clipping
+    "curate_dsir",
+    "text_clip_spans",
     "emb_quantize",
     "sim_semdedup",
     "emb_label_outliers",

@@ -687,6 +687,57 @@ def contamination_spans(
     return positions.join(F.broadcast(bench_h), "gram_hash").select("doc_id", "pos", "gram_hash")
 
 
+def clip_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Remove benchmark-overlapping n-gram SPANS from documents — the
+    action half of :func:`contamination_spans` (which only flags).
+    This is the PaLM-style decontamination: a token is dropped iff it
+    is covered by ANY flagged gram (positions ``p … p+n−1`` for each
+    contaminated start ``p``), so a long page quoting one eval question
+    loses just that quote instead of the whole document (the doc-level
+    alternative, ``text.decontaminate``, drops it entirely). Returns
+    (doc_id, clean_text, n_words, n_removed); uncontaminated docs pass
+    through with ``n_removed = 0``.
+
+    Scale shape: :func:`contamination_spans`' single corpus scan +
+    broadcast bench probe, then the flagged start positions aggregate
+    per doc (shuffle bounded by |flagged positions| — the contamination
+    tail, not the corpus) and join BACK to the corpus on doc_id; the
+    rebuild is one in-row higher-order ``filter`` over the word array
+    (coverage test per token against the doc's own flagged-start list,
+    O(words × spans) inside the row, no Python).
+    """
+    spans = (
+        contamination_spans(corpus, benchmark, text_col, id_col, n)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("starts"))
+    )
+    words = F.split(F.col(text_col), " ")
+    base = corpus.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    joined = base.join(spans, "doc_id", "left").select(
+        "doc_id", "ws", F.coalesce("starts", F.array().cast("array<int>")).alias("starts")
+    )
+    # token i survives iff no flagged start p has p <= i <= p+n-1;
+    # two-parameter lambda = (element, index) form of F.filter
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: ~F.exists(
+            F.col("starts"), lambda p: (i >= p) & (i < p + F.lit(n))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("ws").alias("n_words"),
+        (F.size("ws") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def minhash_index(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> tuple[DataFrame, DataFrame]:
     """The persistent FUZZY-dedup artifact, companion to
     :func:`digest_index`: per-doc LSH band rows (doc_id, band,

@@ -1115,6 +1115,127 @@ def bpe_apply(
     )
 
 
+def _dsir_features(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
+    """Hashed n-gram features (unigrams + bigrams) per doc → one row
+    per (doc_id, bucket) occurrence. The hash is the portable md5-60bit
+    used across the engine, reduced mod ``n_buckets`` — DSIR's hashing
+    trick bounds the model to ``n_buckets`` rows regardless of corpus
+    vocabulary, which is what makes both distributions broadcastable.
+    """
+    from easydb_server_spark.operators.dedup import _shingle_hash60
+
+    words = F.split(F.col(text_col), " +")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    feats = F.concat(words, bigrams)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(feats).alias("f"))
+        .where(F.col("f") != "")
+        .select("doc_id", (_shingle_hash60(F.col("f")) % n_buckets).alias("bucket"))
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by ``log p_target(doc) − log p_raw(doc)`` under hashed
+    bag-of-n-grams models (unigrams + bigrams hashed into
+    ``n_buckets``), the published recipe for selecting raw-web data
+    that looks like a target domain. Returns
+    (doc_id, n_feats, log_ratio) — positive means more target-like.
+
+    Both models are add-one-smoothed bucket distributions:
+    ``p[b] = (c[b] + 1) / (N + n_buckets)``; log10s are precomputed
+    per bucket so the scorer joins ONE bounded table.
+
+    Scale shape: the raw-side counts are a map-side-combinable groupBy
+    on 8-byte bucket keys (the only corpus-wide shuffle, digest-width);
+    the target is orders of magnitude smaller by construction. The
+    joined (bucket, log_t, log_r) table is ≤ ``n_buckets`` rows and
+    BROADCASTS; scoring is one corpus scan → explode → broadcast-hash
+    join → per-doc sum. Nothing quadratic, nothing driver-side.
+    """
+    c_feats = _dsir_features(corpus, text_col, id_col, n_buckets)
+    t_feats = _dsir_features(target, text_col, id_col, n_buckets)
+    c_counts = c_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    t_counts = t_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    c_tot = c_feats.agg(F.count(F.lit(1)).alias("n_raw"))
+    t_tot = t_feats.agg(F.count(F.lit(1)).alias("n_t"))
+    model = (
+        c_counts.join(t_counts, "bucket", "full_outer")
+        .crossJoin(F.broadcast(c_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "bucket",
+            (
+                F.log10(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_t") + F.lit(n_buckets))
+                )
+                - F.log10(
+                    (F.coalesce(F.col("c_raw"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_raw") + F.lit(n_buckets))
+                )
+            ).alias("llr"),
+        )
+    )
+    return (
+        c_feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("llr"), 5).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int = 10_000,
+    seed: str = "dsir1",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DSIR selection: Gumbel top-``k`` over the importance weights —
+    sampling WITHOUT replacement proportional to ``w^(1/temperature)``
+    in one pass (the Gumbel-max trick: rank by ``log w / T + g_i``).
+    The noise is the engine's deterministic pseudo-random recipe,
+    ``g = −ln(−ln(u))`` with ``u`` derived from md5(seed, doc_id) — the
+    same seeded-hash determinism as corpus_shuffle/hash_split, so runs
+    reproduce exactly and the DuckDB oracle replays bit-for-bit.
+    Returns the selected (doc_id, log_ratio, key) with the ranking key.
+
+    Scale shape: :func:`dsir_weights` plus one uniform hash column and
+    a TakeOrderedAndProject top-k — no extra shuffle beyond the
+    weights' per-doc aggregation.
+    """
+    w = dsir_weights(corpus, target, text_col, id_col, n_buckets)
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col("log_ratio") / F.lit(float(temperature)) + gumbel, 5)
+    return (
+        w.select("doc_id", "log_ratio", key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str,

@@ -48,6 +48,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # window — they burn a slot recording `no_oracle`.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- ROUND-8 WINDOW (50 entries the driver verifies) ---
+    # (0) NEW this round: DSIR importance resampling and span-level
+    # decontamination applied (the action half of contamination_spans)
+    "curate_dsir": (llmops.q_curate_dsir, llmops.ORACLE_CURATE_DSIR),
+    "text_clip_spans": (llmops.q_text_clip_spans, llmops.ORACLE_TEXT_CLIP_SPANS),
     # (a) entries whose operator code changed this round: the shingle
     # null-drop + band_hash-only probe (dedup family), batch-superstep
     # BPE, auto n_cells resolution (semdedup/IVF), and the composed
@@ -103,13 +107,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q11": (tpch2.q_tpch_q11, tpch2.ORACLE_TPCH_Q11),
     "tpch_q2": (tpch2.q_tpch_q2, tpch2.ORACLE_TPCH_Q2),
     "text_repetition": (llmops.q_text_repetition, llmops.ORACLE_TEXT_REPETITION),
-    "corpus_shuffle": (llmops.q_corpus_shuffle, llmops.ORACLE_CORPUS_SHUFFLE),
-    "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
     # --- end of the 50-entry priority window (closes at
-    # core_projection, position 50; locked by
-    # tests/test_registry.py::test_priority_window_prefix_is_stable).
+    # text_repetition, position 50; locked by
+    # tests/test_registry.py::test_priority_window_prefix_is_stable;
+    # corpus_shuffle/core_projection moved just below when the two NEW
+    # r8 entries took the front — both are r5-driver-green).
     # Everything below was driver-green in r5-r7 and stays locked by
     # tools/check_conformance.py + the pytest oracle guard. ---
+    "corpus_shuffle": (llmops.q_corpus_shuffle, llmops.ORACLE_CORPUS_SHUFFLE),
+    "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
     "text_contamination_spans": (
         llmops.q_text_contamination_spans,
         llmops.ORACLE_TEXT_CONTAMINATION_SPANS,

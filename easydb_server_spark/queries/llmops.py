@@ -2493,3 +2493,133 @@ SELECT doc_id, bucket, phase, shard,
 FROM sharded
 ORDER BY doc_id
 """
+
+
+def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR target-domain selection (Xie et al. 2023): src0 documents
+    are the target domain, the rest is the raw pool; hashed
+    unigram+bigram importance weights pick the Gumbel top-20. The
+    oracle replays the whole stack — hashed-bucket models, add-one
+    smoothing, the md5-seeded Gumbel keys — bit-for-bit."""
+    d = load(spark, sf_dir, "documents")
+    target = d.where(F.col("source") == "src0").select("doc_id", "text")
+    raw = d.where(F.col("source") != "src0").select("doc_id", "text")
+    return T.dsir_select(raw, target, "text", "doc_id", k=20).orderBy(
+        F.col("key").desc(), "doc_id"
+    )
+
+
+ORACLE_CURATE_DSIR = """
+WITH raw AS (SELECT doc_id, text FROM documents WHERE source != 'src0'),
+tgt AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+rw AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM raw),
+tw AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM tgt),
+rfeat AS (
+  SELECT doc_id, f FROM (
+    SELECT doc_id, UNNEST(ws) AS f FROM rw
+    UNION ALL
+    SELECT doc_id, ws[t.i] || ' ' || ws[t.i + 1] AS f
+    FROM rw, UNNEST(generate_series(1, len(ws) - 1)) t(i)
+  ) WHERE f != ''
+),
+tfeat AS (
+  SELECT doc_id, f FROM (
+    SELECT doc_id, UNNEST(ws) AS f FROM tw
+    UNION ALL
+    SELECT doc_id, ws[t.i] || ' ' || ws[t.i + 1] AS f
+    FROM tw, UNNEST(generate_series(1, len(ws) - 1)) t(i)
+  ) WHERE f != ''
+),
+rb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 10000 AS bucket FROM rfeat),
+tb AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % 10000 AS bucket FROM tfeat),
+rc AS (SELECT bucket, COUNT(*) AS c_raw FROM rb GROUP BY bucket),
+tc AS (SELECT bucket, COUNT(*) AS c_t FROM tb GROUP BY bucket),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM rb) AS n_raw, (SELECT COUNT(*) FROM tb) AS n_t
+),
+model AS (
+  SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+         LOG10(CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE) / (tot.n_t + 10000))
+         - LOG10(CAST(COALESCE(rc.c_raw, 0) + 1 AS DOUBLE) / (tot.n_raw + 10000)) AS llr
+  FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot
+),
+scored AS (
+  SELECT rb.doc_id, ROUND(SUM(m.llr), 5) AS log_ratio
+  FROM rb JOIN model m USING (bucket) GROUP BY rb.doc_id
+),
+keyed AS (
+  SELECT doc_id, log_ratio,
+         ROUND(log_ratio / 1.0 + (-LN(-LN(
+           (('0x' || substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0
+         ))), 5) AS key
+  FROM scored
+)
+SELECT doc_id, log_ratio, key FROM keyed
+ORDER BY key DESC, doc_id LIMIT 20
+"""
+
+
+def q_text_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination APPLIED (PaLM-style): tokens covered
+    by any benchmark-overlapping 3-gram are removed, the rest of the
+    document survives — the action half of text_contamination_spans.
+    src0 is the benchmark; only contaminated docs are returned (the
+    pass-through majority would dominate the hash with unchanged
+    text)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("source") == "src0").select("doc_id", "text")
+    corpus = d.where(F.col("source") != "src0").select("doc_id", "text")
+    return (
+        D.clip_contaminated_spans(corpus, bench, "text", "doc_id", n=3)
+        .where(F.col("n_removed") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_CLIP_SPANS = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, source, t.i AS pos, array_to_string(ws[t.i + 1 : t.i + 3], ' ') AS gram
+  FROM w, UNNEST(generate_series(0, len(ws) - 3)) t(i)
+  WHERE len(ws) >= 3
+),
+h AS (
+  SELECT doc_id, source, pos,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash
+  FROM g
+),
+bench AS (SELECT DISTINCT gram_hash FROM h WHERE source = 'src0'),
+starts AS (
+  SELECT DISTINCT h.doc_id, h.pos FROM h JOIN bench USING (gram_hash)
+  WHERE h.source != 'src0'
+),
+toks AS (
+  SELECT w.doc_id, t.i AS idx, ws[t.i + 1] AS word, len(ws) AS n_words
+  FROM w, UNNEST(generate_series(0, len(ws) - 1)) t(i)
+  WHERE w.source != 'src0'
+),
+flagged AS (
+  SELECT tk.doc_id, tk.idx, tk.word, tk.n_words,
+         EXISTS (
+           SELECT 1 FROM starts s
+           WHERE s.doc_id = tk.doc_id AND tk.idx >= s.pos AND tk.idx < s.pos + 3
+         ) AS cov
+  FROM toks tk
+),
+rebuilt AS (
+  -- aggregate over ALL tokens so a fully-clipped doc still yields a
+  -- row (empty clean_text), matching the Spark side
+  SELECT doc_id,
+         COALESCE(STRING_AGG(word, ' ' ORDER BY idx) FILTER (WHERE NOT cov), '') AS clean_text,
+         MAX(n_words) AS n_all,
+         COUNT(*) FILTER (WHERE NOT cov) AS n_kept
+  FROM flagged GROUP BY doc_id
+),
+contam AS (SELECT DISTINCT doc_id FROM starts)
+SELECT r.doc_id, r.clean_text,
+       CAST(r.n_all AS INT) AS n_words,
+       CAST(r.n_all - r.n_kept AS INT) AS n_removed
+FROM rebuilt r JOIN contam USING (doc_id)
+ORDER BY r.doc_id
+"""

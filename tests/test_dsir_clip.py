@@ -1,0 +1,122 @@
+"""Semantics of the r8 curation additions: DSIR importance resampling
+(operators/text.py) and contamination span CLIPPING (operators/
+dedup.py) — behavior the oracle hash-compare alone doesn't explain."""
+
+import pyspark.sql.functions as F  # noqa: F401
+
+
+class TestDsir:
+    def _frames(self, spark):
+        target = spark.createDataFrame(
+            [
+                (1, "machine learning models train on text data"),
+                (2, "neural networks learn from training data"),
+            ],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, "machine learning models need lots of training data to learn"),
+                (11, "the cake recipe calls for two cups of flour and sugar"),
+                (12, "neural networks and machine learning text models"),
+                (13, "football season starts in autumn with the first match"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, target
+
+    def test_weights_rank_target_like_docs_higher(self, spark):
+        from easydb_server_spark.operators.text import dsir_weights
+
+        corpus, target = self._frames(spark)
+        w = {r.doc_id: r.log_ratio for r in dsir_weights(corpus, target, "text", "doc_id").collect()}
+        # ML docs (10, 12) must out-score cake (11) and football (13)
+        assert min(w[10], w[12]) > max(w[11], w[13])
+
+    def test_select_is_deterministic_and_seed_sensitive(self, spark):
+        from easydb_server_spark.operators.text import dsir_select
+
+        corpus, target = self._frames(spark)
+        a = [r.doc_id for r in dsir_select(corpus, target, "text", "doc_id", k=2).collect()]
+        b = [r.doc_id for r in dsir_select(corpus, target, "text", "doc_id", k=2).collect()]
+        assert a == b  # same seed → identical selection
+        keys1 = {r.doc_id: r.key for r in dsir_select(corpus, target, "text", "doc_id", k=4).collect()}
+        keys2 = {r.doc_id: r.key for r in dsir_select(corpus, target, "text", "doc_id", k=4, seed="other").collect()}
+        assert keys1 != keys2  # seed perturbs the Gumbel keys
+
+    def test_low_temperature_approaches_argmax(self, spark):
+        """T → 0 scales the weights up against the O(1) Gumbel noise, so
+        selection converges to the top-k by weight alone."""
+        from easydb_server_spark.operators.text import dsir_select, dsir_weights
+
+        corpus, target = self._frames(spark)
+        w = {r.doc_id: r.log_ratio for r in dsir_weights(corpus, target, "text", "doc_id").collect()}
+        want = sorted(w, key=lambda d: -w[d])[:2]
+        got = [
+            r.doc_id
+            for r in dsir_select(corpus, target, "text", "doc_id", k=2, temperature=1e-6).collect()
+        ]
+        assert sorted(got) == sorted(want)
+
+    def test_null_and_empty_text_rows_drop_from_weights(self, spark):
+        from easydb_server_spark.operators.text import dsir_weights
+
+        corpus = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "real text here")], "doc_id long, text string"
+        )
+        target = spark.createDataFrame([(9, "real text")], "doc_id long, text string")
+        ids = {r.doc_id for r in dsir_weights(corpus, target, "text", "doc_id").collect()}
+        assert ids == {3}
+
+
+class TestClipSpans:
+    def _clip(self, spark, corpus_rows, bench_rows, n=3):
+        from easydb_server_spark.operators.dedup import clip_contaminated_spans
+
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in clip_contaminated_spans(corpus, bench, "text", "doc_id", n=n).collect()
+        }
+
+    def test_only_the_overlapping_span_is_removed(self, spark):
+        out = self._clip(
+            spark,
+            [(1, "prefix words here the secret eval answer and a long suffix tail")],
+            [(9, "the secret eval answer")],
+        )
+        r = out[1]
+        # flagged 3-gram starts: "the secret eval", "secret eval answer"
+        # → covered tokens 3..6 ("the secret eval answer")
+        assert r.clean_text == "prefix words here and a long suffix tail"
+        assert r.n_removed == 4 and r.n_words == 12
+
+    def test_overlapping_spans_merge_not_double_count(self, spark):
+        out = self._clip(
+            spark,
+            [(1, "a b c d e")],
+            [(9, "a b c d e")],  # every 3-gram flagged
+        )
+        r = out[1]
+        assert r.clean_text == "" and r.n_removed == 5  # fully clipped, once each
+
+    def test_clean_docs_pass_through_unchanged(self, spark):
+        out = self._clip(
+            spark,
+            [(1, "totally unrelated words in this document")],
+            [(9, "the secret eval answer")],
+        )
+        r = out[1]
+        assert r.n_removed == 0
+        assert r.clean_text == "totally unrelated words in this document"
+
+    def test_span_at_document_end(self, spark):
+        out = self._clip(
+            spark,
+            [(1, "keep these words the secret answer")],
+            [(9, "the secret answer")],
+        )
+        r = out[1]
+        assert r.clean_text == "keep these words"
+        assert r.n_removed == 3

@@ -23,8 +23,8 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "core_projection", (
-        "the driver-verified priority window must close at core_projection "
+    assert names[PRIORITY_WINDOW - 1] == "text_repetition", (
+        "the driver-verified priority window must close at text_repetition "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
@@ -35,8 +35,9 @@ def test_window_holds_the_r8_rotation():
     from easydb_server_spark.queries import REGISTRY
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # entries with r8 code changes lead the window
-    assert window[:11] == [
+    # brand-new r8 entries lead, then entries with r8 code changes
+    assert window[:2] == ["curate_dsir", "text_clip_spans"]
+    assert window[2:13] == [
         "dedup_minhash",
         "dedup_minhash_pairs",
         "dedup_incremental_fuzzy",
@@ -51,7 +52,7 @@ def test_window_holds_the_r8_rotation():
     ]
     # the refreshed r4-evidence cohort follows (supersets, skew,
     # rollups, the full TPC-H suite), then the oldest-r5 fill
-    assert window[11:20] == [
+    assert window[13:22] == [
         "text_length_histogram",
         "text_ngram_topk",
         "sup_json",
@@ -65,13 +66,11 @@ def test_window_holds_the_r8_rotation():
     assert [n for n in window if n.startswith("tpch_")] == [
         f"tpch_q{i}" for i in (1, 3, 7, 10, 14, 18, 19, 4, 5, 6, 8, 9, 12, 13, 15, 16, 17, 20, 22, 21, 11, 2)
     ]
-    assert window[44:] == [
+    assert window[46:] == [
         "tpch_q21",
         "tpch_q11",
         "tpch_q2",
         "text_repetition",
-        "corpus_shuffle",
-        "core_projection",
     ]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
