@@ -1164,16 +1164,23 @@ def dsir_weights(
     BROADCASTS; scoring is one corpus scan → explode → broadcast-hash
     join → per-doc sum. Nothing quadratic, nothing driver-side.
     """
+    from pyspark.sql import Window
+
     c_feats = _dsir_features(corpus, text_col, id_col, n_buckets)
     t_feats = _dsir_features(target, text_col, id_col, n_buckets)
     c_counts = c_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     t_counts = t_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
-    c_tot = c_feats.agg(F.count(F.lit(1)).alias("n_raw"))
-    t_tot = t_feats.agg(F.count(F.lit(1)).alias("n_t"))
+    # grand totals are SUMS OF THE BUCKET COUNTS (every feature lands
+    # in exactly one bucket), so they come from a whole-frame window
+    # over the joined bucket table instead of separate corpus-rescan
+    # aggregates — the model build costs ONE corpus scan + ONE target
+    # scan, and the single-partition window is bounded by n_buckets
+    # rows, never the corpus
+    whole = Window.partitionBy()
     model = (
         c_counts.join(t_counts, "bucket", "full_outer")
-        .crossJoin(F.broadcast(c_tot))
-        .crossJoin(F.broadcast(t_tot))
+        .withColumn("n_raw", F.sum(F.coalesce(F.col("c_raw"), F.lit(0))).over(whole))
+        .withColumn("n_t", F.sum(F.coalesce(F.col("c_t"), F.lit(0))).over(whole))
         .select(
             "bucket",
             (
