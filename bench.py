@@ -79,9 +79,11 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "text_shard_manifest",
     "curation_pipeline",
-    # r8 additions: DSIR importance resampling + span clipping
+    # r8 additions: DSIR importance resampling, span clipping, and the
+    # published Gopher rule gate
     "curate_dsir",
     "text_clip_spans",
+    "text_gopher_rules",
     "emb_quantize",
     "sim_semdedup",
     "emb_label_outliers",

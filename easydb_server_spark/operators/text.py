@@ -431,6 +431,128 @@ def length_histogram(df: DataFrame, len_col: str, group_col: str) -> DataFrame:
     )
 
 
+# the paper's "must contain at least two of" English word list
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+# characters the line-start bullet rule recognizes (the paper names
+# "a bullet point"; we take the common plain-text markers)
+_BULLET_PREFIXES = ["•", "‣", "▪", "- ", "* "]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality RULE SET (Rae et al. 2021, §A1.1) as explicit
+    per-rule booleans — the published web-text filter most pipelines
+    start from, complementing :func:`quality_score` (a composite
+    number) and :func:`repetition_metrics` (the paper's other half).
+    A document passes when ALL hold, with the paper's thresholds as
+    defaults:
+
+    - word count in [50, 100 000];
+    - mean word length in [3, 10] characters;
+    - hash (#) and ellipsis symbol-to-word ratios each ≤ 0.1;
+    - < 90 % of lines start with a bullet marker;
+    - ≤ 30 % of lines end with an ellipsis;
+    - ≥ 80 % of words contain at least one alphabetic character;
+    - at least 2 of {the, be, to, of, and, that, have, with} appear.
+
+    Returns one row per doc: the measured quantities, one boolean per
+    rule, and ``pass_gopher``. Everything is in-row column arithmetic
+    over the split word/line arrays — a single scan, no shuffle, no
+    Python; at 100 TB this is a free rider on whatever scan feeds it.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, "\\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    nw1 = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)).cast(
+            "double"
+        )
+        / nw1,
+        6,
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    # ellipsis occurrences: unicode … plus non-overlapping "..." runs
+    n_ellipsis = (
+        F.length(t)
+        - F.length(F.replace(t, F.lit("…"), F.lit("")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("int")
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_starts = F.size(F.filter(lines, _startswith_any(_BULLET_PREFIXES)))
+    ellipsis_ends = F.size(F.filter(lines, _endswith_any(["...", "…"])))
+    alpha_words = F.size(F.filter(words, _matches_alpha()))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_wl_ok = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    symbol_ok = (n_hash / nw1 <= max_symbol_ratio) & (n_ellipsis / nw1 <= max_symbol_ratio)
+    bullet_ok = bullet_starts / n_lines < F.lit(max_bullet_frac)
+    ellipsis_ok = ellipsis_ends / n_lines <= F.lit(max_ellipsis_frac)
+    alpha_ok = alpha_words / nw1 >= F.lit(min_alpha_frac)
+    stop_ok = n_stop >= F.lit(min_stopwords)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        word_count_ok.alias("word_count_ok"),
+        mean_wl_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_lines_ok"),
+        ellipsis_ok.alias("ellipsis_lines_ok"),
+        alpha_ok.alias("alpha_words_ok"),
+        stop_ok.alias("stopwords_ok"),
+        (
+            word_count_ok & mean_wl_ok & symbol_ok & bullet_ok
+            & ellipsis_ok & alpha_ok & stop_ok
+        ).alias("pass_gopher"),
+    )
+
+
+def _startswith_any(prefixes: list[str]):
+    """One-arg lambda factory (see the HOF-arity note on _eq_term)."""
+
+    def _f(line: F.Column) -> F.Column:
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a | b, [line.startswith(p) for p in prefixes]
+        )
+
+    return _f
+
+
+def _endswith_any(suffixes: list[str]):
+    def _f(line: F.Column) -> F.Column:
+        from functools import reduce
+
+        return reduce(lambda a, b: a | b, [line.endswith(s) for s in suffixes])
+
+    return _f
+
+
+def _matches_alpha():
+    def _f(w: F.Column) -> F.Column:
+        return w.rlike("[A-Za-z]")
+
+    return _f
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str,

@@ -2623,3 +2623,65 @@ SELECT r.doc_id, r.clean_text,
 FROM rebuilt r JOIN contam USING (doc_id)
 ORDER BY r.doc_id
 """
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rule set (Rae et al. 2021 §A1.1)
+    as per-rule booleans over the documents table; the oracle replays
+    every rule — word/line array arithmetic, symbol ratios, the
+    stopword intersection — exactly. The synthetic fixture's vocabulary
+    carries few English stopwords, so the conformance point lowers
+    (min_words, min_stopwords) to (40, 1) to make the gate columns
+    discriminating here; the operator's defaults stay the paper's."""
+    d = load(spark, sf_dir, "documents")
+    return T.gopher_rules(
+        d.select("doc_id", "text"), "text", "doc_id", min_words=40, min_stopwords=1
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_GOPHER_RULES = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS ws,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         GREATEST(len(ws), 1) AS nw1,
+         ROUND(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+               / GREATEST(len(ws), 1), 6) AS mean_word_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         CAST( (length(text) - length(replace(text, '…', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3.0 AS INT) AS n_ellipsis,
+         GREATEST(len(lines), 1) AS n_lines,
+         len(list_filter(lines, l ->
+              starts_with(l, '•') OR starts_with(l, '‣') OR starts_with(l, '▪')
+              OR starts_with(l, '- ') OR starts_with(l, '* '))) AS bullet_starts,
+         len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS ellipsis_ends,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         len(list_intersect(list_distinct(ws),
+             ['the','be','to','of','and','that','have','with'])) AS n_stopwords
+  FROM base
+),
+flags AS (
+  SELECT doc_id, n_words, mean_word_len, n_stopwords,
+         (n_words >= 40 AND n_words <= 100000) AS word_count_ok,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_word_len_ok,
+         (CAST(n_hash AS DOUBLE) / nw1 <= 0.1 AND CAST(n_ellipsis AS DOUBLE) / nw1 <= 0.1)
+           AS symbol_ratio_ok,
+         (CAST(bullet_starts AS DOUBLE) / n_lines < 0.9) AS bullet_lines_ok,
+         (CAST(ellipsis_ends AS DOUBLE) / n_lines <= 0.3) AS ellipsis_lines_ok,
+         (CAST(alpha_words AS DOUBLE) / nw1 >= 0.8) AS alpha_words_ok,
+         (n_stopwords >= 1) AS stopwords_ok
+  FROM m
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+       CAST(n_stopwords AS INT) AS n_stopwords,
+       word_count_ok, mean_word_len_ok, symbol_ratio_ok, bullet_lines_ok,
+       ellipsis_lines_ok, alpha_words_ok, stopwords_ok,
+       (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND bullet_lines_ok
+        AND ellipsis_lines_ok AND alpha_words_ok AND stopwords_ok) AS pass_gopher
+FROM flags ORDER BY doc_id
+"""

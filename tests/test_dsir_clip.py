@@ -120,3 +120,42 @@ class TestClipSpans:
         r = out[1]
         assert r.clean_text == "keep these words"
         assert r.n_removed == 3
+
+
+class TestGopherRules:
+    def test_each_rule_fires_on_its_violation(self, spark):
+        from easydb_server_spark.operators.text import gopher_rules
+
+        good = " ".join(
+            ["the quick brown fox jumps over that lazy dog and it runs to be with friends of mine have fun"]
+            * 4
+        )
+        rows = [
+            (1, good),                                   # passes all
+            (2, "short text"),                           # word count
+            (3, "# " * 60 + good),                       # hash symbol ratio
+            (4, "\n".join(["- item one here"] * 10)),    # bullet lines
+            (5, good.replace(" ", "... ")),              # ellipsis symbol ratio
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in gopher_rules(df, "text", "doc_id").collect()}
+        assert out[1].pass_gopher
+        assert not out[2].word_count_ok and not out[2].pass_gopher
+        assert not out[3].symbol_ratio_ok and not out[3].mean_word_len_ok
+        assert not out[4].bullet_lines_ok
+        assert not out[5].symbol_ratio_ok
+        # passing doc's metrics are exact
+        assert out[1].n_words == 80 and out[1].n_stopwords == 8
+
+    def test_thresholds_are_overridable(self, spark):
+        from easydb_server_spark.operators.text import gopher_rules
+
+        df = spark.createDataFrame(
+            [(1, "the of and " * 5)], "doc_id long, text string"
+        )
+        strict = gopher_rules(df, "text", "doc_id").collect()[0]
+        loose = gopher_rules(
+            df, "text", "doc_id", min_words=5, min_mean_word_len=2.0
+        ).collect()[0]
+        assert not strict.word_count_ok and loose.word_count_ok
+        assert not strict.mean_word_len_ok and loose.mean_word_len_ok

@@ -23,8 +23,8 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "text_repetition", (
-        "the driver-verified priority window must close at text_repetition "
+    assert names[PRIORITY_WINDOW - 1] == "tpch_q2", (
+        "the driver-verified priority window must close at tpch_q2 "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
@@ -36,8 +36,8 @@ def test_window_holds_the_r8_rotation():
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
     # brand-new r8 entries lead, then entries with r8 code changes
-    assert window[:2] == ["curate_dsir", "text_clip_spans"]
-    assert window[2:13] == [
+    assert window[:3] == ["curate_dsir", "text_clip_spans", "text_gopher_rules"]
+    assert window[3:14] == [
         "dedup_minhash",
         "dedup_minhash_pairs",
         "dedup_incremental_fuzzy",
@@ -52,7 +52,7 @@ def test_window_holds_the_r8_rotation():
     ]
     # the refreshed r4-evidence cohort follows (supersets, skew,
     # rollups, the full TPC-H suite), then the oldest-r5 fill
-    assert window[13:22] == [
+    assert window[14:23] == [
         "text_length_histogram",
         "text_ngram_topk",
         "sup_json",
@@ -66,11 +66,10 @@ def test_window_holds_the_r8_rotation():
     assert [n for n in window if n.startswith("tpch_")] == [
         f"tpch_q{i}" for i in (1, 3, 7, 10, 14, 18, 19, 4, 5, 6, 8, 9, 12, 13, 15, 16, 17, 20, 22, 21, 11, 2)
     ]
-    assert window[46:] == [
+    assert window[47:] == [
         "tpch_q21",
         "tpch_q11",
         "tpch_q2",
-        "text_repetition",
     ]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
