@@ -2509,7 +2509,10 @@ def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CURATE_DSIR = """
+def _oracle_dsir(n_buckets: int = 10_000, seed: str = "dsir1", k: int = 20, temperature: float = 1.0) -> str:
+    """Parameterized DuckDB replay of dsir_select — shared by the
+    conformance constant below and the differential fuzz."""
+    return f"""
 WITH raw AS (SELECT doc_id, text FROM documents WHERE source != 'src0'),
 tgt AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
 rw AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM raw),
@@ -2530,8 +2533,8 @@ tfeat AS (
     FROM tw, UNNEST(generate_series(1, len(ws) - 1)) t(i)
   ) WHERE f != ''
 ),
-rb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 10000 AS bucket FROM rfeat),
-tb AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % 10000 AS bucket FROM tfeat),
+rb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % {n_buckets} AS bucket FROM rfeat),
+tb AS (SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % {n_buckets} AS bucket FROM tfeat),
 rc AS (SELECT bucket, COUNT(*) AS c_raw FROM rb GROUP BY bucket),
 tc AS (SELECT bucket, COUNT(*) AS c_t FROM tb GROUP BY bucket),
 tot AS (
@@ -2539,8 +2542,8 @@ tot AS (
 ),
 model AS (
   SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
-         LOG10(CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE) / (tot.n_t + 10000))
-         - LOG10(CAST(COALESCE(rc.c_raw, 0) + 1 AS DOUBLE) / (tot.n_raw + 10000)) AS llr
+         LOG10(CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE) / (tot.n_t + {n_buckets}))
+         - LOG10(CAST(COALESCE(rc.c_raw, 0) + 1 AS DOUBLE) / (tot.n_raw + {n_buckets})) AS llr
   FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot
 ),
 scored AS (
@@ -2549,15 +2552,18 @@ scored AS (
 ),
 keyed AS (
   SELECT doc_id, log_ratio,
-         ROUND(log_ratio / 1.0 + (-LN(-LN(
-           (('0x' || substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+         ROUND(log_ratio / {temperature} + (-LN(-LN(
+           (('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
            / 4294967296.0
          ))), 5) AS key
   FROM scored
 )
 SELECT doc_id, log_ratio, key FROM keyed
-ORDER BY key DESC, doc_id LIMIT 20
+ORDER BY key DESC, doc_id LIMIT {k}
 """
+
+
+ORACLE_CURATE_DSIR = _oracle_dsir()
 
 
 def q_text_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2639,7 +2645,22 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-ORACLE_TEXT_GOPHER_RULES = """
+def _oracle_gopher(
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol: float = 0.1,
+    max_bullet: float = 0.9,
+    max_ellipsis: float = 0.3,
+    min_alpha: float = 0.8,
+    min_stop: int = 1,
+) -> str:
+    """Parameterized DuckDB replay of gopher_rules — shared by the
+    conformance constant below and the differential fuzz. Note the
+    literal braces in the regex-free SQL are safe under f-string
+    interpolation (none present)."""
+    return f"""
 WITH base AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS ws,
@@ -2667,14 +2688,14 @@ m AS (
 ),
 flags AS (
   SELECT doc_id, n_words, mean_word_len, n_stopwords,
-         (n_words >= 40 AND n_words <= 100000) AS word_count_ok,
-         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_word_len_ok,
-         (CAST(n_hash AS DOUBLE) / nw1 <= 0.1 AND CAST(n_ellipsis AS DOUBLE) / nw1 <= 0.1)
+         (n_words >= {min_words} AND n_words <= {max_words}) AS word_count_ok,
+         (mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl}) AS mean_word_len_ok,
+         (CAST(n_hash AS DOUBLE) / nw1 <= {max_symbol} AND CAST(n_ellipsis AS DOUBLE) / nw1 <= {max_symbol})
            AS symbol_ratio_ok,
-         (CAST(bullet_starts AS DOUBLE) / n_lines < 0.9) AS bullet_lines_ok,
-         (CAST(ellipsis_ends AS DOUBLE) / n_lines <= 0.3) AS ellipsis_lines_ok,
-         (CAST(alpha_words AS DOUBLE) / nw1 >= 0.8) AS alpha_words_ok,
-         (n_stopwords >= 1) AS stopwords_ok
+         (CAST(bullet_starts AS DOUBLE) / n_lines < {max_bullet}) AS bullet_lines_ok,
+         (CAST(ellipsis_ends AS DOUBLE) / n_lines <= {max_ellipsis}) AS ellipsis_lines_ok,
+         (CAST(alpha_words AS DOUBLE) / nw1 >= {min_alpha}) AS alpha_words_ok,
+         (n_stopwords >= {min_stop}) AS stopwords_ok
   FROM m
 )
 SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
@@ -2685,3 +2706,6 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
         AND ellipsis_lines_ok AND alpha_words_ok AND stopwords_ok) AS pass_gopher
 FROM flags ORDER BY doc_id
 """
+
+
+ORACLE_TEXT_GOPHER_RULES = _oracle_gopher()

@@ -7,7 +7,8 @@ query trees (`query_trees`) composing all of the above to depth 2.
 Relational case budget across the strategies: 30 + 20 + 20 + 25 + 25 +
 25 + 60 = 205 examples per run (≥200, the r7 verdict's ask), plus the
 operator-geometry fuzzes (chunking, packing, caps, n-gram spans,
-resampling, BM25) below.
+resampling, BM25, and — r8 — DSIR params and Gopher-rule thresholds)
+below.
 """
 
 from __future__ import annotations
@@ -637,3 +638,88 @@ def test_bm25_matches_duckdb_for_any_query(engines_docs_bm25, terms, kb):
     ocols, orows = canon_frame(odf)
     assert scols == ocols, (terms, kb)
     assert srows == orows, (terms, kb)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    nb=st.sampled_from([64, 512, 4096, 10_000]),
+    seed=st.sampled_from(["dsir1", "a", "zz9"]),
+    k=st.integers(3, 40),
+    temp=st.sampled_from([0.5, 1.0, 2.0]),
+)
+def test_dsir_matches_duckdb_for_any_params(engines_docs_src_text, nb, seed, k, temp):
+    """dsir_select vs the parameterized DuckDB oracle across random
+    (n_buckets, seed, k, temperature) — hashing-mod arithmetic,
+    smoothing denominators, and the Gumbel key derivation must agree
+    everywhere, not just at the conformance point."""
+    spark, con, docs = engines_docs_src_text
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.operators.text import dsir_select
+    from easydb_server_spark.queries.llmops import _oracle_dsir
+
+    target = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    raw = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    sdf = dsir_select(
+        raw, target, "text", "doc_id", k=k, n_buckets=nb, seed=seed, temperature=temp
+    ).toPandas()
+    odf = con.execute(_oracle_dsir(nb, seed, k, temp)).df()
+    scols, srows = canon_frame(sdf)
+    ocols, orows = canon_frame(odf)
+    assert scols == ocols, (nb, seed, k, temp)
+    assert srows == orows, (nb, seed, k, temp)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    min_words=st.integers(5, 120),
+    min_stop=st.integers(0, 4),
+    max_symbol=st.sampled_from([0.02, 0.1, 0.5]),
+    min_alpha=st.sampled_from([0.5, 0.8, 0.95]),
+)
+def test_gopher_rules_match_duckdb_for_any_thresholds(
+    engines_docs_src_text, min_words, min_stop, max_symbol, min_alpha
+):
+    """gopher_rules vs the parameterized oracle across random
+    thresholds — the boolean boundaries (>=, <=, strict <) must agree
+    exactly on both engines for every dial setting."""
+    spark, con, docs = engines_docs_src_text
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.operators.text import gopher_rules
+    from easydb_server_spark.queries.llmops import _oracle_gopher
+
+    sdf = (
+        gopher_rules(
+            docs.select("doc_id", "text"),
+            "text",
+            "doc_id",
+            min_words=min_words,
+            min_stopwords=min_stop,
+            max_symbol_ratio=max_symbol,
+            min_alpha_frac=min_alpha,
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    odf = con.execute(
+        _oracle_gopher(
+            min_words=min_words, min_stop=min_stop, max_symbol=max_symbol, min_alpha=min_alpha
+        )
+    ).df()
+    scols, srows = canon_frame(sdf)
+    ocols, orows = canon_frame(odf)
+    assert scols == ocols, (min_words, min_stop)
+    assert srows == orows, (min_words, min_stop, max_symbol, min_alpha)
+
+
+@pytest.fixture(scope="module")
+def engines_docs_src_text(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT doc_id, source, text FROM '{SF_DIR}/documents.parquet'"
+    )
+    return spark, con, docs
