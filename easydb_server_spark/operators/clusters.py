@@ -93,3 +93,34 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
             F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
         ).alias("members_csv"),
     )
+
+
+def keepers_by_priority(cc: DataFrame, priority: DataFrame) -> DataFrame:
+    """Pick each duplicate cluster's keeper by PRIORITY instead of
+    min-id — the production selection rule (pipelines keep the
+    highest-quality / longest / most-recent member of a near-dup
+    cluster, e.g. RefinedWeb and FineWeb keep by quality; min-id is
+    only the deterministic default). ``cc`` is
+    :func:`connected_components` output (doc_id, component);
+    ``priority`` maps doc_id → a comparable priority column named
+    ``priority``. Keeper = max priority, ties broken by smallest
+    doc_id (so equal-priority exact dups still resolve
+    deterministically). Returns (component, keeper, priority).
+
+    Scale shape: one join of the component labels with the priority
+    column plus a rank window partitioned BY COMPONENT — clusters are
+    small (near-dup components are shallow), so the window never sees
+    a corpus-sized partition; both shuffles are |clustered docs|, not
+    |corpus|.
+    """
+    from pyspark.sql import Window
+
+    j = cc.join(priority, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("component", F.col("doc_id").alias("keeper"), "priority")
+    )

@@ -2709,3 +2709,96 @@ FROM flags ORDER BY doc_id
 
 
 ORACLE_TEXT_GOPHER_RULES = _oracle_gopher()
+
+
+def q_dedup_keepers_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority cluster resolution: the same near-dup pipeline
+    as dedup_pipeline_keepers (exact Jaccard @0.6 → connected
+    components) but the keeper is each cluster's HIGHEST-QUALITY
+    member (composite quality score, ties → min doc_id) — the rule
+    production curation actually uses. Returns survivors with their
+    component and quality; the oracle replays closure + ranking."""
+    from easydb_server_spark.operators.clusters import (
+        connected_components,
+        keepers_by_priority,
+    )
+    from easydb_server_spark.operators.text import _quality_col
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.6, max_doc_freq=NGRAM_MAX_DF
+    )
+    cc = connected_components(pairs)
+    pr = d.select("doc_id", _quality_col(F.col("text")).alias("priority"))
+    keep = keepers_by_priority(cc, pr)
+    drops = (
+        cc.join(keep.select("component", "keeper"), "component")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    return (
+        d.join(drops, "doc_id", "left_anti")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component"))
+        .join(pr, "doc_id")
+        .select("doc_id", "component", F.col("priority").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_KEEPERS_QUALITY = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_NGRAM_INTER_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+),
+qt AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         ROUND((n_words / 400.0)
+               + (CAST(len(list_filter(ws, w -> list_contains([{", ".join(repr(w) for w in T.LANG_PROFILES["en"])}], w))) AS DOUBLE)
+                  / greatest(n_words, 1) * 2.0)
+               - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0), 6) AS quality
+  FROM qt
+),
+keepers AS (
+  SELECT component, doc_id AS keeper FROM (
+    SELECT l.component, l.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY l.component
+                              ORDER BY q.quality DESC, l.doc_id ASC) AS r
+    FROM labels l JOIN q USING (doc_id)
+  ) WHERE r = 1
+),
+drops AS (
+  SELECT l.doc_id FROM labels l JOIN keepers k ON l.component = k.component
+  WHERE l.doc_id != k.keeper
+)
+SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component, q.quality
+FROM documents d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+ORDER BY d.doc_id
+"""

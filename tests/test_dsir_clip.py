@@ -159,3 +159,19 @@ class TestGopherRules:
         ).collect()[0]
         assert not strict.word_count_ok and loose.word_count_ok
         assert not strict.mean_word_len_ok and loose.mean_word_len_ok
+
+
+class TestKeepersByPriority:
+    def test_priority_keeper_beats_min_id(self, spark):
+        from easydb_server_spark.operators.clusters import keepers_by_priority
+
+        cc = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "doc_id long, component long"
+        )
+        pr = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.1)],
+            "doc_id long, priority double",
+        )
+        out = {r.component: r.keeper for r in keepers_by_priority(cc, pr).collect()}
+        # component 1: docs 2 and 3 tie at 0.9 → min id 2 (NOT min-id 1)
+        assert out == {1: 2, 7: 7}
