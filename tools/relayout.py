@@ -58,12 +58,17 @@ MIN_BYTES_PER_GROUP = 128 * 1024
 # tuning: CPU-bound stages want small input splits, IO-light scans
 # want big ones.
 FINE_SPLIT_TABLES = {"documents", "embeddings"}
-MIN_BYTES_PER_GROUP_RELATIONAL = 1024 * 1024
+# 640 KB rather than 1 MB: the r8 A/B (SCALE.md) showed 1 MB costing
+# tpch_q1 ~0.1 s by capping lineitem at 10 files while buying nothing
+# on the tiny-scan side — at 640 KB lineitem keeps 16 files and orders
+# lands at 4 (8 tasks for setop_union_all's double scan, still at
+# single-file parity)
+MIN_BYTES_PER_GROUP_RELATIONAL = 640 * 1024
 # bump on any change to the layout rules: a sentinel file keyed on this
 # version forces a full rebuild, so outputs produced by an older layout
 # (e.g. the pre-multi-file single-file form) can't pass the mtime check
 # and silently keep the geometry a newer version exists to fix
-LAYOUT_VERSION = 3
+LAYOUT_VERSION = 4
 
 
 def ensure_relayout(sf_dir: str, target_groups: int = TARGET_ROW_GROUPS) -> str:
