@@ -84,6 +84,8 @@ HEADLINE = [
     "curate_dsir",
     "text_clip_spans",
     "text_gopher_rules",
+    "text_line_dedup",
+    "text_ngram_novelty",
     "emb_quantize",
     "sim_semdedup",
     "emb_label_outliers",

@@ -1475,3 +1475,88 @@ def curriculum_order(
     return base.withColumn("pos", F.row_number().over(w)).select(
         "doc_id", "bucket", "phase", "shard", "pos"
     )
+
+
+def line_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Intra-document duplicate-LINE removal — the MassiveText/Gopher
+    curation step that strips boilerplate repeated inside one page
+    (nav bars, cookie banners, repeated headers) while the cross-doc
+    dedup family handles repetition ACROSS documents. Keeps each
+    line's first occurrence, preserving order; returns
+    (doc_id, clean_text, n_lines, n_removed).
+
+    Scale shape: entirely in-row — the line array never leaves its
+    row; the keep test is ``first occurrence index == own index``
+    (higher-order filter with the (element, index) lambda form),
+    O(lines²) string compares inside the row, zero shuffle, zero
+    Python. Null text passes through as null (callers gate nulls
+    earlier; the conformance fixtures carry none).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).alias("n_removed"),
+    )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of the doc's distinct word n-grams that do not occur
+    anywhere in ``reference`` — the memorization/contribution signal
+    (a near-zero-novelty doc adds nothing the reference lacks; the
+    dual of contamination, which flags OVERLAP). Returns
+    (doc_id, n_grams, n_novel, novelty_frac), docs with no grams
+    emitting 0/0/0.
+
+    Scale shape: both sides reduce to 60-bit md5 gram digests in the
+    scan projection (``array_distinct`` BEFORE exploding, so per-doc
+    dedup costs no shuffle); the reference reduces to its DISTINCT
+    digest set once; the probe is a left-anti join on 8-byte keys —
+    broadcast when the reference digest set fits (AQE decides),
+    digest-width shuffle otherwise. Corpus text is never shuffled.
+    """
+    from easydb_server_spark.operators.dedup import _shingle_hash60
+
+    def grams_of(d: DataFrame) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        idx = F.when(
+            F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        return d.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(g)).alias("gram")
+        ).select("doc_id", _shingle_hash60(F.col("gram")).alias("h"))
+
+    doc_grams = grams_of(corpus)
+    ref_set = grams_of(reference).select("h").distinct()
+    totals = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        doc_grams.join(ref_set, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    base = corpus.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )

@@ -54,6 +54,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_clip_spans": (llmops.q_text_clip_spans, llmops.ORACLE_TEXT_CLIP_SPANS),
     "text_gopher_rules": (llmops.q_text_gopher_rules, llmops.ORACLE_TEXT_GOPHER_RULES),
     "dedup_keepers_quality": (llmops.q_dedup_keepers_quality, llmops.ORACLE_DEDUP_KEEPERS_QUALITY),
+    "text_line_dedup": (llmops.q_text_line_dedup, llmops.ORACLE_TEXT_LINE_DEDUP),
+    "text_ngram_novelty": (llmops.q_text_ngram_novelty, llmops.ORACLE_TEXT_NGRAM_NOVELTY),
     # (a) entries whose operator code changed this round: the shingle
     # null-drop + band_hash-only probe (dedup family), batch-superstep
     # BPE, auto n_cells resolution (semdedup/IVF), and the composed
@@ -104,17 +106,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q17": (tpch2.q_tpch_q17, tpch2.ORACLE_TPCH_Q17),
     "tpch_q20": (tpch2.q_tpch_q20, tpch2.ORACLE_TPCH_Q20),
     "tpch_q22": (tpch2.q_tpch_q22, tpch2.ORACLE_TPCH_Q22),
-    # (c) oldest r5-evidence entries filling the window to 50
-    "tpch_q21": (tpch2.q_tpch_q21, tpch2.ORACLE_TPCH_Q21),
-    "tpch_q11": (tpch2.q_tpch_q11, tpch2.ORACLE_TPCH_Q11),
     # --- end of the 50-entry priority window (closes at
-    # tpch_q11, position 50; locked by
+    # tpch_q22, position 50; locked by
     # tests/test_registry.py::test_priority_window_prefix_is_stable;
-    # tpch_q2/text_repetition/corpus_shuffle/core_projection moved just
-    # below when the four NEW r8 entries took the front — all
+    # the window is now exactly: six NEW r8 entries + eleven
+    # changed-code entries + the thirty-three r4-evidence refresh
+    # cohort. tpch_q21/tpch_q11/tpch_q2/text_repetition/corpus_shuffle/
+    # core_projection moved just below as the new entries landed — all
     # r5-driver-green). Everything below was driver-green in r5-r7 and
     # stays locked by tools/check_conformance.py + the pytest oracle
     # guard. ---
+    "tpch_q21": (tpch2.q_tpch_q21, tpch2.ORACLE_TPCH_Q21),
+    "tpch_q11": (tpch2.q_tpch_q11, tpch2.ORACLE_TPCH_Q11),
     "tpch_q2": (tpch2.q_tpch_q2, tpch2.ORACLE_TPCH_Q2),
     "text_repetition": (llmops.q_text_repetition, llmops.ORACLE_TEXT_REPETITION),
     "corpus_shuffle": (llmops.q_corpus_shuffle, llmops.ORACLE_CORPUS_SHUFFLE),

@@ -2802,3 +2802,78 @@ JOIN q ON q.doc_id = d.doc_id
 WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 ORDER BY d.doc_id
 """
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal (MassiveText curation).
+    The fixture documents are single-line, so the conformance point
+    BUILDS multi-line docs deterministically — each doc becomes
+    (text, first-40-chars, text) joined by newlines, guaranteeing a
+    duplicate third line — and both engines replay the construction."""
+    d = load(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.substring("text", 1, 40), F.col("text")
+        ).alias("text"),
+    )
+    return T.line_dedup(built, "text", "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_LINE_DEDUP = """
+WITH built AS (
+  SELECT doc_id,
+         text || chr(10) || substr(text, 1, 40) || chr(10) || text AS t
+  FROM documents
+),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM built),
+kept AS (
+  SELECT doc_id, ls, list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kl
+  FROM l
+)
+SELECT doc_id,
+       array_to_string(kl, chr(10)) AS clean_text,
+       CAST(len(ls) AS INT) AS n_lines,
+       CAST(len(ls) - len(kl) AS INT) AS n_removed
+FROM kept ORDER BY doc_id
+"""
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty of the non-src0 corpus against the src0
+    reference — the memorization/contribution dual of contamination;
+    the oracle replays the distinct-gram sets and the anti-join."""
+    d = load(spark, sf_dir, "documents")
+    ref = d.where(F.col("source") == "src0").select("doc_id", "text")
+    corpus = d.where(F.col("source") != "src0").select("doc_id", "text")
+    return T.ngram_novelty(corpus, ref, "text", "doc_id", n=3).orderBy("doc_id")
+
+
+ORACLE_TEXT_NGRAM_NOVELTY = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(ws[t.i + 1 : t.i + 3], ' ') AS gram
+  FROM w, UNNEST(generate_series(0, len(ws) - 3)) t(i)
+  WHERE len(ws) >= 3
+),
+h AS (
+  SELECT doc_id, source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g
+),
+ref AS (SELECT DISTINCT h FROM h WHERE source = 'src0'),
+cg AS (SELECT doc_id, h FROM h WHERE source != 'src0'),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id),
+nov AS (
+  SELECT cg.doc_id, COUNT(*) AS n_novel
+  FROM cg ANTI JOIN ref USING (h) GROUP BY cg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(CAST(COALESCE(v.n_novel, 0) AS DOUBLE)
+             / GREATEST(COALESCE(t.n_grams, 0), 1), 6) AS novelty_frac
+FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN nov v ON v.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

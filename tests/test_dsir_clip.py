@@ -175,3 +175,43 @@ class TestKeepersByPriority:
         out = {r.component: r.keeper for r in keepers_by_priority(cc, pr).collect()}
         # component 1: docs 2 and 3 tie at 0.9 → min id 2 (NOT min-id 1)
         assert out == {1: 2, 7: 7}
+
+
+class TestLineDedupAndNovelty:
+    def test_line_dedup_keeps_first_occurrence_in_order(self, spark):
+        from easydb_server_spark.operators.text import line_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "header\nbody one\nheader\nbody two\nheader"),
+                (2, "a\nb\nc"),  # no dups → unchanged
+                (3, "x\nx\nx\nx"),  # all dup of first
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in line_dedup(df, "text", "doc_id").collect()}
+        assert out[1].clean_text == "header\nbody one\nbody two"
+        assert (out[1].n_lines, out[1].n_removed) == (5, 2)
+        assert out[2].clean_text == "a\nb\nc" and out[2].n_removed == 0
+        assert out[3].clean_text == "x" and out[3].n_removed == 3
+
+    def test_novelty_bounds_and_duals(self, spark):
+        from easydb_server_spark.operators.text import ngram_novelty
+
+        ref = spark.createDataFrame(
+            [(9, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        cor = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),  # identical → 0 novelty
+                (2, "entirely different words compose this one"),  # all novel
+                (3, "the quick brown fox sleeps today ok"),  # partial
+                (4, "xy"),  # < n words → no grams → 0/0/0
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ngram_novelty(cor, ref, "text", "doc_id", n=3).collect()}
+        assert out[1].novelty_frac == 0.0 and out[1].n_novel == 0
+        assert out[2].novelty_frac == 1.0 and out[2].n_novel == out[2].n_grams
+        assert 0.0 < out[3].novelty_frac < 1.0
+        assert (out[4].n_grams, out[4].n_novel, out[4].novelty_frac) == (0, 0, 0.0)

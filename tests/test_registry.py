@@ -4,15 +4,16 @@ an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
 Round-8 window (new entries, then changed code, then
-least-driver-evidence): the four NEW r8 entries (curate_dsir,
-text_clip_spans, text_gopher_rules, dedup_keepers_quality), the eleven
+least-driver-evidence): the six NEW r8 entries (curate_dsir,
+text_clip_spans, text_gopher_rules, dedup_keepers_quality,
+text_line_dedup, text_ngram_novelty), the eleven
 entries whose operator code changed this round (the dedup family's
 shingle null-drop + band_hash-only incremental probe, batch-superstep
 BPE, auto n_cells in semdedup/IVF, and the composed curation pipeline
 over those stages), then the thirty-three remaining r4-evidence
 entries — the cohort the r7 verdict asked to refresh (supersets, skew,
 rollups, the TPC-H suite) — then the oldest r5-evidence entries
-filling to 50 (closing at tpch_q11). After a green r8, no oracled
+— the window is exactly new+changed+r4, closing at tpch_q22. After a green r8, no oracled
 entry's newest driver evidence is older than r5. Rows-only entries
 stay out of the window (they burn a slot on `no_oracle`). Everything
 driver-green in r5-r7 follows the marker.
@@ -25,8 +26,8 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "tpch_q11", (
-        "the driver-verified priority window must close at tpch_q11 "
+    assert names[PRIORITY_WINDOW - 1] == "tpch_q22", (
+        "the driver-verified priority window must close at tpch_q22 "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
@@ -38,13 +39,15 @@ def test_window_holds_the_r8_rotation():
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
     # brand-new r8 entries lead, then entries with r8 code changes
-    assert window[:4] == [
+    assert window[:6] == [
         "curate_dsir",
         "text_clip_spans",
         "text_gopher_rules",
         "dedup_keepers_quality",
+        "text_line_dedup",
+        "text_ngram_novelty",
     ]
-    assert window[4:15] == [
+    assert window[6:17] == [
         "dedup_minhash",
         "dedup_minhash_pairs",
         "dedup_incremental_fuzzy",
@@ -59,7 +62,7 @@ def test_window_holds_the_r8_rotation():
     ]
     # the refreshed r4-evidence cohort follows (supersets, skew,
     # rollups, the full TPC-H suite), then the oldest-r5 fill
-    assert window[15:24] == [
+    assert window[17:26] == [
         "text_length_histogram",
         "text_ngram_topk",
         "sup_json",
@@ -71,11 +74,11 @@ def test_window_holds_the_r8_rotation():
         "sup_variant",
     ]
     assert [n for n in window if n.startswith("tpch_")] == [
-        f"tpch_q{i}" for i in (1, 3, 7, 10, 14, 18, 19, 4, 5, 6, 8, 9, 12, 13, 15, 16, 17, 20, 22, 21, 11)
-    ]  # tpch_q2 moved just below the marker when the 4 new r8 entries landed
+        f"tpch_q{i}" for i in (1, 3, 7, 10, 14, 18, 19, 4, 5, 6, 8, 9, 12, 13, 15, 16, 17, 20, 22)
+    ]  # q21/q11/q2 (r5-green) moved below the marker as the 6 new r8 entries landed
     assert window[48:] == [
-        "tpch_q21",
-        "tpch_q11",
+        "tpch_q20",
+        "tpch_q22",
     ]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
