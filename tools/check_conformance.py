@@ -7,6 +7,9 @@ sorted, cells canonicalized). Exact value equality — floats included —
 so any query that passes here should hash-match in the driver.
 
 Usage: python tools/check_conformance.py [sf_dir] [query_name ...]
+       python tools/check_conformance.py [sf_dir] --window
+(--window scopes to the driver-verified 50-entry registry prefix — the
+exact per-round correctness gate.)
 """
 
 from __future__ import annotations
@@ -28,7 +31,14 @@ from easydb_server_spark.queries._util import TABLES  # noqa: E402
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    only = set(a for a in args if "/" not in a)
+    only = set(a for a in args if "/" not in a and not a.startswith("--"))
+    # --window: scope to the driver-verified 50-entry registry prefix —
+    # the exact set the per-round correctness gate will run, so a green
+    # `--window` run locally predicts a green CORRECTNESS_r{N}
+    if "--window" in args:
+        from easydb_server_spark.queries import REGISTRY
+
+        only |= set(list(REGISTRY)[:50])
 
     import __spark_entry__ as entry_mod
     from easydb_server_spark import get_spark
