@@ -1,0 +1,92 @@
+"""WAV/PCM codec (r8 verdict ask #5): the multimodal pipeline's second
+real modality — pure-stdlib RIFF/WAVE encode/decode round-trips, the
+registry-compatible feature decoder, and the Arrow-batched
+audio_features operator end-to-end on Spark."""
+
+import numpy as np
+import pytest
+
+from easydb_server_spark.operators.wav import decode_wav, encode_wav, wav_decoder
+
+
+def _saw(n, seed=7919, step=104729):
+    i = np.arange(n, dtype=np.int64)
+    return ((seed + i * step) % 65536 - 32768).astype(np.int16)
+
+
+class TestWavCodec:
+    def test_mono_roundtrip(self):
+        s = _saw(123)
+        arr, rate = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000
+        assert arr.shape == (123, 1)
+        assert (arr.ravel() == s).all()
+
+    def test_stereo_roundtrip(self):
+        st = np.stack([_saw(64), _saw(64)[::-1]], axis=1)
+        arr, rate = decode_wav(encode_wav(st, 44100))
+        assert rate == 44100 and arr.shape == (64, 2) and (arr == st).all()
+
+    def test_extra_chunks_skipped(self):
+        # a LIST chunk between fmt and data must be walked over, and an
+        # odd-sized chunk's pad byte honored
+        payload = encode_wav(_saw(10), 8000)
+        hdr, rest = payload[:12], payload[12:]
+        extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+        import struct
+
+        patched = (
+            struct.pack("<4sI4s", b"RIFF", 4 + len(extra) + len(rest), b"WAVE")
+            + extra
+            + rest
+        )
+        arr, rate = decode_wav(patched)
+        assert (arr.ravel() == _saw(10)).all()
+
+    @pytest.mark.parametrize(
+        "bad",
+        [b"", b"xx", b"RIFF\x00\x00\x00\x00AVI ", b"RIFF\x08\x00\x00\x00WAVE"],
+    )
+    def test_bad_payloads_raise(self, bad):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+    def test_truncated_data_raises(self):
+        payload = encode_wav(_saw(50), 8000)
+        with pytest.raises(ValueError):
+            decode_wav(payload[:-20])
+
+    def test_non_pcm_rejected(self):
+        # flip the format tag to 3 (IEEE float) — honest failure
+        payload = bytearray(encode_wav(_saw(4), 8000))
+        payload[20] = 3
+        with pytest.raises(ValueError, match="PCM"):
+            decode_wav(bytes(payload))
+
+    def test_decoder_features(self):
+        s = np.array([0, 32767, -32768, 100] * 25, dtype=np.int16)
+        feats = wav_decoder(encode_wav(s, 16000))
+        assert feats["n_samples"] == 100
+        assert feats["sample_rate"] == 16000
+        assert feats["n_channels"] == 1
+        assert feats["duration_ms"] == 100 * 1000 // 16000
+        assert feats["clipping_frac"] == pytest.approx(0.5)
+        assert feats["peak"] == 32768
+        expected_rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+        assert feats["rms"] == pytest.approx(expected_rms)
+
+
+class TestAudioFeaturesOperator:
+    def test_spark_end_to_end(self, spark):
+        from easydb_server_spark.operators.multimodal import audio_features
+
+        rows = [(i, bytes(encode_wav(_saw(100 + i), 8000))) for i in range(6)]
+        df = spark.createDataFrame(rows, "item_id long, payload binary")
+        out = audio_features(df, "payload", "item_id").orderBy("item_id").collect()
+        assert len(out) == 6
+        for i, r in enumerate(out):
+            ref = wav_decoder(bytes(encode_wav(_saw(100 + i), 8000)))
+            assert r.n_samples == ref["n_samples"] == 100 + i
+            assert r.rms == pytest.approx(round(ref["rms"], 4))
+            assert r.clipping_frac == ref["clipping_frac"]
+            assert r.duration_ms == ref["duration_ms"]
