@@ -107,6 +107,15 @@ def keepers_by_priority(cc: DataFrame, priority: DataFrame) -> DataFrame:
     doc_id (so equal-priority exact dups still resolve
     deterministically). Returns (component, keeper, priority).
 
+    Cluster members with NO priority row rank last (null priority,
+    NULLS LAST) rather than silently vanishing — an inner join here
+    would drop them, and a cluster whose members ALL lacked priority
+    rows would yield no keeper at all, so a downstream
+    drop-everything-but-keepers anti-join would keep every member of
+    that cluster (round-9 ADVICE). With the left join every component
+    always yields exactly one keeper; an all-unprioritized cluster
+    falls back to min-id with a null priority.
+
     Scale shape: one join of the component labels with the priority
     column plus a rank window partitioned BY COMPONENT — clusters are
     small (near-dup components are shallow), so the window never sees
@@ -115,9 +124,9 @@ def keepers_by_priority(cc: DataFrame, priority: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    j = cc.join(priority, "doc_id")
+    j = cc.join(priority, "doc_id", "left")
     w = Window.partitionBy("component").orderBy(
-        F.col("priority").desc(), F.col("doc_id").asc()
+        F.col("priority").desc_nulls_last(), F.col("doc_id").asc()
     )
     return (
         j.withColumn("_r", F.row_number().over(w))

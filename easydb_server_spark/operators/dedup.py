@@ -593,7 +593,12 @@ def source_overlap(
 
 
 def duplicate_ngram_spans(
-    df: DataFrame, text_col: str, id_col: str, n: int = 5, min_docs: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+    verify: bool = True,
 ) -> DataFrame:
     """Cross-document duplicate n-gram spans — the substring-granular
     dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -617,6 +622,22 @@ def duplicate_ngram_spans(
     approximation of the paper's suffix-array pass: two corpus scans
     (doc frequencies, then positions), ONE digest-width shuffle, no
     Python.
+
+    ``verify=True`` (default) makes the result EXACT, not
+    hash-approximate: a 60-bit hash collision between two different
+    grams would otherwise clip innocent text (a flag on a gram whose
+    string is actually unique, or an inflated n_docs). The verify pass
+    is candidate-restricted — only positions the hash pass flagged
+    carry their gram STRING into a re-count by the actual string — and
+    every genuinely-duplicated gram's occurrences are all inside the
+    candidate set (equal strings always hash equal, so a string's doc
+    count ≤ its hash's doc count), which is what makes the recount
+    exact. Cost: the hash-flagged tail's gram text shuffles once
+    (bounded by the duplicated tail, never the corpus); the
+    corpus-wide stages still move only 8-byte digests.
+    ``verify=False`` keeps the pure-hash plan for pipelines accepting
+    the ~|grams|²/2⁶¹ birthday-collision odds in exchange for a
+    text-free tail.
     """
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"), F.size(words).alias("nw"))
@@ -626,7 +647,7 @@ def duplicate_ngram_spans(
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))
     hashed = base.select(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
-    ).select("doc_id", "pos", _shingle_hash60(F.col("gram")).alias("gram_hash"))
+    ).select("doc_id", "pos", "gram", _shingle_hash60(F.col("gram")).alias("gram_hash"))
     flagged = (
         base.select(F.explode(F.array_distinct(grams)).alias("gram"))
         .select(_shingle_hash60(F.col("gram")).alias("gram_hash"))
@@ -634,7 +655,24 @@ def duplicate_ngram_spans(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
-    return hashed.join(flagged, "gram_hash").select("doc_id", "pos", "gram_hash", "n_docs")
+    if not verify:
+        return hashed.drop("gram").join(flagged, "gram_hash").select(
+            "doc_id", "pos", "gram_hash", "n_docs"
+        )
+    cand = hashed.join(flagged.select("gram_hash"), "gram_hash").select(
+        "doc_id", "pos", "gram", "gram_hash"
+    )
+    # exact doc-frequency by the actual STRING, candidates only; a
+    # collision victim's string count falls below min_docs and its
+    # positions drop out here — zero false clips by construction
+    exact = (
+        cand.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return cand.join(exact, "gram").select("doc_id", "pos", "gram_hash", "n_docs")
 
 
 def contamination_spans(
@@ -662,6 +700,16 @@ def contamination_spans(
     never shuffled and never scanned twice — unlike
     :func:`duplicate_ngram_spans`, which must aggregate corpus-wide
     doc frequencies, the flag set here is known up front.
+
+    The probe is string-EXACT, not hash-approximate (r9, same
+    guarantee as ``duplicate_ngram_spans``' verify pass): the
+    broadcast rows carry the gram text alongside the digest, and a
+    hash hit only flags when the strings also match — so a 60-bit
+    collision between a corpus gram and an unrelated benchmark gram
+    can never clip innocent text. This costs only broadcast bytes
+    (bench gram strings instead of bare digests — benchmarks are tiny
+    by construction); the probe stays map-side, the hash key keeps
+    the comparison cheap, and no extra shuffle appears anywhere.
     """
     words = F.split(F.col(text_col), " ")
     base = corpus.select(
@@ -672,7 +720,7 @@ def contamination_spans(
     )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))
     positions = base.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
-        "doc_id", "pos", _shingle_hash60(F.col("gram")).alias("gram_hash")
+        "doc_id", "pos", "gram", _shingle_hash60(F.col("gram")).alias("gram_hash")
     )
     bwords = F.split(F.col(text_col), " ")
     bidx = F.when(F.size(bwords) >= n, F.sequence(F.lit(0), F.size(bwords) - n)).otherwise(
@@ -680,11 +728,15 @@ def contamination_spans(
     )
     bgrams = F.transform(bidx, lambda i: F.concat_ws(" ", F.slice(bwords, i + 1, n)))
     bench_h = (
-        benchmark.select(F.explode(F.array_distinct(bgrams)).alias("gram"))
-        .select(_shingle_hash60(F.col("gram")).alias("gram_hash"))
+        benchmark.select(F.explode(F.array_distinct(bgrams)).alias("bgram"))
+        .select(_shingle_hash60(F.col("bgram")).alias("gram_hash"), "bgram")
         .distinct()
     )
-    return positions.join(F.broadcast(bench_h), "gram_hash").select("doc_id", "pos", "gram_hash")
+    return (
+        positions.join(F.broadcast(bench_h), "gram_hash")
+        .where(F.col("gram") == F.col("bgram"))
+        .select("doc_id", "pos", "gram_hash")
+    )
 
 
 def clip_contaminated_spans(
@@ -810,6 +862,81 @@ def _sigs_as_arrays(index_sigs: DataFrame) -> DataFrame:
     )
 
 
+def _recover_staged(spark, table: str) -> None:
+    """Finish or roll back an interrupted staged rewrite of ``table``.
+
+    ``_staged_swap_write`` leaves one of three states behind a crash:
+
+    - only ``<table>`` exists — nothing was in flight (or the staged
+      write died before its catalog commit, which Spark only performs
+      after the data lands): nothing to do;
+    - both exist — the staged copy committed but the swap did not
+      start/finish dropping the live table is ambiguous with a rewrite
+      that never began its swap, so the safe move is to DROP the
+      staged copy and let the (idempotent, deterministic) rewrite run
+      again from the intact live table;
+    - only ``<table>__staged`` exists — the live table was dropped,
+      so the staged copy is the one true copy: finish the rename.
+    """
+    staged = f"{table}__staged"
+    if spark.catalog.tableExists(staged):
+        if spark.catalog.tableExists(table):
+            spark.sql(f"DROP TABLE {staged}")
+        else:
+            spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+            _repair_partitions_if_any(spark, table)
+
+
+def _repair_partitions_if_any(spark, table: str) -> None:
+    """ALTER TABLE RENAME moves a managed table's directory but does
+    NOT carry catalog partition metadata, so a renamed partitioned
+    table lists zero partitions (measured on Spark 4.1: count()==0
+    until MSCK) — recover them; a no-op error on non-partitioned
+    tables is expected and swallowed."""
+    try:
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+    except Exception:
+        pass
+
+
+def _staged_swap_write(
+    spark,
+    df: DataFrame,
+    table: str,
+    bucket_col: str | None,
+    n_buckets: int = 16,
+    partition_col: str | None = None,
+) -> None:
+    """Crash-safe full rewrite of a managed table: write the new rows
+    to ``<table>__staged`` first, then swap (DROP live + RENAME staged)
+    — at no point is the only committed copy of the data mid-delete.
+
+    Why not ``mode("overwrite").saveAsTable(table)`` directly: Spark's
+    managed-table overwrite DROPS the existing table (data first, then
+    recreate) before the replacement write commits, so a crash or
+    executor loss mid-rewrite loses the persistent index permanently —
+    localCheckpoint blocks die with the app and cannot back it out
+    (round-9 ADVICE). With the staged swap a crash leaves either the
+    intact live table (rewrite reruns) or the fully-committed staged
+    copy (:func:`_recover_staged` finishes the rename); the only
+    non-atomic window is the catalog DROP+RENAME pair, which recovery
+    resolves in the staged copy's favor because it only exists fully
+    written.
+    """
+    staged = f"{table}__staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    writer = df.write
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    if bucket_col is not None:
+        writer = writer.bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    writer.mode("overwrite").format("parquet").saveAsTable(staged)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    if partition_col is not None:
+        _repair_partitions_if_any(spark, table)
+
+
 def migrate_sigs_table_to_arrays(spark, table: str, n_buckets: int = 16) -> bool:
     """One-time in-place rewrite of a LEGACY row-form signature table
     (doc_id, i, minhash[, batch_id]) to the array layout (doc_id, mins
@@ -827,31 +954,30 @@ def migrate_sigs_table_to_arrays(spark, table: str, n_buckets: int = 16) -> bool
     magnitude smaller than corpus text) paid once per table lifetime,
     after which the check is a metadata-only column peek.
 
-    The rewrite materializes the converted rows eagerly
-    (localCheckpoint) before overwriting, because Spark cannot
-    overwrite a table from a plan that still reads it lazily. Crash
-    safety: a crash BEFORE the overwrite commits leaves the legacy
-    table intact (parquet table overwrite is last-directory-swap), so
-    the migration simply reruns on the next start. Session note: the
+    Crash safety: the converted rows land in a STAGED table first and
+    swap into place only once fully committed
+    (:func:`_staged_swap_write` — a plain managed-table overwrite
+    deletes the live data before the replacement commits, so a crash
+    mid-rewrite would lose the index permanently; round-9 ADVICE).
+    A crash at any point leaves either the intact legacy table (the
+    migration reruns) or the committed staged copy
+    (:func:`_recover_staged`, called here first, finishes the rename).
+    Because the staged write targets a DIFFERENT table, the conversion
+    plan may read the live table lazily — no materialization barrier
+    is needed. Session note: the
     rewrite refreshes THIS session's relation cache only — other live
     sessions (e.g. the interactive session that started a stream whose
     foreachBatch clone ran the migration) see the new schema after
     their own ``spark.catalog.refreshTable(table)``, standard Spark
     cross-session behavior.
     """
+    _recover_staged(spark, table)
     if not spark.catalog.tableExists(table):
         return False
     t = spark.table(table)
     if "mins" in t.columns:
         return False
-    converted = _sigs_as_arrays(t).localCheckpoint(eager=True)
-    (
-        converted.write.bucketBy(n_buckets, "doc_id")
-        .sortBy("doc_id")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    _staged_swap_write(spark, _sigs_as_arrays(t), table, "doc_id", n_buckets)
     return True
 
 
@@ -879,14 +1005,20 @@ def compact_minhash_index(
       tests/test_index_compaction.py across append/compact cycles).
 
     Returns ``{"sigs_rows": ..., "bands_rows": ...}``. Same
-    crash-safety shape as :func:`migrate_sigs_table_to_arrays`:
-    converted rows are materialized eagerly before the overwrite, and
-    a crash before commit leaves the previous table intact, so the
-    compaction simply reruns.
+    crash-safety shape as :func:`migrate_sigs_table_to_arrays`: each
+    table's compacted rows land in a staged table and swap into place
+    only once committed (:func:`_staged_swap_write`), so a crash at
+    any point leaves either the previous table intact (compaction
+    reruns) or the committed staged copy (:func:`_recover_staged`
+    finishes the swap). The kept signatures are still materialized
+    eagerly — they feed three consumers (bands regeneration, both
+    counts) and would otherwise recompute per consumer.
     """
     from pyspark.sql import Window
 
     sigs_t, bands_t = f"{table_prefix}_sigs", f"{table_prefix}_bands"
+    _recover_staged(spark, sigs_t)
+    _recover_staged(spark, bands_t)
     sigs = _sigs_as_arrays(spark.table(sigs_t))
     has_batch = "batch_id" in sigs.columns
     if has_batch:
@@ -899,21 +1031,11 @@ def compact_minhash_index(
     if has_batch:
         bands = bands.join(keep.select("doc_id", "batch_id"), "doc_id")
     bands = bands.localCheckpoint(eager=True)
-    (
-        keep.repartition(n_buckets, "doc_id")
-        .write.bucketBy(n_buckets, "doc_id")
-        .sortBy("doc_id")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(sigs_t)
+    _staged_swap_write(
+        spark, keep.repartition(n_buckets, "doc_id"), sigs_t, "doc_id", n_buckets
     )
-    (
-        bands.repartition(n_buckets, "band_hash")
-        .write.bucketBy(n_buckets, "band_hash")
-        .sortBy("band_hash")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(bands_t)
+    _staged_swap_write(
+        spark, bands.repartition(n_buckets, "band_hash"), bands_t, "band_hash", n_buckets
     )
     return {"sigs_rows": keep.count(), "bands_rows": bands.count()}
 
@@ -927,9 +1049,12 @@ def compact_digest_index(spark, table: str, n_buckets: int = 16) -> int:
     digests and file-count growth are the only things compaction
     removes; results are unchanged by construction and probe plans
     stay exchange-free on the index side. Returns the kept row count.
+    Crash-safe via the same staged swap as
+    :func:`compact_minhash_index`.
     """
     from pyspark.sql import Window
 
+    _recover_staged(spark, table)
     t = spark.table(table)
     if "batch_id" in t.columns:
         w = Window.partitionBy("content_hash").orderBy(F.col("batch_id").asc())
@@ -937,13 +1062,8 @@ def compact_digest_index(spark, table: str, n_buckets: int = 16) -> int:
     else:
         keep = t.dropDuplicates(["content_hash"])
     keep = keep.localCheckpoint(eager=True)
-    (
-        keep.repartition(n_buckets, "content_hash")
-        .write.bucketBy(n_buckets, "content_hash")
-        .sortBy("content_hash")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(table)
+    _staged_swap_write(
+        spark, keep.repartition(n_buckets, "content_hash"), table, "content_hash", n_buckets
     )
     return keep.count()
 

@@ -818,6 +818,69 @@ def unigram_logprob(
     )
 
 
+def write_unigram_lm(
+    df: DataFrame, text_col: str, id_col: str, table: str, vocab_size: int = 200
+) -> None:
+    """Persist the unigram LM as a reusable scoring artifact: the
+    top-``vocab_size`` term counts (``{table}``: term, c) plus the two
+    corpus scalars (``{table}_meta``: n_words_corpus, v) —
+    :func:`unigram_logprob`'s model half, written once so MANY later
+    batches (streaming ingest micro-batches especially) score against
+    a FROZEN model instead of re-training per batch. This is the CCNet
+    production shape: the scorer is a static pretrained LM, not a
+    function of the data being scored.
+
+    One corpus scan + a vocab-bounded top-k; both artifacts are tiny
+    (V rows, 1 row) and broadcast at scoring time.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " +")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count("*").alias("c"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("term")).limit(vocab_size)
+    vocab = vocab.localCheckpoint(eager=True)  # feeds the write AND the meta agg
+    meta = counts.agg(F.sum("c").cast("long").alias("n_words_corpus")).crossJoin(
+        vocab.agg(F.count("*").alias("v"))
+    )
+    vocab.write.mode("overwrite").format("parquet").saveAsTable(table)
+    meta.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_meta")
+
+
+def score_unigram_lm(
+    df: DataFrame, text_col: str, id_col: str, spark, table: str
+) -> DataFrame:
+    """Score documents under a PERSISTED unigram LM
+    (:func:`write_unigram_lm`): per doc, (doc_id, n_words,
+    mean_logprob) with exactly :func:`unigram_logprob`'s smoothing
+    math — ``log10((c+1)/(N+V+1))``, OOV at the floor — but against
+    the frozen model, so batch and streaming consumers gating on the
+    same table ADMIT THE SAME DOCUMENTS by construction (the r9
+    batch≡stream unification; tests/test_streaming_ingest.py locks
+    the equivalence).
+
+    Scale shape: one scan of ``df`` → explode → broadcast join against
+    the V-row vocab + 1-row meta → per-doc aggregate. Nothing
+    proportional to the training corpus is touched.
+    """
+    vocab = spark.table(table)
+    totals = spark.table(f"{table}_meta")
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " +")).alias("term"),
+    ).where(F.col("term") != "")
+    lp = F.log10(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_words_corpus") + F.col("v") + F.lit(1))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.round(F.avg(lp), 5).alias("mean_logprob"))
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     text_col: str,
@@ -1286,36 +1349,41 @@ def dsir_weights(
     BROADCASTS; scoring is one corpus scan → explode → broadcast-hash
     join → per-doc sum. Nothing quadratic, nothing driver-side.
     """
-    from pyspark.sql import Window
-
     c_feats = _dsir_features(corpus, text_col, id_col, n_buckets)
     t_feats = _dsir_features(target, text_col, id_col, n_buckets)
     c_counts = c_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     t_counts = t_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
     # grand totals are SUMS OF THE BUCKET COUNTS (every feature lands
-    # in exactly one bucket), so they come from a whole-frame window
-    # over the joined bucket table instead of separate corpus-rescan
-    # aggregates — the model build costs ONE corpus scan + ONE target
-    # scan, and the single-partition window is bounded by n_buckets
-    # rows, never the corpus
-    whole = Window.partitionBy()
-    model = (
+    # in exactly one bucket), so they come from the joined bucket
+    # table instead of separate corpus-rescan aggregates. The joined
+    # table is materialized once (≤ n_buckets rows — bounded, tiny
+    # next to the corpus) so the model build costs ONE corpus scan +
+    # ONE target scan, and the totals are an ordinary DISTRIBUTED
+    # scalar aggregate cross-joined back — a whole-frame window here
+    # would single-thread at extreme n_buckets dials (the pre-r9 form:
+    # fine at the 10k default, a cliff at caller-passed 10⁸)
+    joined = (
         c_counts.join(t_counts, "bucket", "full_outer")
-        .withColumn("n_raw", F.sum(F.coalesce(F.col("c_raw"), F.lit(0))).over(whole))
-        .withColumn("n_t", F.sum(F.coalesce(F.col("c_t"), F.lit(0))).over(whole))
         .select(
             "bucket",
-            (
-                F.log10(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
-                    / (F.col("n_t") + F.lit(n_buckets))
-                )
-                - F.log10(
-                    (F.coalesce(F.col("c_raw"), F.lit(0)) + 1).cast("double")
-                    / (F.col("n_raw") + F.lit(n_buckets))
-                )
-            ).alias("llr"),
+            F.coalesce(F.col("c_raw"), F.lit(0)).alias("c_raw"),
+            F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
         )
+        .localCheckpoint(eager=True)
+    )
+    totals = joined.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_t").alias("n_t")
+    )
+    model = joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log10(
+                (F.col("c_t") + 1).cast("double") / (F.col("n_t") + F.lit(n_buckets))
+            )
+            - F.log10(
+                (F.col("c_raw") + 1).cast("double") / (F.col("n_raw") + F.lit(n_buckets))
+            )
+        ).alias("llr"),
     )
     return (
         c_feats.join(F.broadcast(model), "bucket")
@@ -1489,15 +1557,20 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     row; the keep test is ``first occurrence index == own index``
     (higher-order filter with the (element, index) lambda form),
     O(lines²) string compares inside the row, zero shuffle, zero
-    Python. Null text passes through as null (callers gate nulls
-    earlier; the conformance fixtures carry none).
+    Python. Null text passes through as null across ALL columns
+    (clean_text, n_lines, n_removed) — the counts are null by split's
+    null propagation, and clean_text is gated explicitly because
+    ``concat_ws`` over a null array would otherwise fabricate an
+    empty string (round-9 ADVICE).
     """
     t = F.col(text_col)
     lines = F.split(t, "\n")
     kept = F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.concat_ws("\n", kept).alias("clean_text"),
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n", kept))
+        .alias("clean_text"),
         F.size(lines).alias("n_lines"),
         (F.size(lines) - F.size(kept)).alias("n_removed"),
     )

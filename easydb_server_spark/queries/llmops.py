@@ -761,6 +761,77 @@ ORDER BY item_id, frame_idx
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through a REAL WAV codec end-to-end: each doc_id
+    becomes a deterministic 16-bit PCM clip (sawtooth-ish samples
+    ``((doc_id·7919 + i·104729) mod 65536) − 32768``, 8 kHz mono,
+    100 + doc_id % 50 frames) ENCODED to genuine RIFF/WAVE bytes in an
+    Arrow-batched stage, then decoded back and featurized by
+    ``multimodal.audio_features`` (pure-stdlib
+    :mod:`easydb_server_spark.operators.wav`). The oracle never sees
+    the bytes — it computes the same features in closed form from the
+    sample recipe, so a hash match proves the encode→decode→feature
+    path is byte-faithful. All sums are exact in int64/float64
+    (integer samples, < 2⁵³), so both engines agree bit-for-bit.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 100 + did % 50
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    from easydb_server_spark.operators.multimodal import audio_features
+
+    return (
+        audio_features(blobs, "payload", "item_id")
+        .select(
+            "item_id",
+            "sample_rate",
+            "n_channels",
+            "n_samples",
+            "duration_ms",
+            "rms",
+            "clipping_frac",
+            "peak",
+        )
+        .orderBy("item_id")
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+WITH nn AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents),
+s AS (
+  SELECT nn.doc_id, nn.n,
+         ((nn.doc_id * 7919 + t.i * 104729) % 65536) - 32768 AS s
+  FROM nn, UNNEST(generate_series(0, nn.n - 1)) t(i)
+)
+SELECT doc_id                                            AS item_id,
+       CAST(8000 AS INT)                                 AS sample_rate,
+       CAST(1 AS INT)                                    AS n_channels,
+       CAST(MAX(n) AS INT)                               AS n_samples,
+       CAST(FLOOR(MAX(n) * 1000.0 / 8000) AS INT)        AS duration_ms,
+       ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / MAX(n)), 4) AS rms,
+       CAST(SUM(CASE WHEN ABS(s) >= 32767 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n)                                    AS clipping_frac,
+       CAST(MAX(ABS(s)) AS INT)                          AS peak
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return T.normalize_text(d, "text", "doc_id").orderBy("doc_id")
@@ -1475,11 +1546,15 @@ g AS (
   WHERE len(ws) >= 5
 ),
 h AS (
-  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash FROM g
+  SELECT doc_id, pos, gram,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash FROM g
 ),
-c AS (SELECT gram_hash, COUNT(DISTINCT doc_id) AS n_docs FROM h GROUP BY gram_hash),
+-- exact doc-frequency by the gram STRING (the r9 verify pass makes
+-- the Spark side string-exact, so the oracle counts strings too; on
+-- collision-free fixtures this equals the old hash-keyed count)
+c AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM h GROUP BY gram),
 f AS (
-  SELECT h.doc_id, h.pos, c.n_docs FROM h JOIN c USING (gram_hash) WHERE c.n_docs >= 2
+  SELECT h.doc_id, h.pos, c.n_docs FROM h JOIN c USING (gram) WHERE c.n_docs >= 2
 ),
 per_doc AS (
   SELECT doc_id, COUNT(*) AS n_flagged, MAX(n_docs) AS max_gram_docs,
@@ -2671,7 +2746,10 @@ m AS (
   SELECT doc_id,
          len(ws) AS n_words,
          GREATEST(len(ws), 1) AS nw1,
-         ROUND(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         -- COALESCE: list_sum([]) is NULL in DuckDB but the operator's
+         -- F.aggregate seed makes an empty doc 0.0 (r9 pathological
+         -- fuzz found the divergence on empty/whitespace-only docs)
+         ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
                / GREATEST(len(ws), 1), 6) AS mean_word_len,
          length(text) - length(replace(text, '#', '')) AS n_hash,
          CAST( (length(text) - length(replace(text, '…', '')))

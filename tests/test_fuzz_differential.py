@@ -642,7 +642,10 @@ def test_bm25_matches_duckdb_for_any_query(engines_docs_bm25, terms, kb):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
-    nb=st.sampled_from([64, 512, 4096, 10_000]),
+    # 10⁶ exercises the r9 de-cliffed totals path (distributed agg +
+    # broadcast cross-join instead of a single-partition window) at a
+    # dial where the old form would have single-threaded
+    nb=st.sampled_from([64, 512, 4096, 10_000, 1_000_000]),
     seed=st.sampled_from(["dsir1", "a", "zz9"]),
     k=st.integers(3, 40),
     temp=st.sampled_from([0.5, 1.0, 2.0]),

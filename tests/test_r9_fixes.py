@@ -1,0 +1,172 @@
+"""Round-9 fixes: null-text line_dedup, keeper selection under missing
+priority rows, the exact string-verify pass for duplicate n-gram spans
+(adversarial hash collision), string-exact contamination spans, and
+the frozen-LM scorer's equivalence to the self-trained model."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+class TestLineDedupNulls:
+    def test_null_text_propagates_null_everywhere(self, spark):
+        from easydb_server_spark.operators.text import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a\nb\na"), (2, None), (3, "")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in line_dedup(df, "text", "doc_id").collect()}
+        assert rows[1].clean_text == "a\nb" and rows[1].n_removed == 1
+        # null text: null clean_text AND null counts — not the
+        # fabricated '' the pre-r9 concat_ws produced (round-9 ADVICE)
+        assert rows[2].clean_text is None
+        assert rows[2].n_lines is None and rows[2].n_removed is None
+        # empty text is one empty line, kept
+        assert rows[3].clean_text == "" and rows[3].n_lines == 1 and rows[3].n_removed == 0
+
+
+class TestKeepersMissingPriority:
+    def test_partial_and_fully_unprioritized_clusters_still_get_keepers(self, spark):
+        from easydb_server_spark.operators.clusters import keepers_by_priority
+
+        cc = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id long, component long",
+        )
+        # doc 3 has no priority row; cluster 10's members have NONE
+        pr = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9)], "doc_id long, priority double"
+        )
+        out = {r.component: r for r in keepers_by_priority(cc, pr).collect()}
+        # every component yields exactly one keeper (round-9 ADVICE:
+        # the pre-fix inner join dropped unprioritized members, and an
+        # all-unprioritized cluster got NO keeper, so downstream
+        # anti-joins kept every member)
+        assert set(out) == {1, 10}
+        assert out[1].keeper == 2 and out[1].priority == 0.9
+        assert out[10].keeper == 10 and out[10].priority is None
+
+    def test_unprioritized_member_never_beats_prioritized(self, spark):
+        from easydb_server_spark.operators.clusters import keepers_by_priority
+
+        cc = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, component long")
+        pr = spark.createDataFrame([(2, -5.0)], "doc_id long, priority double")
+        out = keepers_by_priority(cc, pr).collect()
+        # doc 1 (null priority, smaller id) ranks BELOW doc 2's real
+        # priority — nulls last, not "nulls greatest"
+        assert out[0].keeper == 2
+
+
+class TestNgramSpansExactVerify:
+    DOCS = (
+        # one genuinely duplicated gram (docs 0 and 1) + 20 docs with
+        # unique grams; under a narrowed hash the unique grams collide
+        [(0, "a b c d e"), (1, "a b c d e")]
+        + [(100 + i, f"u{i} v{i} w{i} x{i} y{i}") for i in range(20)]
+    )
+
+    @staticmethod
+    def _ground_truth(docs, n=5, min_docs=2):
+        from collections import defaultdict
+
+        gram_docs = defaultdict(set)
+        positions = []
+        for doc_id, text in docs:
+            ws = text.split(" ")
+            for p in range(max(len(ws) - n + 1, 0)):
+                g = " ".join(ws[p : p + n])
+                gram_docs[g].add(doc_id)
+                positions.append((doc_id, p, g))
+        return {
+            (d, p)
+            for d, p, g in positions
+            if len(gram_docs[g]) >= min_docs
+        }
+
+    @pytest.fixture()
+    def narrowed_hash(self, monkeypatch):
+        """Shrink the gram hash to 3 bits so collisions are certain
+        (22 distinct grams into 8 buckets) — the adversarial setting a
+        real 60-bit corpus meets at ~|grams|²/2⁶¹ odds."""
+        from easydb_server_spark.operators import dedup as D
+
+        real = D._shingle_hash60
+
+        def tiny(col):
+            return real(col) % 8
+
+        monkeypatch.setattr(D, "_shingle_hash60", tiny)
+
+    def test_verify_pass_kills_collision_false_flags(self, spark, narrowed_hash):
+        from easydb_server_spark.operators.dedup import duplicate_ngram_spans
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        truth = self._ground_truth(self.DOCS)
+
+        exact = {
+            (r.doc_id, r.pos)
+            for r in duplicate_ngram_spans(df, "text", "doc_id", verify=True).collect()
+        }
+        assert exact == truth  # zero false clips under forced collisions
+
+        # and the test has teeth: without the verify pass the narrowed
+        # hash DOES produce false flags
+        approx = {
+            (r.doc_id, r.pos)
+            for r in duplicate_ngram_spans(df, "text", "doc_id", verify=False).collect()
+        }
+        assert approx > truth
+
+    def test_verified_n_docs_is_string_exact(self, spark, narrowed_hash):
+        from easydb_server_spark.operators.dedup import duplicate_ngram_spans
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        rows = duplicate_ngram_spans(df, "text", "doc_id", verify=True).collect()
+        # the only true duplicate gram occurs in exactly 2 docs — a
+        # hash-keyed count under collisions would inflate this
+        assert rows and all(r.n_docs == 2 for r in rows)
+
+    def test_contamination_spans_string_exact_under_collisions(self, spark, narrowed_hash):
+        from easydb_server_spark.operators.dedup import contamination_spans
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "p q r s t")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(90, "a b c d e")], "doc_id long, text string")
+        got = {
+            (r.doc_id, r.pos)
+            for r in contamination_spans(corpus, bench, "text", "doc_id", n=5).collect()
+        }
+        # with a 3-bit hash, doc 2's unrelated gram collides with the
+        # bench gram 1-in-8 runs — string equality must gate it out
+        assert got == {(1, 0)}
+
+
+class TestFrozenLmScorer:
+    def test_score_unigram_lm_matches_self_trained_model(self, spark):
+        """write_unigram_lm + score_unigram_lm over the training corpus
+        itself must reproduce unigram_logprob exactly — the guarantee
+        that batch (self-trained) and streaming (frozen-model) gates
+        agree when the model comes from the same corpus."""
+        import uuid
+
+        from easydb_server_spark.operators.text import (
+            score_unigram_lm,
+            unigram_logprob,
+            write_unigram_lm,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "a b c d"), (3, "zz yy a")],
+            "doc_id long, text string",
+        )
+        table = f"lmtest_{uuid.uuid4().hex[:8]}"
+        try:
+            write_unigram_lm(docs, "text", "doc_id", table, vocab_size=3)
+            got = sorted(
+                map(tuple, score_unigram_lm(docs, "text", "doc_id", spark, table).collect())
+            )
+            want = sorted(map(tuple, unigram_logprob(docs, "text", "doc_id", vocab_size=3).collect()))
+            assert got == want
+        finally:
+            for t in (table, f"{table}_meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
