@@ -689,13 +689,192 @@ def write_ivf_store(
     c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
     assigned = _assign_cells(c, cents)
     (
-        assigned.select("cell", "cid", "cvec")
+        assigned.select("cell", "cid", "cvec", F.lit(0).cast("bigint").alias("seq"))
         .write.partitionBy("cell")
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(table)
     )
     cents.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_centroids")
+
+
+def append_to_ivf_store(
+    spark,
+    new_vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+) -> int:
+    """Incremental IVF-store ingest: assign the new vectors to the
+    EXISTING centroids (broadcast — the store's cell geometry does not
+    move) and append them to their cells' partitions. Returns the
+    number of appended rows.
+
+    This is the vector-store analogue of the dedup indexes'
+    incremental append (``incremental_dedup`` / ``incremental_neardup``
+    write-back): the corpus is never rescanned, the append touches
+    only the new batch, and partition pruning on serve
+    (:func:`topk_cosine_ivf_store`) keeps working because the
+    partitioning column is unchanged. Each append stamps a
+    monotonically-increasing ``seq`` so a re-ingested vector id
+    (re-crawl/update) is resolvable at compaction — the NEWEST copy
+    wins (:func:`compact_ivf_store`); until compaction both copies
+    serve, which matches the append-only semantics of the dedup
+    indexes. Repeated appends grow a file set per cell per batch;
+    compact when file counts hurt, and watch
+    :func:`ivf_store_stats` for assignment drift — appended data that
+    no longer matches the trained cell geometry skews cell sizes, and
+    past the dial the fix is a retrain (:func:`rebuild_ivf_store`),
+    not another compaction.
+
+    Legacy stores written before the ``seq`` column must be rebuilt
+    (or compacted once) before appending — parquet appends require the
+    existing schema.
+    """
+    cents = spark.table(f"{table}_centroids")
+    nxt = (
+        spark.table(table).agg(F.coalesce(F.max("seq") + 1, F.lit(0)).alias("s")).collect()[0]["s"]
+        if "seq" in spark.table(table).columns
+        else None
+    )
+    if nxt is None:
+        raise ValueError(
+            f"store {table!r} predates the seq column; run compact_ivf_store or rebuild"
+        )
+    v = new_vectors.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    assigned = _assign_cells(v, cents).select(
+        "cell", "cid", "cvec", F.lit(nxt).cast("bigint").alias("seq")
+    ).localCheckpoint(eager=True)
+    (
+        assigned.write.partitionBy("cell")
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return assigned.count()
+
+
+def compact_ivf_store(spark, table: str) -> int:
+    """Compact an append-mode IVF store: one row per vector id (the
+    newest ``seq`` winning — the re-crawl update semantics), each cell
+    partition rewritten to a bounded file count. Returns the kept row
+    count.
+
+    Serving results are unchanged by construction for stores without
+    superseded ids (compaction only merges files), and move to the
+    newest copy for stores with them. Crash-safe via the same staged
+    swap as the dedup index compactions
+    (:func:`...operators.dedup._staged_swap_write`): the compacted
+    rows land in ``<table>__staged`` and swap in only once committed,
+    so a crash at any point leaves a fully-consistent store. Partition
+    pruning survives because the staged table is partitioned by the
+    same ``cell`` column (locked across append/compact cycles by
+    tests/test_ivf_lifecycle.py).
+    """
+    from pyspark.sql import Window
+
+    from easydb_server_spark.operators.dedup import _recover_staged, _staged_swap_write
+
+    _recover_staged(spark, table)
+    t = spark.table(table)
+    if "seq" in t.columns:
+        w = Window.partitionBy("cid").orderBy(F.col("seq").desc())
+        keep = t.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1).drop("_r")
+    else:
+        keep = t.withColumn("seq", F.lit(0).cast("bigint")).dropDuplicates(["cid"])
+    keep = keep.select("cell", "cid", "cvec", "seq").localCheckpoint(eager=True)
+    _staged_swap_write(
+        spark,
+        keep.repartition("cell"),
+        table,
+        bucket_col=None,
+        partition_col="cell",
+    )
+    return keep.count()
+
+
+def ivf_store_stats(spark, table: str, skew_threshold: float = 4.0) -> dict:
+    """Cell-population stats + the documented RETRAIN TRIGGER for an
+    append-mode IVF store.
+
+    Returns ``{"n_cells", "n_rows", "max_cell", "avg_cell", "skew",
+    "needs_retrain"}`` where ``skew = max_cell / avg_cell``. Appends
+    assign against frozen centroids, so a drifting corpus piles into
+    few cells; probe cost is proportional to the probed cells'
+    population, so skew directly inflates tail latency. When ``skew >
+    skew_threshold`` (default 4 — probing the hot cell costs 4× the
+    average), retrain with :func:`rebuild_ivf_store`. One aggregate
+    over the store's (cell) column — partition-pruned parquet metadata
+    scale, no vectors read.
+    """
+    row = (
+        spark.table(table)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_cell"),
+            F.avg("n").alias("avg_cell"),
+        )
+        .collect()[0]
+    )
+    skew = float(row["max_cell"]) / max(float(row["avg_cell"]), 1e-9)
+    return {
+        "n_cells": row["n_cells"],
+        "n_rows": row["n_rows"],
+        "max_cell": row["max_cell"],
+        "avg_cell": round(float(row["avg_cell"]), 2),
+        "skew": round(skew, 3),
+        "needs_retrain": skew > skew_threshold,
+    }
+
+
+def rebuild_ivf_store(
+    spark,
+    table: str,
+    n_cells: int | None = None,
+    n_iters: int = 1,
+) -> None:
+    """Centroid refresh: retrain the cell geometry on the store's
+    CURRENT contents (newest copy per id) and rewrite both artifacts —
+    the response to :func:`ivf_store_stats` tripping its skew dial.
+    One pass over the stored vectors (orders of magnitude smaller than
+    the source corpus text); both tables land via the crash-safe
+    staged swap. ``n_cells=None`` re-auto-sizes to the grown corpus
+    (:func:`_resolve_n_cells`) — the reason appending alone can't keep
+    cell population bounded forever.
+
+    Crash note: the two swaps are individually crash-safe but not
+    jointly atomic — a crash BETWEEN them leaves a new-geometry store
+    with old centroids (or vice versa). Recovery is simply rerunning
+    the rebuild: everything derives from the store table's contents,
+    never from the centroids table, so the rerun converges to a
+    consistent pair.
+    """
+    from pyspark.sql import Window
+
+    from easydb_server_spark.operators.dedup import _recover_staged, _staged_swap_write
+
+    _recover_staged(spark, table)
+    _recover_staged(spark, f"{table}_centroids")
+    t = spark.table(table)
+    if "seq" in t.columns:
+        w = Window.partitionBy("cid").orderBy(F.col("seq").desc())
+        vecs = t.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1).drop("_r")
+    else:
+        vecs = t.dropDuplicates(["cid"])
+    vecs = vecs.select("cid", "cvec").localCheckpoint(eager=True)
+    cents = ivf_centroids(vecs, "cvec", "cid", n_cells, n_iters)
+    assigned = _assign_cells(vecs, cents).select(
+        "cell", "cid", "cvec", F.lit(0).cast("bigint").alias("seq")
+    )
+    _staged_swap_write(
+        spark, assigned.repartition("cell"), table, bucket_col=None, partition_col="cell"
+    )
+    _staged_swap_write(spark, cents, f"{table}_centroids", bucket_col=None)
 
 
 def topk_cosine_ivf_store(
