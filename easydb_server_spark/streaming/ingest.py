@@ -127,13 +127,31 @@ def stream_ingest_pipeline(
     neardup_threshold: float = 0.9,
     n_buckets: int = 16,
     benchmark_digest_table: str | None = None,
+    gopher: bool | dict = False,
+    lm_table: str | None = None,
+    min_mean_logprob: float | None = None,
 ):
     """The full continuous-ingest curation pipeline, per micro-batch:
 
-    1. **quality gate** (optional): drop documents whose composite
+    1. **quality gates** (optional): drop documents whose composite
        quality score (`operators.text._quality_col` — the same
-       expression the batch pruners use) is below ``min_quality``.
-       Stateless column filter, costs nothing.
+       expression the batch pruners use) is below ``min_quality``;
+       with ``gopher=True``, additionally require
+       ``operators.text.gopher_rules``' ``pass_gopher`` (the Rae et
+       al. 2021 rule set — DELEGATED to the batch operator, so a
+       streamed corpus and a batch-gated corpus of the same data
+       admit the same documents; pre-r9 the stream skipped these
+       gates and the two paths diverged); with ``lm_table`` +
+       ``min_mean_logprob``, also require the CCNet-style unigram-LM
+       score under the PERSISTED model
+       (``operators.text.score_unigram_lm`` over a
+       ``write_unigram_lm`` table — a frozen pretrained scorer, the
+       form of the CCNet gate that is meaningful per micro-batch;
+       the corpus-self-trained tercile form cannot be replayed on a
+       batch that hasn't all arrived yet). All three are stateless
+       per-batch filters: in-row column arithmetic plus two broadcast
+       probes of vocabulary-bounded tables. Batch≡stream admit-list
+       equivalence is pytest-locked (tests/test_streaming_ingest.py).
     2. **exact dedup**: batch deduped within itself, then anti-joined
        against the persistent digest index (same replay-safe shape as
        :func:`stream_incremental_dedup`).
@@ -178,7 +196,11 @@ def stream_ingest_pipeline(
         migrate_sigs_table_to_arrays,
         minhash_sig_array,
     )
-    from easydb_server_spark.operators.text import _quality_col
+    from easydb_server_spark.operators.text import (
+        _quality_col,
+        gopher_rules,
+        score_unigram_lm,
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -192,6 +214,23 @@ def stream_ingest_pipeline(
         b = batch_df
         if min_quality is not None:
             b = b.where(_quality_col(F.col(text_col)) >= F.lit(float(min_quality)))
+        if gopher:
+            # delegate to the batch rule set — the admit decision is
+            # the same expression tree batch curation runs; a dict
+            # passes threshold dials through (True = paper defaults)
+            gk = gopher if isinstance(gopher, dict) else {}
+            ok = (
+                gopher_rules(b, text_col, id_col, **gk)
+                .where(F.col("pass_gopher"))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            b = b.join(ok, id_col, "left_semi")
+        if lm_table is not None and min_mean_logprob is not None:
+            scored = score_unigram_lm(b, text_col, id_col, sess, lm_table)
+            ok = scored.where(
+                F.col("mean_logprob") >= F.lit(float(min_mean_logprob))
+            ).select(F.col("doc_id").alias(id_col))
+            b = b.join(ok, id_col, "left_semi")
         hashed = b.select(
             F.col(id_col).alias("doc_id"),
             F.col(text_col).alias("text"),

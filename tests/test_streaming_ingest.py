@@ -463,3 +463,87 @@ def test_migrate_sigs_table_is_noop_on_array_form(spark):
         assert got[0].mins == want[0].mins and got[0].batch_id == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pipeline_gates_match_batch_admit_list(spark, tmp_path):
+    """r9 batch≡stream gate unification: the SAME corpus streamed in
+    three micro-batches through the Gopher + persisted-unigram-LM
+    gates admits EXACTLY the documents the batch operators admit —
+    gopher_rules' pass_gopher, score_unigram_lm under the same frozen
+    model, then first-appearance exact dedup. Pre-r9 the stream had no
+    gopher/LM gates, so the two execution modes admitted different
+    corpora from identical data."""
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.text import (
+        gopher_rules,
+        score_unigram_lm,
+        write_unigram_lm,
+    )
+    from easydb_server_spark.streaming.ingest import stream_ingest_pipeline
+
+    table = f"gates_idx_{uuid.uuid4().hex[:8]}"
+    lm_table = f"gates_lm_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to the hills where it finds a quiet place to rest with a "
+        "friend of the family that would have come along to be with it"
+    )
+    fluent2 = (
+        "a completely different story about ships and tides is told with "
+        "care by the old sailors who have crossed the open sea and that "
+        "chart of the stars would be the way to find a road back home"
+    )
+    short = "too short to pass the word count"
+    gibberish = " ".join(f"zz{i}qq" for i in range(60))  # OOV → low LM score
+    dup = fluent  # exact re-crawl, later batch
+    rows = [(1, fluent, "s"), (2, short, "s"), (3, fluent2, "s"), (4, gibberish, "s"), (5, dup, "s")]
+    # frozen LM trained on the fluent half (the "seed corpus")
+    seed = spark.createDataFrame([(1, fluent), (3, fluent2)], "doc_id long, text string")
+    _write_docs(in_dir / "b0.json", rows[:2], order=0)
+    _write_docs(in_dir / "b1.json", rows[2:4], order=1)
+    _write_docs(in_dir / "b2.json", rows[4:], order=2)
+    try:
+        write_unigram_lm(seed, "text", "doc_id", lm_table, vocab_size=100)
+        min_words, min_lp = 35, -3.0  # fluent docs have 38-40 words
+
+        # batch-mode admit list over the same corpus with the same gates
+        corpus = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ok_g = (
+            gopher_rules(corpus, "text", "doc_id", min_words=min_words, min_stopwords=1)
+            .where(F.col("pass_gopher"))
+            .select("doc_id")
+        )
+        ok_lm = (
+            score_unigram_lm(corpus, "text", "doc_id", spark, lm_table)
+            .where(F.col("mean_logprob") >= min_lp)
+            .select("doc_id")
+        )
+        gated = corpus.join(ok_g, "doc_id", "left_semi").join(ok_lm, "doc_id", "left_semi")
+        batch_admit = {
+            r.doc_id
+            for r in gated.withColumn("h", F.md5("text"))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .collect()
+        }
+
+        src = (
+            spark.readStream.schema(_schema())
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_ingest_pipeline(
+            src, "text", "doc_id", table, str(admitted), str(ckpt),
+            gopher={"min_words": min_words, "min_stopwords": 1},
+            lm_table=lm_table, min_mean_logprob=min_lp,
+        )
+        q.awaitTermination()
+        stream_admit = {r.doc_id for r in spark.read.parquet(str(admitted)).collect()}
+        assert stream_admit == batch_admit
+        # sanity: the gates actually discriminated (some admitted, some not)
+        assert {1, 3} <= batch_admit and 2 not in batch_admit and 4 not in batch_admit
+    finally:
+        for t in (table, lm_table, f"{lm_table}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
