@@ -90,6 +90,8 @@ HEADLINE = [
     "sim_semdedup",
     "emb_label_outliers",
     "multimodal_features",
+    # r9: the real-WAV audio modality (encode -> decode -> features)
+    "multimodal_audio",
     # composed TPC-H workloads (multi-join + agg + top-k)
     "tpch_q3",
     "tpch_q7",
@@ -228,8 +230,21 @@ def main() -> None:
     # a trailing newline and any stray stdout after us
     BENCHLINE_BUDGET = 1900
     if len(line) > BENCHLINE_BUDGET:
-        # drop to integer-centisecond values, then to total-only — a
-        # parseable partial record always beats a truncated full one
+        # drop to integer-centisecond values (shorter than 2-dp floats:
+        # no "0." prefix), then to total-only — a parseable partial
+        # record always beats a truncated full one
+        line = json.dumps(
+            {
+                "metric": f"headline suite (median of {RUNS} warm runs)",
+                "value": total,
+                "unit": "sec",
+                "unit_queries": "centisec",
+                "queries": {k: int(round(v * 100)) for k, v in timings.items()},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    if len(line) > BENCHLINE_BUDGET:
         line = json.dumps(
             {"metric": "headline suite", "value": total, "unit": "sec", "sf": sf_val},
             separators=(",", ":"),

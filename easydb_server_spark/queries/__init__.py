@@ -36,43 +36,122 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # of this registry (~50 entries; every round so far recorded exactly
 # 50), so each round the window front-loads (1) entries whose code
 # changed this round, then (2) the entries with the LEAST
-# driver-verified evidence. Round 8: (a) the eleven entries touching
-# code changed this round (dedup shingle null-drop + band_hash-only
-# incremental probe, batch-superstep BPE, auto n_cells, and the
-# composed curation pipeline), (b) the thirty-three remaining
-# r4-evidence entries (supersets, skew, rollups, the TPC-H suite) —
-# the cohort the r7 verdict asked to refresh, (c) six oldest
-# r5-evidence entries filling to 50. After a green r8 no oracled
-# entry's newest driver evidence is older than r5. Rows-only entries
-# (`agg_approx_distinct`, `stream_funnel_stateful`) stay OUT of the
-# window — they burn a slot recording `no_oracle`.
+# driver-verified evidence. Round 9: (a) the new multimodal_audio
+# entry plus the three result-relevant code changes (string-verified
+# ngram spans, de-cliffed DSIR totals, null-gated line_dedup), then
+# (b) the ENTIRE 46-entry r5-evidence cohort the r8 verdict asked to
+# refresh. After a green r9 no oracled entry's newest driver evidence
+# is older than r6. Rows-only entries (`agg_approx_distinct`,
+# `stream_funnel_stateful`) stay OUT of the window — they burn a slot
+# recording `no_oracle`.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- ROUND-8 WINDOW (50 entries the driver verifies) ---
-    # (0) NEW this round: DSIR importance resampling and span-level
-    # decontamination applied (the action half of contamination_spans)
+    # --- ROUND-9 WINDOW (50 entries the driver verifies) ---
+    # (0) NEW this round: real WAV/PCM audio codec end-to-end
+    # (encode -> decode -> curation features vs a closed-form oracle)
+    "multimodal_audio": (llmops.q_multimodal_audio, llmops.ORACLE_MULTIMODAL_AUDIO),
+    # (a) entries whose operator code/oracle changed this round:
+    # dedup_ngram_spans gained the candidate-restricted string-verify
+    # pass (oracle moved to exact string counts), curate_dsir's model
+    # totals were de-cliffed (distributed agg + broadcast cross-join
+    # replacing the single-partition window), and line_dedup now gates
+    # null text explicitly (null counts AND null clean_text)
+    "dedup_ngram_spans": (llmops.q_dedup_ngram_spans, llmops.ORACLE_DEDUP_NGRAM_SPANS),
     "curate_dsir": (llmops.q_curate_dsir, llmops.ORACLE_CURATE_DSIR),
+    "text_line_dedup": (llmops.q_text_line_dedup, llmops.ORACLE_TEXT_LINE_DEDUP),
+    # (b) the r5-evidence cohort — all 46 entries whose newest driver
+    # evidence was round 5 (core projections/filters/sorts, scalar fn
+    # families, set ops, subqueries, windows, streaming dedup/join,
+    # TPC-H q2/q11/q21, corpus_shuffle, text_repetition) — the refresh
+    # target the r8 verdict named; after a green r9 no oracled entry's
+    # newest driver evidence is older than r6
+    "core_cast": (core.q_core_cast, core.ORACLE_CAST),
+    "core_conditionals": (core.q_core_conditionals, core.ORACLE_CONDITIONALS),
+    "core_distinct": (core.q_core_distinct, core.ORACLE_DISTINCT),
+    "core_distinct_on": (core.q_core_distinct_on, core.ORACLE_DISTINCT_ON),
+    "core_filter_predicates": (core.q_core_filter_predicates, core.ORACLE_FILTER_PREDICATES),
+    "core_limit_offset": (core.q_core_limit_offset, core.ORACLE_LIMIT_OFFSET),
+    "core_nvl": (core.q_core_nvl, core.ORACLE_NVL),
+    "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
+    "core_sort_nulls": (core.q_core_sort_nulls, core.ORACLE_SORT_NULLS),
+    "core_star_projection": (core.q_core_star_projection, core.ORACLE_STAR_PROJECTION),
+    "corpus_shuffle": (llmops.q_corpus_shuffle, llmops.ORACLE_CORPUS_SHUFFLE),
+    "fn_datetime": (fns.q_fn_datetime, fns.ORACLE_FN_DATETIME),
+    "fn_math": (fns.q_fn_math, fns.ORACLE_FN_MATH),
+    "fn_math_extended": (fns.q_fn_math_extended, fns.ORACLE_FN_MATH_EXTENDED),
+    "fn_regex": (fns.q_fn_regex, fns.ORACLE_FN_REGEX),
+    "fn_string": (fns.q_fn_string, fns.ORACLE_FN_STRING),
+    "recursive_cte": (subqueries.q_recursive_cte, subqueries.ORACLE_RECURSIVE_CTE),
+    "setop_except": (setops.q_setop_except, setops.ORACLE_EXCEPT),
+    "setop_except_all": (setops.q_setop_except_all, setops.ORACLE_EXCEPT_ALL),
+    "setop_intersect": (setops.q_setop_intersect, setops.ORACLE_INTERSECT),
+    "setop_intersect_all": (setops.q_setop_intersect_all, setops.ORACLE_INTERSECT_ALL),
+    "setop_union": (setops.q_setop_union, setops.ORACLE_UNION),
+    "setop_union_all": (setops.q_setop_union_all, setops.ORACLE_UNION_ALL),
+    "stream_dedup": (streamq.q_stream_dedup, streamq.ORACLE_STREAM_DEDUP),
+    "stream_join": (streamq.q_stream_join, streamq.ORACLE_STREAM_JOIN),
+    "subq_correlated_scalar": (
+        subqueries.q_subq_correlated_scalar,
+        subqueries.ORACLE_CORRELATED_SCALAR,
+    ),
+    "subq_cte": (subqueries.q_subq_cte, subqueries.ORACLE_CTE),
+    "subq_derived": (subqueries.q_subq_derived, subqueries.ORACLE_DERIVED),
+    "subq_exists_correlated": (
+        subqueries.q_subq_exists_correlated,
+        subqueries.ORACLE_EXISTS_CORRELATED,
+    ),
+    "subq_in": (subqueries.q_subq_in, subqueries.ORACLE_IN_SUBQ),
+    "subq_not_in_nulls": (subqueries.q_subq_not_in_nulls, subqueries.ORACLE_NOT_IN_NULLS),
+    "subq_not_in_plain": (subqueries.q_subq_not_in_plain, subqueries.ORACLE_NOT_IN_PLAIN),
+    "subq_scalar": (subqueries.q_subq_scalar, subqueries.ORACLE_SCALAR),
+    "subq_unnest": (subqueries.q_subq_unnest, subqueries.ORACLE_UNNEST),
+    "subq_values": (subqueries.q_subq_values, subqueries.ORACLE_VALUES),
+    "text_repetition": (llmops.q_text_repetition, llmops.ORACLE_TEXT_REPETITION),
+    "tpch_q11": (tpch2.q_tpch_q11, tpch2.ORACLE_TPCH_Q11),
+    "tpch_q2": (tpch2.q_tpch_q2, tpch2.ORACLE_TPCH_Q2),
+    "tpch_q21": (tpch2.q_tpch_q21, tpch2.ORACLE_TPCH_Q21),
+    "window_first_last_nth": (
+        windows.q_window_first_last_nth,
+        windows.ORACLE_WINDOW_FIRST_LAST_NTH,
+    ),
+    "window_ignore_nulls": (windows.q_window_ignore_nulls, windows.ORACLE_WINDOW_IGNORE_NULLS),
+    "window_lag_lead": (windows.q_window_lag_lead, windows.ORACLE_WINDOW_LAG_LEAD),
+    "window_ntile_dist": (windows.q_window_ntile_dist, windows.ORACLE_WINDOW_NTILE_DIST),
+    "window_range_frame": (windows.q_window_range_frame, windows.ORACLE_WINDOW_RANGE_FRAME),
+    "window_rank": (windows.q_window_rank, windows.ORACLE_WINDOW_RANK),
+    "window_running": (windows.q_window_running, windows.ORACLE_WINDOW_RUNNING),
+    # --- end of the 50-entry priority window (closes at
+    # window_running, position 50; locked by
+    # tests/test_registry.py::test_priority_window_prefix_is_stable;
+    # the window is exactly: one NEW r9 entry + three changed-code
+    # entries + the full 46-entry r5-evidence refresh cohort. The
+    # other entries touched this round (text_clip_spans,
+    # text_contamination_spans, dedup_keepers_quality, sim_topk_ivf)
+    # keep r8 driver evidence and are locked by
+    # tools/check_conformance.py + pytest — promoting them would have
+    # evicted r5-cohort members and violated the evidence-freshness
+    # goal. Rows-only entries stay OUT of the window — they burn a
+    # slot recording `no_oracle`. ---
     "text_clip_spans": (llmops.q_text_clip_spans, llmops.ORACLE_TEXT_CLIP_SPANS),
     "text_gopher_rules": (llmops.q_text_gopher_rules, llmops.ORACLE_TEXT_GOPHER_RULES),
     "dedup_keepers_quality": (llmops.q_dedup_keepers_quality, llmops.ORACLE_DEDUP_KEEPERS_QUALITY),
-    "text_line_dedup": (llmops.q_text_line_dedup, llmops.ORACLE_TEXT_LINE_DEDUP),
     "text_ngram_novelty": (llmops.q_text_ngram_novelty, llmops.ORACLE_TEXT_NGRAM_NOVELTY),
-    # (a) entries whose operator code changed this round: the shingle
-    # null-drop + band_hash-only probe (dedup family), batch-superstep
-    # BPE, auto n_cells resolution (semdedup/IVF), and the composed
-    # pipeline over those stages
     "dedup_minhash": (llmops.q_dedup_minhash, llmops.ORACLE_DEDUP_MINHASH),
     "dedup_minhash_pairs": (llmops.q_dedup_minhash_pairs, llmops.ORACLE_DEDUP_MINHASH_PAIRS),
-    "dedup_incremental_fuzzy": (llmops.q_dedup_incremental_fuzzy, llmops.ORACLE_DEDUP_INCREMENTAL_FUZZY),
+    "dedup_incremental_fuzzy": (
+        llmops.q_dedup_incremental_fuzzy,
+        llmops.ORACLE_DEDUP_INCREMENTAL_FUZZY,
+    ),
     "dedup_ngram_jaccard": (llmops.q_dedup_ngram_jaccard, llmops.ORACLE_DEDUP_NGRAM_JACCARD),
     "dedup_clusters": (llmops.q_dedup_clusters, llmops.ORACLE_DEDUP_CLUSTERS),
-    "dedup_pipeline_keepers": (llmops.q_dedup_pipeline_keepers, llmops.ORACLE_DEDUP_PIPELINE_KEEPERS),
+    "dedup_pipeline_keepers": (
+        llmops.q_dedup_pipeline_keepers,
+        llmops.ORACLE_DEDUP_PIPELINE_KEEPERS,
+    ),
     "text_decontaminate": (llmops.q_text_decontaminate, llmops.ORACLE_TEXT_DECONTAMINATE),
     "text_bpe_merges": (llmops.q_text_bpe_merges, llmops.ORACLE_TEXT_BPE_MERGES),
     "sim_semdedup": (llmops.q_sim_semdedup, llmops.ORACLE_SIM_SEMDEDUP),
     "sim_topk_ivf": (llmops.q_sim_topk_ivf, llmops.ORACLE_SIM_TOPK_IVF),
     "curation_pipeline": (llmops.q_curation_pipeline, llmops.ORACLE_CURATION_PIPELINE),
-    # (b) the r4-evidence cohort — the 33 remaining entries whose
-    # newest driver row was round 4 (supersets, skew, rollups, TPC-H)
     "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),
     "sup_json": (superset.q_sup_json, superset.ORACLE_SUP_JSON),
@@ -106,22 +185,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q17": (tpch2.q_tpch_q17, tpch2.ORACLE_TPCH_Q17),
     "tpch_q20": (tpch2.q_tpch_q20, tpch2.ORACLE_TPCH_Q20),
     "tpch_q22": (tpch2.q_tpch_q22, tpch2.ORACLE_TPCH_Q22),
-    # --- end of the 50-entry priority window (closes at
-    # tpch_q22, position 50; locked by
-    # tests/test_registry.py::test_priority_window_prefix_is_stable;
-    # the window is now exactly: six NEW r8 entries + eleven
-    # changed-code entries + the thirty-three r4-evidence refresh
-    # cohort. tpch_q21/tpch_q11/tpch_q2/text_repetition/corpus_shuffle/
-    # core_projection moved just below as the new entries landed — all
-    # r5-driver-green). Everything below was driver-green in r5-r7 and
-    # stays locked by tools/check_conformance.py + the pytest oracle
-    # guard. ---
-    "tpch_q21": (tpch2.q_tpch_q21, tpch2.ORACLE_TPCH_Q21),
-    "tpch_q11": (tpch2.q_tpch_q11, tpch2.ORACLE_TPCH_Q11),
-    "tpch_q2": (tpch2.q_tpch_q2, tpch2.ORACLE_TPCH_Q2),
-    "text_repetition": (llmops.q_text_repetition, llmops.ORACLE_TEXT_REPETITION),
-    "corpus_shuffle": (llmops.q_corpus_shuffle, llmops.ORACLE_CORPUS_SHUFFLE),
-    "core_projection": (core.q_core_projection, core.ORACLE_PROJECTION),
     "text_contamination_spans": (
         llmops.q_text_contamination_spans,
         llmops.ORACLE_TEXT_CONTAMINATION_SPANS,
@@ -136,7 +199,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_dedup": (llmops.q_chunk_dedup, llmops.ORACLE_CHUNK_DEDUP),
     "curate_source_cap": (llmops.q_curate_source_cap, llmops.ORACLE_CURATE_SOURCE_CAP),
     "text_unigram_logprob": (llmops.q_text_unigram_logprob, llmops.ORACLE_TEXT_UNIGRAM_LOGPROB),
-    "dedup_ngram_spans": (llmops.q_dedup_ngram_spans, llmops.ORACLE_DEDUP_NGRAM_SPANS),
     "text_ccnet_buckets": (llmops.q_text_ccnet_buckets, llmops.ORACLE_TEXT_CCNET_BUCKETS),
     "text_tfidf_keywords": (llmops.q_text_tfidf_keywords, llmops.ORACLE_TEXT_TFIDF_KEYWORDS),
     "emb_quantize": (llmops.q_emb_quantize, llmops.ORACLE_EMB_QUANTIZE),
@@ -148,7 +210,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "quality_gate_events": (llmops.q_quality_gate_events, llmops.ORACLE_QUALITY_GATE_EVENTS),
     "profile_drift": (llmops.q_profile_drift, llmops.ORACLE_PROFILE_DRIFT),
     "text_chunks": (llmops.q_text_chunks, llmops.ORACLE_TEXT_CHUNKS),
-    "text_stratified_sample": (llmops.q_text_stratified_sample, llmops.ORACLE_TEXT_STRATIFIED_SAMPLE),
+    "text_stratified_sample": (
+        llmops.q_text_stratified_sample,
+        llmops.ORACLE_TEXT_STRATIFIED_SAMPLE,
+    ),
     "dedup_source_overlap": (llmops.q_dedup_source_overlap, llmops.ORACLE_DEDUP_SOURCE_OVERLAP),
     "fn_array": (fns.q_fn_array, fns.ORACLE_FN_ARRAY),
     "fn_hash": (fns.q_fn_hash, fns.ORACLE_FN_HASH),
@@ -176,8 +241,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "edge_ilike": (dialect_edge.q_edge_ilike, dialect_edge.ORACLE_EDGE_ILIKE),
     "edge_natural_join": (dialect_edge.q_edge_natural_join, dialect_edge.ORACLE_EDGE_NATURAL_JOIN),
     "edge_regexp_count": (dialect_edge.q_edge_regexp_count, dialect_edge.ORACLE_EDGE_REGEXP_COUNT),
-    "edge_introspection": (dialect_edge.q_edge_introspection, dialect_edge.ORACLE_EDGE_INTROSPECTION),
-    "edge_null_safe_misc": (dialect_edge.q_edge_null_safe_misc, dialect_edge.ORACLE_EDGE_NULL_SAFE_MISC),
+    "edge_introspection": (
+        dialect_edge.q_edge_introspection,
+        dialect_edge.ORACLE_EDGE_INTROSPECTION,
+    ),
+    "edge_null_safe_misc": (
+        dialect_edge.q_edge_null_safe_misc,
+        dialect_edge.ORACLE_EDGE_NULL_SAFE_MISC,
+    ),
     "edge_groups_frame": (dialect_edge.q_edge_groups_frame, dialect_edge.ORACLE_EDGE_GROUPS_FRAME),
     "join_left_outer": (joins.q_join_left_outer, joins.ORACLE_LEFT_OUTER),
     "join_right_outer": (joins.q_join_right_outer, joins.ORACLE_RIGHT_OUTER),
@@ -204,7 +275,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_resize": (llmops.q_multimodal_resize, llmops.ORACLE_MULTIMODAL_RESIZE),
     "multimodal_frames": (llmops.q_multimodal_frames, llmops.ORACLE_MULTIMODAL_FRAMES),
     "dedup_exact": (llmops.q_dedup_exact, llmops.ORACLE_DEDUP_EXACT),
-    "dedup_embedding_cosine": (llmops.q_dedup_embedding_cosine, llmops.ORACLE_DEDUP_EMBEDDING_COSINE),
+    "dedup_embedding_cosine": (
+        llmops.q_dedup_embedding_cosine,
+        llmops.ORACLE_DEDUP_EMBEDDING_COSINE,
+    ),
     "sim_topk_bruteforce": (llmops.q_sim_topk_bruteforce, llmops.ORACLE_SIM_TOPK_BRUTEFORCE),
     "text_langid": (llmops.q_text_langid, llmops.ORACLE_TEXT_LANGID),
     "text_quality": (llmops.q_text_quality, llmops.ORACLE_TEXT_QUALITY),
@@ -215,46 +289,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_vocab": (llmops.q_text_vocab, llmops.ORACLE_TEXT_VOCAB),
     "text_mixture": (llmops.q_text_mixture, llmops.ORACLE_TEXT_MIXTURE),
     "text_pack": (llmops.q_text_pack, llmops.ORACLE_TEXT_PACK),
-    "stream_dedup": (streamq.q_stream_dedup, streamq.ORACLE_STREAM_DEDUP),
-    "stream_join": (streamq.q_stream_join, streamq.ORACLE_STREAM_JOIN),
-    "core_star_projection": (core.q_core_star_projection, core.ORACLE_STAR_PROJECTION),
-    "core_filter_predicates": (core.q_core_filter_predicates, core.ORACLE_FILTER_PREDICATES),
-    "core_distinct": (core.q_core_distinct, core.ORACLE_DISTINCT),
-    "core_distinct_on": (core.q_core_distinct_on, core.ORACLE_DISTINCT_ON),
-    "core_conditionals": (core.q_core_conditionals, core.ORACLE_CONDITIONALS),
-    "core_nvl": (core.q_core_nvl, core.ORACLE_NVL),
-    "core_cast": (core.q_core_cast, core.ORACLE_CAST),
-    "core_limit_offset": (core.q_core_limit_offset, core.ORACLE_LIMIT_OFFSET),
-    "core_sort_nulls": (core.q_core_sort_nulls, core.ORACLE_SORT_NULLS),
-    "window_rank": (windows.q_window_rank, windows.ORACLE_WINDOW_RANK),
-    "window_lag_lead": (windows.q_window_lag_lead, windows.ORACLE_WINDOW_LAG_LEAD),
-    "window_running": (windows.q_window_running, windows.ORACLE_WINDOW_RUNNING),
-    "window_ntile_dist": (windows.q_window_ntile_dist, windows.ORACLE_WINDOW_NTILE_DIST),
-    "window_first_last_nth": (windows.q_window_first_last_nth, windows.ORACLE_WINDOW_FIRST_LAST_NTH),
-    "window_range_frame": (windows.q_window_range_frame, windows.ORACLE_WINDOW_RANGE_FRAME),
-    "window_ignore_nulls": (windows.q_window_ignore_nulls, windows.ORACLE_WINDOW_IGNORE_NULLS),
-    "setop_union": (setops.q_setop_union, setops.ORACLE_UNION),
-    "setop_union_all": (setops.q_setop_union_all, setops.ORACLE_UNION_ALL),
-    "setop_intersect": (setops.q_setop_intersect, setops.ORACLE_INTERSECT),
-    "setop_intersect_all": (setops.q_setop_intersect_all, setops.ORACLE_INTERSECT_ALL),
-    "setop_except": (setops.q_setop_except, setops.ORACLE_EXCEPT),
-    "setop_except_all": (setops.q_setop_except_all, setops.ORACLE_EXCEPT_ALL),
-    "subq_cte": (subqueries.q_subq_cte, subqueries.ORACLE_CTE),
-    "subq_scalar": (subqueries.q_subq_scalar, subqueries.ORACLE_SCALAR),
-    "subq_correlated_scalar": (subqueries.q_subq_correlated_scalar, subqueries.ORACLE_CORRELATED_SCALAR),
-    "subq_in": (subqueries.q_subq_in, subqueries.ORACLE_IN_SUBQ),
-    "subq_not_in_plain": (subqueries.q_subq_not_in_plain, subqueries.ORACLE_NOT_IN_PLAIN),
-    "subq_not_in_nulls": (subqueries.q_subq_not_in_nulls, subqueries.ORACLE_NOT_IN_NULLS),
-    "subq_derived": (subqueries.q_subq_derived, subqueries.ORACLE_DERIVED),
-    "subq_exists_correlated": (subqueries.q_subq_exists_correlated, subqueries.ORACLE_EXISTS_CORRELATED),
-    "subq_unnest": (subqueries.q_subq_unnest, subqueries.ORACLE_UNNEST),
-    "subq_values": (subqueries.q_subq_values, subqueries.ORACLE_VALUES),
-    "recursive_cte": (subqueries.q_recursive_cte, subqueries.ORACLE_RECURSIVE_CTE),
-    "fn_math": (fns.q_fn_math, fns.ORACLE_FN_MATH),
-    "fn_math_extended": (fns.q_fn_math_extended, fns.ORACLE_FN_MATH_EXTENDED),
-    "fn_string": (fns.q_fn_string, fns.ORACLE_FN_STRING),
-    "fn_regex": (fns.q_fn_regex, fns.ORACLE_FN_REGEX),
-    "fn_datetime": (fns.q_fn_datetime, fns.ORACLE_FN_DATETIME),
     # rows-only by design: HLL sketch values are engine-specific
     # (error-bound asserted in tests/test_approx_accuracy.py)
     "agg_approx_distinct": (agg.q_agg_approx_distinct, None),

@@ -3,20 +3,17 @@ a ~50-entry prefix of REGISTRY, so its composition is load-bearing —
 an accidental insertion above the marker silently evicts entry 50 from
 driver verification with no failure anywhere else.
 
-Round-8 window (new entries, then changed code, then
-least-driver-evidence): the six NEW r8 entries (curate_dsir,
-text_clip_spans, text_gopher_rules, dedup_keepers_quality,
-text_line_dedup, text_ngram_novelty), the eleven
-entries whose operator code changed this round (the dedup family's
-shingle null-drop + band_hash-only incremental probe, batch-superstep
-BPE, auto n_cells in semdedup/IVF, and the composed curation pipeline
-over those stages), then the thirty-three remaining r4-evidence
-entries — the cohort the r7 verdict asked to refresh (supersets, skew,
-rollups, the TPC-H suite) — then the oldest r5-evidence entries
-— the window is exactly new+changed+r4, closing at tpch_q22. After a green r8, no oracled
-entry's newest driver evidence is older than r5. Rows-only entries
-stay out of the window (they burn a slot on `no_oracle`). Everything
-driver-green in r5-r7 follows the marker.
+Round-9 window (new entries, then changed code, then
+least-driver-evidence): the NEW multimodal_audio entry (real WAV
+codec end-to-end), the three entries whose results/oracles changed
+this round (string-verified dedup_ngram_spans, de-cliffed
+curate_dsir, null-gated text_line_dedup), then the ENTIRE 46-entry
+r5-evidence cohort the r8 verdict asked to refresh (core family,
+scalar fn families, set ops, subqueries, windows, streaming
+dedup/join, TPC-H q2/q11/q21) — closing at window_running. After a
+green r9, no oracled entry's newest driver evidence is older than
+r6. Rows-only entries stay out of the window (they burn a slot on
+`no_oracle`). Everything driver-green in r6-r8 follows the marker.
 """
 
 PRIORITY_WINDOW = 50
@@ -26,60 +23,44 @@ def test_priority_window_prefix_is_stable():
     from easydb_server_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "tpch_q22", (
-        "the driver-verified priority window must close at tpch_q22 "
+    assert names[PRIORITY_WINDOW - 1] == "window_running", (
+        "the driver-verified priority window must close at window_running "
         f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
         "end-of-window marker in queries/__init__.py "
         f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
     )
 
 
-def test_window_holds_the_r8_rotation():
+def test_window_holds_the_r9_rotation():
+    import glob
+    import json
+    import os
+
     from easydb_server_spark.queries import REGISTRY
+    from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # brand-new r8 entries lead, then entries with r8 code changes
-    assert window[:6] == [
+    # the NEW r9 entry leads, then the three result-relevant changes
+    assert window[:4] == [
+        "multimodal_audio",
+        "dedup_ngram_spans",
         "curate_dsir",
-        "text_clip_spans",
-        "text_gopher_rules",
-        "dedup_keepers_quality",
         "text_line_dedup",
-        "text_ngram_novelty",
     ]
-    assert window[6:17] == [
-        "dedup_minhash",
-        "dedup_minhash_pairs",
-        "dedup_incremental_fuzzy",
-        "dedup_ngram_jaccard",
-        "dedup_clusters",
-        "dedup_pipeline_keepers",
-        "text_decontaminate",
-        "text_bpe_merges",
-        "sim_semdedup",
-        "sim_topk_ivf",
-        "curation_pipeline",
-    ]
-    # the refreshed r4-evidence cohort follows (supersets, skew,
-    # rollups, the full TPC-H suite), then the oldest-r5 fill
-    assert window[17:26] == [
-        "text_length_histogram",
-        "text_ngram_topk",
-        "sup_json",
-        "sup_pivot",
-        "sup_mode",
-        "sup_unpivot",
-        "sup_higher_order",
-        "sup_lateral",
-        "sup_variant",
-    ]
-    assert [n for n in window if n.startswith("tpch_")] == [
-        f"tpch_q{i}" for i in (1, 3, 7, 10, 14, 18, 19, 4, 5, 6, 8, 9, 12, 13, 15, 16, 17, 20, 22)
-    ]  # q21/q11/q2 (r5-green) moved below the marker as the 6 new r8 entries landed
-    assert window[48:] == [
-        "tpch_q20",
-        "tpch_q22",
-    ]
+    # positions 5-50 are EXACTLY the r5-evidence cohort: every entry
+    # whose newest driver evidence (across all CORRECTNESS_r*.json up
+    # to r8) was round 5 — the refresh target the r8 verdict named
+    newest = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 8:
+            continue  # the goalpost is fixed at rotation time
+        with open(f) as fh:
+            for name in json.load(fh):
+                newest[name] = max(newest.get(name, 0), rnd)
+    r5_cohort = sorted(n for n, r in newest.items() if r == 5)
+    assert len(r5_cohort) == 46
+    assert sorted(window[4:]) == r5_cohort
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
