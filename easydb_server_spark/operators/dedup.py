@@ -662,17 +662,23 @@ def duplicate_ngram_spans(
     cand = hashed.join(flagged.select("gram_hash"), "gram_hash").select(
         "doc_id", "pos", "gram", "gram_hash"
     )
-    # exact doc-frequency by the actual STRING, candidates only; a
-    # collision victim's string count falls below min_docs and its
-    # positions drop out here — zero false clips by construction
-    exact = (
-        cand.select("gram", "doc_id")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    # exact doc-frequency by the actual STRING, candidates only, via a
+    # window over the candidate frame — ONE shuffle of the flagged tail
+    # keyed by gram string, no re-derivation of the candidate subtree
+    # and no join-back (a separate recount frame would make Catalyst
+    # re-run the corpus explode + hash probe a second time — measured
+    # +0.6 s at sf0.1). Per-gram partitions are bounded by one gram's
+    # occurrence count, never the corpus. A collision victim's string
+    # count falls below min_docs and its positions drop out — zero
+    # false clips by construction.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gram")
+    return (
+        cand.withColumn("n_docs", F.size(F.collect_set("doc_id").over(w)))
         .where(F.col("n_docs") >= min_docs)
+        .select("doc_id", "pos", "gram_hash", "n_docs")
     )
-    return cand.join(exact, "gram").select("doc_id", "pos", "gram_hash", "n_docs")
 
 
 def contamination_spans(
