@@ -204,6 +204,37 @@ def sample_frames(df: DataFrame, blob_col: str, id_col: str, n_frames: int) -> D
     return df.select(id_col, blob_col).mapInPandas(do_sample, FRAMES_SCHEMA)
 
 
+RESAMPLED_SCHEMA = "item_id bigint, payload binary, sample_rate int, n_samples int"
+
+
+def resample_audio(
+    df: DataFrame, blob_col: str, id_col: str, target_rate: int
+) -> DataFrame:
+    """Rate-convert WAV clips — the audio analogue of
+    :func:`resize_images` with a real codec: decode → nearest-sample
+    resample → re-encode inside the Arrow-batched ``mapInPandas``
+    workers (:func:`easydb_server_spark.operators.wav.resample_wav`).
+    One output row per clip with the re-encoded payload and its new
+    geometry; at 100 TB this is a map-only pass over the blob scan,
+    no shuffle anywhere.
+    """
+
+    def do_resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from easydb_server_spark.operators.wav import decode_wav, resample_wav
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                resampled = resample_wav(bytes(blob), target_rate)
+                n = decode_wav(resampled)[0].shape[0]
+                out.append((item_id, resampled, target_rate, n))
+            yield pd.DataFrame(
+                out, columns=["item_id", "payload", "sample_rate", "n_samples"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(do_resample, RESAMPLED_SCHEMA)
+
+
 def documents_as_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Adapter used by tests/conformance: treat document text bytes as
     an opaque media payload (UTF-8 encode) with kind='image'."""

@@ -885,6 +885,7 @@ def topk_cosine_ivf_store(
     id_col: str,
     k: int = 3,
     nprobe: int = 2,
+    prune: str = "static",
 ) -> DataFrame:
     """ANN serving against a persisted IVF store: queries rank the
     stored centroids (broadcast, tiny), the probed cell ids — a
@@ -903,15 +904,26 @@ def topk_cosine_ivf_store(
     probed cell ids are collected to build the partition filter, so
     the driver holds ≤ min(nprobe × |queries|, n_cells) ids. This
     serving path is for BATCH query sets (the normal ANN-serving
-    shape); an unbounded query STREAM should instead join on the cell
-    id against the bucketed store (no collect), giving up static
-    pruning for a co-located probe.
+    shape); ``prune="join"`` is the no-collect alternative for
+    unbounded/huge query sets — the probed cells join the store on the
+    cell id (broadcast of the probe side; nothing touches the driver),
+    trading the STATIC partition filter for Spark's runtime pruning:
+    with AQE the broadcast-hash join on the partition column skips
+    non-probed partitions dynamically, and even without pruning the
+    join itself discards non-probed cells after the scan. Results are
+    identical by construction (both paths feed the shared
+    :func:`_rank_probed`; locked by tests/test_ivf_lifecycle.py).
     """
     from pyspark.sql import Window
 
     cents = spark.table(f"{table}_centroids")
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
     probed = _assign_cells(q, cents, id_col="qid", vec_col="qvec", top=nprobe)
-    cells = [r.cell for r in probed.select("cell").distinct().collect()]
-    store = spark.table(table).where(F.col("cell").isin(cells))
+    if prune == "join":
+        store = spark.table(table).join(
+            F.broadcast(probed.select("cell").distinct()), "cell", "left_semi"
+        )
+    else:
+        cells = [r.cell for r in probed.select("cell").distinct().collect()]
+        store = spark.table(table).where(F.col("cell").isin(cells))
     return _rank_probed(store, probed, k)

@@ -90,6 +90,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return arr.astype(np.int16), sample_rate
 
 
+def resample_wav(payload: bytes, target_rate: int) -> bytes:
+    """Decode → nearest-sample rate conversion → re-encode (real
+    samples) — the audio analogue of the image codecs' nearest-neighbor
+    resize: index arithmetic only (output frame i reads input frame
+    ``i·in_rate//out_rate``), no interpolation libraries. Preserves
+    channel count; duration is preserved to within one frame.
+    """
+    samples, rate = decode_wav(payload)
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+    n_out = max(samples.shape[0] * target_rate // rate, 1) if samples.shape[0] else 0
+    idx = (np.arange(n_out) * rate) // target_rate
+    return encode_wav(samples[idx], target_rate)
+
+
 def wav_decoder(payload: bytes) -> dict:
     """Registry-compatible decoder: the audio-curation feature set.
 

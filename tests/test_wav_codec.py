@@ -90,3 +90,44 @@ class TestAudioFeaturesOperator:
             assert r.rms == pytest.approx(round(ref["rms"], 4))
             assert r.clipping_frac == ref["clipping_frac"]
             assert r.duration_ms == ref["duration_ms"]
+
+
+class TestResample:
+    def test_resample_halves_and_preserves_duration(self):
+        from easydb_server_spark.operators.wav import decode_wav, resample_wav
+
+        s = _saw(16000)
+        out = resample_wav(encode_wav(s, 16000), 8000)
+        arr, rate = decode_wav(out)
+        assert rate == 8000 and arr.shape[0] == 8000
+        # nearest-sample: output frame i is input frame 2i
+        assert (arr.ravel() == s[::2]).all()
+
+    def test_resample_upsamples_by_repetition(self):
+        from easydb_server_spark.operators.wav import decode_wav, resample_wav
+
+        s = _saw(100)
+        arr, rate = decode_wav(resample_wav(encode_wav(s, 8000), 16000))
+        assert rate == 16000 and arr.shape[0] == 200
+        assert (arr.ravel()[::2] == s).all() and (arr.ravel()[1::2] == s).all()
+
+    def test_resample_rejects_bad_rate(self):
+        import pytest as _pytest
+
+        from easydb_server_spark.operators.wav import resample_wav
+
+        with _pytest.raises(ValueError):
+            resample_wav(encode_wav(_saw(10), 8000), 0)
+
+    def test_resample_audio_operator(self, spark):
+        from easydb_server_spark.operators.multimodal import resample_audio
+        from easydb_server_spark.operators.wav import decode_wav
+
+        rows = [(i, bytes(encode_wav(_saw(800 + i), 8000))) for i in range(4)]
+        df = spark.createDataFrame(rows, "item_id long, payload binary")
+        out = resample_audio(df, "payload", "item_id", 4000).orderBy("item_id").collect()
+        for i, r in enumerate(out):
+            assert r.sample_rate == 4000
+            assert r.n_samples == (800 + i) // 2
+            arr, rate = decode_wav(bytes(r.payload))
+            assert rate == 4000 and arr.shape[0] == r.n_samples
