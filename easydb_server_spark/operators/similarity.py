@@ -625,6 +625,65 @@ def semdedup(
     )
 
 
+def incremental_embedding_neardup(
+    spark,
+    new_batch: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    threshold: float = 0.99,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Embedding near-duplicates of a new ingest batch against the
+    persisted IVF store — the EMBEDDING half of the incremental-ingest
+    story, completing the symmetry with the text indexes
+    (``dedup.incremental_dedup`` exact / ``dedup.incremental_neardup``
+    fuzzy / this, semantic). Returns (batch_id, corpus_id, cosine) for
+    pairs at or above ``threshold``; callers reject or cluster, then
+    :func:`append_to_ivf_store` the admitted vectors so the next batch
+    sees them.
+
+    Scale shape: the batch ranks the frozen centroids (broadcast,
+    tiny), and only the probed cells' store partitions are read — the
+    probe is the serving path's pruned scan, so per-batch cost is
+    independent of total store size for fixed cell geometry; corpus
+    embeddings are never rescanned. The exact-cosine verify is in-row
+    over the candidate pairs (|batch| × probed-cell population).
+
+    Recall note (the standard IVF trade): a true near-duplicate at
+    cosine ≥ 0.99 lands in its twin's argmax cell almost surely, but a
+    pair straddling a cell boundary needs ``nprobe > 1`` to be seen —
+    the same dial, with the same meaning, as serving.
+    """
+    from pyspark.sql import Window
+
+    cents = spark.table(f"{table}_centroids")
+    b = new_batch.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    probed = _assign_cells(b, cents, id_col="qid", vec_col="qvec", top=nprobe)
+    store = spark.table(table).join(
+        F.broadcast(probed.select("cell").distinct()), "cell", "left_semi"
+    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
+    return (
+        store.withColumn("cnrm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+        .join(
+            F.broadcast(
+                probed.withColumn("qnrm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+            ),
+            "cell",
+        )
+        .select(
+            F.col("qid").alias("batch_id"),
+            F.col("cid").alias("corpus_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()  # a pair may surface via multiple probed cells
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "id",

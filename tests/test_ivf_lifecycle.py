@@ -250,3 +250,60 @@ class TestJoinPruneServing:
         # static isin partition filter, only the broadcast semi join
         p = _explain(joined)
         assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+class TestIncrementalEmbeddingNeardup:
+    def test_batch_dups_found_novel_vectors_pass(self, spark, store):
+        from easydb_server_spark.operators.similarity import (
+            incremental_embedding_neardup,
+            write_ivf_store,
+        )
+
+        import math
+
+        corpus = spark.createDataFrame(
+            [
+                (i, [math.cos(i * math.pi / 16), math.sin(i * math.pi / 16)])
+                for i in range(32)
+            ],
+            "vec_id long, v array<double>",
+        )
+        write_ivf_store(corpus, "v", "vec_id", store, n_cells=4)
+        # batch: two near-copies of stored vectors + one novel direction
+        eps = 1e-4
+        batch = spark.createDataFrame(
+            [
+                (100, [math.cos(3 * math.pi / 16) + eps, math.sin(3 * math.pi / 16)]),
+                (101, [math.cos(20 * math.pi / 16), math.sin(20 * math.pi / 16) - eps]),
+                (102, [math.cos(0.5 * math.pi / 16 + 0.1), math.sin(0.5 * math.pi / 16 + 0.1)]),
+            ],
+            "vec_id long, v array<double>",
+        )
+        pairs = incremental_embedding_neardup(
+            spark, batch, "v", "vec_id", store, threshold=0.999999, nprobe=2
+        ).collect()
+        by_batch = {}
+        for r in pairs:
+            by_batch.setdefault(r.batch_id, set()).add(r.corpus_id)
+        assert by_batch.get(100) == {3}
+        assert by_batch.get(101) == {20}
+        assert 102 not in by_batch  # novel direction admitted
+
+    def test_probe_reads_only_probed_partitions(self, spark, store):
+        from easydb_server_spark.operators.similarity import (
+            incremental_embedding_neardup,
+            write_ivf_store,
+        )
+
+        base = spark.createDataFrame(
+            [(i, [float(i % 5), float(i)]) for i in range(50)],
+            "vec_id long, v array<double>",
+        )
+        write_ivf_store(base, "v", "vec_id", store, n_cells=8)
+        batch = spark.createDataFrame([(200, [1.0, 25.0])], "vec_id long, v array<double>")
+        df = incremental_embedding_neardup(spark, batch, "v", "vec_id", store, nprobe=1)
+        p = _explain(df)
+        # the store side is gated by the broadcast cell semi-join; no
+        # full-store shuffle appears above the store scan
+        assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+        df.collect()  # executes end-to-end
