@@ -88,6 +88,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "emb_quantize",
     "sim_semdedup",
+    "sim_incremental_neardup",
     "emb_label_outliers",
     "multimodal_features",
     # r9: the real-WAV audio modality (encode -> decode -> features)

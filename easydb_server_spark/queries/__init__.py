@@ -151,6 +151,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_bpe_merges": (llmops.q_text_bpe_merges, llmops.ORACLE_TEXT_BPE_MERGES),
     "sim_semdedup": (llmops.q_sim_semdedup, llmops.ORACLE_SIM_SEMDEDUP),
     "sim_topk_ivf": (llmops.q_sim_topk_ivf, llmops.ORACLE_SIM_TOPK_IVF),
+    # r9 (below-window: locked by the never-driver-seen pytest oracle
+    # guard + the full conformance sweep until a future rotation)
+    "sim_incremental_neardup": (
+        llmops.q_sim_incremental_neardup,
+        llmops.ORACLE_SIM_INCREMENTAL_NEARDUP,
+    ),
     "curation_pipeline": (llmops.q_curation_pipeline, llmops.ORACLE_CURATION_PIPELINE),
     "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),

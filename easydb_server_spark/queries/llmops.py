@@ -498,6 +498,111 @@ ORDER BY qid, rank
 """
 
 
+def q_sim_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup: vec_id < 80 is the indexed
+    corpus (16 IVF cells, deterministic k-means); the new batch is
+    vec_id 80-99 (novel) + 10 exact copies of corpus vectors (+1000)
+    + 20 one-coordinate perturbations (+2000, first dim +0.2).
+    Pairs at cosine ≥ 0.95 within the nprobe=2 probed cells — the
+    oracle replays the centroid derivation, the probe restriction,
+    and the cosine threshold, so recall artifacts of the cell
+    geometry match bit-for-bit (IVF semantics, not ground truth).
+    Uses the side-effect-free probe core shared with the persisted
+    store (operators/similarity.py:embedding_neardup_probe)."""
+    from easydb_server_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        embedding_neardup_probe,
+        ivf_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    emb = _as_double(F.col("embedding"))
+    corpus = e.where(F.col("vec_id") < 80).select("vec_id", "embedding")
+    near = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 30)).select(
+        (F.col("vec_id") + 2000).alias("qid"),
+        F.concat(F.array(F.element_at(emb, 1) + F.lit(0.2)), F.slice(emb, 2, 63)).alias("qvec"),
+    )
+    batch = (
+        e.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+        .select(F.col("vec_id").alias("qid"), emb.alias("qvec"))
+        .unionAll(
+            e.where(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 1000).alias("qid"), emb.alias("qvec")
+            )
+        )
+        .unionAll(near)
+    )
+    cents = ivf_centroids(corpus, "embedding", "vec_id", n_cells=16)
+    store = _assign_cells(
+        corpus.select(F.col("vec_id").alias("cid"), emb.alias("cvec")), cents
+    )
+    return embedding_neardup_probe(store, cents, batch, threshold=0.95, nprobe=2).orderBy(
+        "batch_id", "corpus_id"
+    )
+
+
+ORACLE_SIM_INCREMENTAL_NEARDUP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+corpus AS (SELECT vec_id, vec FROM v WHERE vec_id < 80),
+init AS (
+  SELECT vec_id AS cell, vec AS centroid FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+a0 AS (
+  SELECT cid, cell FROM (
+    SELECT c0.vec_id AS cid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY c0.vec_id
+                              ORDER BY ROUND(list_dot_product(c0.vec, c.centroid), 6) DESC, c.cell) AS r
+    FROM corpus c0 CROSS JOIN init c
+  ) WHERE r = 1
+),
+upd AS (
+  SELECT a0.cell, t.i AS pos, ROUND(AVG(c0.vec[t.i]), 5) AS m
+  FROM a0 JOIN corpus c0 ON c0.vec_id = a0.cid,
+       UNNEST(generate_series(1, len(c0.vec))) t(i)
+  GROUP BY a0.cell, t.i
+),
+newc AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM upd GROUP BY cell),
+cents AS (
+  SELECT i.cell, COALESCE(n.centroid, i.centroid) AS centroid
+  FROM init i LEFT JOIN newc n ON n.cell = i.cell
+),
+assigned AS (
+  SELECT cid, cell FROM (
+    SELECT c0.vec_id AS cid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY c0.vec_id
+                              ORDER BY ROUND(list_dot_product(c0.vec, c.centroid), 6) DESC, c.cell) AS r
+    FROM corpus c0 CROSS JOIN cents c
+  ) WHERE r = 1
+),
+batch AS (
+  SELECT vec_id AS qid, vec FROM v WHERE vec_id >= 80 AND vec_id < 100
+  UNION ALL
+  SELECT vec_id + 1000, vec FROM v WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 2000, list_prepend(vec[1] + 0.2, vec[2:]) FROM v
+  WHERE vec_id >= 10 AND vec_id < 30
+),
+probed AS (
+  SELECT qid, cell FROM (
+    SELECT b.qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.qid
+                              ORDER BY ROUND(list_dot_product(b.vec, c.centroid), 6) DESC, c.cell) AS r
+    FROM batch b CROSS JOIN cents c
+  ) WHERE r <= 2
+)
+SELECT DISTINCT p.qid AS batch_id, a.cid AS corpus_id,
+       ROUND(list_cosine_similarity(cv.vec, qv.vec), 6) AS cosine
+FROM probed p
+JOIN assigned a ON a.cell = p.cell
+JOIN corpus cv ON cv.vec_id = a.cid
+JOIN batch qv ON qv.qid = p.qid
+WHERE ROUND(list_cosine_similarity(cv.vec, qv.vec), 6) >= 0.95
+ORDER BY batch_id, corpus_id
+"""
+
+
 def q_dedup_pipeline_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production dedup flow in one plan: near-dup pairs
     (exact Jaccard @0.6) → connected components → keeper = min doc_id
