@@ -937,6 +937,73 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio rate conversion end-to-end: the same deterministic clips
+    as multimodal_audio (8 kHz mono, ``((doc_id·7919 + i·104729) mod
+    65536) − 32768``), RESAMPLED to 4 kHz through the real codec
+    (decode → nearest-sample index arithmetic → re-encode) and then
+    featurized. Nearest-sample at a 2:1 ratio keeps exactly the
+    even-index frames, so the oracle computes the features in closed
+    form over ``s(doc, 2i)`` — a hash match proves the
+    decode→resample→encode→decode→feature chain is sample-faithful.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 100 + did % 50
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    from easydb_server_spark.operators.multimodal import audio_features, resample_audio
+
+    resampled = resample_audio(blobs, "payload", "item_id", 4000)
+    return (
+        audio_features(resampled, "payload", "item_id")
+        .select(
+            "item_id",
+            "sample_rate",
+            "n_samples",
+            "duration_ms",
+            "rms",
+            "clipping_frac",
+            "peak",
+        )
+        .orderBy("item_id")
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO_RESAMPLE = """
+WITH nn AS (SELECT doc_id, (100 + doc_id % 50) // 2 AS n FROM documents),
+s AS (
+  SELECT nn.doc_id, nn.n,
+         ((nn.doc_id * 7919 + (2 * t.i) * 104729) % 65536) - 32768 AS s
+  FROM nn, UNNEST(generate_series(0, nn.n - 1)) t(i)
+)
+SELECT doc_id                                            AS item_id,
+       CAST(4000 AS INT)                                 AS sample_rate,
+       CAST(MAX(n) AS INT)                               AS n_samples,
+       CAST(FLOOR(MAX(n) * 1000.0 / 4000) AS INT)        AS duration_ms,
+       ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / MAX(n)), 4) AS rms,
+       CAST(SUM(CASE WHEN ABS(s) >= 32767 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n)                                    AS clipping_frac,
+       CAST(MAX(ABS(s)) AS INT)                          AS peak
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return T.normalize_text(d, "text", "doc_id").orderBy("doc_id")
