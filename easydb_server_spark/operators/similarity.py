@@ -655,14 +655,28 @@ def incremental_embedding_neardup(
     pair straddling a cell boundary needs ``nprobe > 1`` to be seen —
     the same dial, with the same meaning, as serving.
     """
-    from pyspark.sql import Window
-
     cents = spark.table(f"{table}_centroids")
     b = new_batch.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
     )
-    probed = _assign_cells(b, cents, id_col="qid", vec_col="qvec", top=nprobe)
-    store = spark.table(table).join(
+    return embedding_neardup_probe(spark.table(table), cents, b, threshold, nprobe)
+
+
+def embedding_neardup_probe(
+    store: DataFrame,
+    cents: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    nprobe: int,
+) -> DataFrame:
+    """The probe core shared by :func:`incremental_embedding_neardup`
+    (persisted store) and the side-effect-free conformance entry
+    (in-memory assignment): ``store`` is (cell, cid, cvec), ``cents``
+    is (cell, centroid), ``batch`` is (qid, qvec). The batch's probed
+    cells gate the store through a broadcast semi-join BEFORE the pair
+    join, so a partitioned store scans only those cells."""
+    probed = _assign_cells(batch, cents, id_col="qid", vec_col="qvec", top=nprobe)
+    store = store.join(
         F.broadcast(probed.select("cell").distinct()), "cell", "left_semi"
     )
     cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnrm") * F.col("qnrm"))
@@ -763,6 +777,7 @@ def append_to_ivf_store(
     vec_col: str,
     id_col: str,
     table: str,
+    seq: int | None = None,
 ) -> int:
     """Incremental IVF-store ingest: assign the new vectors to the
     EXISTING centroids (broadcast — the store's cell geometry does not
@@ -789,17 +804,26 @@ def append_to_ivf_store(
     Legacy stores written before the ``seq`` column must be rebuilt
     (or compacted once) before appending — parquet appends require the
     existing schema.
+
+    ``seq`` defaults to 1 + the store's current maximum (one cheap
+    stats-only aggregate). Streaming callers pass their micro-batch id
+    explicitly instead: a crash-replayed batch then re-appends rows
+    under the SAME seq, so compaction's newest-seq-wins rule collapses
+    the duplicates and replay stays idempotent
+    (:func:`easydb_server_spark.streaming.ingest.stream_embedding_ingest`).
     """
     cents = spark.table(f"{table}_centroids")
-    nxt = (
-        spark.table(table).agg(F.coalesce(F.max("seq") + 1, F.lit(0)).alias("s")).collect()[0]["s"]
-        if "seq" in spark.table(table).columns
-        else None
-    )
-    if nxt is None:
+    if "seq" not in spark.table(table).columns:
         raise ValueError(
             f"store {table!r} predates the seq column; run compact_ivf_store or rebuild"
         )
+    nxt = (
+        seq
+        if seq is not None
+        else spark.table(table)
+        .agg(F.coalesce(F.max("seq") + 1, F.lit(0)).alias("s"))
+        .collect()[0]["s"]
+    )
     v = new_vectors.select(
         F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec")
     )

@@ -340,6 +340,114 @@ def stream_ingest_pipeline(
     )
 
 
+def stream_embedding_ingest(
+    vec_stream: DataFrame,
+    vec_col: str,
+    id_col: str,
+    store_table: str,
+    admitted_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.99,
+    nprobe: int = 1,
+    n_cells: int | None = None,
+):
+    """Continuous EMBEDDING ingest against the persistent IVF store —
+    the semantic counterpart of :func:`stream_ingest_pipeline`'s
+    exact/fuzzy text dedup. Per micro-batch:
+
+    1. **within-batch dedup**: the batch probes ITSELF through a cell
+       geometry derived from the batch's own vectors (deterministic
+       k-means — a pure function of batch content, so a crash-replay
+       recomputes it identically; the store's centroids would make
+       batch 0's replay geometry-dependent); of any near-dup pair the
+       smaller id survives.
+    2. **store probe**: survivors probe the persisted store's probed
+       cell partitions (``incremental_embedding_neardup``); anything
+       at cosine ≥ ``threshold`` against ANY stored vector (with
+       ``seq < batch_id`` — replay safety) is rejected.
+    3. admitted vectors land in a ``batch_id=N`` parquet partition
+       (dynamic overwrite — replay overwrites, never duplicates) and
+       append to the store stamped ``seq = batch_id``, so batch N+1
+       sees them.
+
+    The FIRST batch bootstraps the store (``write_ivf_store`` with
+    ``seq = 0`` semantics; later batches reuse its frozen centroids —
+    watch :func:`...operators.similarity.ivf_store_stats` between
+    runs and retrain offline, exactly like the dedup indexes'
+    between-run compaction).
+
+    Replay safety: a crash-replayed batch filters the store to
+    ``seq < batch_id``, so it never sees its own half-committed
+    append and recomputes the identical admit list; its re-appended
+    rows carry the same ``seq`` and collapse at the next
+    ``compact_ivf_store`` (newest-seq-wins keeps one copy — contents
+    equal, so which one is immaterial). State story: the streaming
+    query holds ZERO state — every byte of dedup memory is the
+    bucketless cell-partitioned store on storage, shared with the
+    batch operators and bounded by admitted corpus size.
+    """
+    from easydb_server_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        append_to_ivf_store,
+        embedding_neardup_probe,
+        ivf_centroids,
+        write_ivf_store,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+        ).localCheckpoint(eager=True)
+        # (1) within-batch semantic dedup under the batch's OWN
+        # deterministic geometry (smaller id wins)
+        batch_cents = ivf_centroids(b, "qvec", "qid", n_cells)
+        self_store = _assign_cells(
+            b.select(F.col("qid").alias("cid"), F.col("qvec").alias("cvec")), batch_cents
+        )
+        self_pairs = (
+            embedding_neardup_probe(self_store, batch_cents, b, threshold, nprobe)
+            .where(F.col("batch_id") > F.col("corpus_id"))
+            .select(F.col("batch_id").alias("qid"))
+            .distinct()
+        )
+        admitted = b.join(self_pairs, "qid", "left_anti")
+        has_store = sess.catalog.tableExists(store_table)
+        if has_store:
+            # (2) probe the persistent store, replay-safe
+            cents = sess.table(f"{store_table}_centroids")
+            store = sess.table(store_table).where(F.col("seq") < F.lit(batch_id))
+            dups = (
+                embedding_neardup_probe(store, cents, admitted, threshold, nprobe)
+                .select(F.col("batch_id").alias("qid"))
+                .distinct()
+            )
+            admitted = admitted.join(dups, "qid", "left_anti")
+        admitted = admitted.localCheckpoint(eager=True)
+        (
+            admitted.withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(admitted_path)
+        )
+        if has_store:
+            append_to_ivf_store(
+                sess, admitted, "qvec", "qid", store_table, seq=batch_id
+            )
+        else:
+            write_ivf_store(admitted, "qvec", "qid", store_table, n_cells=n_cells)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"embedding_ingest_{store_table}")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_benchmark_digests(
     benchmark: DataFrame, text_col: str, id_col: str, table: str
 ) -> None:

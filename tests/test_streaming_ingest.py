@@ -547,3 +547,88 @@ def test_pipeline_gates_match_batch_admit_list(spark, tmp_path):
     finally:
         for t in (table, lm_table, f"{lm_table}_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_embedding_ingest_dedup_and_replay(spark, tmp_path):
+    """Continuous embedding ingest: batch 0 bootstraps the IVF store,
+    later batches reject exact/near copies of stored vectors and
+    within-batch twins, novel vectors are admitted and appended so the
+    NEXT batch sees them; a crash-replayed batch recomputes the same
+    admit list (seq < batch_id probe filter)."""
+    import math
+
+    from easydb_server_spark.streaming.ingest import stream_embedding_ingest
+
+    store = f"emb_ing_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    def write_vecs(path, rows, order=0):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(
+            "".join(json.dumps({"vec_id": i, "v": v}) + "\n" for (i, v) in rows)
+        )
+        t = 1_700_000_000 + order * 60
+        os.utime(path, (t, t))
+
+    b0 = [(i, vec(i * math.pi / 10)) for i in range(10)]
+    # batch 1: one exact copy of vec 3, one within-batch twin pair
+    # (20/21), one novel direction
+    b1 = [(20, vec(2.0)), (21, vec(2.0)), (30, vec(3 * math.pi / 10)), (40, vec(2.7))]
+    # batch 2: near-copy of batch-1's admitted vec 20, plus novel
+    b2 = [(50, vec(2.0 + 1e-6)), (60, vec(1.23))]
+    write_vecs(in_dir / "b0.json", b0, order=0)
+    write_vecs(in_dir / "b1.json", b1, order=1)
+    write_vecs(in_dir / "b2.json", b2, order=2)
+    schema = "vec_id long, v array<double>"
+    try:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_embedding_ingest(
+            src, "v", "vec_id", store, str(admitted), str(ckpt),
+            threshold=0.9999, nprobe=2, n_cells=4,
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(str(admitted))
+        ids = {r.qid for r in out.collect()}
+        # batch 0 all admitted; 21 is a within-batch twin of 20;
+        # 30 copies stored vec 3; 50 near-copies stored 20; 40/60 novel
+        assert set(range(10)) <= ids
+        assert 20 in ids and 40 in ids and 60 in ids
+        assert 21 not in ids and 30 not in ids and 50 not in ids
+        # the store holds exactly the admitted vectors
+        store_ids = {r.cid for r in spark.table(store).select("cid").collect()}
+        assert store_ids == ids
+        # crash-replay of batch 0: a fresh query (new checkpoint)
+        # reprocesses b0's content under the same batch_id=0 against
+        # the fully-populated store — the state a mid-commit crash
+        # leaves. The seq < 0 probe filter hides every stored row, so
+        # the replay recomputes b0's exact admit list; its partition
+        # overwrites (not duplicates), and the re-appended seq=0 rows
+        # collapse at compaction.
+        replay_dir = tmp_path / "replay"
+        write_vecs(replay_dir / "b0.json", b0, order=0)
+        src2 = spark.readStream.schema(schema).json(str(replay_dir))
+        q2 = stream_embedding_ingest(
+            src2, "v", "vec_id", store, str(admitted), str(tmp_path / "ckpt2"),
+            threshold=0.9999, nprobe=2, n_cells=4,
+        )
+        q2.awaitTermination()
+        out2 = spark.read.parquet(str(admitted))
+        assert {r.qid for r in out2.collect()} == ids
+        # the double-appended batch-0 rows disappear at compaction
+        # (refresh: the append ran in the stream's cloned session, and
+        # this session's relation cache predates it)
+        from easydb_server_spark.operators.similarity import compact_ivf_store
+
+        spark.catalog.refreshTable(store)
+        assert spark.table(store).count() > len(ids)
+        assert compact_ivf_store(spark, store) == len(ids)
+    finally:
+        for t in (store, f"{store}_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
