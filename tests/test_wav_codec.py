@@ -131,3 +131,38 @@ class TestResample:
             assert r.n_samples == (800 + i) // 2
             arr, rate = decode_wav(bytes(r.payload))
             assert rate == 4000 and arr.shape[0] == r.n_samples
+
+
+class TestWavFuzz:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    @settings(max_examples=80, deadline=None)
+    @given(
+        n=st.integers(0, 400),
+        channels=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 22050, 44100]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_roundtrip_any_geometry(n, channels, rate, seed):
+        """encode->decode is the identity for ANY sample geometry,
+        including n=0 (empty data chunk) and odd byte counts (the
+        word-alignment pad path)."""
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=(n, channels), dtype=np.int16)
+        arr, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and arr.shape == (n, channels)
+        assert (arr == s).all()
+
+    @staticmethod
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(1, 300), seed=st.integers(0, 2**31))
+    def test_decoder_features_match_numpy(n, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        feats = wav_decoder(encode_wav(s, 8000))
+        flat = s.astype(np.float64)
+        assert feats["rms"] == pytest.approx(float(np.sqrt(np.mean(flat * flat))))
+        assert feats["peak"] == int(np.max(np.abs(flat)))
+        assert feats["clipping_frac"] == float(np.mean(np.abs(flat) >= 32767))
