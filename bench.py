@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk_lsh",
     "text_token_counts",
+    "text_html_extract",
     "text_hash_split",
     "text_repetition",
     "text_quality_prune",

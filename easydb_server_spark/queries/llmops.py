@@ -1004,6 +1004,84 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction: each document is wrapped into a
+    deterministic page (head/style/comment/script blocks, heading from
+    the first 20 chars, the text in a paragraph with an escaped
+    ampersand, a list, an nbsp entity) and the extractor must strip
+    the markup, keep block boundaries as newlines, and unescape — the
+    oracle replays the construction AND the full regex pipeline."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>T</title><style>p {color:red}</style></head>'
+            "<body><!-- build 7 --><h1>"
+        ),
+        F.substring("text", 1, 20),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            ' &amp; more</p><script type="text/javascript">var x = 1 &lt; 2;'
+            "</script><ul><li>alpha</li><li>beta</li></ul>"
+            "<div>tail&nbsp;note</div></body></html>"
+        ),
+    )
+    built = d.select("doc_id", html.alias("html"))
+    return T.html_extract(built, "html", "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_HTML_EXTRACT = """
+WITH built AS (
+  SELECT doc_id,
+         '<html><head><title>T</title><style>p {color:red}</style></head>'
+         || '<body><!-- build 7 --><h1>' || substr(text, 1, 20) || '</h1><p>'
+         || text
+         || ' &amp; more</p><script type="text/javascript">var x = 1 &lt; 2;'
+         || '</script><ul><li>alpha</li><li>beta</li></ul>'
+         || '<div>tail&nbsp;note</div></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         len(regexp_extract_all(html, '<[^>]*>')) AS n_tags,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+                   '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', '', 'g'),
+               '<br[^>]*>', chr(10), 'g'),
+             '</(p|div|h[1-6]|li|tr)>', chr(10), 'g'),
+           '<[^>]*>', '', 'g') AS t
+  FROM built
+),
+unescaped AS (
+  SELECT doc_id, n_tags,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS t
+  FROM stripped
+),
+collapsed AS (
+  SELECT doc_id, n_tags,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[ \t]+', ' ', 'g'),
+               ' ?\n ?', chr(10), 'g'),
+             '\n{2,}', chr(10) || chr(10), 'g'),
+           '^\s+|\s+$', '', 'g') AS clean_text
+  FROM unescaped
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS INT) AS n_chars,
+       CAST(n_tags AS INT) AS n_tags
+FROM collapsed ORDER BY doc_id
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return T.normalize_text(d, "text", "doc_id").orderBy("doc_id")

@@ -170,3 +170,32 @@ class TestFrozenLmScorer:
         finally:
             for t in (table, f"{table}_meta"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestHtmlExtract:
+    def test_strips_blocks_keeps_structure_unescapes(self, spark):
+        from easydb_server_spark.operators.text import html_extract
+
+        html = (
+            "<html><head><style>a{x:1}</style></head><body>\n"
+            "<!-- multi\nline comment --><h1>Title</h1>"
+            "<p>one &amp;amp; two</p><script>\nif (a<b) {}\n</script>"
+            "<div>last&nbsp;line</div></body></html>"
+        )
+        df = spark.createDataFrame([(1, html), (2, ""), (3, "plain, no tags")],
+                                   "doc_id long, html string")
+        rows = {r.doc_id: r for r in html_extract(df, "html", "doc_id").collect()}
+        # &amp;amp; unescapes ONE level (amp last) -> "&amp;"
+        assert rows[1].clean_text == "Title\none &amp; two\nlast line"
+        assert rows[1].n_tags > 0
+        assert rows[2].clean_text == "" and rows[2].n_tags == 0
+        assert rows[3].clean_text == "plain, no tags" and rows[3].n_tags == 0
+
+    def test_br_and_blank_line_collapse(self, spark):
+        from easydb_server_spark.operators.text import html_extract
+
+        df = spark.createDataFrame(
+            [(1, "<p>a</p>  \n\n  <p>b</p><br/><br>c")], "doc_id long, html string"
+        )
+        r = html_extract(df, "html", "doc_id").collect()[0]
+        assert r.clean_text == "a\n\nb\n\nc"
