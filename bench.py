@@ -55,6 +55,7 @@ HEADLINE = [
     "sim_topk_lsh",
     "text_token_counts",
     "text_html_extract",
+    "text_paragraph_dedup",
     "text_hash_split",
     "text_repetition",
     "text_quality_prune",

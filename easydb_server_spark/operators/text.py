@@ -871,6 +871,87 @@ def html_extract(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    keep: str = "none",
+) -> DataFrame:
+    """Cross-document PARAGRAPH dedup — CCNet's primary dedup
+    primitive (paragraph-hash dedup over the shard before LM scoring)
+    and the cross-doc complement of :func:`line_dedup` (intra-doc):
+    a paragraph (``\\n\\n``-separated) occurring in ≥ ``min_docs``
+    distinct documents is boilerplate (cookie banners, footers,
+    license blocks) and is removed. ``keep="none"`` (default) strips
+    every copy — the boilerplate-removal reading; ``keep="first"``
+    keeps the single globally-first copy (smallest doc_id, then
+    earliest position) — the dedup reading. Returns
+    (doc_id, clean_text, n_paras, n_removed); docs keep their
+    unaffected paragraphs in order.
+
+    Exactness: duplicated-paragraph detection is STRING-exact, not
+    hash-approximate — the md5 pass nominates candidates (corpus-wide
+    stages shuffle 32-byte digests only), then a window over the
+    candidate rows recounts by the actual paragraph text, so a hash
+    collision can never strip innocent content (same
+    candidate-restricted verify as ``dedup.duplicate_ngram_spans``;
+    the candidate shuffle is bounded by the duplicated tail).
+
+    Scale shape: one corpus scan explodes paragraphs and reduces them
+    to digests in the scan projection; the doc-frequency aggregate is
+    map-side-combinable over 8-byte keys; flagged positions aggregate
+    per doc (bounded by the boilerplate tail) and join back to the
+    corpus on doc_id; the rebuild is an in-row higher-order filter.
+    No stage shuffles full corpus text.
+    """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    from pyspark.sql import Window
+
+    paras = F.split(F.col(text_col), "\n\n")
+    base = df.select(F.col(id_col).alias("doc_id"), paras.alias("ps"))
+    exploded = base.select("doc_id", F.posexplode("ps").alias("pos", "para")).select(
+        "doc_id", "pos", "para", F.md5(F.col("para")).alias("ph")
+    )
+    hash_freq = (
+        base.select("doc_id", F.explode(F.array_distinct("ps")).alias("para"))
+        .select(F.md5(F.col("para")).alias("ph"))
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    cand = exploded.join(hash_freq.select("ph"), "ph")
+    w = Window.partitionBy("para")
+    verified = cand.withColumn(
+        "true_docs", F.size(F.collect_set("doc_id").over(w))
+    ).where(F.col("true_docs") >= min_docs)
+    if keep == "first":
+        order = Window.partitionBy("para").orderBy(F.col("doc_id").asc(), F.col("pos").asc())
+        verified = verified.withColumn("_r", F.row_number().over(order)).where(
+            F.col("_r") > 1
+        )
+    drops = verified.groupBy("doc_id").agg(F.collect_set("pos").alias("drop_pos"))
+    joined = base.join(drops, "doc_id", "left").select(
+        "doc_id",
+        "ps",
+        F.coalesce("drop_pos", F.array().cast("array<int>")).alias("drop_pos"),
+    )
+    kept = F.filter(
+        F.col("ps"), lambda p, i: ~F.array_contains(F.col("drop_pos"), i)
+    )
+    return joined.select(
+        "doc_id",
+        # null text → null row (same contract as line_dedup: concat_ws
+        # over a null array would fabricate '')
+        F.when(F.col("ps").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n\n", kept))
+        .alias("clean_text"),
+        F.size("ps").alias("n_paras"),
+        (F.size("ps") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def write_unigram_lm(
     df: DataFrame, text_col: str, id_col: str, table: str, vocab_size: int = 200
 ) -> None:

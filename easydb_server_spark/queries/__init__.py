@@ -162,6 +162,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         llmops.ORACLE_MULTIMODAL_AUDIO_RESAMPLE,
     ),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
+    "text_paragraph_dedup": (
+        llmops.q_text_paragraph_dedup,
+        llmops.ORACLE_TEXT_PARAGRAPH_DEDUP,
+    ),
     "curation_pipeline": (llmops.q_curation_pipeline, llmops.ORACLE_CURATION_PIPELINE),
     "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),

@@ -1082,6 +1082,61 @@ FROM collapsed ORDER BY doc_id
 """
 
 
+def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc paragraph boilerplate removal (CCNet's primary dedup
+    primitive): each doc becomes three paragraphs — a per-source
+    boilerplate footer (shared by every doc of that source → removed
+    everywhere), the doc's own text (unique → kept), and a
+    first-45-chars teaser (unique → kept). Both engines replay the
+    construction and the exact string-keyed doc-frequency."""
+    d = load(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat(F.lit("footer of "), F.col("source")),
+            F.col("text"),
+            F.substring("text", 1, 45),
+        ).alias("text"),
+    )
+    return T.paragraph_dedup(built, "text", "doc_id", min_docs=2).orderBy("doc_id")
+
+
+ORACLE_TEXT_PARAGRAPH_DEDUP = """
+WITH built AS (
+  SELECT doc_id,
+         ['footer of ' || source, text, substr(text, 1, 45)] AS ps
+  FROM documents
+),
+x AS (
+  SELECT doc_id, t.i - 1 AS pos, ps[t.i] AS para
+  FROM built, UNNEST(generate_series(1, len(ps))) t(i)
+),
+freq AS (
+  SELECT para, COUNT(DISTINCT doc_id) AS n_docs FROM x GROUP BY para
+),
+drops AS (
+  SELECT x.doc_id, x.pos FROM x JOIN freq USING (para) WHERE freq.n_docs >= 2
+),
+kept AS (
+  SELECT x.doc_id, x.pos, x.para
+  FROM x ANTI JOIN drops d ON d.doc_id = x.doc_id AND d.pos = x.pos
+),
+rebuilt AS (
+  SELECT doc_id,
+         STRING_AGG(para, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(b.ps) AS INT) AS n_paras,
+       CAST(len(b.ps) - COALESCE(r.n_kept, 0) AS INT) AS n_removed
+FROM built b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return T.normalize_text(d, "text", "doc_id").orderBy("doc_id")

@@ -199,3 +199,52 @@ class TestHtmlExtract:
         )
         r = html_extract(df, "html", "doc_id").collect()[0]
         assert r.clean_text == "a\n\nb\n\nc"
+
+
+class TestParagraphDedup:
+    DOCS = [
+        (1, "footer\n\nunique one\n\nshared para"),
+        (2, "footer\n\nunique two\n\nshared para"),
+        (3, "solo doc\n\nall original"),
+        (4, None),
+    ]
+
+    def test_boilerplate_strip_removes_all_copies(self, spark):
+        from easydb_server_spark.operators.text import paragraph_dedup
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        rows = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id").collect()}
+        assert rows[1].clean_text == "unique one" and rows[1].n_removed == 2
+        assert rows[2].clean_text == "unique two" and rows[2].n_removed == 2
+        assert rows[3].clean_text == "solo doc\n\nall original" and rows[3].n_removed == 0
+        assert rows[4].clean_text is None and rows[4].n_paras is None
+
+    def test_keep_first_retains_global_first_copy(self, spark):
+        from easydb_server_spark.operators.text import paragraph_dedup
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        rows = {
+            r.doc_id: r
+            for r in paragraph_dedup(df, "text", "doc_id", keep="first").collect()
+        }
+        # doc 1 (smallest id) keeps footer and shared para; doc 2 loses both
+        assert rows[1].clean_text == "footer\n\nunique one\n\nshared para"
+        assert rows[2].clean_text == "unique two" and rows[2].n_removed == 2
+
+    def test_within_doc_repeat_counts_once_for_frequency(self, spark):
+        from easydb_server_spark.operators.text import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "dup\n\ndup\n\nown"), (2, "other\n\nthings")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id").collect()}
+        # 'dup' appears twice in ONE doc only -> doc frequency 1 -> kept
+        assert rows[1].clean_text == "dup\n\ndup\n\nown" and rows[1].n_removed == 0
+
+    def test_keep_validation(self, spark):
+        from easydb_server_spark.operators.text import paragraph_dedup
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="keep"):
+            paragraph_dedup(df, "text", "doc_id", keep="last")
