@@ -56,6 +56,7 @@ HEADLINE = [
     "text_token_counts",
     "text_html_extract",
     "text_paragraph_dedup",
+    "text_url_filter",
     "text_hash_split",
     "text_repetition",
     "text_quality_prune",

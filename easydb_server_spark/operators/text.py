@@ -871,6 +871,70 @@ def html_extract(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
     )
 
 
+def url_features(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_keywords: tuple[str, ...] = (),
+) -> DataFrame:
+    """URL-level curation gate — the filter crawl pipelines
+    (RefinedWeb §3.1, CCNet) apply BEFORE fetching or keeping a page:
+    parse the URL in-row, expose the spam signals, and gate against a
+    domain blocklist and a keyword list. Returns one row per doc:
+    domain, tld, path_depth, n_params, digit_frac (of the domain —
+    auto-generated spam hosts are digit-heavy), the two block
+    booleans, and ``pass_url``.
+
+    Blocking semantics: a domain is blocked if it equals a blocklist
+    entry OR is a subdomain of one (``ads.example.com`` matches
+    ``example.com``); a keyword blocks on substring anywhere in the
+    lowercased URL (the published blocklists work this way).
+
+    Scale shape: pure in-row regexp/array arithmetic over the URL
+    column — zero shuffle, zero Python; blocklists are expression
+    literals (real deployments broadcast-join a blocklist TABLE —
+    same plan shape as the decontamination probes).
+    """
+    u = F.lower(F.col(url_col).cast("string"))
+    domain = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda x: x != F.lit("")))
+    n_params = F.when(query == "", F.lit(0)).otherwise(F.size(F.split(query, "&")))
+    dom_len = F.greatest(F.length(domain), F.lit(1))
+    digit_frac = F.round(
+        (F.length(domain) - F.length(F.regexp_replace(domain, "[0-9]", ""))).cast("double")
+        / dom_len,
+        6,
+    )
+    if blocked_domains:
+        dom_hit = None
+        for b in blocked_domains:
+            h = (domain == F.lit(b)) | domain.endswith("." + b)
+            dom_hit = h if dom_hit is None else (dom_hit | h)
+    else:
+        dom_hit = F.lit(False)
+    if blocked_keywords:
+        kw_hit = None
+        for k in blocked_keywords:
+            h = u.contains(k)
+            kw_hit = h if kw_hit is None else (kw_hit | h)
+    else:
+        kw_hit = F.lit(False)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        domain.alias("domain"),
+        F.substring_index(domain, ".", -1).alias("tld"),
+        path_depth.alias("path_depth"),
+        n_params.alias("n_params"),
+        digit_frac.alias("digit_frac"),
+        dom_hit.alias("blocked_domain"),
+        kw_hit.alias("blocked_keyword"),
+        (~dom_hit & ~kw_hit).alias("pass_url"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str,

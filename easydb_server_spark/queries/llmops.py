@@ -1137,6 +1137,85 @@ ORDER BY b.doc_id
 """
 
 
+def q_text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level curation gate over deterministically synthesized URLs:
+    doc_id mod 7 picks the host shape (including a blocklisted domain,
+    a subdomain of one, a digit-heavy spam host, and a keyword hit in
+    the path), doc_id mod 3 + 1 path segments, a query string on even
+    ids. The oracle replays construction, parsing, and both block
+    rules."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("spamexample.com"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("ads.spamexample.com"))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("h"), (F.col("doc_id") % 1000).cast("string"), F.lit("x99.net")))
+        .when(F.col("doc_id") % 7 == 3, F.lit("news.example.org"))
+        .otherwise(F.lit("example.com"))
+    )
+    seg = F.concat(F.lit("seg"), (F.col("doc_id") % 5).cast("string"))
+    path = F.concat(
+        F.lit("/"),
+        F.when(F.col("doc_id") % 7 == 4, F.lit("casino-bonus/")).otherwise(F.lit("")),
+        F.concat_ws("/", F.array_repeat(seg, (F.col("doc_id") % 3 + 1).cast("int"))),
+    )
+    q = F.when(F.col("doc_id") % 2 == 0, F.lit("?a=1&b=2")).otherwise(F.lit(""))
+    built = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path, q).alias("url")
+    )
+    return T.url_features(
+        built,
+        "url",
+        "doc_id",
+        blocked_domains=("spamexample.com",),
+        blocked_keywords=("casino",),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_URL_FILTER = """
+WITH built AS (
+  SELECT doc_id,
+         'https://'
+         || CASE doc_id % 7
+              WHEN 0 THEN 'spamexample.com'
+              WHEN 1 THEN 'ads.spamexample.com'
+              WHEN 2 THEN 'h' || CAST(doc_id % 1000 AS VARCHAR) || 'x99.net'
+              WHEN 3 THEN 'news.example.org'
+              ELSE 'example.com' END
+         || '/'
+         || CASE WHEN doc_id % 7 = 4 THEN 'casino-bonus/' ELSE '' END
+         || array_to_string(
+              [ 'seg' || CAST(doc_id % 5 AS VARCHAR)
+                FOR i IN generate_series(1, CAST(doc_id % 3 + 1 AS INT)) ], '/')
+         || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, lower(url) AS u,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(lower(url), '\\?([^#]*)', 1) AS query
+  FROM built
+),
+feats AS (
+  SELECT doc_id, domain,
+         regexp_extract(domain, '([^.]*)$', 1) AS tld,
+         len(list_filter(string_split(path, '/'), x -> x != '')) AS path_depth,
+         CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END AS n_params,
+         ROUND(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(domain), 1), 6) AS digit_frac,
+         (domain = 'spamexample.com' OR suffix(domain, '.spamexample.com')) AS blocked_domain,
+         contains(u, 'casino') AS blocked_keyword
+  FROM parsed
+)
+SELECT doc_id, domain, tld,
+       CAST(path_depth AS INT) AS path_depth,
+       CAST(n_params AS INT) AS n_params,
+       digit_frac, blocked_domain, blocked_keyword,
+       (NOT blocked_domain AND NOT blocked_keyword) AS pass_url
+FROM feats ORDER BY doc_id
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return T.normalize_text(d, "text", "doc_id").orderBy("doc_id")

@@ -248,3 +248,33 @@ class TestParagraphDedup:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="keep"):
             paragraph_dedup(df, "text", "doc_id", keep="last")
+
+
+class TestUrlFeatures:
+    def test_parsing_and_blocking(self, spark):
+        from easydb_server_spark.operators.text import url_features
+
+        rows = [
+            (1, "https://EXAMPLE.com/a/b/c?x=1&y=2&z=3"),
+            (2, "http://ads.bad.net/promo"),
+            (3, "https://h12345x99.io/"),
+            (4, "https://ok.org/free-casino-chips"),
+            (5, "https://bad.net"),
+            (6, "https://notbad.net/x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {
+            r.doc_id: r
+            for r in url_features(
+                df, "url", "doc_id",
+                blocked_domains=("bad.net",), blocked_keywords=("casino",),
+            ).collect()
+        }
+        assert out[1].domain == "example.com" and out[1].tld == "com"
+        assert out[1].path_depth == 3 and out[1].n_params == 3 and out[1].pass_url
+        assert out[2].blocked_domain and not out[2].pass_url  # subdomain match
+        assert out[3].digit_frac == pytest.approx(7 / 12)
+        assert out[4].blocked_keyword and not out[4].pass_url
+        assert out[5].blocked_domain
+        # 'notbad.net' is NOT a subdomain of 'bad.net' (dot-anchored)
+        assert out[6].pass_url
