@@ -82,6 +82,7 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "text_shard_manifest",
     "curation_pipeline",
+    "crawl_pipeline",
     # r8 additions: DSIR importance resampling, span clipping, and the
     # published Gopher rule gate
     "curate_dsir",

@@ -941,6 +941,7 @@ def paragraph_dedup(
     id_col: str,
     min_docs: int = 2,
     keep: str = "none",
+    sep: str = "\n\n",
 ) -> DataFrame:
     """Cross-document PARAGRAPH dedup — CCNet's primary dedup
     primitive (paragraph-hash dedup over the shard before LM scoring)
@@ -973,7 +974,13 @@ def paragraph_dedup(
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     from pyspark.sql import Window
 
-    paras = F.split(F.col(text_col), "\n\n")
+    # ``sep`` is a LITERAL separator (escaped for the regex split);
+    # "\n" turns this into cross-document LINE dedup — the MassiveText
+    # per-domain repeated-line strip — which is how the composed crawl
+    # pipeline runs it over freshly-extracted single-newline text
+    import re as _re
+
+    paras = F.split(F.col(text_col), _re.escape(sep))
     base = df.select(F.col(id_col).alias("doc_id"), paras.alias("ps"))
     exploded = base.select("doc_id", F.posexplode("ps").alias("pos", "para")).select(
         "doc_id", "pos", "para", F.md5(F.col("para")).alias("ph")
@@ -1009,7 +1016,7 @@ def paragraph_dedup(
         # null text → null row (same contract as line_dedup: concat_ws
         # over a null array would fabricate '')
         F.when(F.col("ps").isNull(), F.lit(None).cast("string"))
-        .otherwise(F.concat_ws("\n\n", kept))
+        .otherwise(F.concat_ws(sep, kept))
         .alias("clean_text"),
         F.size("ps").alias("n_paras"),
         (F.size("ps") - F.size(kept)).alias("n_removed"),

@@ -1216,6 +1216,176 @@ FROM feats ORDER BY doc_id
 """
 
 
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-corpus front half composed in ONE plan:
+    synthesized page + URL per doc → URL gate (drops the blocklisted
+    doc_id%7∈{0,1} hosts and the %7=4 keyword paths) → HTML→text
+    extraction → cross-doc LINE dedup (sep="\\n": the extracted pages
+    share the alpha/beta/tail boilerplate lines, which must vanish
+    everywhere) → Gopher word-count check on what survives. Returns
+    (doc_id, domain, n_paras, n_removed, n_words, word_count_ok) for
+    admitted docs — each stage's oracle fragment is individually
+    driver-verified (text_url_filter, text_html_extract,
+    text_paragraph_dedup, text_gopher_rules); this entry locks their
+    COMPOSITION."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>T</title><style>p {color:red}</style></head>'
+            "<body><!-- build 7 --><h1>"
+        ),
+        F.substring("text", 1, 20),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            ' &amp; more</p><script type="text/javascript">var x = 1 &lt; 2;'
+            "</script><ul><li>alpha</li><li>beta</li></ul>"
+            "<div>tail&nbsp;note</div></body></html>"
+        ),
+    )
+    host = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("spamexample.com"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("ads.spamexample.com"))
+        .otherwise(F.lit("example.com"))
+    )
+    path = F.when(F.col("doc_id") % 7 == 4, F.lit("/casino-bonus/p")).otherwise(F.lit("/p"))
+    built = d.select(
+        "doc_id",
+        html.alias("html"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    ok = (
+        T.url_features(
+            built,
+            "url",
+            "doc_id",
+            blocked_domains=("spamexample.com",),
+            blocked_keywords=("casino",),
+        )
+        .where(F.col("pass_url"))
+        .select("doc_id", "domain")
+    )
+    fetched = built.join(ok, "doc_id")
+    # materialize the extracted text ONCE: it feeds the dedup
+    # frequency count, the rebuild, and (via the rebuilt text) the
+    # gopher gate — without this Catalyst re-runs the regex extraction
+    # per consumer (13 scans in the static plan; 2.2 s → 1.9 s at
+    # sf0.1, and at 100 TB the difference is re-extracting the crawl
+    # per stage). The real pipeline persists extracted text at exactly
+    # this boundary.
+    extracted = (
+        T.html_extract(fetched, "html", "doc_id")
+        .select("doc_id", "clean_text")
+        .localCheckpoint(eager=True)
+    )
+    deduped = T.paragraph_dedup(extracted, "clean_text", "doc_id", min_docs=2, sep="\n")
+    gated = T.gopher_rules(
+        deduped.select("doc_id", F.col("clean_text")), "clean_text", "doc_id",
+        min_words=40, min_stopwords=1,
+    ).select("doc_id", "n_words", "word_count_ok")
+    return (
+        deduped.select("doc_id", "n_paras", "n_removed", "clean_text")
+        .join(gated, "doc_id")
+        .join(ok, "doc_id")
+        .select("doc_id", "domain", "n_paras", "n_removed", "n_words", "word_count_ok")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CRAWL_PIPELINE = """
+WITH built AS (
+  SELECT doc_id,
+         '<html><head><title>T</title><style>p {color:red}</style></head>'
+         || '<body><!-- build 7 --><h1>' || substr(text, 1, 20) || '</h1><p>'
+         || text
+         || ' &amp; more</p><script type="text/javascript">var x = 1 &lt; 2;'
+         || '</script><ul><li>alpha</li><li>beta</li></ul>'
+         || '<div>tail&nbsp;note</div></body></html>' AS html,
+         'https://'
+         || CASE doc_id % 7 WHEN 0 THEN 'spamexample.com'
+                            WHEN 1 THEN 'ads.spamexample.com'
+                            ELSE 'example.com' END
+         || CASE WHEN doc_id % 7 = 4 THEN '/casino-bonus/p' ELSE '/p' END AS url
+  FROM documents
+),
+ok AS (
+  SELECT doc_id,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain
+  FROM built
+  WHERE NOT (
+    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) = 'spamexample.com'
+    OR suffix(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '.spamexample.com')
+    OR contains(lower(url), 'casino')
+  )
+),
+extracted AS (
+  SELECT b.doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(b.html, '(?s)<!--.*?-->', '', 'g'),
+                             '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                           '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                         '<br[^>]*>', chr(10), 'g'),
+                       '</(p|div|h[1-6]|li|tr)>', chr(10), 'g'),
+                     '<[^>]*>', '', 'g'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', chr(39)), '&amp;', '&'),
+                 '[ \t]+', ' ', 'g'),
+               ' ?\n ?', chr(10), 'g'),
+             '\n{2,}', chr(10) || chr(10), 'g'),
+           '^\s+|\s+$', '', 'g') AS clean_text
+  FROM built b JOIN ok USING (doc_id)
+),
+x AS (
+  SELECT e.doc_id, t.i - 1 AS pos, ls[t.i] AS para, len(ls) AS n_paras
+  FROM (SELECT doc_id, string_split(clean_text, chr(10)) AS ls FROM extracted) e(doc_id, ls),
+       UNNEST(generate_series(1, len(ls))) t(i)
+),
+freq AS (SELECT para, COUNT(DISTINCT doc_id) AS n_docs FROM x GROUP BY para),
+kept AS (
+  SELECT x.doc_id, x.pos, x.para, x.n_paras
+  FROM x JOIN freq USING (para) WHERE freq.n_docs < 2
+),
+rebuilt AS (
+  SELECT doc_id,
+         STRING_AGG(para, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept, MAX(n_paras) AS n_paras
+  FROM kept GROUP BY doc_id
+),
+dd AS (
+  SELECT e.doc_id, COALESCE(r.clean_text, '') AS clean_text
+  FROM extracted e LEFT JOIN rebuilt r USING (doc_id)
+),
+counts AS (
+  SELECT x.doc_id, MAX(x.n_paras) AS n_paras,
+         MAX(x.n_paras) - COALESCE(SUM(CASE WHEN freq.n_docs < 2 THEN 1 ELSE 0 END), 0) AS n_removed
+  FROM x JOIN freq USING (para) GROUP BY x.doc_id
+),
+words AS (
+  SELECT d.doc_id,
+         len(list_filter(regexp_split_to_array(d.clean_text, '\\s+'), w -> w != '')) AS n_words
+  FROM dd d
+)
+SELECT o.doc_id, o.domain,
+       CAST(c.n_paras AS INT) AS n_paras,
+       CAST(c.n_removed AS INT) AS n_removed,
+       CAST(w.n_words AS INT) AS n_words,
+       (w.n_words >= 40 AND w.n_words <= 100000) AS word_count_ok
+FROM ok o
+JOIN counts c USING (doc_id)
+JOIN words w USING (doc_id)
+ORDER BY o.doc_id
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return T.normalize_text(d, "text", "doc_id").orderBy("doc_id")
