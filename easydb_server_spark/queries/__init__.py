@@ -126,11 +126,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # entries + the full 46-entry r5-evidence refresh cohort. The
     # other entries touched this round (text_clip_spans,
     # text_contamination_spans, dedup_keepers_quality, sim_topk_ivf)
-    # keep r8 driver evidence and are locked by
-    # tools/check_conformance.py + pytest — promoting them would have
-    # evicted r5-cohort members and violated the evidence-freshness
-    # goal. Rows-only entries stay OUT of the window — they burn a
-    # slot recording `no_oracle`. ---
+    # keep r8 driver evidence, and the six late-r9 additions
+    # (sim_incremental_neardup, multimodal_audio_resample,
+    # text_html_extract, text_paragraph_dedup, text_url_filter,
+    # crawl_pipeline) sit below the marker — all are locked by
+    # tools/check_conformance.py + the never-driver-seen pytest
+    # oracle guard, and promoting any of them would have evicted
+    # r5-cohort members and violated the evidence-freshness goal;
+    # they are the natural r10 window front. Rows-only entries stay
+    # OUT of the window — they burn a slot recording `no_oracle`. ---
     "text_clip_spans": (llmops.q_text_clip_spans, llmops.ORACLE_TEXT_CLIP_SPANS),
     "text_gopher_rules": (llmops.q_text_gopher_rules, llmops.ORACLE_TEXT_GOPHER_RULES),
     "dedup_keepers_quality": (llmops.q_dedup_keepers_quality, llmops.ORACLE_DEDUP_KEEPERS_QUALITY),
