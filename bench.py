@@ -88,6 +88,7 @@ HEADLINE = [
     "curate_dsir",
     "text_clip_spans",
     "text_gopher_rules",
+    "text_gopher_repetition",
     "text_line_dedup",
     "text_ngram_novelty",
     "emb_quantize",

@@ -607,6 +607,240 @@ def repetition_metrics(
     )
 
 
+# (signal, threshold) pairs exactly as published in Rae et al. 2021
+# Table A1: a document is removed when the measured fraction EXCEEDS
+# the threshold
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The COMPLETE Gopher repetition filter (Rae et al. 2021 §A1.1,
+    Table A1) — all 13 published signals, complementing
+    :func:`gopher_rules` (the quality half) and superseding
+    :func:`repetition_metrics`' two-signal subset:
+
+    - duplicate line / paragraph fraction (occurrences after the
+      first, over the line/paragraph count) and the corresponding
+      CHARACTER fractions (their characters over the text length);
+    - top-{2,3,4}-gram character fraction: characters COVERED by any
+      occurrence of the single most frequent n-gram (union of its
+      word spans, including interior joining spaces), over the text
+      length (ties resolved deterministically: higher count, then
+      longer gram, then lexicographically greatest — the paper does
+      not specify);
+    - duplicate-{5..10}-gram character fraction: characters covered
+      by the UNION of all occurrences of every n-gram seen more than
+      once, over the text length — the paper's no-double-counting
+      semantics (every fraction is genuinely ≤ 1; the naive
+      (count−1)·len form exceeds 1 on repetitive docs).
+
+    Returns the 13 measured fractions plus ``pass_repetition`` (all
+    signals at or under their thresholds — override any subset via
+    ``thresholds``).
+
+    Scale shape: line/paragraph signals are entirely IN-ROW (array
+    arithmetic, O(distinct-lines × lines) string compares inside the
+    row). The nine n-gram signals share ONE explode of (n, pos, gram)
+    rows → a (doc, n, gram) count with map-side combine → flagged
+    START positions collected per doc (9 bounded int arrays in one
+    conditional aggregate — the flagged tail, never full text) →
+    an in-row span-coverage pass per n (the clip-spans machinery).
+    Full text never shuffles; the only corpus-wide shuffles are keyed
+    on (doc, n, gram) digests and doc_id.
+    """
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
+        th.update(thresholds)
+
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    total_chars = F.greatest(F.length(t), F.lit(1))
+
+    def dup_stats(arr):
+        dis = F.array_distinct(arr)
+        dup_cnt = F.size(arr) - F.size(dis)
+        dup_chars = F.aggregate(
+            dis,
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc
+            + (F.size(F.filter(arr, _eq_elem(d))) - 1) * F.length(d),
+        )
+        return dup_cnt, dup_chars
+
+    lines = F.split(t, "\n")
+    paras = F.split(t, "\n\n")
+    dl_cnt, dl_chars = dup_stats(lines)
+    dp_cnt, dp_chars = dup_stats(paras)
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(dl_cnt / F.greatest(F.size(lines), F.lit(1)), 6).alias("dup_line_frac"),
+        F.round(dp_cnt / F.greatest(F.size(paras), F.lit(1)), 6).alias("dup_para_frac"),
+        F.round(dl_chars / total_chars, 6).alias("dup_line_char_frac"),
+        F.round(dp_chars / total_chars, 6).alias("dup_para_char_frac"),
+        total_chars.alias("n_chars"),
+        F.split(t, " ").alias("ws"),
+    )
+
+    def grams_of(n: int):
+        idx = F.when(
+            F.size("ws") >= n, F.sequence(F.lit(0), F.size("ws") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, _gram_struct(n))
+
+    all_grams = F.concat(*[grams_of(n) for n in range(2, 11)])
+    ex = base.select("doc_id", F.posexplode(all_grams).alias("_i", "g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    counts = ex.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # dup signals (n ≥ 5): every position of every gram seen > once
+    dup_flagged = ex.join(
+        counts.where((F.col("c") > 1) & (F.col("n") >= 5)).select("doc_id", "n", "gram"),
+        ["doc_id", "n", "gram"],
+    ).select("doc_id", "n", "pos")
+    # top signals (n ≤ 4): positions of the deterministic argmax gram
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("c").desc(), F.length("gram").desc(), F.col("gram").desc()
+    )
+    top_gram = (
+        counts.where(F.col("n") <= 4)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("doc_id", "n", "gram")
+    )
+    top_flagged = ex.join(top_gram, ["doc_id", "n", "gram"]).select("doc_id", "n", "pos")
+    starts = (
+        dup_flagged.unionAll(top_flagged)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.collect_set(F.when(F.col("n") == n, F.col("pos"))).alias(f"starts_{n}")
+                for n in range(2, 11)
+            ]
+        )
+    )
+    joined = base.join(starts, "doc_id", "left")
+
+    def covered_chars(n: int):
+        st = F.coalesce(F.col(f"starts_{n}"), F.array().cast("array<int>"))
+        covered = F.filter(
+            F.sequence(F.lit(0), F.size("ws") - 1),
+            _covered_by(st, n),
+        )
+        word_chars = F.aggregate(
+            covered,
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc + F.length(F.element_at(F.col("ws"), i + 1)),
+        )
+        # a joining space is covered when both its neighbors are
+        spaces = F.size(F.filter(covered, _has_prev(covered)))
+        return F.when(F.size(st) == 0, F.lit(0).cast("bigint")).otherwise(
+            word_chars + spaces
+        )
+
+    sig_cols = []
+    for n in (2, 3, 4):
+        sig_cols.append(
+            F.round(covered_chars(n).cast("double") / F.col("n_chars"), 6).alias(
+                f"top_{n}gram_char_frac"
+            )
+        )
+    for n in range(5, 11):
+        sig_cols.append(
+            F.round(covered_chars(n).cast("double") / F.col("n_chars"), 6).alias(
+                f"dup_{n}gram_char_frac"
+            )
+        )
+    full = joined.select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_para_frac",
+        "dup_line_char_frac",
+        "dup_para_char_frac",
+        *sig_cols,
+    )
+    out_cols = list(th)
+    passing = None
+    for c in out_cols:
+        ok = F.col(c) <= F.lit(th[c])
+        passing = ok if passing is None else (passing & ok)
+    return full.select("doc_id", *out_cols, passing.alias("pass_repetition"))
+
+
+def _eq_elem(d):
+    """One-arg lambda factory (HOF-arity note on _eq_term)."""
+
+    def _f(x):
+        return x == d
+
+    return _f
+
+
+def _gram_struct(n: int):
+    """Closure factory: index → struct(n, pos, gram) for length-``n``
+    word grams (never close over the loop var with a default arg —
+    the HOF arity pitfall)."""
+
+    def _f(i):
+        return F.struct(
+            F.lit(n).alias("n"),
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)).alias("gram"),
+        )
+
+    return _f
+
+
+def _covered_by(starts, n: int):
+    """One-arg lambda factory: token index → covered by any start in
+    ``starts`` (span [p, p+n))."""
+
+    def _f(i):
+        return F.exists(starts, _span_hits(i, n))
+
+    return _f
+
+
+def _span_hits(i, n: int):
+    def _f(p):
+        return (i >= p) & (i < p + F.lit(n))
+
+    return _f
+
+
+def _has_prev(covered):
+    """One-arg lambda factory: index → its predecessor is covered too
+    (the joining space between two covered words is itself covered)."""
+
+    def _f(i):
+        return (i > 0) & F.array_contains(covered, i - 1)
+
+    return _f
+
+
 def ngram_topk(df: DataFrame, text_col: str, group_col: str, n: int = 2, k: int = 10) -> DataFrame:
     """Top-k word n-grams per group by frequency (vocabulary/corpus
     analysis). Counting shuffles (group, ngram) pairs with map-side

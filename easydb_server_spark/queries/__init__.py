@@ -172,6 +172,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "text_url_filter": (llmops.q_text_url_filter, llmops.ORACLE_TEXT_URL_FILTER),
     "crawl_pipeline": (llmops.q_crawl_pipeline, llmops.ORACLE_CRAWL_PIPELINE),
+    "text_gopher_repetition": (
+        llmops.q_text_gopher_repetition,
+        llmops.ORACLE_TEXT_GOPHER_REPETITION,
+    ),
     "curation_pipeline": (llmops.q_curation_pipeline, llmops.ORACLE_CURATION_PIPELINE),
     "text_length_histogram": (llmops.q_text_length_histogram, llmops.ORACLE_TEXT_LENGTH_HISTOGRAM),
     "text_ngram_topk": (llmops.q_text_ngram_topk, llmops.ORACLE_TEXT_NGRAM_TOPK),

@@ -1386,6 +1386,149 @@ ORDER BY o.doc_id
 """
 
 
+def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete 13-signal Gopher repetition filter (Rae et al.
+    2021 Table A1). Fixture docs are single-line, so the construction
+    makes repetition observable: text + two copies of its first 40
+    chars as extra lines (duplicate lines + a duplicated paragraph
+    boundary), with the natural n-gram structure of the text driving
+    the nine gram-coverage signals. The oracle replays construction,
+    every in-row line/paragraph statistic, the deterministic argmax
+    per n, and the span-coverage character counts."""
+    d = load(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.substring("text", 1, 40), F.substring("text", 1, 40)
+        ).alias("text"),
+    )
+    return T.gopher_repetition_rules(built, "text", "doc_id").orderBy("doc_id")
+
+
+def _oracle_gopher_repetition() -> str:
+    """Generated DuckDB replay of gopher_repetition_rules over the
+    conformance construction: per n ∈ 2..10, gram counts → flagged
+    start positions (argmax gram for n ≤ 4, duplicated grams for
+    n ≥ 5) → span-coverage character sums via EXISTS + LAG."""
+    from easydb_server_spark.operators.text import GOPHER_REPETITION_THRESHOLDS
+
+    parts = [
+        """WITH built AS (
+  SELECT doc_id,
+         text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40) AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t,
+         GREATEST(length(t), 1) AS n_chars,
+         string_split(t, ' ') AS ws,
+         string_split(t, chr(10)) AS ls,
+         string_split(t, chr(10) || chr(10)) AS ps
+  FROM built
+),
+inrow AS (
+  SELECT doc_id, n_chars,
+    ROUND(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / GREATEST(len(ls), 1), 6) AS dup_line_frac,
+    ROUND(CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE) / GREATEST(len(ps), 1), 6) AS dup_para_frac,
+    ROUND(CAST(COALESCE(list_sum(list_transform(list_distinct(ls),
+        d -> (len(list_filter(ls, x -> x = d)) - 1) * length(d))), 0) AS DOUBLE) / n_chars, 6) AS dup_line_char_frac,
+    ROUND(CAST(COALESCE(list_sum(list_transform(list_distinct(ps),
+        d -> (len(list_filter(ps, x -> x = d)) - 1) * length(d))), 0) AS DOUBLE) / n_chars, 6) AS dup_para_char_frac
+  FROM base
+),
+toks AS (
+  SELECT doc_id, t.i - 1 AS i, ws[t.i] AS word
+  FROM base, UNNEST(generate_series(1, len(ws))) t(i)
+)"""
+    ]
+    for n in range(2, 11):
+        parts.append(
+            f""",
+g{n} AS (
+  SELECT doc_id, t.i AS pos, array_to_string(ws[t.i + 1 : t.i + {n}], ' ') AS gram
+  FROM base, UNNEST(generate_series(0, len(ws) - {n})) t(i)
+  WHERE len(ws) >= {n}
+),
+c{n} AS (SELECT doc_id, gram, COUNT(*) AS c FROM g{n} GROUP BY doc_id, gram)"""
+        )
+        if n <= 4:
+            parts.append(
+                f""",
+s{n} AS (
+  SELECT g.doc_id, g.pos FROM g{n} g
+  JOIN (SELECT doc_id, gram FROM (
+          SELECT doc_id, gram,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, length(gram) DESC, gram DESC) AS r
+          FROM c{n}) WHERE r = 1) tg
+  ON tg.doc_id = g.doc_id AND tg.gram = g.gram
+)"""
+            )
+        else:
+            parts.append(
+                f""",
+s{n} AS (
+  SELECT g.doc_id, g.pos FROM g{n} g
+  JOIN c{n} c ON c.doc_id = g.doc_id AND c.gram = g.gram
+  WHERE c.c > 1
+)"""
+            )
+        parts.append(
+            f""",
+cf{n} AS (
+  SELECT tk.doc_id, tk.i, tk.word,
+         EXISTS (SELECT 1 FROM s{n} s
+                 WHERE s.doc_id = tk.doc_id AND tk.i >= s.pos AND tk.i < s.pos + {n}) AS cov
+  FROM toks tk
+),
+cp{n} AS (
+  SELECT doc_id, i, word, cov,
+         LAG(cov, 1, FALSE) OVER (PARTITION BY doc_id ORDER BY i) AS pcov
+  FROM cf{n}
+),
+cov{n} AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cov THEN length(word) ELSE 0 END)
+         + SUM(CASE WHEN cov AND pcov THEN 1 ELSE 0 END) AS chars
+  FROM cp{n} GROUP BY doc_id
+)"""
+        )
+    sig_exprs = []
+    for n in (2, 3, 4):
+        sig_exprs.append(
+            f"ROUND(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / i.n_chars, 6) AS top_{n}gram_char_frac"
+        )
+    for n in range(5, 11):
+        sig_exprs.append(
+            f"ROUND(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / i.n_chars, 6) AS dup_{n}gram_char_frac"
+        )
+    pass_terms = []
+    for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        if name.startswith("dup_") and "gram" not in name:
+            pass_terms.append(f"i.{name} <= {thr}")
+        else:
+            n = "".join(ch for ch in name.split("_")[1] if ch.isdigit())
+            frac = f"ROUND(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / i.n_chars, 6)"
+            pass_terms.append(f"{frac} <= {thr}")
+    joins = "\n".join(
+        f"LEFT JOIN cov{n} ON cov{n}.doc_id = i.doc_id" for n in range(2, 11)
+    )
+    parts.append(
+        f"""
+SELECT i.doc_id, i.dup_line_frac, i.dup_para_frac,
+       i.dup_line_char_frac, i.dup_para_char_frac,
+       {", ".join(sig_exprs)},
+       ({" AND ".join(pass_terms)}) AS pass_repetition
+FROM inrow i
+{joins}
+ORDER BY i.doc_id"""
+    )
+    return "".join(parts)
+
+
+ORACLE_TEXT_GOPHER_REPETITION = _oracle_gopher_repetition()
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return T.normalize_text(d, "text", "doc_id").orderBy("doc_id")

@@ -278,3 +278,66 @@ class TestUrlFeatures:
         assert out[5].blocked_domain
         # 'notbad.net' is NOT a subdomain of 'bad.net' (dot-anchored)
         assert out[6].pass_url
+
+
+class TestGopherRepetitionRules:
+    def test_hand_checked_line_and_paragraph_signals(self, spark):
+        from easydb_server_spark.operators.text import gopher_repetition_rules
+
+        # "dup line\ndup line\nunique": 24 chars, 3 lines (1 dup copy
+        # of 8 chars), 1 paragraph
+        df = spark.createDataFrame(
+            [(1, "dup line\ndup line\nunique")], "doc_id long, text string"
+        )
+        r = gopher_repetition_rules(df, "text", "doc_id").collect()[0]
+        assert r.dup_line_frac == pytest.approx(1 / 3, abs=1e-6)
+        assert r.dup_line_char_frac == pytest.approx(8 / 24, abs=1e-6)
+        assert r.dup_para_frac == 0.0 and r.dup_para_char_frac == 0.0
+
+    def test_coverage_fractions_are_true_fractions(self, spark):
+        """The published semantics count COVERED characters once — a
+        maximally repetitive doc saturates at 1.0 instead of the
+        (count-1)*len surrogate's unbounded blowup."""
+        from easydb_server_spark.operators.text import gopher_repetition_rules
+
+        df = spark.createDataFrame(
+            [(1, "a b " * 40 + "a b"), (2, "all fresh words here with no repeats")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in gopher_repetition_rules(df, "text", "doc_id").collect()}
+        d = rows[1].asDict()
+        fracs = [v for k, v in d.items() if k.endswith("_frac")]
+        assert all(0.0 <= v <= 1.0 for v in fracs)
+        assert d["dup_5gram_char_frac"] == 1.0  # fully covered
+        assert not rows[1].pass_repetition
+        # the fresh doc's dup signals are all zero
+        d2 = rows[2].asDict()
+        assert all(d2[f"dup_{n}gram_char_frac"] == 0.0 for n in range(5, 11))
+
+    def test_top_gram_coverage_hand_checked(self, spark):
+        from easydb_server_spark.operators.text import gopher_repetition_rules
+
+        # "x y x y z": top 2-gram "x y" covers tokens 0..3 ->
+        # chars x,y,x,y (4) + 3 joining spaces = 7 of 9
+        df = spark.createDataFrame([(1, "x y x y z")], "doc_id long, text string")
+        r = gopher_repetition_rules(df, "text", "doc_id").collect()[0]
+        assert r.top_2gram_char_frac == pytest.approx(7 / 9, abs=1e-6)
+
+    def test_threshold_override_and_validation(self, spark):
+        from easydb_server_spark.operators.text import gopher_repetition_rules
+
+        df = spark.createDataFrame([(1, "p q r s t u v w")], "doc_id long, text string")
+        # a short doc's count-1 top grams cover a large fraction (the
+        # paper's word-count gate removes such docs before this one);
+        # relaxing the three top thresholds must flip the verdict
+        ok = gopher_repetition_rules(
+            df, "text", "doc_id",
+            thresholds={
+                "top_2gram_char_frac": 1.0,
+                "top_3gram_char_frac": 1.0,
+                "top_4gram_char_frac": 1.0,
+            },
+        ).collect()[0]
+        assert ok.pass_repetition
+        with pytest.raises(ValueError, match="unknown"):
+            gopher_repetition_rules(df, "text", "doc_id", thresholds={"nope": 1.0})
