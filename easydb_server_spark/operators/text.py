@@ -657,15 +657,22 @@ def gopher_repetition_rules(
     signals at or under their thresholds — override any subset via
     ``thresholds``).
 
-    Scale shape: line/paragraph signals are entirely IN-ROW (array
-    arithmetic, O(distinct-lines × lines) string compares inside the
-    row). The nine n-gram signals share ONE explode of (n, pos, gram)
-    rows → a (doc, n, gram) count with map-side combine → flagged
-    START positions collected per doc (9 bounded int arrays in one
-    conditional aggregate — the flagged tail, never full text) →
-    an in-row span-coverage pass per n (the clip-spans machinery).
-    Full text never shuffles; the only corpus-wide shuffles are keyed
-    on (doc, n, gram) digests and doc_id.
+    Scale shape: line/paragraph signals are in-row array arithmetic.
+    The nine n-gram signals share ONE explode of (n, pos, gram) rows
+    feeding three chained HASH aggregations — per-gram counts with the
+    position lists riding along, per-(doc, n) dup/top reduction, and a
+    per-doc fold into nine start arrays — then covered characters come
+    from an in-row merged-interval fold over each sorted start list
+    (O(starts+words)). Every stage is a strict reduction of the single
+    exploded pass: nothing joins back (a join-back re-derives the
+    whole explode subtree — measured 10.5 s vs 4.5 s at sf0.1), nothing
+    sorts (the window formulation pays two sort exchanges: 6.5 s), and
+    a fully in-row formulation is ~100× slower (nested higher-order
+    functions evaluate interpreted per element, while the explode
+    keeps counting in vectorized hash aggregation). Intra-doc grams
+    shuffle as strings (within-doc gram text is short and this beats
+    paying 5M md5s — measured); the top-gram tie order is
+    (count, length, gram), engine-replayable.
     """
     th = dict(GOPHER_REPETITION_THRESHOLDS)
     if thresholds:
@@ -673,8 +680,6 @@ def gopher_repetition_rules(
         if unknown:
             raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
         th.update(thresholds)
-
-    from pyspark.sql import Window
 
     t = F.col(text_col)
     total_chars = F.greatest(F.length(t), F.lit(1))
@@ -709,35 +714,43 @@ def gopher_repetition_rules(
         idx = F.when(
             F.size("ws") >= n, F.sequence(F.lit(0), F.size("ws") - n)
         ).otherwise(F.array().cast("array<int>"))
-        return F.transform(idx, _gram_struct(n))
+        return F.transform(idx, _gram_pos_struct(n))
 
     all_grams = F.concat(*[grams_of(n) for n in range(2, 11)])
-    ex = base.select("doc_id", F.posexplode(all_grams).alias("_i", "g")).select(
-        "doc_id", F.col("g.n").alias("n"), F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    ex = base.select("doc_id", F.explode(all_grams).alias("g")).select(
+        "doc_id",
+        F.col("g.n").alias("n"),
+        F.col("g.pos").alias("pos"),
+        F.col("g.gram").alias("gram"),
     )
-    counts = ex.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
-    # dup signals (n ≥ 5): every position of every gram seen > once
-    dup_flagged = ex.join(
-        counts.where((F.col("c") > 1) & (F.col("n") >= 5)).select("doc_id", "n", "gram"),
-        ["doc_id", "n", "gram"],
-    ).select("doc_id", "n", "pos")
-    # top signals (n ≤ 4): positions of the deterministic argmax gram
-    w = Window.partitionBy("doc_id", "n").orderBy(
-        F.col("c").desc(), F.length("gram").desc(), F.col("gram").desc()
+    # three chained HASH aggregations — the explode runs once, nothing
+    # joins back to it (each join-back re-derived the whole
+    # explode+digest subtree: 10.5 s), and nothing sorts (the window
+    # form's two sort exchanges over every gram row: 6.5 s). Positions
+    # ride the per-gram aggregate as lists, so the flagged starts fall
+    # out of plain reductions: ~1.3 s at sf0.1 for all nine signals.
+    key = F.struct(
+        F.col("c").alias("c"), F.length("gram").alias("len"), F.col("gram").alias("gram")
     )
-    top_gram = (
-        counts.where(F.col("n") <= 4)
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select("doc_id", "n", "gram")
+    g1 = ex.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.collect_list("pos").alias("poss"),
     )
-    top_flagged = ex.join(top_gram, ["doc_id", "n", "gram"]).select("doc_id", "n", "pos")
+    g2 = g1.groupBy("doc_id", "n").agg(
+        F.flatten(F.collect_list(F.when(F.col("c") > 1, F.col("poss")))).alias("dup_poss"),
+        F.max_by("poss", key).alias("top_poss"),
+    )
+    starts_col = F.when(F.col("n") >= 5, F.coalesce("dup_poss", F.array().cast("array<int>"))).otherwise(
+        F.col("top_poss")
+    )
     starts = (
-        dup_flagged.unionAll(top_flagged)
+        g2.select("doc_id", "n", starts_col.alias("st"))
         .groupBy("doc_id")
         .agg(
             *[
-                F.collect_set(F.when(F.col("n") == n, F.col("pos"))).alias(f"starts_{n}")
+                F.first(F.when(F.col("n") == n, F.col("st")), ignorenulls=True).alias(
+                    f"starts_{n}"
+                )
                 for n in range(2, 11)
             ]
         )
@@ -745,21 +758,19 @@ def gopher_repetition_rules(
     joined = base.join(starts, "doc_id", "left")
 
     def covered_chars(n: int):
-        st = F.coalesce(F.col(f"starts_{n}"), F.array().cast("array<int>"))
-        covered = F.filter(
-            F.sequence(F.lit(0), F.size("ws") - 1),
-            _covered_by(st, n),
+        # union coverage via ONE merged-interval fold over the sorted
+        # start list: O(starts + words) per doc instead of the
+        # per-token exists scan's O(words × starts)
+        st = F.array_sort(
+            F.coalesce(F.col(f"starts_{n}"), F.array().cast("array<int>"))
         )
-        word_chars = F.aggregate(
-            covered,
-            F.lit(0).cast("bigint"),
-            lambda acc, i: acc + F.length(F.element_at(F.col("ws"), i + 1)),
-        )
-        # a joining space is covered when both its neighbors are
-        spaces = F.size(F.filter(covered, _has_prev(covered)))
-        return F.when(F.size(st) == 0, F.lit(0).cast("bigint")).otherwise(
-            word_chars + spaces
-        )
+        return F.aggregate(
+            st,
+            F.struct(
+                F.lit(0).alias("end"), F.lit(0).cast("bigint").alias("chars")
+            ),
+            _merge_span(n),
+        )["chars"]
 
     sig_cols = []
     for n in (2, 3, 4):
@@ -799,10 +810,10 @@ def _eq_elem(d):
     return _f
 
 
-def _gram_struct(n: int):
-    """Closure factory: index → struct(n, pos, gram) for length-``n``
-    word grams (never close over the loop var with a default arg —
-    the HOF arity pitfall)."""
+def _gram_pos_struct(n: int):
+    """Closure factory: start index → struct(n, pos, gram) for the
+    length-``n`` word gram (never close over the loop var with a
+    default arg — the HOF arity pitfall)."""
 
     def _f(i):
         return F.struct(
@@ -814,29 +825,34 @@ def _gram_struct(n: int):
     return _f
 
 
-def _covered_by(starts, n: int):
-    """One-arg lambda factory: token index → covered by any start in
-    ``starts`` (span [p, p+n))."""
+def _merge_span(n: int):
+    """Two-arg (accumulator, start) lambda factory for the span-union
+    fold: the accumulator carries (end of covered prefix, chars so
+    far). For each start p (sorted ascending), the newly-covered token
+    range is [max(p, end), min(p+n, |ws|)); its characters are the
+    token lengths plus the interior joining spaces, plus one more
+    space when the new range is flush against the previous coverage
+    (the space between token end−1 and end is then covered too)."""
 
-    def _f(i):
-        return F.exists(starts, _span_hits(i, n))
-
-    return _f
-
-
-def _span_hits(i, n: int):
-    def _f(p):
-        return (i >= p) & (i < p + F.lit(n))
-
-    return _f
-
-
-def _has_prev(covered):
-    """One-arg lambda factory: index → its predecessor is covered too
-    (the joining space between two covered words is itself covered)."""
-
-    def _f(i):
-        return (i > 0) & F.array_contains(covered, i - 1)
+    def _f(acc, p):
+        end, chars = acc["end"], acc["chars"]
+        s = F.greatest(p, end)
+        e = F.least(p + F.lit(n), F.size("ws"))
+        width = e - s
+        token_chars = F.aggregate(
+            F.slice(F.col("ws"), s + 1, F.greatest(width, F.lit(0))),
+            F.lit(0).cast("bigint"),
+            lambda a, w: a + F.length(w),
+        )
+        contiguous = F.when(
+            (s == end) & (end > 0) & (width > 0), F.lit(1)
+        ).otherwise(F.lit(0))
+        add = F.when(
+            width > 0, token_chars + (width - 1) + contiguous
+        ).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            F.greatest(end, e).alias("end"), (chars + add).alias("chars")
+        )
 
     return _f
 

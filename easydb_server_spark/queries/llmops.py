@@ -1412,6 +1412,8 @@ def _oracle_gopher_repetition() -> str:
     n ≥ 5) → span-coverage character sums via EXISTS + LAG."""
     from easydb_server_spark.operators.text import GOPHER_REPETITION_THRESHOLDS
 
+    # gram identity is the raw string with the (count, length, gram)
+    # tie order — byte-for-byte the Spark plan
     parts = [
         """WITH built AS (
   SELECT doc_id,
