@@ -658,21 +658,19 @@ def gopher_repetition_rules(
     ``thresholds``).
 
     Scale shape: line/paragraph signals are in-row array arithmetic.
-    The nine n-gram signals share ONE explode of (n, pos, gram) rows
-    feeding three chained HASH aggregations — per-gram counts with the
-    position lists riding along, per-(doc, n) dup/top reduction, and a
-    per-doc fold into nine start arrays — then covered characters come
-    from an in-row merged-interval fold over each sorted start list
-    (O(starts+words)). Every stage is a strict reduction of the single
-    exploded pass: nothing joins back (a join-back re-derives the
-    whole explode subtree — measured 10.5 s vs 4.5 s at sf0.1), nothing
-    sorts (the window formulation pays two sort exchanges: 6.5 s), and
-    a fully in-row formulation is ~100× slower (nested higher-order
-    functions evaluate interpreted per element, while the explode
-    keeps counting in vectorized hash aggregation). Intra-doc grams
-    shuffle as strings (within-doc gram text is short and this beats
-    paying 5M md5s — measured); the top-gram tie order is
-    (count, length, gram), engine-replayable.
+    The nine n-gram signals flow through a HOF-free double explode
+    (positions, then nine codegen'd struct expressions per position —
+    higher-order-function gram building evaluates interpreted and was
+    measured 2.3× slower), a COUNT-ONLY hash aggregate, a per-(doc, n)
+    reduction yielding the flagged gram keys (duplicated grams for
+    n ≥ 5, the deterministic (count, length, gram)-argmax for n ≤ 4 —
+    via max_by, no sort), and a keyed probe of the exploded frame that
+    recovers the flagged START positions — only the flagged tail ever
+    carries positions (collecting position lists for every gram, 97%
+    of which are unique, was the measured bottleneck). Covered
+    characters come from an in-row merged-interval fold over each
+    sorted start list (O(starts+words), not the per-token exists
+    scan's O(words·starts)). SCALE.md records the formulation study.
     """
     th = dict(GOPHER_REPETITION_THRESHOLDS)
     if thresholds:
@@ -710,50 +708,68 @@ def gopher_repetition_rules(
         F.split(t, " ").alias("ws"),
     )
 
-    def grams_of(n: int):
-        idx = F.when(
-            F.size("ws") >= n, F.sequence(F.lit(0), F.size("ws") - n)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(idx, _gram_pos_struct(n))
-
-    all_grams = F.concat(*[grams_of(n) for n in range(2, 11)])
-    ex = base.select("doc_id", F.explode(all_grams).alias("g")).select(
+    # HOF-free gram rows: explode positions, then an ARRAY of nine
+    # explicit struct expressions (ordinary codegen'd slice/concat —
+    # a transform() lambda here evaluates interpreted per element),
+    # filtered to valid spans after the explode
+    pos = base.select(
         "doc_id",
-        F.col("g.n").alias("n"),
-        F.col("g.pos").alias("pos"),
-        F.col("g.gram").alias("gram"),
+        "ws",
+        F.size("ws").alias("nw"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("ws") - 2, F.lit(0)))
+        ).alias("i"),
     )
-    # three chained HASH aggregations — the explode runs once, nothing
-    # joins back to it (each join-back re-derived the whole
-    # explode+digest subtree: 10.5 s), and nothing sorts (the window
-    # form's two sort exchanges over every gram row: 6.5 s). Positions
-    # ride the per-gram aggregate as lists, so the flagged starts fall
-    # out of plain reductions: ~1.3 s at sf0.1 for all nine signals.
+    nine = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.col("i").alias("pos"),
+                F.concat_ws(" ", F.slice(F.col("ws"), F.col("i") + 1, n)).alias("gram"),
+            )
+            for n in range(2, 11)
+        ]
+    )
+    ex = (
+        pos.select("doc_id", "nw", F.explode(nine).alias("g"))
+        .where(F.col("g.pos") + F.col("g.n") <= F.col("nw"))
+        .select(
+            "doc_id",
+            F.col("g.n").alias("n"),
+            F.col("g.pos").alias("pos"),
+            F.col("g.gram").alias("gram"),
+        )
+    )
+    # count-only aggregate (cheap: no per-group lists — carrying a
+    # position list for every gram, 97% unique, was the measured
+    # bottleneck), reduced to the per-(doc, n) FLAGGED gram keys
     key = F.struct(
         F.col("c").alias("c"), F.length("gram").alias("len"), F.col("gram").alias("gram")
     )
-    g1 = ex.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.collect_list("pos").alias("poss"),
+    cnt = ex.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_n = cnt.groupBy("doc_id", "n").agg(
+        F.collect_list(F.when((F.col("c") > 1) & (F.col("n") >= 5), F.col("gram"))).alias(
+            "dup_grams"
+        ),
+        F.max_by("gram", key).alias("top_gram"),
     )
-    g2 = g1.groupBy("doc_id", "n").agg(
-        F.flatten(F.collect_list(F.when(F.col("c") > 1, F.col("poss")))).alias("dup_poss"),
-        F.max_by("poss", key).alias("top_poss"),
+    keys = per_n.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.when(F.col("n") >= 5, F.col("dup_grams")).otherwise(F.array("top_gram"))
+        ).alias("gram"),
     )
-    starts_col = F.when(F.col("n") >= 5, F.coalesce("dup_poss", F.array().cast("array<int>"))).otherwise(
-        F.col("top_poss")
-    )
-    starts = (
-        g2.select("doc_id", "n", starts_col.alias("st"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.first(F.when(F.col("n") == n, F.col("st")), ignorenulls=True).alias(
-                    f"starts_{n}"
-                )
-                for n in range(2, 11)
-            ]
-        )
+    # probe the (re-derived, cheap) exploded frame with the flagged
+    # keys — AQE broadcasts the key side at bench scale; at corpus
+    # scale it degrades to a keyed shuffle of the gram rows, the same
+    # cost the count already paid
+    flagged = ex.join(keys, ["doc_id", "n", "gram"])
+    starts = flagged.groupBy("doc_id").agg(
+        *[
+            F.collect_set(F.when(F.col("n") == n, F.col("pos"))).alias(f"starts_{n}")
+            for n in range(2, 11)
+        ]
     )
     joined = base.join(starts, "doc_id", "left")
 
@@ -806,21 +822,6 @@ def _eq_elem(d):
 
     def _f(x):
         return x == d
-
-    return _f
-
-
-def _gram_pos_struct(n: int):
-    """Closure factory: start index → struct(n, pos, gram) for the
-    length-``n`` word gram (never close over the loop var with a
-    default arg — the HOF arity pitfall)."""
-
-    def _f(i):
-        return F.struct(
-            F.lit(n).alias("n"),
-            i.alias("pos"),
-            F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)).alias("gram"),
-        )
 
     return _f
 
