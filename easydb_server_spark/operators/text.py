@@ -683,13 +683,23 @@ def gopher_repetition_rules(
     total_chars = F.greatest(F.length(t), F.lit(1))
 
     def dup_stats(arr):
-        dis = F.array_distinct(arr)
-        dup_cnt = F.size(arr) - F.size(dis)
+        # duplicate chars = Σ over values v of (count(v)−1)·len(v),
+        # computed LINEARLY: sort the array once, then a single fold
+        # adds len(x) whenever x equals its sorted predecessor (each
+        # of a value's count−1 adjacent-equal pairs contributes one
+        # len). The per-distinct filter scan this replaces was
+        # O(lines × distinct_lines) IN-ROW — a 50k-line document cost
+        # ~10⁹ string comparisons on a single row (the same
+        # dial-dependent per-row cliff DSIR had before r9).
+        dup_cnt = F.size(arr) - F.size(F.array_distinct(arr))
         dup_chars = F.aggregate(
-            dis,
-            F.lit(0).cast("bigint"),
-            lambda acc, d: acc
-            + (F.size(F.filter(arr, _eq_elem(d))) - 1) * F.length(d),
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("bigint").alias("chars"),
+            ),
+            _dup_char_step,
+            _acc_chars,
         )
         return dup_cnt, dup_chars
 
@@ -817,13 +827,23 @@ def gopher_repetition_rules(
     return full.select("doc_id", *out_cols, passing.alias("pass_repetition"))
 
 
-def _eq_elem(d):
-    """One-arg lambda factory (HOF-arity note on _eq_term)."""
+def _dup_char_step(acc, x):
+    """Binary merge for the adjacent-equals fold in ``dup_stats``:
+    carries (previous element, duplicate chars so far) over the
+    SORTED array; ``x == prev`` is null for the first element, which
+    falls through to the zero branch."""
+    return F.struct(
+        x.alias("prev"),
+        (
+            acc["chars"] + F.when(x == acc["prev"], F.length(x)).otherwise(F.lit(0))
+        ).alias("chars"),
+    )
 
-    def _f(x):
-        return x == d
 
-    return _f
+def _acc_chars(acc):
+    """Unary finish for ``dup_stats``' fold (HOF-arity note on
+    _eq_term: module-level defs, not default-arg lambdas)."""
+    return acc["chars"]
 
 
 def _merge_span(n: int):
@@ -1082,6 +1102,10 @@ def html_extract(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
        contents) are removed;
     2. ``<br>`` and closing block tags (p, div, h1-h6, li, tr) become
        newlines so paragraph boundaries survive tag stripping;
+       tag matching is CASE-INSENSITIVE throughout (HTML tags are
+       case-insensitive by spec and legacy crawl pages routinely use
+       ``<SCRIPT>``/``</P>``/``<BR>`` — a case-sensitive match leaks
+       script bodies into the clean text);
     3. every remaining tag is dropped;
     4. ``&nbsp; &lt; &gt; &quot; &#39; &amp;`` unescape (amp LAST so
        double-escapes resolve one level, the standard order);
@@ -1096,10 +1120,10 @@ def html_extract(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
     h = F.col(html_col).cast("string")
     n_tags = F.regexp_count(h, F.lit("<[^>]*>"))
     t = F.regexp_replace(h, r"(?s)<!--.*?-->", "")
-    t = F.regexp_replace(t, r"(?s)<script[^>]*>.*?</script>", "")
-    t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", "")
-    t = F.regexp_replace(t, r"<br[^>]*>", "\n")
-    t = F.regexp_replace(t, r"</(p|div|h[1-6]|li|tr)>", "\n")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, r"(?i)<br[^>]*>", "\n")
+    t = F.regexp_replace(t, r"(?i)</(p|div|h[1-6]|li|tr)>", "\n")
     t = F.regexp_replace(t, r"<[^>]*>", "")
     for ent, rep in (
         ("&nbsp;", " "),

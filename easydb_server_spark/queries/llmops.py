@@ -1014,31 +1014,31 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     html = F.concat(
         F.lit(
-            '<html><head><title>T</title><style>p {color:red}</style></head>'
+            '<html><head><title>T</title><STYLE>p {color:red}</STYLE></head>'
             "<body><!-- build 7 --><h1>"
         ),
         F.substring("text", 1, 20),
-        F.lit("</h1><p>"),
+        F.lit("</h1><P>"),
         F.col("text"),
         F.lit(
-            ' &amp; more</p><script type="text/javascript">var x = 1 &lt; 2;'
-            "</script><ul><li>alpha</li><li>beta</li></ul>"
-            "<div>tail&nbsp;note</div></body></html>"
+            ' &amp; more</P><SCRIPT type="text/javascript">var x = 1 &lt; 2;'
+            "</SCRIPT><ul><li>alpha</li><LI>beta</LI></ul>"
+            "<DIV>tail&nbsp;note</DIV><BR></body></html>"
         ),
     )
     built = d.select("doc_id", html.alias("html"))
     return T.html_extract(built, "html", "doc_id").orderBy("doc_id")
 
 
-ORACLE_TEXT_HTML_EXTRACT = """
+ORACLE_TEXT_HTML_EXTRACT = r"""
 WITH built AS (
   SELECT doc_id,
-         '<html><head><title>T</title><style>p {color:red}</style></head>'
-         || '<body><!-- build 7 --><h1>' || substr(text, 1, 20) || '</h1><p>'
+         '<html><head><title>T</title><STYLE>p {color:red}</STYLE></head>'
+         || '<body><!-- build 7 --><h1>' || substr(text, 1, 20) || '</h1><P>'
          || text
-         || ' &amp; more</p><script type="text/javascript">var x = 1 &lt; 2;'
-         || '</script><ul><li>alpha</li><li>beta</li></ul>'
-         || '<div>tail&nbsp;note</div></body></html>' AS html
+         || ' &amp; more</P><SCRIPT type="text/javascript">var x = 1 &lt; 2;'
+         || '</SCRIPT><ul><li>alpha</li><LI>beta</LI></ul>'
+         || '<DIV>tail&nbsp;note</DIV><BR></body></html>' AS html
   FROM documents
 ),
 stripped AS (
@@ -1050,10 +1050,10 @@ stripped AS (
                regexp_replace(
                  regexp_replace(
                    regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
-                   '(?s)<script[^>]*>.*?</script>', '', 'g'),
-                 '(?s)<style[^>]*>.*?</style>', '', 'g'),
-               '<br[^>]*>', chr(10), 'g'),
-             '</(p|div|h[1-6]|li|tr)>', chr(10), 'g'),
+                   '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', '', 'g'),
+               '(?i)<br[^>]*>', chr(10), 'g'),
+             '(?i)</(p|div|h[1-6]|li|tr)>', chr(10), 'g'),
            '<[^>]*>', '', 'g') AS t
   FROM built
 ),
@@ -1231,16 +1231,16 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     html = F.concat(
         F.lit(
-            '<html><head><title>T</title><style>p {color:red}</style></head>'
+            '<html><head><title>T</title><STYLE>p {color:red}</STYLE></head>'
             "<body><!-- build 7 --><h1>"
         ),
         F.substring("text", 1, 20),
-        F.lit("</h1><p>"),
+        F.lit("</h1><P>"),
         F.col("text"),
         F.lit(
-            ' &amp; more</p><script type="text/javascript">var x = 1 &lt; 2;'
-            "</script><ul><li>alpha</li><li>beta</li></ul>"
-            "<div>tail&nbsp;note</div></body></html>"
+            ' &amp; more</P><SCRIPT type="text/javascript">var x = 1 &lt; 2;'
+            "</SCRIPT><ul><li>alpha</li><LI>beta</LI></ul>"
+            "<DIV>tail&nbsp;note</DIV><BR></body></html>"
         ),
     )
     host = (
@@ -1292,15 +1292,15 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CRAWL_PIPELINE = """
+ORACLE_CRAWL_PIPELINE = r"""
 WITH built AS (
   SELECT doc_id,
-         '<html><head><title>T</title><style>p {color:red}</style></head>'
-         || '<body><!-- build 7 --><h1>' || substr(text, 1, 20) || '</h1><p>'
+         '<html><head><title>T</title><STYLE>p {color:red}</STYLE></head>'
+         || '<body><!-- build 7 --><h1>' || substr(text, 1, 20) || '</h1><P>'
          || text
-         || ' &amp; more</p><script type="text/javascript">var x = 1 &lt; 2;'
-         || '</script><ul><li>alpha</li><li>beta</li></ul>'
-         || '<div>tail&nbsp;note</div></body></html>' AS html,
+         || ' &amp; more</P><SCRIPT type="text/javascript">var x = 1 &lt; 2;'
+         || '</SCRIPT><ul><li>alpha</li><LI>beta</LI></ul>'
+         || '<DIV>tail&nbsp;note</DIV><BR></body></html>' AS html,
          'https://'
          || CASE doc_id % 7 WHEN 0 THEN 'spamexample.com'
                             WHEN 1 THEN 'ads.spamexample.com'
@@ -1331,10 +1331,10 @@ extracted AS (
                          regexp_replace(
                            regexp_replace(
                              regexp_replace(b.html, '(?s)<!--.*?-->', '', 'g'),
-                             '(?s)<script[^>]*>.*?</script>', '', 'g'),
-                           '(?s)<style[^>]*>.*?</style>', '', 'g'),
-                         '<br[^>]*>', chr(10), 'g'),
-                       '</(p|div|h[1-6]|li|tr)>', chr(10), 'g'),
+                             '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                           '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                         '(?i)<br[^>]*>', chr(10), 'g'),
+                       '(?i)</(p|div|h[1-6]|li|tr)>', chr(10), 'g'),
                      '<[^>]*>', '', 'g'),
                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                    '&#39;', chr(39)), '&amp;', '&'),
@@ -1371,7 +1371,7 @@ counts AS (
 ),
 words AS (
   SELECT d.doc_id,
-         len(list_filter(regexp_split_to_array(d.clean_text, '\\s+'), w -> w != '')) AS n_words
+         len(list_filter(regexp_split_to_array(d.clean_text, '\s+'), w -> w != '')) AS n_words
   FROM dd d
 )
 SELECT o.doc_id, o.domain,
