@@ -235,6 +235,36 @@ def resample_audio(
     return df.select(id_col, blob_col).mapInPandas(do_resample, RESAMPLED_SCHEMA)
 
 
+REMIXED_SCHEMA = "item_id bigint, payload binary, n_channels int, n_samples int"
+
+
+def remix_audio(
+    df: DataFrame, blob_col: str, id_col: str, target_channels: int
+) -> DataFrame:
+    """Channel-normalize WAV clips (stereo→mono integer-mean downmix,
+    mono→N duplication; :func:`easydb_server_spark.operators.wav.
+    remix_wav`) — with :func:`resample_audio` this is the geometry
+    normalization a mixed-provenance audio corpus needs before
+    batching. Same Arrow-batched map-only shape: one output row per
+    clip, no shuffle, rate and bit depth preserved.
+    """
+
+    def do_remix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from easydb_server_spark.operators.wav import decode_wav, remix_wav
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                remixed = remix_wav(bytes(blob), target_channels)
+                n = decode_wav(remixed)[0].shape[0]
+                out.append((item_id, remixed, target_channels, n))
+            yield pd.DataFrame(
+                out, columns=["item_id", "payload", "n_channels", "n_samples"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(do_remix, REMIXED_SCHEMA)
+
+
 def documents_as_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Adapter used by tests/conformance: treat document text bytes as
     an opaque media payload (UTF-8 encode) with kind='image'."""

@@ -166,3 +166,128 @@ class TestWavFuzz:
         assert feats["rms"] == pytest.approx(float(np.sqrt(np.mean(flat * flat))))
         assert feats["peak"] == int(np.max(np.abs(flat)))
         assert feats["clipping_frac"] == float(np.mean(np.abs(flat) >= 32767))
+
+
+class TestBitDepths:
+    """8/24-bit PCM + channel remix (r9 verdict ask #6)."""
+
+    def test_24bit_roundtrip_exact(self):
+        from easydb_server_spark.operators.wav import decode_wav_full
+
+        s = _saw(201)
+        arr, rate, bits = decode_wav_full(encode_wav(s, 8000, bits=24))
+        assert (bits, rate) == (24, 8000)
+        # 24-bit carries the full int16 range losslessly
+        assert (arr.ravel() == s).all()
+
+    def test_8bit_roundtrip_is_high_byte_quantization(self):
+        from easydb_server_spark.operators.wav import decode_wav_full
+
+        s = _saw(100)
+        arr, rate, bits = decode_wav_full(encode_wav(s, 8000, bits=8))
+        assert (bits, rate) == (8, 8000)
+        expect = ((s.astype(np.int32) >> 8) << 8).astype(np.int16)
+        assert (arr.ravel() == expect).all()
+
+    def test_8bit_bias_per_spec(self):
+        # 8-bit WAV is UNSIGNED with a 128 bias: silence encodes as 0x80
+        payload = encode_wav(np.zeros(4, dtype=np.int16), 8000, bits=8)
+        assert payload[-4:] == b"\x80\x80\x80\x80"
+
+    def test_unsupported_depth_rejected(self):
+        with pytest.raises(ValueError, match="bits"):
+            encode_wav(_saw(4), 8000, bits=32)
+        payload = bytearray(encode_wav(_saw(4), 8000))
+        payload[34] = 32  # fmt bits-per-sample field
+        with pytest.raises(ValueError, match="PCM"):
+            decode_wav(bytes(payload))
+
+    def test_resample_preserves_depth(self):
+        from easydb_server_spark.operators.wav import decode_wav_full, resample_wav
+
+        out = resample_wav(encode_wav(_saw(100), 16000, bits=24), 8000)
+        _, rate, bits = decode_wav_full(out)
+        assert (rate, bits) == (8000, 24)
+
+    def test_features_accept_all_depths(self):
+        s = _saw(64)
+        for bits in (8, 16, 24):
+            feats = wav_decoder(encode_wav(s, 8000, bits=bits))
+            assert feats["bits"] == bits and feats["n_samples"] == 64
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(0, 200),
+        channels=st.integers(1, 3),
+        bits=st.sampled_from([8, 16, 24]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_roundtrip_idempotent_across_depths(n, channels, bits, seed):
+        """decode∘encode is idempotent at every depth: the first pass
+        quantizes (8-bit), the second is the identity on the quantized
+        samples — any geometry, including the odd-byte-count pad path
+        (24-bit mono with odd n)."""
+        from easydb_server_spark.operators.wav import decode_wav_full
+
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=(n, channels), dtype=np.int16)
+        once, rate, b = decode_wav_full(encode_wav(s, 8000, bits=bits))
+        twice, _, _ = decode_wav_full(encode_wav(once, 8000, bits=bits))
+        assert b == bits and once.shape == (n, channels)
+        assert (once == twice).all()
+        if bits != 8:
+            assert (once == s).all()
+
+
+class TestRemix:
+    def test_stereo_to_mono_integer_mean(self):
+        from easydb_server_spark.operators.wav import decode_wav_full, remix_wav
+
+        st_ = np.array([[100, 200], [-5, -6], [32767, 32767]], dtype=np.int16)
+        arr, rate, bits = decode_wav_full(remix_wav(encode_wav(st_, 8000), 1))
+        assert arr.shape == (3, 1) and (rate, bits) == (8000, 16)
+        # floor division: (-5 + -6) // 2 = -6 (toward -inf, deterministic)
+        assert arr.ravel().tolist() == [150, -6, 32767]
+
+    def test_mono_to_stereo_duplicates(self):
+        from easydb_server_spark.operators.wav import decode_wav, remix_wav
+
+        s = _saw(40)
+        arr, _ = decode_wav(remix_wav(encode_wav(s, 8000), 2))
+        assert arr.shape == (40, 2)
+        assert (arr[:, 0] == s).all() and (arr[:, 1] == s).all()
+
+    def test_same_channels_noop_and_bad_matrix_rejected(self):
+        from easydb_server_spark.operators.wav import decode_wav, remix_wav
+
+        st_ = np.stack([_saw(10), _saw(10)], axis=1)
+        arr, _ = decode_wav(remix_wav(encode_wav(st_, 8000), 2))
+        assert (arr == st_).all()
+        with pytest.raises(ValueError, match="canonical"):
+            remix_wav(encode_wav(st_, 8000), 3)
+
+    def test_remix_preserves_depth(self):
+        from easydb_server_spark.operators.wav import decode_wav_full, remix_wav
+
+        st_ = np.stack([_saw(21), _saw(21)], axis=1)
+        _, rate, bits = decode_wav_full(remix_wav(encode_wav(st_, 8000, bits=24), 1))
+        assert (rate, bits) == (8000, 24)
+
+    def test_remix_audio_operator(self, spark):
+        from easydb_server_spark.operators.multimodal import remix_audio
+        from easydb_server_spark.operators.wav import decode_wav
+
+        rows = [
+            (i, bytes(encode_wav(np.stack([_saw(50 + i), _saw(50 + i)], axis=1), 8000)))
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "item_id long, payload binary")
+        out = remix_audio(df, "payload", "item_id", 1).orderBy("item_id").collect()
+        for i, r in enumerate(out):
+            assert r.n_channels == 1 and r.n_samples == 50 + i
+            arr, _ = decode_wav(bytes(r.payload))
+            assert (arr.ravel() == _saw(50 + i)).all()
