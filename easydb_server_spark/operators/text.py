@@ -1150,8 +1150,8 @@ def url_features(
     df: DataFrame,
     url_col: str,
     id_col: str,
-    blocked_domains: tuple[str, ...] = (),
-    blocked_keywords: tuple[str, ...] = (),
+    blocked_domains: tuple[str, ...] | DataFrame = (),
+    blocked_keywords: tuple[str, ...] | DataFrame = (),
 ) -> DataFrame:
     """URL-level curation gate — the filter crawl pipelines
     (RefinedWeb §3.1, CCNet) apply BEFORE fetching or keeping a page:
@@ -1166,10 +1166,28 @@ def url_features(
     ``example.com``); a keyword blocks on substring anywhere in the
     lowercased URL (the published blocklists work this way).
 
-    Scale shape: pure in-row regexp/array arithmetic over the URL
-    column — zero shuffle, zero Python; blocklists are expression
-    literals (real deployments broadcast-join a blocklist TABLE —
-    same plan shape as the decontamination probes).
+    Blocklists come in two shapes:
+
+    - **tuples of literals** — compiled to in-row OR chains; right for
+      dozens of entries, zero shuffle.
+    - **single-column DataFrames** (first column is the entry) — the
+      shape the published million-entry blocklists (UT1, RefinedWeb's
+      4.6M-domain list) need, where a per-entry expression chain won't
+      compile. Domains equi-join the URL domain's dot-suffix set
+      (``ads.example.com`` probes ``{ads.example.com, example.com,
+      com}`` — bounded fan-out, so subdomain matching becomes a
+      BroadcastHashJoin, never a nested loop). Keywords equi-join the
+      URL's alphanumeric tokens — a DELIBERATE narrowing from the
+      literal form's substring-anywhere semantics: matching a million
+      substring patterns is an Aho-Corasick automaton, not a join, and
+      the published keyword lists are word-shaped anyway.
+
+    Scale shape: the parse is pure in-row regexp/array arithmetic —
+    zero shuffle, zero Python. Table blocklists add left-semi
+    broadcast hash joins on the exploded suffix/token rows (hits
+    aggregate back on doc_id): the corpus side never shuffles more
+    than (doc_id, key) pairs and the blocklist side broadcasts —
+    the same plan shape as the decontamination probes.
     """
     u = F.lower(F.col(url_col).cast("string"))
     domain = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
@@ -1183,21 +1201,23 @@ def url_features(
         / dom_len,
         6,
     )
-    if blocked_domains:
+    dom_df = blocked_domains if isinstance(blocked_domains, DataFrame) else None
+    kw_df = blocked_keywords if isinstance(blocked_keywords, DataFrame) else None
+    if dom_df is None and blocked_domains:
         dom_hit = None
         for b in blocked_domains:
             h = (domain == F.lit(b)) | domain.endswith("." + b)
             dom_hit = h if dom_hit is None else (dom_hit | h)
     else:
         dom_hit = F.lit(False)
-    if blocked_keywords:
+    if kw_df is None and blocked_keywords:
         kw_hit = None
         for k in blocked_keywords:
             h = u.contains(k)
             kw_hit = h if kw_hit is None else (kw_hit | h)
     else:
         kw_hit = F.lit(False)
-    return df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
         domain.alias("domain"),
         F.substring_index(domain, ".", -1).alias("tld"),
@@ -1206,8 +1226,69 @@ def url_features(
         digit_frac.alias("digit_frac"),
         dom_hit.alias("blocked_domain"),
         kw_hit.alias("blocked_keyword"),
-        (~dom_hit & ~kw_hit).alias("pass_url"),
+        *([u.alias("_url")] if kw_df is not None else []),
     )
+    if dom_df is not None:
+        entries = F.broadcast(
+            dom_df.select(
+                F.lower(F.col(dom_df.columns[0]).cast("string")).alias("_bd")
+            ).distinct()
+        )
+        parts = F.split(F.col("domain"), r"\.")
+        sufs = F.transform(F.sequence(F.lit(1), F.size(parts)), _dot_suffix(parts))
+        hits = (
+            base.select("doc_id", F.explode(sufs).alias("_suf"))
+            .join(entries, F.col("_suf") == F.col("_bd"), "leftsemi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("_dom_hit", F.lit(True))
+        )
+        base = base.join(hits, "doc_id", "left").withColumn(
+            "blocked_domain", F.coalesce(F.col("_dom_hit"), F.lit(False))
+        )
+    if kw_df is not None:
+        entries = F.broadcast(
+            kw_df.select(
+                F.lower(F.col(kw_df.columns[0]).cast("string")).alias("_bk")
+            ).distinct()
+        )
+        toks = F.filter(F.split(F.col("_url"), "[^a-z0-9]+"), _nonempty_tok)
+        hits = (
+            base.select("doc_id", F.explode(toks).alias("_tok"))
+            .join(entries, F.col("_tok") == F.col("_bk"), "leftsemi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("_kw_hit", F.lit(True))
+        )
+        base = base.join(hits, "doc_id", "left").withColumn(
+            "blocked_keyword", F.coalesce(F.col("_kw_hit"), F.lit(False))
+        )
+    return base.select(
+        "doc_id",
+        "domain",
+        "tld",
+        "path_depth",
+        "n_params",
+        "digit_frac",
+        "blocked_domain",
+        "blocked_keyword",
+        (~F.col("blocked_domain") & ~F.col("blocked_keyword")).alias("pass_url"),
+    )
+
+
+def _dot_suffix(parts):
+    """One-arg (1-based index) lambda factory for the domain
+    dot-suffix set: i → parts[i:] joined with '.' (HOF-arity note on
+    _eq_term — module-level factory, not a default-arg lambda)."""
+
+    def _f(i):
+        return F.array_join(F.slice(parts, i, F.size(parts) - i + 1), ".")
+
+    return _f
+
+
+def _nonempty_tok(x):
+    return x != F.lit("")
 
 
 def paragraph_dedup(

@@ -71,3 +71,82 @@ class TestDupStatsLinear:
         r = gopher_repetition_rules(df, "text", "doc_id").collect()[0]
         assert r.dup_line_frac == pytest.approx(round(3 / 6, 6))
         assert r.dup_line_char_frac == pytest.approx(round(7 / len(doc), 6))
+
+
+class TestUrlBlocklistTables:
+    """url_features blocklists as broadcast-join TABLES (r9 verdict
+    ask #8): the expression-literal form compiles per-entry OR chains,
+    the wrong shape for million-entry published blocklists."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "https://ads.spamexample.com/x"),
+                (2, "https://spamexample.com/y"),
+                (3, "https://example.com/casino-bonus/p"),
+                (4, "https://fine.org/a/b?q=1"),
+                (5, "https://notspamexample.com/z"),  # NOT a subdomain
+            ],
+            "doc_id long, url string",
+        )
+
+    def test_table_form_matches_literal_form(self, spark):
+        from easydb_server_spark.operators.text import url_features
+
+        df = self._corpus(spark)
+        lit_out = (
+            url_features(
+                df, "url", "doc_id",
+                blocked_domains=("spamexample.com",),
+                blocked_keywords=("casino",),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        dom_tbl = spark.createDataFrame([("spamexample.com",)], "domain string")
+        kw_tbl = spark.createDataFrame([("casino",)], "keyword string")
+        tbl_out = (
+            url_features(
+                df, "url", "doc_id",
+                blocked_domains=dom_tbl, blocked_keywords=kw_tbl,
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        # 'casino' appears as a URL token here, so the token-exact
+        # table semantics agree with substring on this corpus
+        assert [r.asDict() for r in lit_out] == [r.asDict() for r in tbl_out]
+        assert {r.doc_id: r.pass_url for r in tbl_out} == {
+            1: False, 2: False, 3: False, 4: True, 5: True,
+        }
+
+    def test_table_form_plans_broadcast_hash_joins(self, spark):
+        from easydb_server_spark.operators.text import url_features
+
+        dom_tbl = spark.createDataFrame([("spamexample.com",)], "domain string")
+        kw_tbl = spark.createDataFrame([("casino",)], "keyword string")
+        out = url_features(
+            self._corpus(spark), "url", "doc_id",
+            blocked_domains=dom_tbl, blocked_keywords=kw_tbl,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # subdomain matching must NOT fall back to a nested loop
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_keyword_table_is_token_exact(self, spark):
+        from easydb_server_spark.operators.text import url_features
+
+        df = spark.createDataFrame(
+            # 'casinos' contains 'casino' as substring but not as token
+            [(1, "https://a.com/casinos"), (2, "https://a.com/casino/x")],
+            "doc_id long, url string",
+        )
+        kw_tbl = spark.createDataFrame([("casino",)], "keyword string")
+        out = {
+            r.doc_id: r.blocked_keyword
+            for r in url_features(
+                df, "url", "doc_id", blocked_keywords=kw_tbl
+            ).collect()
+        }
+        assert out == {1: False, 2: True}
