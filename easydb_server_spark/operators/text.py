@@ -632,6 +632,7 @@ def gopher_repetition_rules(
     text_col: str,
     id_col: str,
     thresholds: dict[str, float] | None = None,
+    impl: str = "agg",
 ) -> DataFrame:
     """The COMPLETE Gopher repetition filter (Rae et al. 2021 §A1.1,
     Table A1) — all 13 published signals, complementing
@@ -657,8 +658,23 @@ def gopher_repetition_rules(
     signals at or under their thresholds — override any subset via
     ``thresholds``).
 
-    Scale shape: line/paragraph signals are in-row array arithmetic.
-    The nine n-gram signals flow through a HOF-free double explode
+    Two formulations, same results (SCALE.md measures them):
+
+    - ``impl="agg"`` (default) — all-JVM: three linear
+      partial-aggregated hash shuffles of fixed-shape gram rows.
+    - ``impl="python"`` — every signal is a pure per-document
+      function, so an Arrow-batched ``mapInPandas`` stage computes the
+      RAW integer counts per doc (Counter over grams, merged-interval
+      coverage) with ZERO exchanges; the fractions/rounding run in the
+      same Spark expressions as the agg path afterwards, so the two
+      impls agree bit-for-bit (BMP caveat: Python counts codepoints
+      where the JVM counts UTF-16 code units, so astral-plane
+      characters diverge on length-derived metrics — same caveat the
+      pathological fuzz pins for every text operator).
+
+    Scale shape (``impl="agg"``): line/paragraph signals are in-row
+    array arithmetic. The nine n-gram signals flow through a HOF-free
+    double explode
     (positions, then nine codegen'd struct expressions per position —
     higher-order-function gram building evaluates interpreted and was
     measured 2.3× slower), a COUNT-ONLY hash aggregate, a per-(doc, n)
@@ -678,6 +694,10 @@ def gopher_repetition_rules(
         if unknown:
             raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
         th.update(thresholds)
+    if impl == "python":
+        return _rep_finalize(_rep_counts_python(df, text_col, id_col), th)
+    if impl != "agg":
+        raise ValueError(f"impl must be 'agg' or 'python', got {impl!r}")
 
     t = F.col(text_col)
     total_chars = F.greatest(F.length(t), F.lit(1))
@@ -819,6 +839,117 @@ def gopher_repetition_rules(
         "dup_para_char_frac",
         *sig_cols,
     )
+    out_cols = list(th)
+    passing = None
+    for c in out_cols:
+        ok = F.col(c) <= F.lit(th[c])
+        passing = ok if passing is None else (passing & ok)
+    return full.select("doc_id", *out_cols, passing.alias("pass_repetition"))
+
+
+_REP_COUNT_SCHEMA = (
+    "doc_id bigint, n_chars bigint, n_lines int, dup_line_cnt int, "
+    "dup_line_chars bigint, n_paras int, dup_para_cnt int, dup_para_chars bigint, "
+    + ", ".join(f"cov_{n} bigint" for n in range(2, 11))
+)
+
+
+def _rep_counts_python(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The zero-exchange repetition formulation (r9 verdict ask #3):
+    every one of the 13 signals is a pure per-document function, so an
+    Arrow-batched ``mapInPandas`` stage computes the raw integer
+    counts per doc — a Counter over each n's grams, flagged starts
+    (argmax for n ≤ 4, duplicated for n ≥ 5), and union coverage via a
+    per-token mark array — with NO shuffle anywhere. Emits counts, not
+    fractions: the division/rounding runs in the same Spark
+    expressions as the agg path (:func:`_rep_finalize`), so rounding
+    semantics are identical by construction."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def one(text: str) -> tuple:
+        lines = text.split("\n")
+        paras = text.split("\n\n")
+        n_chars = max(len(text), 1)
+
+        def dup(vals):
+            c = Counter(vals)
+            return len(vals) - len(c), sum((k - 1) * len(v) for v, k in c.items())
+
+        dl_cnt, dl_chars = dup(lines)
+        dp_cnt, dp_chars = dup(paras)
+        ws = text.split(" ")
+        w = len(ws)
+        covs = []
+        for n in range(2, 11):
+            grams = [" ".join(ws[i : i + n]) for i in range(w - n + 1)]
+            if not grams:
+                covs.append(0)
+                continue
+            cnt = Counter(grams)
+            if n <= 4:
+                top = max(cnt.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))[0]
+                flagged = {top}
+            else:
+                flagged = {g for g, c in cnt.items() if c > 1}
+                if not flagged:
+                    covs.append(0)
+                    continue
+            cov = bytearray(w)
+            for i, g in enumerate(grams):
+                if g in flagged:
+                    for j in range(i, i + n):
+                        cov[j] = 1
+            chars = 0
+            prev = 0
+            for i, word in enumerate(ws):
+                if cov[i]:
+                    chars += len(word) + prev
+                prev = cov[i]
+            covs.append(chars)
+        return (n_chars, len(lines), dl_cnt, dl_chars, len(paras), dp_cnt, dp_chars, *covs)
+
+    cols = _REP_COUNT_SCHEMA.replace(" bigint", "").replace(" int", "").split(", ")
+
+    def counts(batches):
+        for pdf in batches:
+            out = [
+                (int(doc_id), *one(text))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(counts, _REP_COUNT_SCHEMA)
+
+
+def _rep_finalize(counts: DataFrame, th: dict[str, float]) -> DataFrame:
+    """Fractions + pass flag from raw repetition counts — the Spark
+    expressions shared verbatim with the agg path's arithmetic, so
+    both impls round identically."""
+    nc = F.col("n_chars")
+    sig_cols = [
+        F.round(F.col("dup_line_cnt") / F.greatest(F.col("n_lines"), F.lit(1)), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(F.col("dup_para_cnt") / F.greatest(F.col("n_paras"), F.lit(1)), 6).alias(
+            "dup_para_frac"
+        ),
+        F.round(F.col("dup_line_chars") / nc, 6).alias("dup_line_char_frac"),
+        F.round(F.col("dup_para_chars") / nc, 6).alias("dup_para_char_frac"),
+    ]
+    for n in (2, 3, 4):
+        sig_cols.append(
+            F.round(F.col(f"cov_{n}").cast("double") / nc, 6).alias(f"top_{n}gram_char_frac")
+        )
+    for n in range(5, 11):
+        sig_cols.append(
+            F.round(F.col(f"cov_{n}").cast("double") / nc, 6).alias(f"dup_{n}gram_char_frac")
+        )
+    full = counts.select("doc_id", *sig_cols)
     out_cols = list(th)
     passing = None
     for c in out_cols:

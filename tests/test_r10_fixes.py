@@ -150,3 +150,67 @@ class TestUrlBlocklistTables:
             ).collect()
         }
         assert out == {1: False, 2: True}
+
+
+class TestRepetitionImplEquivalence:
+    """The zero-exchange mapInPandas repetition formulation (r9
+    verdict ask #3) must agree bit-for-bit with the all-JVM agg path —
+    the fractions/rounding run in shared Spark expressions, so any
+    divergence is a counting bug."""
+
+    def _diff(self, spark, rows):
+        from easydb_server_spark.compare import canon_frame
+        from easydb_server_spark.operators.text import gopher_repetition_rules
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = canon_frame(
+            gopher_repetition_rules(df, "text", "doc_id").orderBy("doc_id").toPandas()
+        )
+        b = canon_frame(
+            gopher_repetition_rules(df, "text", "doc_id", impl="python")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert a == b
+
+    def test_pathological_docs_agree(self, spark):
+        self._diff(
+            spark,
+            [
+                (1, "solo"),                      # single word: no grams at all
+                (2, "a a a a a a a a a a a a"),   # all-duplicate: fracs must be <= 1
+                (3, ""),                          # empty
+                (4, "x\nx\nx\n\nx\nx"),           # line/para dup interplay
+                (5, "one two three four five six seven eight nine ten eleven"),
+                (6, "ab " * 50 + "tail"),         # heavy 2-gram repetition
+            ],
+        )
+
+    def test_every_fraction_bounded_by_one(self, spark):
+        from easydb_server_spark.operators.text import gopher_repetition_rules
+
+        df = spark.createDataFrame(
+            [(1, "a a a a a a a a a a a a a a a a")], "doc_id long, text string"
+        )
+        for impl in ("agg", "python"):
+            r = gopher_repetition_rules(df, "text", "doc_id", impl=impl).collect()[0]
+            for k, v in r.asDict().items():
+                if k.endswith("_frac"):
+                    assert 0.0 <= v <= 1.0, (impl, k, v)
+
+    def test_python_impl_plans_zero_exchanges(self, spark):
+        from easydb_server_spark.operators.text import gopher_repetition_rules
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            gopher_repetition_rules(df, "text", "doc_id", impl="python")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_unknown_impl_rejected(self, spark):
+        from easydb_server_spark.operators.text import gopher_repetition_rules
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="impl"):
+            gopher_repetition_rules(df, "text", "doc_id", impl="rdd")
