@@ -1405,20 +1405,26 @@ def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gopher_repetition_rules(built, "text", "doc_id").orderBy("doc_id")
 
 
-def _oracle_gopher_repetition() -> str:
+def _oracle_gopher_repetition(
+    t_expr: str = "text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)",
+    source: str = "documents",
+) -> str:
     """Generated DuckDB replay of gopher_repetition_rules over the
     conformance construction: per n ∈ 2..10, gram counts → flagged
     start positions (argmax gram for n ≤ 4, duplicated grams for
-    n ≥ 5) → span-coverage character sums via EXISTS + LAG."""
+    n ≥ 5) → span-coverage character sums via EXISTS + LAG.
+    ``t_expr``/``source`` parametrize the input document expression so
+    the pathological fuzz can replay the operator over RAW drawn text
+    (``_oracle_gopher_repetition("text", "docs_nn")``)."""
     from easydb_server_spark.operators.text import GOPHER_REPETITION_THRESHOLDS
 
     # gram identity is the raw string with the (count, length, gram)
     # tie order — byte-for-byte the Spark plan
     parts = [
-        """WITH built AS (
+        f"""WITH built AS (
   SELECT doc_id,
-         text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40) AS t
-  FROM documents
+         {t_expr} AS t
+  FROM {source}
 ),
 base AS (
   SELECT doc_id, t,

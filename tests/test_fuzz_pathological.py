@@ -1,11 +1,16 @@
 """Pathological-input differential fuzz for the text_* family (r8
-verdict ask #7): unicode (BMP), empty and whitespace-only documents,
-single-token documents, very-long-line documents — each drawn corpus
-runs line_dedup / ngram_novelty / clip_spans / gopher_rules on Spark
-AND the operator's DuckDB oracle over the SAME generated table, and
-the results must agree bit-for-bit. 50 hypothesis examples × 4
-properties = 200 generated corpora, every one carrying the five fixed
-pathological docs plus drawn ones.
+verdict ask #7; crawl operators added per r9 ask #5): unicode (BMP),
+empty and whitespace-only documents, single-token documents,
+very-long-line documents — each drawn corpus runs line_dedup /
+ngram_novelty / clip_spans / gopher_rules, plus (round 10)
+html_extract (tag soup, entities, uppercase tags, attributes
+containing '>', unclosed scripts), url_features (no scheme, IP hosts,
+userinfo@, ports, empty paths), paragraph_dedup (null/empty/
+whitespace docs, sep collisions), and gopher_repetition_rules
+(single-word and all-duplicate docs, BOTH impls) on Spark AND each
+operator's DuckDB oracle over the SAME generated table; results must
+agree bit-for-bit. Every drawn corpus also carries the fixed
+pathological docs.
 
 Alphabet note: BMP-only (≤ U+FFFF, no surrogates) — Spark's string
 length counts UTF-16 code units while DuckDB counts codepoints, so
@@ -175,3 +180,261 @@ def test_gopher_rules_pathological(spark, drawn, min_words):
         _oracle_gopher(min_words=min_words, min_stop=1).replace("FROM documents", "FROM docs_nn")
     ).df()
     _assert_match(got, want, (drawn, min_words))
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the crawl-operator family (r9 verdict ask #5) — html_extract
+# (tag soup, entities, uppercase, attributes containing '>', unclosed
+# scripts), url_features (no scheme, IP hosts, userinfo@, ports, empty
+# paths), paragraph_dedup (null/empty/whitespace docs, sep collisions),
+# gopher_repetition_rules (single-word docs, all-duplicate docs).
+# ---------------------------------------------------------------------------
+
+_HTML_FRAG = st.one_of(
+    st.text(alphabet="abXY 01é中.", min_size=1, max_size=8),
+    st.sampled_from(
+        ["&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;", "&#39;", "&amp;lt;"]
+    ),
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<P>", "</P>", "<DIV>", "</DIV>", "<li>", "</LI>",
+            "<h3>", "</H3>", "<br>", "<BR/>", "<b>", "</b>", "<SPAN x=1>",
+            '<a title="a>b">',  # attribute containing '>'
+            "<!-- c -->", "<!--", "-->", "<", ">", "< notatag",
+            "<script>var x;</script>", "<SCRIPT a=b>x < y</SCRIPT>",
+            "<ScRiPt>mixed</sCrIpT>", "<script>never closed",
+            "<style>p{}</style>", "<STYLE>q{}</STYLE>", "<style>open",
+        ]
+    ),
+)
+
+_HTML_FIXED = [
+    None,
+    "",
+    "plain no tags",
+    "<SCRIPT>var x = 1;</SCRIPT><P>Hello</P><BR>Bye",  # the r9-verdict replay
+    "<!-- unclosed comment <p>swallowed</p>",
+    '<a title="a>b">leak</a>',
+    "<script>while(1){<div>}</script>tail",
+]
+
+_HTML_EXTRACT_SQL = r"""
+WITH stripped AS (
+  SELECT doc_id,
+         len(regexp_extract_all(html, '<[^>]*>')) AS n_tags,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+                   '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', '', 'g'),
+               '(?i)<br[^>]*>', chr(10), 'g'),
+             '(?i)</(p|div|h[1-6]|li|tr)>', chr(10), 'g'),
+           '<[^>]*>', '', 'g') AS t
+  FROM pages
+),
+unescaped AS (
+  SELECT doc_id, n_tags,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS t
+  FROM stripped
+),
+collapsed AS (
+  SELECT doc_id, n_tags,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[ \t]+', ' ', 'g'),
+               ' ?\n ?', chr(10), 'g'),
+             '\n{2,}', chr(10) || chr(10), 'g'),
+           '^\s+|\s+$', '', 'g') AS clean_text
+  FROM unescaped
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS INT) AS n_chars,
+       CAST(n_tags AS INT) AS n_tags
+FROM collapsed ORDER BY doc_id
+"""
+
+
+@settings(**_SETTINGS)
+@given(drawn=st.lists(st.lists(_HTML_FRAG, max_size=12).map("".join), min_size=1, max_size=5))
+def test_html_extract_pathological(spark, drawn):
+    from easydb_server_spark.operators.text import html_extract
+
+    texts = _HTML_FIXED + drawn
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, html string")
+    con = duckdb.connect()
+    con.register("pages", pd.DataFrame(rows, columns=["doc_id", "html"]))
+    got = html_extract(sdf, "html", "doc_id").orderBy("doc_id").toPandas()
+    want = con.execute(_HTML_EXTRACT_SQL).df()
+    _assert_match(got, want, drawn)
+    # the load-bearing guarantee, independent of the oracle: script
+    # bodies NEVER leak into clean text, any tag case
+    for r in got.itertuples():
+        if r.clean_text is not None:
+            assert "var x" not in r.clean_text or "script" not in texts[r.doc_id].lower()
+
+
+_URL_SCHEME = st.sampled_from(
+    ["https://", "http://", "HTTP://", "ftp+x://", "", "//", "notascheme:", "1bad://"]
+)
+_URL_HOST = st.one_of(
+    st.sampled_from(
+        [
+            "example.com", "spamexample.com", "ads.spamexample.com",
+            "notspamexample.com", "10.0.0.1", "127.1", "h99x2.net",
+            "user@example.com", "example.com:8080", "user:pw@h.io:99",
+            "", "777", "xn--caf-dma.fr",
+        ]
+    ),
+    st.text(alphabet="ab9.-", min_size=0, max_size=10),
+)
+_URL_TAIL = st.sampled_from(
+    [
+        "", "/", "/a/b/c", "//double//slash/", "/casino-bonus/p", "/CASINO",
+        "/a?x=1&y=2&z", "/a?", "/a#frag", "/a?q=1#f", "/p%20q", "/.."
+    ]
+)
+
+_URL_SQL = """
+WITH parsed AS (
+  SELECT doc_id, lower(url) AS u,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(lower(url), '\\?([^#]*)', 1) AS query
+  FROM urls
+),
+feats AS (
+  SELECT doc_id, domain,
+         regexp_extract(domain, '([^.]*)$', 1) AS tld,
+         len(list_filter(string_split(path, '/'), x -> x != '')) AS path_depth,
+         CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END AS n_params,
+         ROUND(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(domain), 1), 6) AS digit_frac,
+         (domain = 'spamexample.com' OR suffix(domain, '.spamexample.com')) AS blocked_domain,
+         contains(u, 'casino') AS blocked_keyword
+  FROM parsed
+)
+SELECT doc_id, domain, tld,
+       CAST(path_depth AS INT) AS path_depth,
+       CAST(n_params AS INT) AS n_params,
+       digit_frac, blocked_domain, blocked_keyword,
+       (NOT blocked_domain AND NOT blocked_keyword) AS pass_url
+FROM feats ORDER BY doc_id
+"""
+
+
+@settings(**_SETTINGS)
+@given(
+    drawn=st.lists(
+        st.tuples(_URL_SCHEME, _URL_HOST, _URL_TAIL).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_url_features_pathological(spark, drawn):
+    from easydb_server_spark.operators.text import url_features
+
+    rows = [(i, u) for i, u in enumerate(drawn)]
+    sdf = spark.createDataFrame(rows, "doc_id long, url string")
+    con = duckdb.connect()
+    con.register("urls", pd.DataFrame(rows, columns=["doc_id", "url"]))
+    got = (
+        url_features(
+            sdf, "url", "doc_id",
+            blocked_domains=("spamexample.com",),
+            blocked_keywords=("casino",),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = con.execute(_URL_SQL).df()
+    _assert_match(got, want, drawn)
+
+
+def _paragraph_dedup_sql(sep_sql: str) -> str:
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, {sep_sql}) AS ps FROM documents),
+x AS (
+  SELECT doc_id, t.i - 1 AS pos, ps[t.i] AS para
+  FROM base, UNNEST(generate_series(1, len(ps))) t(i)
+),
+freq AS (SELECT para, COUNT(DISTINCT doc_id) AS n_docs FROM x GROUP BY para),
+kept AS (
+  SELECT x.doc_id, x.pos, x.para
+  FROM x JOIN freq USING (para) WHERE freq.n_docs < 2
+),
+rebuilt AS (
+  SELECT doc_id,
+         STRING_AGG(para, {sep_sql} ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN b.ps IS NULL THEN NULL
+            ELSE COALESCE(r.clean_text, '') END AS clean_text,
+       CAST(len(b.ps) AS INT) AS n_paras,
+       CAST(len(b.ps) - COALESCE(r.n_kept, 0) AS INT) AS n_removed
+FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@settings(**_SETTINGS)
+@given(
+    drawn=st.lists(_doc(), min_size=1, max_size=6),
+    sep_idx=st.integers(0, 1),
+)
+def test_paragraph_dedup_pathological(spark, drawn, sep_idx):
+    """Default '\\n\\n' sep AND the '\\n' line-collision mode the crawl
+    pipeline runs (a '\\n\\n' in content is a sep-collision for it)."""
+    from easydb_server_spark.operators.text import paragraph_dedup
+
+    sep, sep_sql = [("\n\n", "chr(10) || chr(10)"), ("\n", "chr(10)")][sep_idx]
+    sdf_in, con = _mk_corpus(spark, drawn)
+    got = (
+        paragraph_dedup(sdf_in, "text", "doc_id", min_docs=2, sep=sep)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = con.execute(_paragraph_dedup_sql(sep_sql)).df()
+    _assert_match(got, want, (drawn, sep))
+
+
+_REP_FIXED = [
+    "solo",                       # single word: no grams at all
+    "a a a a a a a a a a a a",    # all-duplicate: every fraction must stay <= 1
+    "",
+    "x\nx\nx\n\nx\nx",
+    "ab " * 30 + "tail",
+]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(drawn=st.lists(_doc(), min_size=1, max_size=4))
+def test_gopher_repetition_pathological(spark, drawn):
+    from easydb_server_spark.operators.text import gopher_repetition_rules
+    from easydb_server_spark.queries.llmops import _oracle_gopher_repetition
+
+    texts = _REP_FIXED + [d for d in drawn if d is not None]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("docs_nn", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(_oracle_gopher_repetition("text", "docs_nn")).df()
+    for impl in ("agg", "python"):
+        got = (
+            gopher_repetition_rules(sdf, "text", "doc_id", impl=impl)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        _assert_match(got, want, (impl, drawn))
+        for col in got.columns:
+            if col.endswith("_frac"):
+                assert (got[col].dropna() <= 1.0).all(), (impl, col)
