@@ -32,38 +32,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql_or_None)
 #
-# ORDERING MATTERS: the driver's correctness harness verifies a prefix
-# of this registry (~50 entries; every round so far recorded exactly
-# 50), so each round the window front-loads (1) entries whose code
-# changed this round, then (2) the entries with the LEAST
-# driver-verified evidence. Round 9: (a) the new multimodal_audio
-# entry plus the three result-relevant code changes (string-verified
-# ngram spans, de-cliffed DSIR totals, null-gated line_dedup), then
-# (b) the ENTIRE 46-entry r5-evidence cohort the r8 verdict asked to
-# refresh. After a green r9 no oracled entry's newest driver evidence
-# is older than r6. Rows-only entries (`agg_approx_distinct`,
-# `stream_funnel_stateful`) stay OUT of the window — they burn a slot
-# recording `no_oracle`.
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- ROUND-9 WINDOW (50 entries the driver verifies) ---
-    # (0) NEW this round: real WAV/PCM audio codec end-to-end
-    # (encode -> decode -> curation features vs a closed-form oracle)
+# Definition order here does NOT matter any more: the driver-verified
+# ~50-entry priority window is the explicit PRIORITY_WINDOW_NAMES list
+# below, and REGISTRY is constructed window-first from these
+# definitions. Rotate the window each round by editing the list (and
+# the matching lock in tests/test_registry.py), not by reordering this
+# dict.
+_DEFS: dict[str, tuple[QueryFn, str | None]] = {
+    # (real WAV/PCM audio codec end-to-end: encode -> decode ->
+    # curation features vs a closed-form oracle)
     "multimodal_audio": (llmops.q_multimodal_audio, llmops.ORACLE_MULTIMODAL_AUDIO),
-    # (a) entries whose operator code/oracle changed this round:
-    # dedup_ngram_spans gained the candidate-restricted string-verify
-    # pass (oracle moved to exact string counts), curate_dsir's model
-    # totals were de-cliffed (distributed agg + broadcast cross-join
-    # replacing the single-partition window), and line_dedup now gates
-    # null text explicitly (null counts AND null clean_text)
     "dedup_ngram_spans": (llmops.q_dedup_ngram_spans, llmops.ORACLE_DEDUP_NGRAM_SPANS),
     "curate_dsir": (llmops.q_curate_dsir, llmops.ORACLE_CURATE_DSIR),
     "text_line_dedup": (llmops.q_text_line_dedup, llmops.ORACLE_TEXT_LINE_DEDUP),
-    # (b) the r5-evidence cohort — all 46 entries whose newest driver
-    # evidence was round 5 (core projections/filters/sorts, scalar fn
-    # families, set ops, subqueries, windows, streaming dedup/join,
-    # TPC-H q2/q11/q21, corpus_shuffle, text_repetition) — the refresh
-    # target the r8 verdict named; after a green r9 no oracled entry's
-    # newest driver evidence is older than r6
     "core_cast": (core.q_core_cast, core.ORACLE_CAST),
     "core_conditionals": (core.q_core_conditionals, core.ORACLE_CONDITIONALS),
     "core_distinct": (core.q_core_distinct, core.ORACLE_DISTINCT),
@@ -119,22 +100,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_range_frame": (windows.q_window_range_frame, windows.ORACLE_WINDOW_RANGE_FRAME),
     "window_rank": (windows.q_window_rank, windows.ORACLE_WINDOW_RANK),
     "window_running": (windows.q_window_running, windows.ORACLE_WINDOW_RUNNING),
-    # --- end of the 50-entry priority window (closes at
-    # window_running, position 50; locked by
-    # tests/test_registry.py::test_priority_window_prefix_is_stable;
-    # the window is exactly: one NEW r9 entry + three changed-code
-    # entries + the full 46-entry r5-evidence refresh cohort. The
-    # other entries touched this round (text_clip_spans,
-    # text_contamination_spans, dedup_keepers_quality, sim_topk_ivf)
-    # keep r8 driver evidence, and the six late-r9 additions
-    # (sim_incremental_neardup, multimodal_audio_resample,
-    # text_html_extract, text_paragraph_dedup, text_url_filter,
-    # crawl_pipeline) sit below the marker — all are locked by
-    # tools/check_conformance.py + the never-driver-seen pytest
-    # oracle guard, and promoting any of them would have evicted
-    # r5-cohort members and violated the evidence-freshness goal;
-    # they are the natural r10 window front. Rows-only entries stay
-    # OUT of the window — they burn a slot recording `no_oracle`. ---
     "text_clip_spans": (llmops.q_text_clip_spans, llmops.ORACLE_TEXT_CLIP_SPANS),
     "text_gopher_rules": (llmops.q_text_gopher_rules, llmops.ORACLE_TEXT_GOPHER_RULES),
     "dedup_keepers_quality": (llmops.q_dedup_keepers_quality, llmops.ORACLE_DEDUP_KEEPERS_QUALITY),
@@ -155,8 +120,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_bpe_merges": (llmops.q_text_bpe_merges, llmops.ORACLE_TEXT_BPE_MERGES),
     "sim_semdedup": (llmops.q_sim_semdedup, llmops.ORACLE_SIM_SEMDEDUP),
     "sim_topk_ivf": (llmops.q_sim_topk_ivf, llmops.ORACLE_SIM_TOPK_IVF),
-    # r9 (below-window: locked by the never-driver-seen pytest oracle
-    # guard + the full conformance sweep until a future rotation)
     "sim_incremental_neardup": (
         llmops.q_sim_incremental_neardup,
         llmops.ORACLE_SIM_INCREMENTAL_NEARDUP,
@@ -319,6 +282,83 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_approx_distinct": (agg.q_agg_approx_distinct, None),
     # --- custom stateful streaming (no oracle by construction) ---
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
+}
+
+# --- ROUND-10 PRIORITY WINDOW (the 50-entry prefix the driver
+# verifies). Rotation policy (unchanged since r8): (1) entries whose
+# operator code changed this round, (2) the entries with the LEAST
+# driver-verified evidence, fill from the oldest-evidence cohort.
+# Round 10: the 7 never-driver-seen oracled entries (all five crawl
+# entries, the incremental embedding probe, the audio resampler) plus
+# multimodal_audio (the WAV decode path gained 8/24-bit support this
+# round); text_gopher_repetition / text_html_extract / text_url_filter
+# / crawl_pipeline also carry r10 code changes (dup_stats fold, (?i)
+# tag regexes, blocklist-table overload) so the front 8 covers every
+# r10 change. Slots 9-50 are the alphabetically-first 42 of the
+# 49-entry r6-evidence cohort; the remaining 7 (text_normalize,
+# text_pack, text_quality, text_quality_prune, text_redact,
+# text_token_counts, text_vocab) are the natural r11 fill — after a
+# green r10 they are the ONLY oracled entries with evidence older
+# than r7. Rows-only entries (agg_approx_distinct,
+# stream_funnel_stateful) stay OUT — they burn a slot on `no_oracle`.
+PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
+    "multimodal_audio",
+    "text_gopher_repetition",
+    "crawl_pipeline",
+    "text_html_extract",
+    "text_paragraph_dedup",
+    "text_url_filter",
+    "sim_incremental_neardup",
+    "multimodal_audio_resample",
+    "agg_bool_bit",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_filter_clause",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_minmax_by",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_regr",
+    "agg_rollup",
+    "agg_stats",
+    "agg_string_agg",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "edge_groups_frame",
+    "edge_ilike",
+    "edge_introspection",
+    "edge_natural_join",
+    "edge_null_safe_misc",
+    "edge_regexp_count",
+    "edge_string_fns",
+    "emb_label_outliers",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_nonequi",
+    "join_right_outer",
+    "join_semi",
+    "join_using",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "text_fingerprint",
+    "text_langid",
+    "text_mixture",
+)
+
+# REGISTRY iteration order IS the driver-verification priority: the
+# window names first, then every other entry in _DEFS order.
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **{name: _DEFS[name] for name in PRIORITY_WINDOW_NAMES},
+    **{name: defn for name, defn in _DEFS.items() if name not in PRIORITY_WINDOW_NAMES},
 }
 
 

@@ -1,37 +1,38 @@
 """Registry-contract locks: the driver's correctness harness verifies
 a ~50-entry prefix of REGISTRY, so its composition is load-bearing —
-an accidental insertion above the marker silently evicts entry 50 from
-driver verification with no failure anywhere else.
+an accidental reordering silently evicts entry 50 from driver
+verification with no failure anywhere else. Since round 10 the window
+is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
+window-first), so these tests lock the LIST, not comment markers.
 
-Round-9 window (new entries, then changed code, then
-least-driver-evidence): the NEW multimodal_audio entry (real WAV
-codec end-to-end), the three entries whose results/oracles changed
-this round (string-verified dedup_ngram_spans, de-cliffed
-curate_dsir, null-gated text_line_dedup), then the ENTIRE 46-entry
-r5-evidence cohort the r8 verdict asked to refresh (core family,
-scalar fn families, set ops, subqueries, windows, streaming
-dedup/join, TPC-H q2/q11/q21) — closing at window_running. After a
-green r9, no oracled entry's newest driver evidence is older than
-r6. Rows-only entries stay out of the window (they burn a slot on
-`no_oracle`). Everything driver-green in r6-r8 follows the marker.
+Round-10 window (never-driver-seen first, then changed code, then
+least-driver-evidence): the 7 entries no driver round ever verified
+(all five crawl entries, the incremental embedding probe, the audio
+resampler) plus multimodal_audio (WAV decode path gained 8/24-bit
+support in r10) — this front 8 also covers every r10 code change
+(dup_stats fold, (?i) tag regexes, url blocklist tables) — then the
+alphabetically-first 42 of the 49-entry r6-evidence cohort. The 7
+r6 leftovers (text_normalize … text_vocab) are the natural r11 fill.
+Rows-only entries stay out of the window (they burn a slot on
+`no_oracle`).
 """
 
 PRIORITY_WINDOW = 50
 
 
 def test_priority_window_prefix_is_stable():
-    from easydb_server_spark.queries import REGISTRY
+    from easydb_server_spark.queries import PRIORITY_WINDOW_NAMES, REGISTRY
 
     names = list(REGISTRY)
-    assert names[PRIORITY_WINDOW - 1] == "window_running", (
-        "the driver-verified priority window must close at window_running "
-        f"(position {PRIORITY_WINDOW}); add new queries AFTER the "
-        "end-of-window marker in queries/__init__.py "
-        f"(found {names[PRIORITY_WINDOW - 1]!r} at position {PRIORITY_WINDOW})"
+    assert len(PRIORITY_WINDOW_NAMES) == PRIORITY_WINDOW
+    assert names[:PRIORITY_WINDOW] == list(PRIORITY_WINDOW_NAMES), (
+        "REGISTRY must iterate the priority window first — its first "
+        f"{PRIORITY_WINDOW} names must equal PRIORITY_WINDOW_NAMES"
     )
+    assert len(set(names)) == len(names)
 
 
-def test_window_holds_the_r9_rotation():
+def test_window_holds_the_r10_rotation():
     import glob
     import json
     import os
@@ -40,27 +41,32 @@ def test_window_holds_the_r9_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # the NEW r9 entry leads, then the three result-relevant changes
-    assert window[:4] == [
+    # the never-driver-seen 7 + the r10-changed audio entry lead
+    assert window[:8] == [
         "multimodal_audio",
-        "dedup_ngram_spans",
-        "curate_dsir",
-        "text_line_dedup",
+        "text_gopher_repetition",
+        "crawl_pipeline",
+        "text_html_extract",
+        "text_paragraph_dedup",
+        "text_url_filter",
+        "sim_incremental_neardup",
+        "multimodal_audio_resample",
     ]
-    # positions 5-50 are EXACTLY the r5-evidence cohort: every entry
-    # whose newest driver evidence (across all CORRECTNESS_r*.json up
-    # to r8) was round 5 — the refresh target the r8 verdict named
+    # positions 9-50 are the alphabetically-first 42 of the r6-evidence
+    # cohort: entries whose newest driver evidence (across all
+    # CORRECTNESS_r*.json up to r9 — the goalpost is fixed at rotation
+    # time) was round 6
     newest = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 8:
-            continue  # the goalpost is fixed at rotation time
+        if rnd > 9:
+            continue
         with open(f) as fh:
             for name in json.load(fh):
                 newest[name] = max(newest.get(name, 0), rnd)
-    r5_cohort = sorted(n for n, r in newest.items() if r == 5)
-    assert len(r5_cohort) == 46
-    assert sorted(window[4:]) == r5_cohort
+    r6_cohort = sorted(n for n, r in newest.items() if r == 6)
+    assert len(r6_cohort) == 49
+    assert window[8:] == r6_cohort[:42]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
