@@ -128,6 +128,13 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_multimodal_audio_resample,
         llmops.ORACLE_MULTIMODAL_AUDIO_RESAMPLE,
     ),
+    # r10 (below-window: locked by the never-driver-seen pytest oracle
+    # guard + the full conformance sweep until a future rotation)
+    "multimodal_audio_depths": (
+        llmops.q_multimodal_audio_depths,
+        llmops.ORACLE_MULTIMODAL_AUDIO_DEPTHS,
+    ),
+    "text_url_blocklist": (llmops.q_text_url_blocklist, llmops.ORACLE_TEXT_URL_BLOCKLIST),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

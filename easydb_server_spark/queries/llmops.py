@@ -1004,6 +1004,172 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_multimodal_audio_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 codec paths end-to-end: each doc_id becomes a
+    deterministic STEREO clip (two phase-shifted sawtooth channels,
+    60 + doc_id % 40 frames, 8 kHz) encoded at a bit depth cycling
+    with doc_id (8/16/24), remixed to MONO (integer-mean downmix,
+    depth preserved — so the 8-bit lane re-quantizes the mono), then
+    featurized. The oracle never sees bytes: it replays the sample
+    recipe, the 8-bit quantization (floor(s/256)·256 — the (u−128)<<8
+    widening), the floor-mean downmix, and the feature arithmetic in
+    closed form, so a hash match proves the depth conversions and the
+    remix are byte-faithful."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 60 + did % 40
+                bits = (8, 16, 24)[did % 3]
+                i = np.arange(n, dtype=np.int64)
+                s0 = ((did * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+                s1 = ((did * 104729 + i * 7919) % 65536 - 32768).astype(np.int16)
+                out.append((did, encode_wav(np.stack([s0, s1], axis=1), 8000, bits=bits)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    from easydb_server_spark.operators.multimodal import audio_features, remix_audio
+
+    mono = remix_audio(blobs, "payload", "item_id", 1)
+    return (
+        audio_features(mono, "payload", "item_id")
+        .select(
+            "item_id",
+            "n_channels",
+            "n_samples",
+            "duration_ms",
+            "rms",
+            "clipping_frac",
+            "peak",
+        )
+        .orderBy("item_id")
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO_DEPTHS = """
+WITH nn AS (
+  SELECT doc_id, 60 + doc_id % 40 AS n,
+         CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS bits
+  FROM documents
+),
+raw AS (
+  SELECT nn.doc_id, nn.n, nn.bits,
+         ((nn.doc_id * 7919 + t.i * 104729) % 65536) - 32768 AS s0,
+         ((nn.doc_id * 104729 + t.i * 7919) % 65536) - 32768 AS s1
+  FROM nn, UNNEST(generate_series(0, nn.n - 1)) t(i)
+),
+quant AS (
+  SELECT doc_id, n, bits,
+         CASE WHEN bits = 8 THEN CAST(floor(s0 / 256.0) AS BIGINT) * 256 ELSE s0 END AS q0,
+         CASE WHEN bits = 8 THEN CAST(floor(s1 / 256.0) AS BIGINT) * 256 ELSE s1 END AS q1
+  FROM raw
+),
+mono AS (
+  SELECT doc_id, n, bits,
+         CASE WHEN bits = 8
+              THEN CAST(floor(floor((q0 + q1) / 2.0) / 256.0) AS BIGINT) * 256
+              ELSE CAST(floor((q0 + q1) / 2.0) AS BIGINT) END AS f
+  FROM quant
+)
+SELECT doc_id                                               AS item_id,
+       CAST(1 AS INT)                                       AS n_channels,
+       CAST(MAX(n) AS INT)                                  AS n_samples,
+       CAST(FLOOR(MAX(n) * 1000.0 / 8000) AS INT)           AS duration_ms,
+       ROUND(SQRT(CAST(SUM(f * f) AS DOUBLE) / MAX(n)), 4)  AS rms,
+       CAST(SUM(CASE WHEN ABS(f) >= 32767 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n)                                       AS clipping_frac,
+       CAST(MAX(ABS(f)) AS INT)                             AS peak
+FROM mono GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_text_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocklist-TABLE overload of url_features (round 10): the
+    same synthesized URL corpus as text_url_filter, but the domain and
+    keyword blocklists arrive as DataFrames and match via broadcast
+    hash joins over the domain's dot-suffix set / the URL's
+    alphanumeric tokens. The oracle replays the suffix-set semantics
+    (equal OR dot-subdomain) and the TOKEN-exact keyword semantics —
+    the documented narrowing from the literal form's
+    substring-anywhere."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("spamexample.com"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("ads.spamexample.com"))
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.lit("h"), (F.col("doc_id") % 1000).cast("string"), F.lit("x99.net")),
+        )
+        .when(F.col("doc_id") % 7 == 3, F.lit("news.example.org"))
+        .otherwise(F.lit("example.com"))
+    )
+    path = F.when(F.col("doc_id") % 7 == 4, F.lit("/casino-bonus/p")).otherwise(
+        F.lit("/p")
+    )
+    built = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    dom_tbl = spark.createDataFrame(
+        [("spamexample.com",), ("news.example.org",)], "domain string"
+    )
+    kw_tbl = spark.createDataFrame([("casino",), ("bonus",)], "keyword string")
+    return T.url_features(
+        built, "url", "doc_id", blocked_domains=dom_tbl, blocked_keywords=kw_tbl
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_URL_BLOCKLIST = """
+WITH built AS (
+  SELECT doc_id,
+         'https://'
+         || CASE doc_id % 7
+              WHEN 0 THEN 'spamexample.com'
+              WHEN 1 THEN 'ads.spamexample.com'
+              WHEN 2 THEN 'h' || CAST(doc_id % 1000 AS VARCHAR) || 'x99.net'
+              WHEN 3 THEN 'news.example.org'
+              ELSE 'example.com' END
+         || CASE WHEN doc_id % 7 = 4 THEN '/casino-bonus/p' ELSE '/p' END AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, lower(url) AS u,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(lower(url), '\\?([^#]*)', 1) AS query
+  FROM built
+),
+feats AS (
+  SELECT doc_id, domain,
+         regexp_extract(domain, '([^.]*)$', 1) AS tld,
+         len(list_filter(string_split(path, '/'), x -> x != '')) AS path_depth,
+         CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END AS n_params,
+         ROUND(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(domain), 1), 6) AS digit_frac,
+         (domain = 'spamexample.com' OR suffix(domain, '.spamexample.com')
+          OR domain = 'news.example.org' OR suffix(domain, '.news.example.org')) AS blocked_domain,
+         list_has_any(
+           list_filter(regexp_split_to_array(u, '[^a-z0-9]+'), x -> x != ''),
+           ['casino', 'bonus']) AS blocked_keyword
+  FROM parsed
+)
+SELECT doc_id, domain, tld,
+       CAST(path_depth AS INT) AS path_depth,
+       CAST(n_params AS INT) AS n_params,
+       digit_frac, blocked_domain, blocked_keyword,
+       (NOT blocked_domain AND NOT blocked_keyword) AS pass_url
+FROM feats ORDER BY doc_id
+"""
+
+
 def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction: each document is wrapped into a
     deterministic page (head/style/comment/script blocks, heading from
