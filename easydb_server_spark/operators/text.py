@@ -553,6 +553,88 @@ def _matches_alpha():
     return _f
 
 
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    naughty_words: tuple[str, ...] = (),
+    min_sentences: int = 3,
+    min_words_per_line: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020, §2.2) — the other
+    canonical published web-text filter, complementing
+    :func:`gopher_rules` (quality) and :func:`gopher_repetition_rules`
+    (repetition). Line-level: keep only lines that (a) end in a
+    terminal punctuation mark (period / exclamation / question mark /
+    end quotation, on the trimmed line), (b) carry at least
+    ``min_words_per_line`` words (paper: 5), and (c) do not mention
+    "javascript" (case-insensitive). Page-level: drop pages with fewer
+    than ``min_sentences`` sentences after line filtering (sentence ≈
+    terminal ``[.!?]`` count, the standard deterministic surrogate),
+    or containing "lorem ipsum", a curly brace ``{``, or any
+    ``naughty_words`` entry (the paper gates on the public
+    "List of Dirty, Naughty, Obscene..." list — pass it here;
+    substring semantics on the lowercased page). The paper's remaining
+    step — removing three-sentence spans repeated across pages — is
+    cross-doc dedup, composed separately via :func:`paragraph_dedup` /
+    ``dedup.duplicate_ngram_spans``.
+
+    Returns one row per doc: the filtered ``clean_text``, line/keep
+    counts, the sentence count, one boolean per page flag, and
+    ``pass_c4``.
+
+    Scale shape: entirely in-row split/filter/concat expressions —
+    zero shuffle, zero Python; rides the corpus scan like the Gopher
+    gate.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, _c4_line_keeper(min_words_per_line))
+    clean = F.concat_ws("\n", kept)
+    lt = F.lower(t)
+    has_naughty = F.lit(False)
+    for w in naughty_words:
+        has_naughty = has_naughty | lt.contains(w.lower())
+    n_sentences = F.regexp_count(clean, F.lit("[.!?]"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        lt.contains("lorem ipsum").alias("has_lorem"),
+        lt.contains("{").alias("has_brace"),
+        has_naughty.alias("has_naughty"),
+    )
+    return out.withColumn(
+        "pass_c4",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_naughty"),
+    )
+
+
+def _c4_line_keeper(min_words: int):
+    """One-arg line-predicate factory for the C4 line filter
+    (HOF-arity note on _eq_term): trimmed line ends in terminal
+    punctuation, carries ≥ min_words words, no 'javascript'."""
+
+    def _f(line):
+        lt = F.trim(line)
+        words = F.filter(F.split(lt, " "), _nonempty_tok)
+        return (
+            lt.rlike(C4_TERMINAL_RE)
+            & (F.size(words) >= min_words)
+            & ~F.lower(lt).contains("javascript")
+        )
+
+    return _f
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str,

@@ -3660,6 +3660,98 @@ FROM flags ORDER BY doc_id
 ORACLE_TEXT_GOPHER_RULES = _oracle_gopher()
 
 
+def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) over a
+    construction that makes every rule observable: per doc, a long
+    terminal-punctuated line (kept), an unpunctuated fragment
+    (dropped), a 2-word line (dropped), a javascript mention on
+    doc_id%3=0 (dropped there), a lorem-ipsum page flag on %11=0, a
+    curly-brace flag on %13=0, and a naughty-word flag on %17=0. The
+    oracle replays construction, line filtering, sentence counting,
+    and the page flags."""
+    d = load(spark, sf_dir, "documents")
+    line4 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("this line mentions javascript libraries today."),
+    ).otherwise(F.lit("a perfectly ordinary sentence with several words."))
+    line5 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("lorem ipsum dolor sit amet for padding."),
+    ).otherwise(F.lit("another good sentence appears right here!"))
+    line6 = F.when(
+        F.col("doc_id") % 13 == 0, F.lit("code snippet { return 1; }")
+    ).otherwise(F.lit("closing thought ends with a question mark?"))
+    line7 = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.lit("this page contains badness somewhere inside."),
+    ).otherwise(F.lit("a safe concluding sentence stands here."))
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.substring("text", 1, 20),
+            F.lit("too short."),
+            line4,
+            line5,
+            line6,
+            line7,
+        ).alias("text"),
+    )
+    return T.c4_rules(built, "text", "doc_id", naughty_words=("badness",)).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_TEXT_C4_RULES = """
+WITH built AS (
+  SELECT doc_id,
+         text || '.'
+         || chr(10) || substr(text, 1, 20)
+         || chr(10) || 'too short.'
+         || chr(10) || CASE WHEN doc_id % 3 = 0
+              THEN 'this line mentions javascript libraries today.'
+              ELSE 'a perfectly ordinary sentence with several words.' END
+         || chr(10) || CASE WHEN doc_id % 11 = 0
+              THEN 'lorem ipsum dolor sit amet for padding.'
+              ELSE 'another good sentence appears right here!' END
+         || chr(10) || CASE WHEN doc_id % 13 = 0
+              THEN 'code snippet { return 1; }'
+              ELSE 'closing thought ends with a question mark?' END
+         || chr(10) || CASE WHEN doc_id % 17 = 0
+              THEN 'this page contains badness somewhere inside.'
+              ELSE 'a safe concluding sentence stands here.' END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)),
+           x -> regexp_matches(trim(x), '[.!?"]$')
+                AND len(list_filter(string_split(trim(x), ' '), w -> w != '')) >= 5
+                AND NOT contains(lower(trim(x)), 'javascript')) AS kl
+  FROM built
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(kl, chr(10)) AS clean_text,
+         len(ls) AS n_lines, len(kl) AS n_kept_lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(lower(text), '{') AS has_brace,
+         contains(lower(text), 'badness') AS has_naughty
+  FROM f
+)
+SELECT doc_id, clean_text,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_kept_lines AS INT) AS n_kept_lines,
+       CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT) AS n_sentences,
+       has_lorem, has_brace, has_naughty,
+       (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        AND NOT has_lorem AND NOT has_brace AND NOT has_naughty) AS pass_c4
+FROM g ORDER BY doc_id
+"""
+
+
 def q_dedup_keepers_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-priority cluster resolution: the same near-dup pipeline
     as dedup_pipeline_keepers (exact Jaccard @0.6 → connected

@@ -214,3 +214,53 @@ class TestRepetitionImplEquivalence:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="impl"):
             gopher_repetition_rules(df, "text", "doc_id", impl="rdd")
+
+
+class TestC4Rules:
+    """C4 cleaning rule set (Raffel et al. 2020 §2.2)."""
+
+    def test_line_and_page_rules(self, spark):
+        from easydb_server_spark.operators.text import c4_rules
+
+        docs = [
+            # 3 good sentences -> pass
+            (1, "one fine sentence with enough words.\n"
+                "another fine sentence with enough words!\n"
+                "a third fine sentence with enough words?"),
+            # line without terminal punct + short line both dropped -> 1 sentence -> fail
+            (2, "no terminal punctuation here at all\nshort one.\n"
+                "only this good sentence has enough words."),
+            # javascript line dropped even with punctuation
+            (3, "this mentions JavaScript frameworks at length.\n"
+                "first clean sentence with plenty of words.\n"
+                "second clean sentence with plenty of words.\n"
+                "third clean sentence with plenty of words."),
+            # page flags
+            (4, "Lorem Ipsum dolor sit amet words here.\nfine sentence with many more words too.\nthird one with words making the cut."),
+            (5, "a code page { with braces } and sentences.\nfine sentence with many more words too.\nthird one with words making the cut."),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r.doc_id: r for r in c4_rules(df, "text", "doc_id").collect()}
+        assert rows[1].pass_c4 and rows[1].n_kept_lines == 3 and rows[1].n_sentences == 3
+        assert not rows[2].pass_c4 and rows[2].n_kept_lines == 1
+        assert rows[3].n_kept_lines == 3 and "JavaScript" not in rows[3].clean_text
+        assert rows[3].pass_c4
+        assert rows[4].has_lorem and not rows[4].pass_c4
+        assert rows[5].has_brace and not rows[5].pass_c4
+
+    def test_naughty_words_gate(self, spark):
+        from easydb_server_spark.operators.text import c4_rules
+
+        df = spark.createDataFrame(
+            [(1, "a BadWord hides here in this sentence.\nmore fine words fill this sentence out.\na third sentence rounds out the page.")],
+            "doc_id long, text string",
+        )
+        r = c4_rules(df, "text", "doc_id", naughty_words=("badword",)).collect()[0]
+        assert r.has_naughty and not r.pass_c4
+
+    def test_zero_shuffle_plan(self, spark):
+        from easydb_server_spark.operators.text import c4_rules
+
+        df = spark.createDataFrame([(1, "a.")], "doc_id long, text string")
+        plan = c4_rules(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
