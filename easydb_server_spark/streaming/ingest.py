@@ -128,6 +128,7 @@ def stream_ingest_pipeline(
     n_buckets: int = 16,
     benchmark_digest_table: str | None = None,
     gopher: bool | dict = False,
+    c4: bool | dict = False,
     lm_table: str | None = None,
     min_mean_logprob: float | None = None,
 ):
@@ -141,7 +142,14 @@ def stream_ingest_pipeline(
        al. 2021 rule set — DELEGATED to the batch operator, so a
        streamed corpus and a batch-gated corpus of the same data
        admit the same documents; pre-r9 the stream skipped these
-       gates and the two paths diverged); with ``lm_table`` +
+       gates and the two paths diverged); with ``c4=True`` (or a
+       dict of dials), additionally require
+       ``operators.text.c4_rules``' ``pass_c4`` (the Raffel et al.
+       2020 §2.2 line/page filter — same delegation contract; note
+       C4's line filter REWRITES text, but the admit gate here only
+       consumes the page-level booleans, so admitted documents land
+       unmodified — run c4_rules in batch over the admitted corpus
+       when the cleaned text itself is wanted); with ``lm_table`` +
        ``min_mean_logprob``, also require the CCNet-style unigram-LM
        score under the PERSISTED model
        (``operators.text.score_unigram_lm`` over a
@@ -198,6 +206,7 @@ def stream_ingest_pipeline(
     )
     from easydb_server_spark.operators.text import (
         _quality_col,
+        c4_rules,
         gopher_rules,
         score_unigram_lm,
     )
@@ -222,6 +231,14 @@ def stream_ingest_pipeline(
             ok = (
                 gopher_rules(b, text_col, id_col, **gk)
                 .where(F.col("pass_gopher"))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            b = b.join(ok, id_col, "left_semi")
+        if c4:
+            ck = c4 if isinstance(c4, dict) else {}
+            ok = (
+                c4_rules(b, text_col, id_col, **ck)
+                .where(F.col("pass_c4"))
                 .select(F.col("doc_id").alias(id_col))
             )
             b = b.join(ok, id_col, "left_semi")

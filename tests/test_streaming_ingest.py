@@ -632,3 +632,52 @@ def test_stream_embedding_ingest_dedup_and_replay(spark, tmp_path):
     finally:
         for t in (store, f"{store}_centroids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pipeline_c4_gate_matches_batch_admit_list(spark, tmp_path):
+    """r10: the C4 page gate streams identically to batch — the SAME
+    corpus micro-batched through c4=True admits exactly the documents
+    whose pass_c4 holds in batch mode (delegation contract, same as
+    the Gopher/LM gates)."""
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.text import c4_rules
+    from easydb_server_spark.streaming.ingest import stream_ingest_pipeline
+
+    table = f"c4_idx_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    good = (
+        "one fine sentence with enough words right here.\n"
+        "another fine sentence with enough words follows!\n"
+        "a third fine sentence with enough words closes it?"
+    )
+    good2 = good.replace("fine", "great")
+    lorem = good + "\nlorem ipsum dolor sit amet padding."
+    brace = good + "\ncode page { with a brace inside }."
+    sparse = "no terminal punctuation at all here\nshort one."
+    rows = [(1, good, "s"), (2, lorem, "s"), (3, sparse, "s"), (4, good2, "s"), (5, brace, "s")]
+    _write_docs(in_dir / "b0.json", rows[:2], order=0)
+    _write_docs(in_dir / "b1.json", rows[2:4], order=1)
+    _write_docs(in_dir / "b2.json", rows[4:], order=2)
+    try:
+        corpus = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        batch_admit = {
+            r.doc_id
+            for r in c4_rules(corpus, "text", "doc_id")
+            .where(F.col("pass_c4"))
+            .collect()
+        }
+        src = (
+            spark.readStream.schema(_schema())
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_ingest_pipeline(
+            src, "text", "doc_id", table, str(admitted), str(ckpt), c4=True
+        )
+        q.awaitTermination()
+        stream_admit = {r.doc_id for r in spark.read.parquet(str(admitted)).collect()}
+        assert stream_admit == batch_admit
+        assert {1, 4} <= batch_admit and {2, 3, 5}.isdisjoint(batch_admit)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
