@@ -23,6 +23,8 @@ are keyed aggregates/windows documented per function.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -1300,6 +1302,112 @@ def unigram_logprob(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_words"), F.round(F.avg(lp), 5).alias("mean_logprob"))
     )
+
+
+def write_nb_quality(
+    pos_df: DataFrame,
+    neg_df: DataFrame,
+    text_col: str,
+    table: str,
+    vocab_size: int = 2000,
+) -> None:
+    """Train and persist a Naive-Bayes LOG-ODDS quality classifier —
+    the contrastive scorer shape (high-quality reference corpus vs
+    raw crawl) that CCNet/LLaMA-style pipelines train as a
+    fastText/linear model; NB is its closed-form count-based
+    counterpart, which makes the whole train+score path replayable by
+    an independent engine (the conformance oracle re-derives it).
+
+    Vocabulary = top-``vocab_size`` terms by combined count (ties by
+    term); per term, Laplace-smoothed class likelihoods over the
+    vocab-restricted token totals. Persists ``{table}`` (term, c_pos,
+    c_neg) and ``{table}_meta`` (n_pos, n_neg, v) — the same frozen-
+    artifact contract as :func:`write_unigram_lm`, so streaming
+    micro-batches score against a static model.
+
+    Scale shape: one scan per class → term-count hash aggregates →
+    vocab top-k; both artifacts are vocab-bounded and broadcast at
+    scoring time.
+    """
+
+    def _counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(F.split(F.col(text_col), " +")).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").alias(name))
+        )
+
+    # a managed-table LOCATION can survive a dead catalog (fresh
+    # session over a reused warehouse dir): DROP alone then fails with
+    # LOCATION_ALREADY_EXISTS, so also clear the stale directory
+    sess = pos_df.sparkSession
+    for t in (table, f"{table}_meta"):
+        sess.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = sess.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            import shutil
+            from urllib.parse import urlparse
+
+            loc = os.path.join(urlparse(wh).path, t.lower())
+            shutil.rmtree(loc, ignore_errors=True)
+
+    cp, cn = _counts(pos_df, "c_pos"), _counts(neg_df, "c_neg")
+    merged = cp.join(cn, "term", "full").select(
+        "term",
+        F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
+        F.coalesce("c_neg", F.lit(0)).alias("c_neg"),
+    )
+    vocab = merged.orderBy(
+        (F.col("c_pos") + F.col("c_neg")).desc(), F.col("term")
+    ).limit(vocab_size)
+    vocab = vocab.localCheckpoint(eager=True)  # feeds the write AND the meta agg
+    meta = vocab.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum("c_neg").cast("long").alias("n_neg"),
+        F.count("*").alias("v"),
+    )
+    vocab.write.mode("overwrite").format("parquet").saveAsTable(table)
+    meta.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_meta")
+
+
+def score_nb_quality(
+    df: DataFrame, text_col: str, id_col: str, spark, table: str
+) -> DataFrame:
+    """Score documents under a persisted NB quality model
+    (:func:`write_nb_quality`): per doc, the summed log10 odds over
+    its IN-VOCABULARY tokens (with multiplicity; OOV tokens carry no
+    evidence in either direction, the standard NB treatment) —
+    ``log_odds > 0`` reads "looks like the reference corpus".
+    Returns (doc_id, n_terms, n_scored, log_odds, nb_pass).
+
+    Scale shape: one scan of ``df`` → explode → broadcast join against
+    the V-row model + 1-row meta → per-doc aggregate; nothing
+    proportional to the training corpora is touched (same contract as
+    :func:`score_unigram_lm`).
+    """
+    vocab = spark.table(table)
+    totals = spark.table(f"{table}_meta")
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " +")).alias("term"),
+    ).where(F.col("term") != "")
+    lo = F.log10(
+        (F.col("c_pos") + F.lit(1)).cast("double") / (F.col("n_pos") + F.col("v"))
+    ) - F.log10(
+        (F.col("c_neg") + F.lit(1)).cast("double") / (F.col("n_neg") + F.col("v"))
+    )
+    scored = (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.count("c_pos").cast("int").alias("n_scored"),
+            F.round(F.coalesce(F.sum(lo), F.lit(0.0)), 5).alias("log_odds"),
+        )
+    )
+    return scored.withColumn("nb_pass", F.col("log_odds") > 0)
 
 
 def html_extract(df: DataFrame, html_col: str, id_col: str) -> DataFrame:

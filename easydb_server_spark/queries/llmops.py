@@ -3660,6 +3660,61 @@ FROM flags ORDER BY doc_id
 ORACLE_TEXT_GOPHER_RULES = _oracle_gopher()
 
 
+def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB log-odds quality classifier end-to-end: train on the first
+    half of the corpus (src0 docs as the high-quality reference class,
+    the rest as the crawl class), persist the model, score ALL docs
+    against the frozen artifact. The oracle re-derives training
+    (vocab top-k with the same tie order), smoothing, and scoring in
+    closed form."""
+    d = load(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") < 250)
+    T.write_nb_quality(
+        train.where(F.col("source") == "src0"),
+        train.where(F.col("source") != "src0"),
+        "text",
+        "nb_quality_conf",
+        vocab_size=2000,
+    )
+    return T.score_nb_quality(d, "text", "doc_id", spark, "nb_quality_conf").orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_TEXT_NB_QUALITY = """
+WITH tok AS (
+  SELECT doc_id, source, u.term
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(text, ' +'), x -> x != '')) u(term)
+),
+counts AS (
+  SELECT term,
+         SUM(CASE WHEN source = 'src0' AND doc_id < 250 THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN source <> 'src0' AND doc_id < 250 THEN 1 ELSE 0 END) AS c_neg
+  FROM tok GROUP BY term
+),
+nz AS (SELECT * FROM counts WHERE c_pos + c_neg > 0),
+vocab AS (SELECT * FROM nz ORDER BY (c_pos + c_neg) DESC, term LIMIT 2000),
+meta AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_terms,
+         COUNT(v.term) AS n_scored,
+         ROUND(COALESCE(SUM(
+             log10((v.c_pos + 1) / (m.n_pos + m.v))
+           - log10((v.c_neg + 1) / (m.n_neg + m.v))), 0.0), 5) AS log_odds
+  FROM tok t LEFT JOIN vocab v USING (term) CROSS JOIN meta m
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(n_scored AS INT) AS n_scored,
+       log_odds,
+       (log_odds > 0) AS nb_pass
+FROM scored ORDER BY doc_id
+"""
+
+
 def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning rule set (Raffel et al. 2020 §2.2) over a
     construction that makes every rule observable: per doc, a long

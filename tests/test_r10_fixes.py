@@ -264,3 +264,47 @@ class TestC4Rules:
         df = spark.createDataFrame([(1, "a.")], "doc_id long, text string")
         plan = c4_rules(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestNbQuality:
+    """NB log-odds quality classifier (contrastive reference-vs-crawl
+    scorer, closed form)."""
+
+    def test_train_score_discriminates(self, spark):
+        import uuid
+
+        from easydb_server_spark.operators.text import (
+            score_nb_quality,
+            write_nb_quality,
+        )
+
+        t = f"nbq_{uuid.uuid4().hex[:8]}"
+        wiki = spark.createDataFrame(
+            [(i, "the careful study of history shows that trade and law") for i in range(4)],
+            "doc_id long, text string",
+        )
+        spam = spark.createDataFrame(
+            [(i, "buy cheap pills now click here winner casino bonus") for i in range(4)],
+            "doc_id long, text string",
+        )
+        try:
+            write_nb_quality(wiki, spam, "text", t, vocab_size=100)
+            test = spark.createDataFrame(
+                [
+                    (1, "the study of law and history"),
+                    (2, "click here casino winner pills"),
+                    (3, "zzz qqq completely oov tokens"),
+                ],
+                "doc_id long, text string",
+            )
+            rows = {r.doc_id: r for r in score_nb_quality(test, "text", "doc_id", spark, t).collect()}
+            assert rows[1].nb_pass and rows[1].log_odds > 0
+            assert not rows[2].nb_pass and rows[2].log_odds < 0
+            # OOV-only doc: no evidence either way
+            assert rows[3].n_scored == 0 and rows[3].log_odds == 0.0 and not rows[3].nb_pass
+            # frozen-artifact contract: retraining over a stale
+            # location must succeed (LOCATION_ALREADY_EXISTS guard)
+            write_nb_quality(wiki, spam, "text", t, vocab_size=100)
+        finally:
+            for x in (t, f"{t}_meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {x}")
