@@ -953,6 +953,11 @@ def _rep_counts_python(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     import pandas as pd
 
     def one(text: str) -> tuple:
+        if text is None:
+            # replicate the agg path bit-for-bit: split(null) nulls the
+            # line/paragraph stats, while the gram pipeline yields no
+            # rows → coverage 0 over n_chars greatest(length(null),1)=1
+            return (1, None, None, None, None, None, None, *([0] * 9))
         lines = text.split("\n")
         paras = text.split("\n\n")
         n_chars = max(len(text), 1)

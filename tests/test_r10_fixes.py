@@ -177,6 +177,7 @@ class TestRepetitionImplEquivalence:
         self._diff(
             spark,
             [
+                (0, None),                        # null text: null line stats, 0.0 gram covs
                 (1, "solo"),                      # single word: no grams at all
                 (2, "a a a a a a a a a a a a"),   # all-duplicate: fracs must be <= 1
                 (3, ""),                          # empty
