@@ -579,7 +579,9 @@ def c4_rules(
     or containing "lorem ipsum", a curly brace ``{``, or any
     ``naughty_words`` entry (the paper gates on the public
     "List of Dirty, Naughty, Obscene..." list — pass it here;
-    substring semantics on the lowercased page). The paper's remaining
+    substring semantics on the lowercased page; for the FULL published
+    list, gate via :func:`match_any_substrings` — the Aho-Corasick
+    path — instead of this per-entry expression chain). The paper's remaining
     step — removing three-sentence spans repeated across pages — is
     cross-doc dedup, composed separately via :func:`paragraph_dedup` /
     ``dedup.duplicate_ngram_spans``.
@@ -1309,6 +1311,114 @@ def unigram_logprob(
     )
 
 
+def _aho_build(patterns: list[str]) -> tuple:
+    """Build an Aho-Corasick automaton (goto trie + BFS failure links
+    + per-node output counts) from lowercased patterns. Pure stdlib —
+    the classic multi-pattern matcher: one pass over the text finds
+    every (position, pattern) occurrence regardless of pattern count,
+    which is what makes million-entry substring blocklists tractable
+    (a per-entry scan is O(text × patterns))."""
+    goto: list[dict] = [{}]
+    out: list[int] = [0]
+    for p in patterns:
+        node = 0
+        for ch in p:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(0)
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node] += 1
+    from collections import deque
+
+    fail = [0] * len(goto)
+    q = deque(goto[0].values())
+    while q:
+        node = q.popleft()
+        for ch, nxt in goto[node].items():
+            q.append(nxt)
+            f = fail[node]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+            out[nxt] += out[fail[nxt]]
+    return goto, fail, out
+
+
+def _aho_count(goto: list, fail: list, out: list, text: str) -> int:
+    """Count every pattern occurrence (all positions, overlapping
+    included) in one pass."""
+    node = 0
+    n = 0
+    for ch in text:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        n += out[node]
+    return n
+
+
+def match_any_substrings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    patterns: tuple[str, ...] | DataFrame,
+) -> DataFrame:
+    """Substring-ANYWHERE matching against an arbitrarily large
+    pattern list — the scale path the blocklist-table overloads
+    deliberately narrow away from (:func:`url_features` matches
+    keyword TABLES token-exactly because substring matching against
+    10⁶ patterns is an automaton job, not a join; this is that
+    automaton). Patterns may be a tuple or a single-column DataFrame
+    (the published keyword blocklists' shape); matching is
+    case-insensitive.
+
+    Returns (doc_id, n_matches, any_match): every (position, pattern)
+    occurrence counts, overlapping included — the exact multi-pattern
+    semantics, so gating (`any_match`) and signal strength
+    (`n_matches`) are both available.
+
+    Scale shape: the pattern list is collected once on the driver
+    (bounded by the blocklist, not the corpus), broadcast, and each
+    executor builds the Aho-Corasick automaton ONCE per task batch
+    stream; documents then flow through an Arrow-batched
+    ``mapInPandas`` — one O(len(text)) pass per document regardless of
+    pattern count, zero shuffle, riding the corpus scan.
+    """
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    if isinstance(patterns, DataFrame):
+        col = patterns.columns[0]
+        pats = [
+            r[0].lower() for r in patterns.select(col).distinct().collect() if r[0]
+        ]
+    else:
+        pats = [p.lower() for p in patterns if p]
+    sc = df.sparkSession.sparkContext
+    bpats = sc.broadcast(sorted(set(pats)))
+
+    def scan(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        goto, fail, out = _aho_build(bpats.value)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((doc_id, None, None))
+                else:
+                    n = _aho_count(goto, fail, out, text.lower())
+                    rows.append((doc_id, n, n > 0))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_matches", "any_match"])
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(scan, "doc_id bigint, n_matches int, any_match boolean")
+
+
 def write_nb_quality(
     pos_df: DataFrame,
     neg_df: DataFrame,
@@ -1506,7 +1616,10 @@ def url_features(
       URL's alphanumeric tokens — a DELIBERATE narrowing from the
       literal form's substring-anywhere semantics: matching a million
       substring patterns is an Aho-Corasick automaton, not a join, and
-      the published keyword lists are word-shaped anyway.
+      the published keyword lists are word-shaped anyway. When true
+      substring-anywhere gating against a large list is required,
+      compose with :func:`match_any_substrings` (that automaton,
+      Arrow-batched) over the URL column.
 
     Scale shape: the parse is pure in-row regexp/array arithmetic —
     zero shuffle, zero Python. Table blocklists add left-semi

@@ -3660,6 +3660,52 @@ FROM flags ORDER BY doc_id
 ORACLE_TEXT_GOPHER_RULES = _oracle_gopher()
 
 
+def q_text_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick substring matching against a pattern TABLE: per
+    doc, the count of every (position, pattern) occurrence — overlaps
+    included, which the injected 'babab' makes observable ('ba' twice,
+    'bab' twice, 'abab' once) — plus the any_match gate. The oracle
+    re-counts by brute-force position enumeration, so the automaton's
+    exact multi-pattern semantics are pinned."""
+    d = load(spark, sf_dir, "documents")
+    inject = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" babab CASINO night"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" spam spam lists"))
+        .otherwise(F.lit(""))
+    )
+    built = d.select("doc_id", F.concat(F.col("text"), inject).alias("text"))
+    pats = spark.createDataFrame(
+        [("casino",), ("spam",), ("ba",), ("bab",), ("abab",), ("oin",)],
+        "pat string",
+    )
+    return T.match_any_substrings(built, "text", "doc_id", pats).orderBy("doc_id")
+
+
+ORACLE_TEXT_MATCH_ANY = """
+WITH built AS (
+  SELECT doc_id,
+         lower(text || CASE WHEN doc_id % 4 = 0 THEN ' babab CASINO night'
+                            WHEN doc_id % 4 = 1 THEN ' spam spam lists'
+                            ELSE '' END) AS t
+  FROM documents
+),
+pats AS (SELECT * FROM (VALUES ('casino'), ('spam'), ('ba'), ('bab'), ('abab'), ('oin')) p(pat)),
+hits AS (
+  SELECT b.doc_id, COUNT(*) AS cnt
+  FROM built b
+  JOIN pats p ON contains(b.t, p.pat),
+       UNNEST(generate_series(1, len(b.t) - length(p.pat) + 1)) g(i)
+  WHERE substr(b.t, g.i, length(p.pat)) = p.pat
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(h.cnt, 0) AS INT) AS n_matches,
+       (COALESCE(h.cnt, 0) > 0) AS any_match
+FROM built b LEFT JOIN hits h USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NB log-odds quality classifier end-to-end: train on the first
     half of the corpus (src0 docs as the high-quality reference class,

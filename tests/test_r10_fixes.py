@@ -309,3 +309,71 @@ class TestNbQuality:
         finally:
             for x in (t, f"{t}_meta"):
                 spark.sql(f"DROP TABLE IF EXISTS {x}")
+
+
+class TestMatchAnySubstrings:
+    """Aho-Corasick substring matcher — the scale path for
+    substring-anywhere blocklists (overlaps counted, case-insensitive,
+    pattern table or tuple)."""
+
+    def test_overlaps_and_suffix_patterns(self, spark):
+        from easydb_server_spark.operators.text import match_any_substrings
+
+        df = spark.createDataFrame([(1, "babab")], "doc_id long, text string")
+        r = match_any_substrings(
+            df, "text", "doc_id", ("ba", "bab", "abab")
+        ).collect()[0]
+        # ba @0,2; bab @0,2; abab @1  -> 5
+        assert r.n_matches == 5 and r.any_match
+
+    def test_case_insensitive_and_null(self, spark):
+        from easydb_server_spark.operators.text import match_any_substrings
+
+        df = spark.createDataFrame(
+            [(1, "visit the CaSiNo today"), (2, None), (3, "clean text")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in match_any_substrings(df, "text", "doc_id", ("casino",)).collect()}
+        assert rows[1].n_matches == 1 and rows[1].any_match
+        assert rows[2].n_matches is None and rows[2].any_match is None
+        assert rows[3].n_matches == 0 and not rows[3].any_match
+
+    def test_dataframe_patterns_match_tuple_patterns(self, spark):
+        from easydb_server_spark.operators.text import match_any_substrings
+
+        df = spark.createDataFrame(
+            [(i, f"spam{i} and casino words here") for i in range(5)],
+            "doc_id long, text string",
+        )
+        pats = ("spam", "casino", "words")
+        a = match_any_substrings(df, "text", "doc_id", pats).orderBy("doc_id").collect()
+        pdf = spark.createDataFrame([(p,) for p in pats], "pat string")
+        b = match_any_substrings(df, "text", "doc_id", pdf).orderBy("doc_id").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    def test_automaton_matches_naive_scan(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from easydb_server_spark.operators.text import _aho_build, _aho_count
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            text=st.text(alphabet="abc", max_size=40),
+            pats=st.lists(
+                st.text(alphabet="abc", min_size=1, max_size=4),
+                min_size=1, max_size=6, unique=True,
+            ),
+        )
+        def prop(text, pats):
+            goto, fail, out = _aho_build(sorted(pats))
+            got = _aho_count(goto, fail, out, text)
+            want = sum(
+                1
+                for p in pats
+                for i in range(len(text) - len(p) + 1)
+                if text[i : i + len(p)] == p
+            )
+            assert got == want, (text, pats)
+
+        prop()
