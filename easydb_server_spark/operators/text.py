@@ -1730,6 +1730,131 @@ def _nonempty_tok(x):
     return x != F.lit("")
 
 
+def sentence_span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span: int = 3,
+    keep: str = "first",
+) -> DataFrame:
+    """C4's dedup step (Raffel et al. 2020 §2.2): discard all but one
+    of any ``span``-sentence window occurring more than once in the
+    corpus — the third member of the span-dedup family
+    (:func:`paragraph_dedup` = separator-delimited units,
+    ``dedup.duplicate_ngram_spans`` = word windows; this one = SENTENCE
+    windows, the unit the paper used). ``keep="first"`` keeps the
+    globally-first occurrence (smallest doc_id, then position — the
+    paper's reading); ``keep="none"`` strips every copy
+    (boilerplate reading). A duplicated span removes its sentences;
+    overlapping duplicated spans union their sentence sets.
+
+    Sentence convention (replayable by any regex engine, no
+    lookbehind): sentences are the ``[^.!?]*[.!?]`` matches, trimmed —
+    a trailing fragment with no terminal punctuation never enters a
+    span (it can't anchor a three-SENTENCE window) and is preserved
+    verbatim in the rebuild.
+
+    Exactness: duplicated-span detection is STRING-exact — md5
+    nominates candidates (corpus-wide stages shuffle digests only),
+    then a window over candidate rows recounts by the actual span
+    text, so a hash collision can never strip innocent content (same
+    candidate-restricted verify as :func:`paragraph_dedup`).
+
+    Returns (doc_id, clean_text, n_sents, n_removed); kept sentences
+    rejoin in order, space-separated, with the unterminated tail (if
+    any) appended.
+
+    Scale shape: one corpus scan explodes spans reduced to digests in
+    the scan projection; the frequency aggregate is map-side-
+    combinable over 8-byte keys; flagged sentence indices aggregate
+    per doc (bounded by the duplicated tail) and join back on doc_id;
+    the rebuild is an in-row higher-order filter. No stage shuffles
+    full corpus text outside the duplicated tail.
+    """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    sents = F.transform(
+        F.regexp_extract_all(t, F.lit(r"[^.!?]*[.!?]"), 0), _trim_elem
+    )
+    tail = F.trim(F.regexp_replace(t, r".*[.!?]", ""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), sents.alias("ss"), tail.alias("tail")
+    )
+    spans = (
+        base.where(F.size("ss") >= span)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ss") - span)
+            ).alias("pos"),
+            "ss",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.slice("ss", F.col("pos") + 1, span)).alias("sp"),
+        )
+        .withColumn("h", F.md5("sp"))
+    )
+    freq = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+    )
+    cand = spans.join(freq.select("h"), "h")
+    w = Window.partitionBy("sp")
+    verified = cand.withColumn("true_occ", F.count(F.lit(1)).over(w)).where(
+        F.col("true_occ") >= 2
+    )
+    if keep == "first":
+        order = Window.partitionBy("sp").orderBy(
+            F.col("doc_id").asc(), F.col("pos").asc()
+        )
+        verified = verified.withColumn("_r", F.row_number().over(order)).where(
+            F.col("_r") > 1
+        )
+    drop_idx = (
+        verified.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))
+            ).alias("i"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("drop_i"))
+    )
+    joined = base.join(drop_idx, "doc_id", "left").select(
+        "doc_id",
+        "ss",
+        "tail",
+        F.coalesce("drop_i", F.array().cast("array<int>")).alias("drop_i"),
+    )
+    kept = F.filter(
+        F.col("ss"), lambda s, i: ~F.array_contains(F.col("drop_i"), i)
+    )
+    rebuilt = F.concat_ws(" ", kept)
+    clean = F.when(
+        (F.col("tail") != "") & (rebuilt != ""),
+        F.concat(rebuilt, F.lit(" "), F.col("tail")),
+    ).otherwise(
+        F.when(F.col("tail") != "", F.col("tail")).otherwise(rebuilt)
+    )
+    return joined.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size("ss").alias("n_sents"),
+        F.size("drop_i").alias("n_removed"),
+    )
+
+
+def _trim_elem(x):
+    """One-arg transform factory target (HOF-arity note on _eq_term)."""
+    return F.trim(x)
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str,

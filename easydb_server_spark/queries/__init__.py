@@ -138,6 +138,10 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "text_c4_rules": (llmops.q_text_c4_rules, llmops.ORACLE_TEXT_C4_RULES),
     "text_nb_quality": (llmops.q_text_nb_quality, llmops.ORACLE_TEXT_NB_QUALITY),
     "text_match_any": (llmops.q_text_match_any, llmops.ORACLE_TEXT_MATCH_ANY),
+    "text_sentence_span_dedup": (
+        llmops.q_text_sentence_span_dedup,
+        llmops.ORACLE_TEXT_SENTENCE_SPAN_DEDUP,
+    ),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

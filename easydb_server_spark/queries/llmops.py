@@ -3660,6 +3660,91 @@ FROM flags ORDER BY doc_id
 ORACLE_TEXT_GOPHER_RULES = _oracle_gopher()
 
 
+def q_text_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's three-sentence-span dedup: each doc is 5 sentences — a
+    unique opener, a per-source boilerplate TRIO (the duplicated
+    3-sentence span, shared by every doc of the source), a unique
+    closer — plus an unterminated tail fragment. keep='first' keeps
+    the globally-first copy of the trio and strips it everywhere else;
+    the oracle replays sentence extraction, span windows, the
+    global-first choice, index unioning, and the rebuild."""
+    d = load(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 30),
+            F.lit(". footer one for "),
+            F.col("source"),
+            F.lit(". footer two for "),
+            F.col("source"),
+            F.lit(". footer three for "),
+            F.col("source"),
+            F.lit(". "),
+            F.substring("text", 31, 25),
+            F.lit("? trailing bit"),
+        ).alias("text"),
+    )
+    return T.sentence_span_dedup(built, "text", "doc_id", span=3, keep="first").orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_TEXT_SENTENCE_SPAN_DEDUP = """
+WITH built AS (
+  SELECT doc_id,
+         substr(text, 1, 30) || '. footer one for ' || source
+         || '. footer two for ' || source
+         || '. footer three for ' || source
+         || '. ' || substr(text, 31, 25) || '? trailing bit' AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(t, '[^.!?]*[.!?]'), s -> trim(s)) AS ss,
+         trim(regexp_replace(t, '.*[.!?]', '', 'g')) AS tail
+  FROM built
+),
+sp AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(ss[g.i + 1 : g.i + 3], ' ') AS sp
+  FROM base, UNNEST(generate_series(0, len(ss) - 3)) g(i)
+  WHERE len(ss) >= 3
+),
+freq AS (SELECT sp FROM sp GROUP BY sp HAVING COUNT(*) >= 2),
+dup AS (
+  SELECT s.doc_id, s.pos,
+         ROW_NUMBER() OVER (PARTITION BY s.sp ORDER BY s.doc_id, s.pos) AS r
+  FROM sp s JOIN freq USING (sp)
+),
+drops AS (
+  SELECT DISTINCT d.doc_id, u.j AS i
+  FROM dup d, UNNEST(generate_series(d.pos, d.pos + 2)) u(j)
+  WHERE d.r > 1
+),
+sent AS (
+  SELECT doc_id, g.i - 1 AS idx, ss[g.i] AS s
+  FROM base, UNNEST(generate_series(1, len(ss))) g(i)
+),
+keptagg AS (
+  SELECT s.doc_id, STRING_AGG(s.s, ' ' ORDER BY s.idx) AS rebuilt
+  FROM sent s ANTI JOIN drops d ON d.doc_id = s.doc_id AND d.i = s.idx
+  GROUP BY s.doc_id
+),
+ndrop AS (SELECT doc_id, COUNT(*) AS n_removed FROM drops GROUP BY doc_id)
+SELECT b.doc_id,
+       CASE WHEN b.tail <> '' AND COALESCE(k.rebuilt, '') <> ''
+              THEN k.rebuilt || ' ' || b.tail
+            WHEN b.tail <> '' THEN b.tail
+            ELSE COALESCE(k.rebuilt, '') END AS clean_text,
+       CAST(len(b.ss) AS INT) AS n_sents,
+       CAST(COALESCE(n.n_removed, 0) AS INT) AS n_removed
+FROM base b
+LEFT JOIN keptagg k USING (doc_id)
+LEFT JOIN ndrop n USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 def q_text_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aho-Corasick substring matching against a pattern TABLE: per
     doc, the count of every (position, pattern) occurrence — overlaps

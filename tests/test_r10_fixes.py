@@ -377,3 +377,76 @@ class TestMatchAnySubstrings:
             assert got == want, (text, pats)
 
         prop()
+
+
+class TestSentenceSpanDedup:
+    """C4's three-sentence-span dedup (the pipeline's dedup half)."""
+
+    def test_cross_doc_first_kept_and_tail_preserved(self, spark):
+        from easydb_server_spark.operators.text import sentence_span_dedup
+
+        trio = "one common line. two common line. three common line."
+        df = spark.createDataFrame(
+            [
+                (1, f"alpha opener. {trio} alpha closer? left over"),
+                (2, f"beta opener! {trio} beta closer."),
+                (3, "gamma only. no duplicates here. fine text."),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in sentence_span_dedup(df, "text", "doc_id", span=3).collect()
+        }
+        # doc 1 holds the globally-first copy -> untouched, tail intact
+        assert rows[1].n_removed == 0
+        assert rows[1].clean_text.endswith("alpha closer? left over")
+        assert "one common line." in rows[1].clean_text
+        # doc 2 loses exactly the trio
+        assert rows[2].n_removed == 3
+        assert rows[2].clean_text == "beta opener! beta closer."
+        assert rows[3].n_removed == 0 and rows[3].n_sents == 3
+
+    def test_keep_none_strips_every_copy(self, spark):
+        from easydb_server_spark.operators.text import sentence_span_dedup
+
+        trio = "aa bb. cc dd. ee ff."
+        df = spark.createDataFrame(
+            [(1, f"u one. {trio}"), (2, f"u two. {trio}")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in sentence_span_dedup(df, "text", "doc_id", keep="none").collect()
+        }
+        assert rows[1].clean_text == "u one." and rows[1].n_removed == 3
+        assert rows[2].clean_text == "u two." and rows[2].n_removed == 3
+
+    def test_overlapping_spans_union_indices(self, spark):
+        from easydb_server_spark.operators.text import sentence_span_dedup
+
+        # 4 shared sentences -> two overlapping duplicated 3-spans
+        # (0,1,2) and (1,2,3); union removes 4 sentences, not 6
+        quad = "s one x. s two x. s three x. s four x."
+        df = spark.createDataFrame(
+            [(1, f"h first. {quad}"), (2, f"h second. {quad}")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in sentence_span_dedup(df, "text", "doc_id", keep="none").collect()
+        }
+        assert rows[1].n_removed == 4 and rows[1].clean_text == "h first."
+        assert rows[2].n_removed == 4
+
+    def test_within_doc_duplicate_span(self, spark):
+        from easydb_server_spark.operators.text import sentence_span_dedup
+
+        trio = "r one q. r two q. r three q."
+        df = spark.createDataFrame(
+            [(1, f"{trio} middle bit here. {trio}")], "doc_id long, text string"
+        )
+        r = sentence_span_dedup(df, "text", "doc_id", keep="first").collect()[0]
+        # second in-doc occurrence stripped, first kept
+        assert r.n_removed == 3
+        assert r.clean_text == f"{trio} middle bit here."
