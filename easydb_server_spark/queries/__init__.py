@@ -142,6 +142,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_text_sentence_span_dedup,
         llmops.ORACLE_TEXT_SENTENCE_SPAN_DEDUP,
     ),
+    "c4_pipeline": (llmops.q_c4_pipeline, llmops.ORACLE_C4_PIPELINE),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

@@ -3689,26 +3689,22 @@ def q_text_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TEXT_SENTENCE_SPAN_DEDUP = """
-WITH built AS (
-  SELECT doc_id,
-         substr(text, 1, 30) || '. footer one for ' || source
-         || '. footer two for ' || source
-         || '. footer three for ' || source
-         || '. ' || substr(text, 31, 25) || '? trailing bit' AS t
-  FROM documents
-),
-base AS (
+def _span_dedup_sql(src: str, span: int = 3) -> str:
+    """DuckDB replay of :func:`easydb_server_spark.operators.text.
+    sentence_span_dedup` (keep='first') over a relation ``src`` with
+    (doc_id, t) — shared by the standalone entry and the composed C4
+    pipeline so the two oracles cannot drift."""
+    return f"""base AS (
   SELECT doc_id,
          list_transform(regexp_extract_all(t, '[^.!?]*[.!?]'), s -> trim(s)) AS ss,
          trim(regexp_replace(t, '.*[.!?]', '', 'g')) AS tail
-  FROM built
+  FROM {src}
 ),
 sp AS (
   SELECT doc_id, g.i AS pos,
-         array_to_string(ss[g.i + 1 : g.i + 3], ' ') AS sp
-  FROM base, UNNEST(generate_series(0, len(ss) - 3)) g(i)
-  WHERE len(ss) >= 3
+         array_to_string(ss[g.i + 1 : g.i + {span}], ' ') AS sp
+  FROM base, UNNEST(generate_series(0, len(ss) - {span})) g(i)
+  WHERE len(ss) >= {span}
 ),
 freq AS (SELECT sp FROM sp GROUP BY sp HAVING COUNT(*) >= 2),
 dup AS (
@@ -3718,7 +3714,7 @@ dup AS (
 ),
 drops AS (
   SELECT DISTINCT d.doc_id, u.j AS i
-  FROM dup d, UNNEST(generate_series(d.pos, d.pos + 2)) u(j)
+  FROM dup d, UNNEST(generate_series(d.pos, d.pos + {span - 1})) u(j)
   WHERE d.r > 1
 ),
 sent AS (
@@ -3741,8 +3737,22 @@ SELECT b.doc_id,
 FROM base b
 LEFT JOIN keptagg k USING (doc_id)
 LEFT JOIN ndrop n USING (doc_id)
-ORDER BY b.doc_id
+ORDER BY b.doc_id"""
+
+
+ORACLE_TEXT_SENTENCE_SPAN_DEDUP = (
+    """
+WITH built AS (
+  SELECT doc_id,
+         substr(text, 1, 30) || '. footer one for ' || source
+         || '. footer two for ' || source
+         || '. footer three for ' || source
+         || '. ' || substr(text, 31, 25) || '? trailing bit' AS t
+  FROM documents
+),
 """
+    + _span_dedup_sql("built")
+)
 
 
 def q_text_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3789,6 +3799,98 @@ SELECT b.doc_id,
 FROM built b LEFT JOIN hits h USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE C4 pipeline composed in ONE plan: the rule gate
+    (line filter + page flags, same construction as text_c4_rules) →
+    admitted docs' line-filtered text → three-sentence-span dedup
+    (keep='first'). The two stage oracles are individually
+    driver-verified (text_c4_rules, text_sentence_span_dedup); this
+    entry locks their COMPOSITION, the full published C4 recipe.
+    Filtered text is materialized once at the stage boundary —
+    the same persist lesson as crawl_pipeline (without it Catalyst
+    re-runs the line-filter regex chain per span-dedup consumer)."""
+    d = load(spark, sf_dir, "documents")
+    line4 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("this line mentions javascript libraries today."),
+    ).otherwise(F.lit("a perfectly ordinary sentence with several words."))
+    line5 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("lorem ipsum dolor sit amet for padding."),
+    ).otherwise(F.lit("another good sentence appears right here!"))
+    line6 = F.when(
+        F.col("doc_id") % 13 == 0, F.lit("code snippet { return 1; }")
+    ).otherwise(F.lit("closing thought ends with a question mark?"))
+    line7 = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.lit("this page contains badness somewhere inside."),
+    ).otherwise(F.lit("a safe concluding sentence stands here."))
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.substring("text", 1, 20),
+            F.lit("too short."),
+            line4,
+            line5,
+            line6,
+            line7,
+        ).alias("text"),
+    )
+    admitted = (
+        T.c4_rules(built, "text", "doc_id", naughty_words=("badness",))
+        .where(F.col("pass_c4"))
+        .select("doc_id", "clean_text")
+        .localCheckpoint(eager=True)
+    )
+    return T.sentence_span_dedup(
+        admitted, "clean_text", "doc_id", span=3, keep="first"
+    ).orderBy("doc_id")
+
+
+ORACLE_C4_PIPELINE = (
+    """
+WITH c4built AS (
+  SELECT doc_id,
+         text || '.'
+         || chr(10) || substr(text, 1, 20)
+         || chr(10) || 'too short.'
+         || chr(10) || CASE WHEN doc_id % 3 = 0
+              THEN 'this line mentions javascript libraries today.'
+              ELSE 'a perfectly ordinary sentence with several words.' END
+         || chr(10) || CASE WHEN doc_id % 11 = 0
+              THEN 'lorem ipsum dolor sit amet for padding.'
+              ELSE 'another good sentence appears right here!' END
+         || chr(10) || CASE WHEN doc_id % 13 = 0
+              THEN 'code snippet { return 1; }'
+              ELSE 'closing thought ends with a question mark?' END
+         || chr(10) || CASE WHEN doc_id % 17 = 0
+              THEN 'this page contains badness somewhere inside.'
+              ELSE 'a safe concluding sentence stands here.' END AS text
+  FROM documents
+),
+cf AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+           x -> regexp_matches(trim(x), '[.!?"]$')
+                AND len(list_filter(string_split(trim(x), ' '), w -> w != '')) >= 5
+                AND NOT contains(lower(trim(x)), 'javascript')) AS kl
+  FROM c4built
+),
+admitted AS (
+  SELECT doc_id, array_to_string(kl, chr(10)) AS t
+  FROM cf
+  WHERE len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]')) >= 3
+    AND NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(lower(text), '{')
+    AND NOT contains(lower(text), 'badness')
+),
+"""
+    + _span_dedup_sql("admitted")
+)
 
 
 def q_text_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
