@@ -3881,9 +3881,9 @@ cf AS (
   FROM c4built
 ),
 admitted AS (
-  SELECT doc_id, array_to_string(kl, chr(10)) AS t
+  SELECT doc_id, COALESCE(array_to_string(kl, chr(10)), '') AS t
   FROM cf
-  WHERE len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]')) >= 3
+  WHERE len(regexp_extract_all(COALESCE(array_to_string(kl, chr(10)), ''), '[.!?]')) >= 3
     AND NOT contains(lower(text), 'lorem ipsum')
     AND NOT contains(lower(text), '{')
     AND NOT contains(lower(text), 'badness')
@@ -4022,7 +4022,7 @@ f AS (
 ),
 g AS (
   SELECT doc_id,
-         array_to_string(kl, chr(10)) AS clean_text,
+         COALESCE(array_to_string(kl, chr(10)), '') AS clean_text,
          len(ls) AS n_lines, len(kl) AS n_kept_lines,
          contains(lower(text), 'lorem ipsum') AS has_lorem,
          contains(lower(text), '{') AS has_brace,

@@ -7,9 +7,13 @@ html_extract (tag soup, entities, uppercase tags, attributes
 containing '>', unclosed scripts), url_features (no scheme, IP hosts,
 userinfo@, ports, empty paths), paragraph_dedup (null/empty/
 whitespace docs, sep collisions), and gopher_repetition_rules
-(single-word and all-duplicate docs, BOTH impls) on Spark AND each
-operator's DuckDB oracle over the SAME generated table; results must
-agree bit-for-bit. Every drawn corpus also carries the fixed
+(single-word and all-duplicate docs, BOTH impls), and (round-10 late)
+c4_rules (quote terminators, empty/whitespace pages, javascript/
+lorem/brace/naughty flags), sentence_span_dedup (shared sentence
+runs, punctuation-only sentences, unterminated tails), and
+match_any_substrings (overlapping patterns, mixed case) on Spark AND
+each operator's DuckDB oracle over the SAME generated table; results
+must agree bit-for-bit. Every drawn corpus also carries the fixed
 pathological docs.
 
 Alphabet note: BMP-only (≤ U+FFFF, no surrogates) — Spark's string
@@ -438,3 +442,160 @@ def test_gopher_repetition_pathological(spark, drawn):
         for col in got.columns:
             if col.endswith("_frac"):
                 assert (got[col].dropna() <= 1.0).all(), (impl, col)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 late additions: the C4 family and the substring automaton.
+# ---------------------------------------------------------------------------
+
+_C4_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)),
+           x -> regexp_matches(trim(x), '[.!?"]$')
+                AND len(list_filter(string_split(trim(x), ' '), w -> w != '')) >= 5
+                AND NOT contains(lower(trim(x)), 'javascript')) AS kl
+  FROM docs_nn
+),
+g AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(kl, chr(10)), '') AS clean_text,
+         len(ls) AS n_lines, len(kl) AS n_kept_lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(lower(text), '{') AS has_brace,
+         contains(lower(text), 'badness') AS has_naughty
+  FROM f
+)
+SELECT doc_id, clean_text,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_kept_lines AS INT) AS n_kept_lines,
+       CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT) AS n_sentences,
+       has_lorem, has_brace, has_naughty,
+       (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        AND NOT has_lorem AND NOT has_brace AND NOT has_naughty) AS pass_c4
+FROM g ORDER BY doc_id
+"""
+
+# C4-flavored fragments: terminal/non-terminal lines, javascript,
+# lorem ipsum, braces, quotes-as-terminators, whitespace padding
+_C4_LINE = st.one_of(
+    st.text(alphabet='ab c.!?"{} \t', min_size=0, max_size=20),
+    st.sampled_from(
+        [
+            "one fine sentence with enough words.",
+            "  padded terminal line with several words here.  ",
+            'quoted line ending with several words here"',
+            "no terminal punctuation in this line",
+            "short one.",
+            "a JavaScript mention with enough words here.",
+            "lorem ipsum dolor sit amet padding.",
+            "brace { line with enough words right here.",
+            "badness carrying line with enough words here.",
+        ]
+    ),
+)
+
+
+@settings(**_SETTINGS)
+@given(drawn=st.lists(st.lists(_C4_LINE, max_size=6).map("\n".join), min_size=1, max_size=5))
+def test_c4_rules_pathological(spark, drawn):
+    from easydb_server_spark.operators.text import c4_rules
+
+    texts = ["", "   ", "\n\n", "solo."] + drawn
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("docs_nn", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = (
+        c4_rules(sdf, "text", "doc_id", naughty_words=("badness",))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = con.execute(_C4_SQL).df()
+    _assert_match(got, want, drawn)
+
+
+_SENT_FRAG = st.one_of(
+    st.text(alphabet="ab c.!?", min_size=0, max_size=15),
+    st.sampled_from(
+        [
+            "shared one x.",
+            "shared two x.",
+            "shared three x.",
+            "unique bit",
+            "!!!",
+            "tail with no punct",
+        ]
+    ),
+)
+
+
+@settings(**_SETTINGS)
+@given(drawn=st.lists(st.lists(_SENT_FRAG, max_size=6).map(" ".join), min_size=1, max_size=5))
+def test_sentence_span_dedup_pathological(spark, drawn):
+    """Drawn docs share sentence runs often enough (fixed fragments)
+    that duplicated 3-spans actually occur; keep='first' replayed."""
+    from easydb_server_spark.operators.text import sentence_span_dedup
+    from easydb_server_spark.queries.llmops import _span_dedup_sql
+
+    fixed = [
+        "",
+        "no sentences at all",
+        "shared one x. shared two x. shared three x. closer a.",
+        "shared one x. shared two x. shared three x. closer b?",
+        "a. b! c? d.",
+    ]
+    texts = fixed + drawn
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("raw", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = (
+        sentence_span_dedup(sdf, "text", "doc_id", span=3, keep="first")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    sql = (
+        "WITH src AS (SELECT doc_id, text AS t FROM raw),\n"
+        + _span_dedup_sql("src")
+    )
+    want = con.execute(sql).df()
+    _assert_match(got, want, drawn)
+
+
+_MATCH_SQL = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM docs_nn),
+pats AS (SELECT * FROM (VALUES ('ab'), ('aba'), ('c.'), ('casino')) p(pat)),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS cnt
+  FROM d JOIN pats p ON contains(d.t, p.pat),
+       UNNEST(generate_series(1, len(d.t) - length(p.pat) + 1)) g(i)
+  WHERE substr(d.t, g.i, length(p.pat)) = p.pat
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.cnt, 0) AS INT) AS n_matches,
+       (COALESCE(h.cnt, 0) > 0) AS any_match
+FROM d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@settings(**_SETTINGS)
+@given(drawn=st.lists(st.text(alphabet="abcABC. in", max_size=30), min_size=1, max_size=6))
+def test_match_any_pathological(spark, drawn):
+    from easydb_server_spark.operators.text import match_any_substrings
+
+    texts = ["", "ababa", "aBAba CASINO", "c.c.c."] + drawn
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("docs_nn", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = (
+        match_any_substrings(sdf, "text", "doc_id", ("ab", "aba", "c.", "casino"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = con.execute(_MATCH_SQL).df()
+    _assert_match(got, want, drawn)
