@@ -1010,3 +1010,117 @@ def topk_cosine_ivf_store(
         cells = [r.cell for r in probed.select("cell").distinct().collect()]
         store = spark.table(table).where(F.col("cell").isin(cells))
     return _rank_probed(store, probed, k)
+
+
+def emb_covariance(df: DataFrame, vec_col: str) -> DataFrame:
+    """Sample covariance matrix of an embedding column, distributed:
+    each Arrow batch reduces to ONE partial row (count, sum vector,
+    Gram matrix X'X flattened — d + d² doubles, independent of batch
+    size), partials explode to (idx, value) pairs (|partials| × d²
+    rows, ∝ partition count, NOT corpus size) and sum in one hash
+    aggregate; cov = (G − n·μμ')/(n−1) assembles in-row. Returns
+    (i, j, cov) — d² scalar rows, the driver-comparable shape.
+
+    This is THE preprocessing statistic for embedding whitening / PCA
+    (:func:`emb_pca`): the corpus is scanned once, nothing
+    proportional to it is ever shuffled (the naive per-row double
+    explode shuffles N·d² rows — 20M at sf0.01 vs this plan's
+    #partitions·d²).
+    """
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                [(len(x), x.sum(axis=0).tolist(), (x.T @ x).ravel().tolist())],
+                columns=["n", "s", "g"],
+            )
+
+    p = df.select(vec_col).mapInPandas(
+        partials, "n bigint, s array<double>, g array<double>"
+    )
+    d_col = F.sqrt(F.size("g")).cast("int")
+    sums = (
+        p.select("n", d_col.alias("d"), F.posexplode("g").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("gsum"), F.sum("n").alias("nsum"), F.max("d").alias("d"))
+    )
+    means = (
+        p.select("n", F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg((F.sum("v") / F.sum("n")).alias("m"))
+    )
+    n_total = F.col("nsum")
+    g = sums.select(
+        (F.col("idx") / F.col("d")).cast("int").alias("i"),
+        (F.col("idx") % F.col("d")).cast("int").alias("j"),
+        "gsum",
+        "nsum",
+    )
+    mi = means.select(F.col("i"), F.col("m").alias("mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    return (
+        g.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("gsum") - n_total * F.col("mi") * F.col("mj"))
+                / (n_total - F.lit(1)),
+                5,
+            ).alias("cov"),
+        )
+    )
+
+
+def emb_pca(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """PCA projection of an embedding column — the standard whitening
+    / dimensionality-reduction step before ANN or SemDeDup. The
+    covariance comes from :func:`emb_covariance`'s distributed
+    reduction; the eigendecomposition runs on the DRIVER over the
+    d×d matrix (bounded by embedding width², never the corpus — the
+    same bounded-collect shape as the BPE top-K), components are
+    sign-fixed for determinism (largest-|loading| element made
+    positive), broadcast, and the projection is an Arrow-batched
+    matrix multiply riding the corpus scan.
+
+    Returns (id, pos, value): the k-dim projection exploded to scalar
+    rows, components ordered by DESCENDING eigenvalue.
+    """
+    cov_rows = emb_covariance(df, vec_col).collect()
+    d = max(r.i for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r.i][r.j] = r.cov
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order]
+    for c in range(w.shape[1]):
+        lead = np.argmax(np.abs(w[:, c]))
+        if w[lead, c] < 0:
+            w[:, c] = -w[:, c]
+    sc = df.sparkSession.sparkContext
+    bw = sc.broadcast(w)
+
+    def project(batches):
+        wv = bw.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            proj = x @ wv
+            out = []
+            for rid, row in zip(pdf["id"], proj):
+                for pos, v in enumerate(row):
+                    out.append((rid, pos, round(float(v), 6)))
+            yield pd.DataFrame(out, columns=["id", "pos", "value"])
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    return src.mapInPandas(project, "id bigint, pos int, value double")

@@ -3755,6 +3755,39 @@ WITH built AS (
 )
 
 
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sample covariance of the embedding corpus — the
+    whitening/PCA preprocessing statistic: one corpus scan, per-batch
+    Gram partials (d + d² doubles each), partials-only aggregation.
+    The oracle recomputes all d² = 4096 cells by brute-force pairwise
+    products over the same vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.emb_covariance(e, "embedding").orderBy("i", "j")
+
+
+ORACLE_EMB_COVARIANCE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+x AS (
+  SELECT vec_id, u.i - 1 AS i, e[u.i] AS xi
+  FROM v, UNNEST(generate_series(1, len(e))) u(i)
+),
+n AS (SELECT COUNT(*) AS n FROM v),
+mu AS (SELECT i, SUM(xi) / MAX(n.n) AS m FROM x, n GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS gij
+  FROM x a JOIN x b USING (vec_id)
+  GROUP BY a.i, b.i
+)
+SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+       ROUND((g.gij - n.n * ma.m * mb.m) / (n.n - 1), 5) AS cov
+FROM g
+CROSS JOIN n
+JOIN mu ma ON ma.i = g.i
+JOIN mu mb ON mb.i = g.j
+ORDER BY i, j
+"""
+
+
 def q_text_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aho-Corasick substring matching against a pattern TABLE: per
     doc, the count of every (position, pattern) occurrence — overlaps
