@@ -1077,7 +1077,7 @@ def emb_covariance(df: DataFrame, vec_col: str) -> DataFrame:
 
 
 def emb_pca(
-    df: DataFrame, vec_col: str, id_col: str, k: int = 8
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8, whiten: bool = False
 ) -> DataFrame:
     """PCA projection of an embedding column — the standard whitening
     / dimensionality-reduction step before ANN or SemDeDup. The
@@ -1088,6 +1088,11 @@ def emb_pca(
     sign-fixed for determinism (largest-|loading| element made
     positive), broadcast, and the projection is an Arrow-batched
     matrix multiply riding the corpus scan.
+
+    ``whiten=True`` divides each component by √eigenvalue so the
+    projected dimensions have unit variance — the form cosine-based
+    consumers (SemDeDup, ANN) want, where otherwise the top component
+    dominates every distance.
 
     Returns (id, pos, value): the k-dim projection exploded to scalar
     rows, components ordered by DESCENDING eigenvalue.
@@ -1104,6 +1109,9 @@ def emb_pca(
         lead = np.argmax(np.abs(w[:, c]))
         if w[lead, c] < 0:
             w[:, c] = -w[:, c]
+    if whiten:
+        ev = np.maximum(vals[order], 1e-12)
+        w = w / np.sqrt(ev)[None, :]
     sc = df.sparkSession.sparkContext
     bw = sc.broadcast(w)
 

@@ -516,3 +516,17 @@ class TestEmbPca:
         # off-diagonals vanish: components are cov-eigenvectors
         off = pc - np.diag(np.diag(pc))
         assert np.abs(off).max() < 1e-3
+
+    def test_whitening_gives_unit_variance(self, spark):
+        import numpy as np
+
+        from easydb_server_spark.operators.similarity import emb_pca
+
+        df, _ = self._corpus(spark)
+        out = emb_pca(df, "embedding", "vec_id", k=3, whiten=True).collect()
+        proj = {}
+        for r in out:
+            proj.setdefault(r.id, {})[r.pos] = r.value
+        mat = np.array([[proj[i][p] for p in range(3)] for i in sorted(proj)])
+        v = mat.var(axis=0, ddof=1)
+        assert np.allclose(v, 1.0, atol=0.01)
