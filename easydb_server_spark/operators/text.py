@@ -1628,8 +1628,7 @@ def url_features(
     than (doc_id, key) pairs and the blocklist side broadcasts —
     the same plan shape as the decontamination probes.
     """
-    u = F.lower(F.col(url_col).cast("string"))
-    domain = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    u, domain = _url_parts(url_col)
     path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     path_depth = F.size(F.filter(F.split(path, "/"), lambda x: x != F.lit("")))
@@ -1642,20 +1641,12 @@ def url_features(
     )
     dom_df = blocked_domains if isinstance(blocked_domains, DataFrame) else None
     kw_df = blocked_keywords if isinstance(blocked_keywords, DataFrame) else None
-    if dom_df is None and blocked_domains:
-        dom_hit = None
-        for b in blocked_domains:
-            h = (domain == F.lit(b)) | domain.endswith("." + b)
-            dom_hit = h if dom_hit is None else (dom_hit | h)
-    else:
-        dom_hit = F.lit(False)
-    if kw_df is None and blocked_keywords:
-        kw_hit = None
-        for k in blocked_keywords:
-            h = u.contains(k)
-            kw_hit = h if kw_hit is None else (kw_hit | h)
-    else:
-        kw_hit = F.lit(False)
+    dom_hit, kw_hit = _url_block_hits(
+        u,
+        domain,
+        () if dom_df is not None else blocked_domains,
+        () if kw_df is not None else blocked_keywords,
+    )
     base = df.select(
         F.col(id_col).alias("doc_id"),
         domain.alias("domain"),
@@ -1713,6 +1704,49 @@ def url_features(
         "blocked_keyword",
         (~F.col("blocked_domain") & ~F.col("blocked_keyword")).alias("pass_url"),
     )
+
+
+def _url_parts(url_col: str):
+    """(lowercased url, parsed domain) expressions — shared by
+    url_features and the streaming crawl gate so the two can never
+    drift."""
+    u = F.lower(F.col(url_col).cast("string"))
+    domain = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    return u, domain
+
+
+def _url_block_hits(u, domain, blocked_domains, blocked_keywords):
+    """(domain_hit, keyword_hit) boolean expressions for LITERAL
+    blocklists (equal-or-dot-subdomain; substring-anywhere)."""
+    if blocked_domains:
+        dom_hit = None
+        for b in blocked_domains:
+            h = (domain == F.lit(b)) | domain.endswith("." + b)
+            dom_hit = h if dom_hit is None else (dom_hit | h)
+    else:
+        dom_hit = F.lit(False)
+    if blocked_keywords:
+        kw_hit = None
+        for k in blocked_keywords:
+            h = u.contains(k)
+            kw_hit = h if kw_hit is None else (kw_hit | h)
+    else:
+        kw_hit = F.lit(False)
+    return dom_hit, kw_hit
+
+
+def pass_url_expr(
+    url_col: str,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_keywords: tuple[str, ...] = (),
+):
+    """The URL gate as a single boolean Column (literal blocklists
+    only) — usable directly on a STREAMING frame, where the
+    join-shaped table overloads cannot run. Exactly url_features'
+    ``pass_url`` by construction (shared expression helpers)."""
+    u, domain = _url_parts(url_col)
+    dom_hit, kw_hit = _url_block_hits(u, domain, blocked_domains, blocked_keywords)
+    return ~dom_hit & ~kw_hit
 
 
 def _dot_suffix(parts):

@@ -564,3 +564,52 @@ def stream_export_shards(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_crawl_ingest(
+    pages_stream: DataFrame,
+    html_col: str,
+    url_col: str,
+    id_col: str,
+    digest_table: str,
+    admitted_path: str,
+    checkpoint_dir: str,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_keywords: tuple[str, ...] = (),
+    **ingest_kwargs,
+):
+    """Continuous CRAWL ingest: the batch crawl front half (URL gate →
+    HTML→text extraction) composed onto :func:`stream_ingest_pipeline`
+    so raw fetched pages stream straight into the curation pipeline.
+
+    Both front stages are stateless per-row selects, so they run
+    DIRECTLY on the streaming frame (no foreachBatch duplication): the
+    URL gate is :func:`easydb_server_spark.operators.text.
+    pass_url_expr` — literal blocklists, exactly ``url_features``'
+    ``pass_url`` by shared construction — and the extraction is
+    :func:`easydb_server_spark.operators.text.html_extract`'s regex
+    chain. The extracted ``clean_text`` then flows through the same
+    quality gates / exact dedup / fuzzy rejection / decontamination
+    as any other document stream (``**ingest_kwargs`` passes those
+    dials through), so a streamed crawl and a batch-gated crawl of
+    the same pages admit the same documents — the delegation contract
+    the Gopher/C4/LM gates already honor, extended to the crawl
+    front door.
+    """
+    from easydb_server_spark.operators.text import html_extract, pass_url_expr
+
+    gated = pages_stream.where(
+        pass_url_expr(url_col, blocked_domains, blocked_keywords)
+    )
+    extracted = html_extract(gated, html_col, id_col).select(
+        F.col("doc_id").alias(id_col), F.col("clean_text")
+    )
+    return stream_ingest_pipeline(
+        extracted,
+        "clean_text",
+        id_col,
+        digest_table,
+        admitted_path,
+        checkpoint_dir,
+        **ingest_kwargs,
+    )

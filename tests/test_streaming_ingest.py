@@ -681,3 +681,98 @@ def test_pipeline_c4_gate_matches_batch_admit_list(spark, tmp_path):
         assert {1, 4} <= batch_admit and {2, 3, 5}.isdisjoint(batch_admit)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_crawl_ingest_matches_batch_crawl(spark, tmp_path):
+    """r10: raw pages streamed through stream_crawl_ingest (URL gate →
+    extraction → gopher gate → exact dedup) admit exactly the doc_ids
+    the batch crawl composition admits on the same pages."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T_
+
+    from easydb_server_spark.operators.text import (
+        gopher_rules,
+        html_extract,
+        url_features,
+    )
+    from easydb_server_spark.streaming.ingest import stream_crawl_ingest
+
+    table = f"crawl_idx_{uuid.uuid4().hex[:8]}"
+    in_dir, admitted, ckpt = tmp_path / "in", tmp_path / "admitted", tmp_path / "ckpt"
+    body = (
+        "<h1>Title</h1><P>the quick brown fox jumps over the lazy dog and "
+        "then runs far away to the hills where it rests with a friend of "
+        "the family that would have come along to be with it</P>"
+    )
+    pages = [
+        (1, "https://ok.example.com/a", f"<html><body>{body}</body></html>"),
+        (2, "https://spamhost.bad/x", f"<html><body>{body}</body></html>"),   # domain-blocked
+        (3, "https://ok.example.com/casino", f"<html><body>{body}</body></html>"),  # keyword
+        (4, "https://other.example.com/b", f"<html><body>{body}</body></html>"),    # dup of 1's text
+        (5, "https://ok.example.com/c", "<html><body><P>too short page</P></body></html>"),
+    ]
+
+    def write_pages(path, rows, order=0):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(
+            "".join(
+                json.dumps({"doc_id": i, "url": u, "html": h}) + "\n"
+                for (i, u, h) in rows
+            )
+        )
+        t = 1_700_000_000 + order * 60
+        os.utime(path, (t, t))
+
+    write_pages(in_dir / "b0.json", pages[:2], order=0)
+    write_pages(in_dir / "b1.json", pages[2:4], order=1)
+    write_pages(in_dir / "b2.json", pages[4:], order=2)
+    blocked = ("spamhost.bad",)
+    kws = ("casino",)
+    try:
+        # batch-mode composition over the same pages
+        corpus = spark.createDataFrame(pages, "doc_id long, url string, html string")
+        ok = (
+            url_features(corpus, "url", "doc_id", blocked, kws)
+            .where(F.col("pass_url"))
+            .select("doc_id")
+        )
+        extracted = html_extract(corpus.join(ok, "doc_id"), "html", "doc_id")
+        gated = extracted.join(
+            gopher_rules(extracted, "clean_text", "doc_id", min_words=30, min_stopwords=1)
+            .where(F.col("pass_gopher"))
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        batch_admit = {
+            r.doc_id
+            for r in gated.withColumn("h", F.md5("clean_text"))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .collect()
+        }
+        schema = T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("url", T_.StringType()),
+                T_.StructField("html", T_.StringType()),
+            ]
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = stream_crawl_ingest(
+            src, "html", "url", "doc_id", table, str(admitted), str(ckpt),
+            blocked_domains=blocked, blocked_keywords=kws,
+            gopher={"min_words": 30, "min_stopwords": 1},
+        )
+        q.awaitTermination()
+        stream_admit = {r.doc_id for r in spark.read.parquet(str(admitted)).collect()}
+        assert stream_admit == batch_admit
+        # the gates actually discriminated
+        assert 1 in batch_admit and {2, 3, 5}.isdisjoint(batch_admit)
+        assert 4 not in batch_admit  # exact dup of doc 1's extracted text
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
