@@ -128,8 +128,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_multimodal_audio_resample,
         llmops.ORACLE_MULTIMODAL_AUDIO_RESAMPLE,
     ),
-    # r10 (below-window: locked by the never-driver-seen pytest oracle
-    # guard + the full conformance sweep until a future rotation)
+    # added in r10 (window slots 9-16 until driver evidence lands)
     "multimodal_audio_depths": (
         llmops.q_multimodal_audio_depths,
         llmops.ORACLE_MULTIMODAL_AUDIO_DEPTHS,
@@ -304,19 +303,26 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code changed this round, (2) the entries with the LEAST
 # driver-verified evidence, fill from the oldest-evidence cohort.
-# Round 10: the 7 never-driver-seen oracled entries (all five crawl
-# entries, the incremental embedding probe, the audio resampler) plus
-# multimodal_audio (the WAV decode path gained 8/24-bit support this
-# round); text_gopher_repetition / text_html_extract / text_url_filter
-# / crawl_pipeline also carry r10 code changes (dup_stats fold, (?i)
-# tag regexes, blocklist-table overload) so the front 8 covers every
-# r10 change. Slots 9-50 are the alphabetically-first 42 of the
-# 49-entry r6-evidence cohort; the remaining 7 (text_normalize,
-# text_pack, text_quality, text_quality_prune, text_redact,
-# text_token_counts, text_vocab) are the natural r11 fill — after a
-# green r10 they are the ONLY oracled entries with evidence older
-# than r7. Rows-only entries (agg_approx_distinct,
-# stream_funnel_stateful) stay OUT — they burn a slot on `no_oracle`.
+# Round 10: the 7 r9 never-driver-seen oracled entries (all five
+# crawl entries, the incremental embedding probe, the audio resampler)
+# plus multimodal_audio (the WAV decode path gained 8/24-bit support
+# this round); text_gopher_repetition / text_html_extract /
+# text_url_filter / crawl_pipeline also carry r10 code changes
+# (dup_stats fold, (?i) tag regexes, blocklist-table overload). Slots
+# 9-16 are the 8 oracled entries ADDED in r10 (audio bit depths, the
+# table blocklist path, the C4 rule set + pipeline, the NB quality
+# classifier, Aho-Corasick matching, sentence-span dedup, embedding
+# covariance) — new code outranks evidence refresh, same policy that
+# front-loaded the r9 crawl entries. Slots 17-50 are the
+# alphabetically-first 34 of the 49-entry r6-evidence cohort; the
+# remaining 15 (sim_topk_bruteforce, sim_topk_lsh, stream_session,
+# stream_sliding, stream_tumbling, text_fingerprint, text_langid,
+# text_mixture, text_normalize, text_pack, text_quality,
+# text_quality_prune, text_redact, text_token_counts, text_vocab) are
+# the natural r11 fill — after a green r10 they are the ONLY oracled
+# entries with evidence older than r7. Rows-only entries
+# (agg_approx_distinct, stream_funnel_stateful) stay OUT — they burn
+# a slot on `no_oracle`.
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "multimodal_audio",
     "text_gopher_repetition",
@@ -326,6 +332,14 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "text_url_filter",
     "sim_incremental_neardup",
     "multimodal_audio_resample",
+    "multimodal_audio_depths",
+    "text_url_blocklist",
+    "text_c4_rules",
+    "text_nb_quality",
+    "text_match_any",
+    "text_sentence_span_dedup",
+    "c4_pipeline",
+    "emb_covariance",
     "agg_bool_bit",
     "agg_count_distinct",
     "agg_cube",
@@ -360,14 +374,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "text_fingerprint",
-    "text_langid",
-    "text_mixture",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

@@ -9,12 +9,13 @@ Round-10 window (never-driver-seen first, then changed code, then
 least-driver-evidence): the 7 entries no driver round ever verified
 (all five crawl entries, the incremental embedding probe, the audio
 resampler) plus multimodal_audio (WAV decode path gained 8/24-bit
-support in r10) — this front 8 also covers every r10 code change
-(dup_stats fold, (?i) tag regexes, url blocklist tables) — then the
-alphabetically-first 42 of the 49-entry r6-evidence cohort. The 7
-r6 leftovers (text_normalize … text_vocab) are the natural r11 fill.
-Rows-only entries stay out of the window (they burn a slot on
-`no_oracle`).
+support in r10) — this front 8 also covers every r10 change to
+pre-existing code (dup_stats fold, (?i) tag regexes, url blocklist
+tables) — then the 8 oracled entries ADDED in r10 (slots 9-16: new
+code outranks evidence refresh), then the alphabetically-first 34 of
+the 49-entry r6-evidence cohort. The 15 r6 leftovers
+(sim_topk_bruteforce … text_vocab) are the natural r11 fill. Rows-only
+entries stay out of the window (they burn a slot on `no_oracle`).
 """
 
 PRIORITY_WINDOW = 50
@@ -41,8 +42,9 @@ def test_window_holds_the_r10_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # the never-driver-seen 7 + the r10-changed audio entry lead
-    assert window[:8] == [
+    # the never-driver-seen 7 + the r10-changed audio entry lead,
+    # then the 8 oracled entries added in r10
+    assert window[:16] == [
         "multimodal_audio",
         "text_gopher_repetition",
         "crawl_pipeline",
@@ -51,11 +53,19 @@ def test_window_holds_the_r10_rotation():
         "text_url_filter",
         "sim_incremental_neardup",
         "multimodal_audio_resample",
+        "multimodal_audio_depths",
+        "text_url_blocklist",
+        "text_c4_rules",
+        "text_nb_quality",
+        "text_match_any",
+        "text_sentence_span_dedup",
+        "c4_pipeline",
+        "emb_covariance",
     ]
-    # positions 9-50 are the alphabetically-first 42 of the r6-evidence
-    # cohort: entries whose newest driver evidence (across all
-    # CORRECTNESS_r*.json up to r9 — the goalpost is fixed at rotation
-    # time) was round 6
+    # positions 17-50 are the alphabetically-first 34 of the
+    # r6-evidence cohort: entries whose newest driver evidence (across
+    # all CORRECTNESS_r*.json up to r9 — the goalpost is fixed at
+    # rotation time) was round 6
     newest = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
@@ -66,7 +76,7 @@ def test_window_holds_the_r10_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r6_cohort = sorted(n for n, r in newest.items() if r == 6)
     assert len(r6_cohort) == 49
-    assert window[8:] == r6_cohort[:42]
+    assert window[16:] == r6_cohort[:34]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
