@@ -27,29 +27,28 @@ if _REPO not in sys.path:
 # user would actually run at 100 TB (e.g. MinHash-LSH and SimHash for
 # dedup; the exact all-pairs n-gram Jaccard stays in the conformance
 # suite as the correctness baseline but is not a headline operator,
-# precisely because exact all-pairs is the thing LSH exists to avoid)
+# precisely because exact all-pairs is the thing LSH exists to avoid).
+# r10 trim: nine sub-second low-signal shapes (trivial core-SQL forms
+# and the lighter half of near-duplicate pairs — e.g. dedup_minhash
+# subsumed by dedup_minhash_pairs, bpe_apply by bpe_merges) left the
+# set to keep the compact stdout line under the driver's 2000-char
+# tail capture; they all remain oracle-verified in the conformance
+# registry.
 HEADLINE = [
     "agg_pricing_summary",
     "agg_count_distinct",
     "join_inner_revenue",
-    "join_left_outer",
     "skew_salted_join",
-    "window_rank",
-    "core_limit_offset",
-    "setop_union_all",
-    "subq_cte",
     "ts_tumbling",
     "ts_session_window",
     "ts_asof_join",
     "ts_range_join",
     "ts_rolling_1h",
-    "ts_resample_locf",
     "ts_resample_interp",
     "ts_zorder_key",
     "profile_documents",
     "quality_gate_events",
     "profile_drift",
-    "dedup_minhash",
     "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",
     "sim_topk_lsh",
@@ -69,7 +68,6 @@ HEADLINE = [
     "chunk_dedup",
     "chunk_pack",
     "curate_source_cap",
-    "text_unigram_logprob",
     "text_bigram_logprob",
     "text_curriculum",
     "dedup_ngram_spans",
@@ -77,7 +75,6 @@ HEADLINE = [
     "text_tfidf_keywords",
     "text_contamination_spans",
     "text_bpe_merges",
-    "text_bpe_apply",
     "text_bm25",
     "sim_hybrid_rrf",
     "text_shard_manifest",
@@ -98,6 +95,18 @@ HEADLINE = [
     "multimodal_features",
     # r9: the real-WAV audio modality (encode -> decode -> features)
     "multimodal_audio",
+    # r10 additions: audio bit-depth/remix path, the table-blocklist
+    # URL gate, the C4 rule set + composed pipeline, NB quality
+    # scoring, Aho-Corasick matching, sentence-span dedup, and the
+    # distributed embedding-covariance reduction
+    "multimodal_audio_depths",
+    "text_url_blocklist",
+    "text_c4_rules",
+    "text_nb_quality",
+    "text_match_any",
+    "text_sentence_span_dedup",
+    "c4_pipeline",
+    "emb_covariance",
     # composed TPC-H workloads (multi-join + agg + top-k)
     "tpch_q3",
     "tpch_q7",
