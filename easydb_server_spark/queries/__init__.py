@@ -143,6 +143,10 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "c4_pipeline": (llmops.q_c4_pipeline, llmops.ORACLE_C4_PIPELINE),
     "emb_covariance": (llmops.q_emb_covariance, llmops.ORACLE_EMB_COVARIANCE),
+    "text_unigram_tokenize": (
+        llmops.q_text_unigram_tokenize,
+        llmops.ORACLE_TEXT_UNIGRAM_TOKENIZE,
+    ),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

@@ -4239,3 +4239,109 @@ LEFT JOIN tot t ON t.doc_id = d.doc_id
 LEFT JOIN nov v ON v.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------- unigram-LM tokenizer (round 10) ----------
+
+# Frozen unigram vocabulary: the (piece -> scaled ln-prob) table that
+# a `unigram_train(vocab_size=64, iterations=2, seed_size=2000)` run
+# over the sf0.01 documents corpus produced, frozen as a literal so
+# the DuckDB oracle can replay Viterbi segmentation bit-for-bit — the
+# same freeze pattern as the NB classifier coefficients. Scores are
+# round(ln(count/total) * 1e6) BIGINTs (operators/unigram.py SCALE).
+UNIGRAM_VOCAB: dict[str, int] = {
+    "e": -2706482, "join": -3744880, "hash": -3762672, "row": -3766905,
+    "batc": -3773288, "h": -3773288, "scan": -3774356, "colu": -3776495,
+    "cust": -3776495, "mn": -3776495, "omer": -3776495, "er": -3777566,
+    "filt": -3777566, "l": -3782940, "smal": -3782940, "merg": -3793774,
+    "slow": -3793774, "or": -3800332, "orde": -3800332, "r": -3800332,
+    "vect": -3800332, "line": -3802527, "data": -3804727, "tabl": -3804727,
+    "agg": -3812466, "valu": -3816916, "key": -3818031, "ream": -3827000,
+    "st": -3827000, "ow": -3829255, "wind": -3829255, "a": -3836050,
+    "park": -3836050, "s": -3836050, "g": -3838325, "part": -3838325,
+    "roup": -3838325, "big": -3840605, "sort": -3845182, "quer": -3846330,
+    "y": -3846330, "fast": -3866040, "the": -3882570, "dup": -7357875,
+}
+
+
+def q_text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization under the frozen
+    vocabulary: per-doc word/char/Viterbi-token counts and the exact
+    BIGINT path score. Segmentation folds once per DISTINCT word (the
+    bpe_apply collapse); the oracle replays the same DP as a DuckDB
+    list_reduce with identical integer scores and the identical
+    first-max (shortest-piece) tie-break."""
+    from easydb_server_spark.operators import unigram as UG
+
+    d = load(spark, sf_dir, "documents")
+    return UG.unigram_apply(d, "text", "doc_id", UNIGRAM_VOCAB).orderBy("doc_id")
+
+
+def _oracle_unigram(vocab: dict[str, int], max_len: int = 4) -> str:
+    """DuckDB replay of the Viterbi DP as TWO scalar-array folds per
+    distinct word — one over the true scores (best total S), one over
+    packed scores s*PACK - 1 (best = PACK*S - n_pieces, because the
+    packing makes the maximizer prefer fewer pieces among equal-score
+    paths), so n_pieces = PACK*S - packed. No argmax, no path strings:
+    DuckDB 1.0's list_reduce mis-evaluates struct accumulators whose
+    fields cross-reference (verified by bisection — a path field
+    reading the score field sees stale state), so the oracle never
+    carries more than the score window. The candidate list is
+    textually repeated (list_max per step) because SQL lambdas have no
+    let-binding; a few redundant integer adds per position are
+    irrelevant at oracle scale."""
+    pack = 1 << 20
+    sent = "(-100000000000000000)::BIGINT"
+    unk, unk_packed = -20_000_000, -20_000_000 * pack - 1
+    items = sorted(vocab.items())
+    keys = ", ".join("'%s'" % k.replace("'", "''") for k, _ in items)
+    vals = ", ".join(f"({v})::BIGINT" for _, v in items)
+
+    def fold(packed: bool) -> str:
+        cands = []
+        for l in range(1, max_len + 1):
+            raw = f"m[substr(word, x.i - {l - 1}, {l})][1]"
+            if packed:
+                raw = f"{raw} * {pack} - 1"
+            fb = (f"({unk_packed})::BIGINT" if packed else f"({unk})::BIGINT") if l == 1 else sent
+            c = f"acc.w[{l}] + coalesce({raw}, {fb})"
+            if l > 1:
+                c = f"CASE WHEN x.i >= {l} THEN {c} ELSE {sent} END"
+            cands.append(c)
+        cl = "[" + ", ".join(cands) + "]"
+        return f"""list_reduce(
+      list_transform(range(0, length(word) + 1), i -> {{i: i,
+        w: CASE WHEN i = 0 THEN [0::BIGINT, {sent}, {sent}, {sent}] END}}),
+      (acc, x) -> {{i: x.i,
+        w: list_prepend(list_max({cl}), acc.w[1:{max_len - 1}])}}).w[1]"""
+
+    return f"""
+WITH v AS (SELECT map([{keys}], [{vals}]) AS m),
+d AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+              '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, substr(word, 1, 24) AS word
+  FROM (SELECT doc_id, UNNEST(string_split(t, ' ')) AS word FROM d)
+  WHERE word != ''
+),
+dw AS (SELECT DISTINCT word FROM w),
+enc AS (
+  SELECT word, s AS score, {pack} * s - packed AS n_pieces
+  FROM (SELECT word, {fold(False)} AS s, {fold(True)} AS packed FROM dw, v)
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(w.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_tokens,
+       CAST(SUM(e.score) AS BIGINT) AS score
+FROM w JOIN enc e USING (word)
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+ORACLE_TEXT_UNIGRAM_TOKENIZE = _oracle_unigram(UNIGRAM_VOCAB)
