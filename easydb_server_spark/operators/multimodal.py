@@ -273,3 +273,141 @@ def documents_as_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.lit("image").alias("kind"),
     )
+
+
+TRANSCODED_SCHEMA = "item_id bigint, payload binary, law string, n_samples int"
+
+
+def transcode_g711(df: DataFrame, blob_col: str, id_col: str, law: str) -> DataFrame:
+    """Normalize a G.711-companded corpus: decode WAV, apply the
+    mu-law/A-law compress->expand staircase per channel
+    (:mod:`easydb_server_spark.operators.g711`), re-encode 16-bit
+    linear PCM. This is what a telephony/call-center ingest runs so
+    every downstream consumer sees one canonical linear form — and
+    because the staircase is closed-form integer arithmetic, an
+    independent SQL engine can replay it exactly. Same Arrow-batched
+    map-only shape as :func:`resample_audio`: rides the blob scan, no
+    shuffle."""
+
+    def do_transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from easydb_server_spark.operators.g711 import g711_roundtrip
+        from easydb_server_spark.operators.wav import decode_wav_full, encode_wav
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples, rate, _bits = decode_wav_full(bytes(blob))
+                staired = g711_roundtrip(samples, law)
+                out.append((item_id, encode_wav(staired, rate), law, staired.shape[0]))
+            yield pd.DataFrame(out, columns=["item_id", "payload", "law", "n_samples"])
+
+    return df.select(id_col, blob_col).mapInPandas(do_transcode, TRANSCODED_SCHEMA)
+
+
+AUDIO_ANALYSIS_SCHEMA = (
+    "item_id bigint, n_samples int, zero_crossings bigint, energy bigint, "
+    "dominant_lag int, ac_peak bigint"
+)
+
+
+def audio_analysis(df: DataFrame, blob_col: str, id_col: str, max_lag: int = 8) -> DataFrame:
+    """Exact-integer signal analysis per clip (channel 0): zero
+    crossings (sign transitions with 0 counted positive), total
+    energy sum(s^2), and the dominant autocorrelation lag in
+    1..max_lag (argmax of sum(s[i]*s[i+lag]); smallest lag wins ties)
+    with its peak value — the pitch/periodicity gates an audio
+    curation pipeline filters on. Every output is an int64 over int64
+    sums, so an independent engine replays it bit-for-bit."""
+
+    def do_analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import decode_wav
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples, _rate = decode_wav(bytes(blob))
+                s = samples[:, 0].astype(np.int64)
+                n = s.shape[0]
+                nonneg = s >= 0
+                zc = int(np.sum(nonneg[1:] != nonneg[:-1]))
+                energy = int(np.sum(s * s))
+                best_lag, best_ac = 0, None
+                for lag in range(1, max_lag + 1):
+                    ac = int(np.sum(s[:-lag] * s[lag:])) if lag < n else 0
+                    if best_ac is None or ac > best_ac:
+                        best_lag, best_ac = lag, ac
+                out.append((item_id, n, zc, energy, best_lag, best_ac or 0))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "n_samples", "zero_crossings", "energy",
+                    "dominant_lag", "ac_peak",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(do_analyze, AUDIO_ANALYSIS_SCHEMA)
+
+
+SPECTROGRAM_SCHEMA = (
+    "item_id bigint, n_frames int, dominant_bin int, dominant_db double, "
+    "spectral_centroid double"
+)
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    frame: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """Per-clip STFT summary (channel 0): Hann-windowed numpy rfft
+    over ``frame``-sample windows at ``hop`` stride, magnitudes
+    averaged across frames; reports the dominant frequency bin, its
+    level in dB, and the spectral centroid (power-weighted mean bin).
+    Frequency-domain features have no closed integer form (libm
+    cos/sin last-ulp differences break exact cross-engine hashing),
+    so this operator is pytest-locked against analytically-known
+    signals (a pure tone at bin k must dominate bin k) instead of
+    DuckDB-oracled — the documented exception class, like the HLL
+    error-bound lock. Same Arrow-batched map-only scale shape as the
+    codecs."""
+
+    def do_spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import decode_wav
+
+        win = None
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples, _rate = decode_wav(bytes(blob))
+                s = samples[:, 0].astype(np.float64) / 32768.0
+                if s.shape[0] < frame:
+                    s = np.pad(s, (0, frame - s.shape[0]))
+                if win is None or win.shape[0] != frame:
+                    win = np.hanning(frame)
+                starts = range(0, s.shape[0] - frame + 1, hop)
+                mags = np.zeros(frame // 2 + 1)
+                n_frames = 0
+                for st in starts:
+                    mags += np.abs(np.fft.rfft(s[st : st + frame] * win)) ** 2
+                    n_frames += 1
+                mags /= max(n_frames, 1)
+                dom = int(np.argmax(mags))
+                power = float(mags.sum())
+                centroid = float((np.arange(mags.shape[0]) * mags).sum() / power) if power > 0 else 0.0
+                dom_db = float(10.0 * np.log10(mags[dom])) if mags[dom] > 0 else -300.0
+                out.append((item_id, n_frames, dom, round(dom_db, 3), round(centroid, 3)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "n_frames", "dominant_bin", "dominant_db",
+                    "spectral_centroid",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(do_spec, SPECTROGRAM_SCHEMA)

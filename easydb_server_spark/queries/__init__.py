@@ -147,6 +147,14 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_text_unigram_tokenize,
         llmops.ORACLE_TEXT_UNIGRAM_TOKENIZE,
     ),
+    "multimodal_audio_g711": (
+        llmops.q_multimodal_audio_g711,
+        llmops.ORACLE_MULTIMODAL_AUDIO_G711,
+    ),
+    "multimodal_audio_analysis": (
+        llmops.q_multimodal_audio_analysis,
+        llmops.ORACLE_MULTIMODAL_AUDIO_ANALYSIS,
+    ),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

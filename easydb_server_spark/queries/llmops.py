@@ -4345,3 +4345,144 @@ ORDER BY w.doc_id
 
 
 ORACLE_TEXT_UNIGRAM_TOKENIZE = _oracle_unigram(UNIGRAM_VOCAB)
+
+
+# ---------- G.711 companding + exact signal analysis (round 10) ----------
+
+
+def _audio_clips(spark: SparkSession, sf_dir: str, base: int, mod: int):
+    """Deterministic mono 8 kHz clips from the shared sawtooth recipe
+    ``s(doc,i) = ((doc_id*7919 + i*104729) mod 65536) - 32768`` with
+    ``n = base + doc_id % mod`` frames — the corpus every audio
+    conformance entry builds so its oracle can replay samples in
+    closed form without ever seeing bytes."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = base + did % mod
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    return d.mapInPandas(build, "item_id bigint, payload binary")
+
+
+def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law normalization end-to-end: deterministic clips
+    (80 + doc_id % 40 frames) are companded and expanded through the
+    real codec (operators/g711.py) and re-featurized. The oracle
+    replays the mu-law STAIRCASE in closed-form integer arithmetic —
+    segment search, mantissa truncation, bias removal — so a hash
+    match proves the compress->expand pair is the ITU quantizer, not
+    merely self-consistent."""
+    from easydb_server_spark.operators.multimodal import audio_features, transcode_g711
+
+    blobs = _audio_clips(spark, sf_dir, 80, 40)
+    staired = transcode_g711(blobs, "payload", "item_id", "mulaw")
+    return (
+        audio_features(staired, "payload", "item_id")
+        .select("item_id", "sample_rate", "n_samples", "rms", "clipping_frac", "peak")
+        .orderBy("item_id")
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO_G711 = """
+WITH nn AS (SELECT doc_id, 80 + doc_id % 40 AS n FROM documents),
+raw AS (
+  SELECT nn.doc_id, nn.n,
+         ((nn.doc_id * 7919 + t.i * 104729) % 65536) - 32768 AS s
+  FROM nn, UNNEST(generate_series(0, nn.n - 1)) t(i)
+),
+stair AS (
+  SELECT doc_id, n, s,
+         LEAST(ABS(s), 32635) + 132 AS mag
+  FROM raw
+),
+seg AS (
+  SELECT doc_id, n, s, mag,
+         CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+              WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+              WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+              WHEN mag < 16384 THEN 6 ELSE 7 END AS e
+  FROM stair
+),
+r AS (
+  SELECT doc_id, n,
+         CASE WHEN s < 0 THEN -(((((mag >> (e + 3)) & 15) * 8 + 132) << e) - 132)
+              ELSE ((((mag >> (e + 3)) & 15) * 8 + 132) << e) - 132 END AS v
+  FROM seg
+)
+SELECT doc_id                                              AS item_id,
+       CAST(8000 AS INT)                                   AS sample_rate,
+       CAST(MAX(n) AS INT)                                 AS n_samples,
+       ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / MAX(n)), 4) AS rms,
+       CAST(SUM(CASE WHEN ABS(v) >= 32767 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n)                                      AS clipping_frac,
+       CAST(MAX(ABS(v)) AS INT)                            AS peak
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_multimodal_audio_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer signal analysis (zero crossings, energy, dominant
+    autocorrelation lag in 1..8 with smallest-lag tie-break) over the
+    deterministic clips (60 + doc_id % 30 frames). Every reported
+    value is an int64 sum over int64 samples, so the DuckDB oracle —
+    a LAG window for crossings and a self-join per lag for the
+    autocorrelation argmax — agrees bit-for-bit."""
+    from easydb_server_spark.operators.multimodal import audio_analysis
+
+    blobs = _audio_clips(spark, sf_dir, 60, 30)
+    return audio_analysis(blobs, "payload", "item_id", max_lag=8).orderBy("item_id")
+
+
+ORACLE_MULTIMODAL_AUDIO_ANALYSIS = """
+WITH nn AS (SELECT doc_id, 60 + doc_id % 30 AS n FROM documents),
+s AS (
+  SELECT nn.doc_id, nn.n, t.i,
+         ((nn.doc_id * 7919 + t.i * 104729) % 65536) - 32768 AS s
+  FROM nn, UNNEST(generate_series(0, nn.n - 1)) t(i)
+),
+zc AS (
+  SELECT doc_id, MAX(n) AS n, CAST(SUM(s * s) AS BIGINT) AS energy,
+         CAST(SUM(CASE WHEN prev IS NOT NULL
+                        AND (s >= 0) != (prev >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_crossings
+  FROM (SELECT doc_id, n, i, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s)
+  GROUP BY doc_id
+),
+ac AS (
+  SELECT a.doc_id, l.lag, CAST(SUM(a.s * b.s) AS BIGINT) AS ac
+  FROM UNNEST(generate_series(1, 8)) l(lag)
+  JOIN s a ON TRUE
+  JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
+  GROUP BY a.doc_id, l.lag
+),
+best AS (
+  SELECT doc_id, lag, ac FROM (
+    SELECT doc_id, lag, ac,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ac DESC, lag) AS r
+    FROM ac
+  ) WHERE r = 1
+)
+SELECT z.doc_id            AS item_id,
+       CAST(z.n AS INT)    AS n_samples,
+       z.zero_crossings,
+       z.energy,
+       CAST(b.lag AS INT)  AS dominant_lag,
+       b.ac                AS ac_peak
+FROM zc z JOIN best b USING (doc_id)
+ORDER BY z.doc_id
+"""
