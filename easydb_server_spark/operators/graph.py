@@ -1,0 +1,92 @@
+"""Graph centrality over DataFrame edge lists — the link-graph signal
+crawl curation pipelines rank hosts with (PageRank, Page et al. 1999;
+Common Crawl publishes exactly this per-host ranking for its corpus).
+Complements the bounded-round connected-components in
+:mod:`easydb_server_spark.operators.clusters`.
+
+EXACT-INTEGER formulation: ranks are fixed-point BIGINTs at scale
+1e12 and damping is the rational 17/20, so every update is integer
+multiply / floor-divide / sum — bit-identical on any engine, which is
+what lets a DuckDB oracle replay the power iteration as unrolled CTEs
+(the float formulation would drift in the last ulp across engines and
+summation orders). Floor truncation leaks < N units of mass per
+iteration (1e-12 relative) — irrelevant to ranking, and deterministic.
+
+Scale shape: a bounded-round superstep like the label-propagation CC —
+per iteration ONE join shuffle (ranks x edges on src, edges pre-keyed)
+and ONE aggregation shuffle (contributions by dst), plus two one-row
+broadcast aggregates (node count, dangling mass). The rank table is
+node-width, never edge-width; out-degrees are computed once. At 100 TB
+the edge list partitions by src and every iteration reuses that
+partitioning; the plan is linear in |E| per iteration with no
+all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_SCALE = 10**12
+# damping 0.85 as the exact rational 17/20
+_D_NUM, _D_DEN = 17, 20
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list. Returns
+    (node, rank) with rank a BIGINT at scale 1e12; dangling mass
+    (nodes without out-edges) redistributes uniformly each iteration,
+    the standard stochastic-completion fix.
+
+    Update rule (all integer ops):
+      contrib(v) = sum over u->v of (r(u) div outdeg(u))
+      dangling   = sum of r(u) over u with outdeg 0
+      r'(v)      = (3*SCALE div (20*N))
+                   + (17 * (contrib(v) + dangling div N) div 20)
+    """
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+
+    ranks = nodes.crossJoin(n_row).selectExpr(
+        "node", f"CAST({RANK_SCALE} AS BIGINT) div _n AS rank"
+    )
+    for _ in range(iterations):
+        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
+            "node", "rank", "out"
+        )
+        contrib = (
+            with_deg.where(F.col("out").isNotNull())
+            .join(e, F.col("node") == e["src"])
+            .selectExpr("dst", "rank div out AS c")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = F.broadcast(
+            with_deg.where(F.col("out").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).alias("_dang")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(dangling)
+            .crossJoin(n_row)
+            .selectExpr(
+                "node",
+                f"(CAST(3 * {RANK_SCALE} AS BIGINT) div (20 * _n))"
+                " + (17 * (COALESCE(contrib, 0) + _dang div _n) div 20) AS rank",
+            )
+        )
+    return ranks

@@ -155,6 +155,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_multimodal_audio_analysis,
         llmops.ORACLE_MULTIMODAL_AUDIO_ANALYSIS,
     ),
+    "graph_pagerank": (llmops.q_graph_pagerank, llmops.ORACLE_GRAPH_PAGERANK),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

@@ -4486,3 +4486,81 @@ SELECT z.doc_id            AS item_id,
 FROM zc z JOIN best b USING (doc_id)
 ORDER BY z.doc_id
 """
+
+
+# ---------- link-graph centrality (round 10) ----------
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over the real
+    customer->supplier purchase graph (orders x lineitem, node ids
+    2*custkey / 2*suppkey+1): the link-centrality signal crawl
+    pipelines rank hosts with, here exercised on the repo's actual
+    relational data. Three power iterations; every update is integer
+    multiply/floor-divide, so the DuckDB oracle unrolls the identical
+    arithmetic as CTEs and the top-100 matches bit-for-bit."""
+    from easydb_server_spark.operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    pr = pagerank(edges, "src", "dst", iterations=3)
+    return (
+        pr.select(
+            "node",
+            "rank",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(100)
+    )
+
+
+def _oracle_pagerank(iterations: int = 3) -> str:
+    scale = 10**12
+    its = []
+    for k in range(iterations):
+        its.append(
+            f"""c{k} AS (
+  SELECT e.dst, SUM(r.rank // d.out) AS contrib
+  FROM r{k} r JOIN deg d ON d.src = r.node JOIN e ON e.src = r.node
+  GROUP BY e.dst
+),
+g{k} AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS dang
+  FROM r{k} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
+),
+r{k + 1} AS (
+  SELECT nodes.node,
+         (CAST({3 * scale} AS BIGINT) // (20 * n))
+           + (17 * (COALESCE(c.contrib, 0) + dang // n) // 20) AS rank
+  FROM nodes LEFT JOIN c{k} c ON c.dst = nodes.node, g{k}, nn
+)"""
+        )
+    return (
+        f"""WITH e AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS out FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) // n AS rank FROM nodes, nn),
+"""
+        + ",\n".join(its)
+        + f"""
+SELECT node, CAST(rank AS BIGINT) AS rank,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+FROM r{iterations}
+ORDER BY rank DESC, node
+LIMIT 100
+"""
+    )
+
+
+ORACLE_GRAPH_PAGERANK = _oracle_pagerank(3)
