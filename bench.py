@@ -28,12 +28,13 @@ if _REPO not in sys.path:
 # dedup; the exact all-pairs n-gram Jaccard stays in the conformance
 # suite as the correctness baseline but is not a headline operator,
 # precisely because exact all-pairs is the thing LSH exists to avoid).
-# r10 trim: nine sub-second low-signal shapes (trivial core-SQL forms
-# and the lighter half of near-duplicate pairs — e.g. dedup_minhash
-# subsumed by dedup_minhash_pairs, bpe_apply by bpe_merges) left the
-# set to keep the compact stdout line under the driver's 2000-char
-# tail capture; they all remain oracle-verified in the conformance
-# registry.
+# r10 trim: fourteen sub-second low-signal shapes (trivial core-SQL
+# forms, <0.25 s scan riders, and the lighter half of near-duplicate
+# pairs — e.g. dedup_minhash subsumed by dedup_minhash_pairs,
+# bpe_apply by bpe_merges) left the set to make room for the twelve
+# r10 operators while keeping the compact stdout line under the
+# driver's 2000-char tail capture; all dropped entries remain
+# oracle-verified in the conformance registry.
 HEADLINE = [
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -43,24 +44,19 @@ HEADLINE = [
     "ts_session_window",
     "ts_asof_join",
     "ts_range_join",
-    "ts_rolling_1h",
     "ts_resample_interp",
     "ts_zorder_key",
     "profile_documents",
-    "quality_gate_events",
     "profile_drift",
     "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",
     "sim_topk_lsh",
-    "text_token_counts",
     "text_html_extract",
     "text_paragraph_dedup",
     "text_url_filter",
-    "text_hash_split",
     "text_repetition",
     "text_quality_prune",
     "corpus_shuffle",
-    "text_chunks",
     "text_stratified_sample",
     "dedup_source_overlap",
     "dedup_incremental",
@@ -107,6 +103,12 @@ HEADLINE = [
     "text_sentence_span_dedup",
     "c4_pipeline",
     "emb_covariance",
+    # r10 late additions: the unigram tokenizer, G.711 companding,
+    # exact signal analysis, and the purchase-graph PageRank
+    "text_unigram_tokenize",
+    "multimodal_audio_g711",
+    "multimodal_audio_analysis",
+    "graph_pagerank",
     # composed TPC-H workloads (multi-join + agg + top-k)
     "tpch_q3",
     "tpch_q7",
