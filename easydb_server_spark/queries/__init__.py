@@ -128,7 +128,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_multimodal_audio_resample,
         llmops.ORACLE_MULTIMODAL_AUDIO_RESAMPLE,
     ),
-    # added in r10 (window slots 9-16 until driver evidence lands)
+    # added in r10 (window slots 9-20 until driver evidence lands)
     "multimodal_audio_depths": (
         llmops.q_multimodal_audio_depths,
         llmops.ORACLE_MULTIMODAL_AUDIO_DEPTHS,
@@ -322,20 +322,22 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # this round); text_gopher_repetition / text_html_extract /
 # text_url_filter / crawl_pipeline also carry r10 code changes
 # (dup_stats fold, (?i) tag regexes, blocklist-table overload). Slots
-# 9-16 are the 8 oracled entries ADDED in r10 (audio bit depths, the
+# 9-20 are the 12 oracled entries ADDED in r10 (audio bit depths, the
 # table blocklist path, the C4 rule set + pipeline, the NB quality
 # classifier, Aho-Corasick matching, sentence-span dedup, embedding
-# covariance) — new code outranks evidence refresh, same policy that
-# front-loaded the r9 crawl entries. Slots 17-50 are the
-# alphabetically-first 34 of the 49-entry r6-evidence cohort; the
-# remaining 15 (sim_topk_bruteforce, sim_topk_lsh, stream_session,
-# stream_sliding, stream_tumbling, text_fingerprint, text_langid,
-# text_mixture, text_normalize, text_pack, text_quality,
-# text_quality_prune, text_redact, text_token_counts, text_vocab) are
-# the natural r11 fill — after a green r10 they are the ONLY oracled
-# entries with evidence older than r7. Rows-only entries
-# (agg_approx_distinct, stream_funnel_stateful) stay OUT — they burn
-# a slot on `no_oracle`.
+# covariance, the unigram tokenizer, G.711 companding, exact signal
+# analysis, purchase-graph PageRank) — new code outranks evidence
+# refresh, same policy that front-loaded the r9 crawl entries. Slots
+# 21-50 are the alphabetically-first 30 of the 49-entry r6-evidence
+# cohort; the remaining 19 (join_using, multimodal_features,
+# multimodal_frames, multimodal_resize, sim_topk_bruteforce,
+# sim_topk_lsh, stream_session, stream_sliding, stream_tumbling,
+# text_fingerprint, text_langid, text_mixture, text_normalize,
+# text_pack, text_quality, text_quality_prune, text_redact,
+# text_token_counts, text_vocab) are the natural r11 fill — after a
+# green r10 they are the ONLY oracled entries with evidence older
+# than r7. Rows-only entries (agg_approx_distinct,
+# stream_funnel_stateful) stay OUT — they burn a slot on `no_oracle`.
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "multimodal_audio",
     "text_gopher_repetition",
@@ -353,6 +355,10 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "text_sentence_span_dedup",
     "c4_pipeline",
     "emb_covariance",
+    "text_unigram_tokenize",
+    "multimodal_audio_g711",
+    "multimodal_audio_analysis",
+    "graph_pagerank",
     "agg_bool_bit",
     "agg_count_distinct",
     "agg_cube",
@@ -383,10 +389,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "join_nonequi",
     "join_right_outer",
     "join_semi",
-    "join_using",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the
