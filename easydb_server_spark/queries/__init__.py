@@ -156,6 +156,9 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.ORACLE_MULTIMODAL_AUDIO_ANALYSIS,
     ),
     "graph_pagerank": (llmops.q_graph_pagerank, llmops.ORACLE_GRAPH_PAGERANK),
+    # rows-only by design: DataSketches HLL estimates are
+    # implementation-defined; accuracy/mergeability pytest-locked
+    "sketch_distinct": (llmops.q_sketch_distinct, None),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

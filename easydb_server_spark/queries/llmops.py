@@ -4564,3 +4564,21 @@ LIMIT 100
 
 
 ORACLE_GRAPH_PAGERANK = _oracle_pagerank(3)
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user sketches per event type
+    (operators/sketch.py) — the persistable incremental form of
+    approx_distinct. Estimates are implementation-defined
+    (DataSketches HLL), so this is a rows-only conformance entry; the
+    accuracy bound, determinism, and append-mergeability are
+    pytest-locked (tests/test_sketch.py), the same
+    principled-substitute pattern as agg_approx_distinct."""
+    from easydb_server_spark.operators.sketch import distinct_sketches
+
+    e = load(spark, sf_dir, "events")
+    return (
+        distinct_sketches(e, "user_id", "event_type")
+        .select("grp", "estimate", "n_rows")
+        .orderBy("grp")
+    )

@@ -1,0 +1,81 @@
+"""HLL distinct-count sketches (operators/sketch.py): error bounds vs
+exact counts, determinism, and append-mergeability — the principled
+substitutes for a value oracle (estimates are implementation-defined,
+like agg_approx_distinct)."""
+
+import pyspark.sql.functions as F
+
+from easydb_server_spark.operators.sketch import (
+    distinct_sketches,
+    sketch_append,
+    union_estimate,
+)
+
+# 3x the HLL relative standard error at lg_k=14 (1.04/sqrt(2^14))
+_BOUND = 3 * 1.04 / (2**14) ** 0.5
+
+
+def _events(spark, n=20_000, mod=3_000, shards=4):
+    return spark.range(n).selectExpr(f"id % {shards} AS shard", f"id % {mod} AS user")
+
+
+def test_estimates_within_error_bound(spark):
+    df = _events(spark)
+    rows = distinct_sketches(df, "user", "shard").collect()
+    assert len(rows) == 4
+    for r in rows:
+        exact = df.where(F.col("shard") == r.grp).select("user").distinct().count()
+        assert abs(r.estimate - exact) <= _BOUND * exact + 1
+        assert len(bytes(r.sketch)) > 0
+
+
+def test_union_estimates_global_distinct(spark):
+    df = _events(spark, mod=2_500)
+    sk = distinct_sketches(df, "user", "shard")
+    (row,) = union_estimate(sk).collect()
+    assert row.n_sketches == 4
+    assert abs(row.distinct_estimate - 2_500) <= _BOUND * 2_500 + 1
+
+
+def test_estimates_are_deterministic(spark):
+    df = _events(spark)
+    a = sorted(tuple(r) for r in distinct_sketches(df, "user", "shard").collect())
+    b = sorted(tuple(r) for r in distinct_sketches(df, "user", "shard").collect())
+    assert [t[0] for t in a] == [t[0] for t in b]
+    assert [t[2] for t in a] == [t[2] for t in b]  # estimates identical
+
+
+def test_append_equals_scratch_rebuild_bound(spark):
+    # day-1 table + day-2 batch via sketch_append must estimate the
+    # TRUE union within bound — history is never rescanned
+    day1 = spark.range(0, 12_000).selectExpr("id % 2 AS shard", "id % 2000 AS user")
+    day2 = spark.range(6_000, 20_000).selectExpr("id % 2 AS shard", "(id % 1500) + 1000 AS user")
+    store = distinct_sketches(day1, "user", "shard")
+    merged = sketch_append(store, day2, "user", "shard")
+    rows = {r.grp: r for r in merged.collect()}
+    both = day1.unionByName(day2)
+    for grp in (0, 1):
+        exact = both.where(F.col("shard") == grp).select("user").distinct().count()
+        got = rows[grp].estimate
+        assert abs(got - exact) <= _BOUND * exact + 1
+        assert rows[grp].n_rows == both.where(F.col("shard") == grp).count()
+
+
+def test_append_is_associative_in_estimate(spark):
+    # (A+B)+C and A+(B+C) read the same estimates: union order is
+    # irrelevant, which is what makes the store replay-safe
+    parts = [
+        spark.range(i * 3000, (i + 1) * 3000).selectExpr("0 AS shard", "id % 4000 AS user")
+        for i in range(3)
+    ]
+    ab_c = sketch_append(
+        sketch_append(distinct_sketches(parts[0], "user", "shard"), parts[1], "user", "shard"),
+        parts[2], "user", "shard",
+    )
+    a_bc = sketch_append(
+        sketch_append(distinct_sketches(parts[2], "user", "shard"), parts[1], "user", "shard"),
+        parts[0], "user", "shard",
+    )
+    (x,) = ab_c.collect()
+    (y,) = a_bc.collect()
+    assert x.estimate == y.estimate and x.n_rows == y.n_rows
