@@ -48,24 +48,39 @@ def pagerank(
       r'(v)      = (3*SCALE div (20*N))
                    + (17 * (contrib(v) + dangling div N) div 20)
     """
-    e = edges.select(
-        F.col(src_col).cast("bigint").alias("src"),
-        F.col(dst_col).cast("bigint").alias("dst"),
-    ).distinct()
+    # The edge list, node set, and degree table are referenced every
+    # iteration, and the rank state is referenced twice per iteration
+    # (contributions + dangling mass). Without persistence Catalyst
+    # re-derives each reference, DOUBLING the plan per iteration (the
+    # unpersisted formulation audited at 161 exchanges for 3
+    # iterations); persisting pins each to one materialization and an
+    # InMemoryTableScan per re-reference — the standard iterative-
+    # algorithm discipline (rank state is node-width, cheap to hold).
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out")).persist()
 
     ranks = nodes.crossJoin(n_row).selectExpr(
         "node", f"CAST({RANK_SCALE} AS BIGINT) div _n AS rank"
     )
     for _ in range(iterations):
-        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
-            "node", "rank", "out"
+        with_deg = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left")
+            .select("node", "rank", "out")
+            .persist()
         )
         contrib = (
             with_deg.where(F.col("out").isNotNull())
