@@ -11,7 +11,9 @@ whitespace docs, sep collisions), and gopher_repetition_rules
 c4_rules (quote terminators, empty/whitespace pages, javascript/
 lorem/brace/naughty flags), sentence_span_dedup (shared sentence
 runs, punctuation-only sentences, unterminated tails), and
-match_any_substrings (overlapping patterns, mixed case) on Spark AND
+match_any_substrings (overlapping patterns, mixed case), and
+unigram_apply (pieces containing the toks separator, quotes in vocab
+literals, unicode stripped by normalization, >24-char words) on Spark AND
 each operator's DuckDB oracle over the SAME generated table; results
 must agree bit-for-bit. Every drawn corpus also carries the fixed
 pathological docs.
@@ -599,3 +601,42 @@ def test_match_any_pathological(spark, drawn):
     )
     want = con.execute(_MATCH_SQL).df()
     _assert_match(got, want, drawn)
+
+
+# unigram tokenizer fuzz: pieces with punctuation, '|' in text (the
+# toks separator — counts come from the fold counter / packed
+# difference, never string splitting, so it must NOT corrupt them),
+# quotes (oracle literal escaping), unicode (stripped by the shared
+# ASCII normalization), >24-char words (truncation)
+_UG_ALPHABET = "ab th#|'\"~é中 "
+_ug_token = st.text(
+    alphabet=_UG_ALPHABET.replace(" ", ""), min_size=1, max_size=30
+)
+_UG_VOCAB = {
+    "ab": -3_000_000,
+    "th": -3_500_000,
+    "a": -4_000_000,
+    "#": -2_000_000,
+    "|": -2_500_000,
+    "'": -2_600_000,
+    "ab|": -1_500_000,
+    "~~~~": -1_000_000,
+}
+
+
+@settings(**_SETTINGS)
+@given(
+    drawn=st.lists(
+        st.lists(_ug_token, min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_unigram_tokenize_pathological(spark, drawn):
+    from easydb_server_spark.operators.unigram import unigram_apply
+    from easydb_server_spark.queries.llmops import _oracle_unigram
+
+    sdf, con = _mk_corpus(spark, drawn + ["x" * 60, "|||", "'' \"\" ~~~~~"])
+    got = unigram_apply(sdf, "text", "doc_id", _UG_VOCAB).orderBy("doc_id").toPandas()
+    want = con.execute(_oracle_unigram(_UG_VOCAB)).df()
+    _assert_match(got, want, "unigram_tokenize")
