@@ -613,3 +613,61 @@ def stream_crawl_ingest(
         checkpoint_dir,
         **ingest_kwargs,
     )
+
+
+def stream_distinct_sketches(
+    events_stream: DataFrame,
+    key_col: str,
+    group_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+    lg_k: int = 14,
+):
+    """Continuous distinct-count sketching — the streaming half of
+    :mod:`easydb_server_spark.operators.sketch`: each micro-batch
+    reduces to per-group HLL register states and lands as a
+    ``batch_id=N`` parquet partition (dynamic overwrite);
+    :func:`read_sketch_store` answers "distinct ever" by unioning the
+    partitions, so no raw key is ever retained and history is never
+    rescanned.
+
+    Replay safety is STRUCTURAL, not bookkept: HLL insertion is
+    idempotent (re-observing an element cannot change a register) and
+    union is commutative/associative, so a crash-replayed batch
+    overwrites its own partition with identical bytes and the merged
+    estimate is unchanged — the simplest member of the incremental-
+    index family (the digest/band/IVF stores need seq stamps; sketches
+    need nothing). The streaming query itself holds ZERO state: every
+    byte of memory is the KB-scale sketch table on storage.
+    """
+    from easydb_server_spark.operators.sketch import distinct_sketches
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            distinct_sketches(batch_df, key_col, group_col, lg_k)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("distinct_sketches")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sketch_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merged per-group estimates over every landed sketch partition:
+    (grp, distinct_estimate, n_rows, n_batches). A KB-scale scan
+    regardless of how many keys the stream ever carried."""
+    sk = spark.read.parquet(store_path)
+    return sk.groupBy("grp").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_estimate"),
+        F.sum("n_rows").alias("n_rows"),
+        F.countDistinct("batch_id").alias("n_batches"),
+    )
