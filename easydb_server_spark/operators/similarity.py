@@ -1132,3 +1132,44 @@ def emb_pca(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
     )
     return src.mapInPandas(project, "id bigint, pos int, value double")
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of the IVF index against exact search — the quality
+    dial every ANN deployment tunes (nprobe/n_cells trade recall for
+    probe cost) turned into a first-class measurement: per query,
+    |ivf_topk ∩ exact_topk| / k. Both sides are deterministic (rounded
+    cosines, id tie-breaks), so recall itself is deterministic and an
+    independent engine replaying both searches agrees exactly.
+
+    Scale shape: the exact side is the brute-force broadcast scan
+    (this is a MEASUREMENT operator — run it on a sampled query set,
+    not the full corpus; the sample bound makes the cross join a
+    broadcast of dozens of rows riding one corpus scan), the IVF side
+    probes partition-pruned cells; the comparison is a leftsemi join
+    on (qid, cid) pairs — k rows per query.
+    """
+    exact = topk_cosine_bruteforce(corpus, queries, vec_col, id_col, k)
+    approx = topk_cosine_ivf(
+        corpus, queries, vec_col, id_col, k=k, n_cells=n_cells, nprobe=nprobe
+    )
+    hits = (
+        exact.join(approx.select("qid", "cid"), ["qid", "cid"], "leftsemi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = exact.select("qid").distinct()
+    return qids.join(hits, "qid", "left").select(
+        "qid",
+        F.lit(k).cast("int").alias("k"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k), 6).alias("recall"),
+    )

@@ -159,6 +159,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only by design: DataSketches HLL estimates are
     # implementation-defined; accuracy/mergeability pytest-locked
     "sketch_distinct": (llmops.q_sketch_distinct, None),
+    "sim_ann_recall": (llmops.q_sim_ann_recall, llmops.ORACLE_SIM_ANN_RECALL),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

@@ -4582,3 +4582,54 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "estimate", "n_rows")
         .orderBy("grp")
     )
+
+
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF index (16 cells, nprobe=2 — the
+    sim_topk_ivf geometry) against exact search for queries
+    vec_id 20-29. Both searches are deterministic, so recall is a
+    deterministic property of the cell geometry and the oracle
+    replays it exactly — measuring ANN quality is itself an oracled
+    operator, not a hand-waved sweep."""
+    from easydb_server_spark.operators.similarity import ann_recall
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    return ann_recall(e, q, "embedding", "vec_id", k=3, n_cells=16, nprobe=2).orderBy("qid")
+
+
+def _oracle_ann_recall() -> str:
+    """Reuses ORACLE_SIM_TOPK_IVF's deterministic-k-means CTE chain
+    (everything up to its final SELECT) and appends the brute-force
+    ranking and the per-query intersection."""
+    base = ORACLE_SIM_TOPK_IVF[: ORACLE_SIM_TOPK_IVF.index("SELECT qid, cid")]
+    return (
+        base
+        + """, bscored AS (
+  SELECT qv.vec_id AS qid, cv.vec_id AS cid,
+         ROUND(list_cosine_similarity(cv.vec, qv.vec), 6) AS cosine
+  FROM v qv JOIN v cv ON cv.vec_id != qv.vec_id
+  WHERE qv.vec_id >= 20 AND qv.vec_id < 30
+),
+branked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+  FROM bscored
+),
+bf AS (SELECT qid, cid FROM branked WHERE r <= 3),
+ivf AS (SELECT qid, cid FROM ranked WHERE rank <= 3),
+hits AS (
+  SELECT b.qid, COUNT(*) AS n
+  FROM bf b JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
+  GROUP BY b.qid
+)
+SELECT q.qid, CAST(3 AS INT) AS k,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / 3, 6) AS recall
+FROM (SELECT DISTINCT qid FROM bf) q
+LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid
+"""
+    )
+
+
+ORACLE_SIM_ANN_RECALL = _oracle_ann_recall()

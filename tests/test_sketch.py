@@ -79,3 +79,35 @@ def test_append_is_associative_in_estimate(spark):
     (x,) = ab_c.collect()
     (y,) = a_bc.collect()
     assert x.estimate == y.estimate and x.n_rows == y.n_rows
+
+
+# ---- ann_recall (similarity.py) sanity: full probe = perfect recall ----
+
+
+def test_ann_recall_full_probe_is_perfect(spark):
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.similarity import ann_recall
+
+    from easydb_server_spark.queries._util import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    # nprobe = n_cells: every cell probed -> IVF degenerates to exact
+    rows = ann_recall(e, q, "embedding", "vec_id", k=3, n_cells=4, nprobe=4).collect()
+    assert len(rows) == 5
+    assert all(r.recall == 1.0 and r.n_hits == 3 for r in rows)
+
+
+def test_ann_recall_bounded_and_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.similarity import ann_recall
+    from easydb_server_spark.queries._util import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    a = sorted(tuple(r) for r in ann_recall(e, q, "embedding", "vec_id", k=3, n_cells=16).collect())
+    b = sorted(tuple(r) for r in ann_recall(e, q, "embedding", "vec_id", k=3, n_cells=16).collect())
+    assert a == b
+    assert all(0.0 <= t[3] <= 1.0 for t in a)
