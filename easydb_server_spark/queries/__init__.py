@@ -326,14 +326,15 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # this round); text_gopher_repetition / text_html_extract /
 # text_url_filter / crawl_pipeline also carry r10 code changes
 # (dup_stats fold, (?i) tag regexes, blocklist-table overload). Slots
-# 9-20 are the 12 oracled entries ADDED in r10 (audio bit depths, the
+# 9-21 are the 13 oracled entries ADDED in r10 (audio bit depths, the
 # table blocklist path, the C4 rule set + pipeline, the NB quality
 # classifier, Aho-Corasick matching, sentence-span dedup, embedding
 # covariance, the unigram tokenizer, G.711 companding, exact signal
-# analysis, purchase-graph PageRank) — new code outranks evidence
-# refresh, same policy that front-loaded the r9 crawl entries. Slots
-# 21-50 are the alphabetically-first 30 of the 49-entry r6-evidence
-# cohort; the remaining 19 (join_using, multimodal_features,
+# analysis, purchase-graph PageRank, IVF recall@k) — new code
+# outranks evidence refresh, same policy that front-loaded the r9
+# crawl entries. Slots 22-50 are the alphabetically-first 29 of the
+# 49-entry r6-evidence cohort; the remaining 20 (join_semi,
+# join_using, multimodal_features,
 # multimodal_frames, multimodal_resize, sim_topk_bruteforce,
 # sim_topk_lsh, stream_session, stream_sliding, stream_tumbling,
 # text_fingerprint, text_langid, text_mixture, text_normalize,
@@ -363,6 +364,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "multimodal_audio_g711",
     "multimodal_audio_analysis",
     "graph_pagerank",
+    "sim_ann_recall",
     "agg_bool_bit",
     "agg_count_distinct",
     "agg_cube",
@@ -392,7 +394,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "join_left_outer",
     "join_nonequi",
     "join_right_outer",
-    "join_semi",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the
