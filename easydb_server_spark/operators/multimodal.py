@@ -153,10 +153,11 @@ def resize_images(
     codec: str | None = None,
 ) -> DataFrame:
     """Resize pipeline: Arrow-batched mapInPandas, one output row per
-    input image. ``codec="bmp"`` / ``codec="png"`` perform a REAL
+    input image. ``codec="bmp"`` / ``codec="png"`` / ``codec="gif"`` perform a REAL
     nearest-neighbor pixel resample (pure-numpy/stdlib codecs,
     :mod:`easydb_server_spark.operators.bmp` /
-    :mod:`easydb_server_spark.operators.png`) and re-encode; other
+    :mod:`easydb_server_spark.operators.png` /
+    :mod:`easydb_server_spark.operators.gif`) and re-encode; other
     codecs are stubbed (no PIL/ffmpeg in this container): the fake
     'resize' deterministically truncates/pads the payload to
     width*height bytes, so schema, batching, and plumbing are real and
@@ -167,6 +168,8 @@ def resize_images(
             from easydb_server_spark.operators.bmp import resize_bmp as real_resize
         elif codec == "png":
             from easydb_server_spark.operators.png import resize_png as real_resize
+        elif codec == "gif":
+            from easydb_server_spark.operators.gif import resize_gif as real_resize
         else:
             real_resize = None
         target = width * height

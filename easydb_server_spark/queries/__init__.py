@@ -160,6 +160,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # implementation-defined; accuracy/mergeability pytest-locked
     "sketch_distinct": (llmops.q_sketch_distinct, None),
     "sim_ann_recall": (llmops.q_sim_ann_recall, llmops.ORACLE_SIM_ANN_RECALL),
+    "multimodal_gif": (llmops.q_multimodal_gif, llmops.ORACLE_MULTIMODAL_GIF),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,
@@ -326,15 +327,16 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # this round); text_gopher_repetition / text_html_extract /
 # text_url_filter / crawl_pipeline also carry r10 code changes
 # (dup_stats fold, (?i) tag regexes, blocklist-table overload). Slots
-# 9-21 are the 13 oracled entries ADDED in r10 (audio bit depths, the
+# 9-22 are the 14 oracled entries ADDED in r10 (audio bit depths, the
 # table blocklist path, the C4 rule set + pipeline, the NB quality
 # classifier, Aho-Corasick matching, sentence-span dedup, embedding
 # covariance, the unigram tokenizer, G.711 companding, exact signal
-# analysis, purchase-graph PageRank, IVF recall@k) — new code
+# analysis, purchase-graph PageRank, IVF recall@k, the GIF codec) —
+# new code
 # outranks evidence refresh, same policy that front-loaded the r9
-# crawl entries. Slots 22-50 are the alphabetically-first 29 of the
-# 49-entry r6-evidence cohort; the remaining 20 (join_semi,
-# join_using, multimodal_features,
+# crawl entries. Slots 23-50 are the alphabetically-first 28 of the
+# 49-entry r6-evidence cohort; the remaining 21 (join_right_outer,
+# join_semi, join_using, multimodal_features,
 # multimodal_frames, multimodal_resize, sim_topk_bruteforce,
 # sim_topk_lsh, stream_session, stream_sliding, stream_tumbling,
 # text_fingerprint, text_langid, text_mixture, text_normalize,
@@ -365,6 +367,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "multimodal_audio_analysis",
     "graph_pagerank",
     "sim_ann_recall",
+    "multimodal_gif",
     "agg_bool_bit",
     "agg_count_distinct",
     "agg_cube",
@@ -393,7 +396,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "join_full_outer",
     "join_left_outer",
     "join_nonequi",
-    "join_right_outer",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

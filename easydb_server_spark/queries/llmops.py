@@ -4633,3 +4633,74 @@ ORDER BY q.qid
 
 
 ORACLE_SIM_ANN_RECALL = _oracle_ann_recall()
+
+
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the REAL GIF codec end-to-end: each
+    doc_id becomes a deterministic palettized image (16 fixed palette
+    colors, index grid ``(doc_id*3 + y*5 + x*7) mod 16``, w = 8 +
+    doc_id%5, h = 6 + doc_id%4) ENCODED to genuine GIF89a/LZW bytes
+    in an Arrow-batched stage, then decoded back and featurized
+    (operators/gif.py). The oracle never sees bytes — it replays the
+    palette arithmetic in closed form — so a hash match proves the
+    LZW encoder/decoder pair is pixel-faithful, the same contract as
+    the WAV/G.711 audio entries."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif, gif_decoder
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + did % 5, 6 + did % 4
+                y, x = np.mgrid[0:h, 0:w]
+                idx = (did * 3 + y * 5 + x * 7) % 16
+                feats = gif_decoder(encode_gif(pal[idx]))
+                out.append(
+                    (
+                        did,
+                        feats["width"],
+                        feats["height"],
+                        round(feats["mean_r"], 4),
+                        round(feats["mean_g"], 4),
+                        round(feats["mean_b"], 4),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["item_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return d.mapInPandas(
+        build,
+        "item_id bigint, width int, height int, mean_r double, mean_g double, mean_b double",
+    ).orderBy("item_id")
+
+
+ORACLE_MULTIMODAL_GIF = """
+WITH geo AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT g.doc_id, g.w, g.h,
+         (g.doc_id * 3 + yy.y * 5 + xx.x * 7) % 16 AS i
+  FROM geo g, UNNEST(generate_series(0, g.h - 1)) yy(y),
+       UNNEST(generate_series(0, g.w - 1)) xx(x)
+)
+SELECT doc_id                                    AS item_id,
+       CAST(MAX(w) AS INT)                       AS width,
+       CAST(MAX(h) AS INT)                       AS height,
+       ROUND(AVG((i * 16) % 256), 4)             AS mean_r,
+       ROUND(AVG((i * 37) % 256), 4)             AS mean_g,
+       ROUND(AVG((i * 73) % 256), 4)             AS mean_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
