@@ -2792,3 +2792,52 @@ def ngram_novelty(
             ).alias("novelty_frac"),
         )
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str, level: int = 6) -> DataFrame:
+    """Per-doc zlib compression ratio — the repetition/templatedness
+    proxy RedPajama-v2 ships as a quality signal and Gopher-era
+    pipelines gate on: highly-compressible text is boilerplate, log
+    spam, or machine-generated repetition; incompressible text at the
+    other extreme is often encoded junk. Returns (doc_id, raw_bytes,
+    compressed_bytes, ratio) with ratio = compressed/raw rounded to
+    6 dp (null text -> null row values, the line_dedup convention).
+
+    Determinism: zlib with a pinned level is deterministic for a given
+    zlib build; there is no SQL-expressible form (DEFLATE is not an
+    aggregate), so the conformance entry is rows-only and the
+    discriminating behavior (repetitive << natural << random) plus
+    determinism are pytest-locked — the principled-substitute pattern.
+
+    Scale shape: Arrow-batched ``mapInPandas`` riding the text scan —
+    zero shuffle, embarrassingly parallel, same worker path as the
+    codecs.
+    """
+    import pandas as pd
+
+    def compress(batches):
+        import zlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    out.append((doc_id, None, None, None))
+                    continue
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                out.append(
+                    (
+                        doc_id,
+                        len(raw),
+                        len(comp),
+                        round(len(comp) / max(len(raw), 1), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "raw_bytes", "compressed_bytes", "ratio"]
+            )
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        compress, "doc_id bigint, raw_bytes int, compressed_bytes int, ratio double"
+    )

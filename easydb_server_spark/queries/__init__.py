@@ -159,6 +159,9 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only by design: DataSketches HLL estimates are
     # implementation-defined; accuracy/mergeability pytest-locked
     "sketch_distinct": (llmops.q_sketch_distinct, None),
+    # rows-only by design: DEFLATE is not SQL-expressible; behavior
+    # pytest-locked (repetitive << natural << random, determinism)
+    "text_compression_ratio": (llmops.q_text_compression_ratio, None),
     "sim_ann_recall": (llmops.q_sim_ann_recall, llmops.ORACLE_SIM_ANN_RECALL),
     "multimodal_gif": (llmops.q_multimodal_gif, llmops.ORACLE_MULTIMODAL_GIF),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),

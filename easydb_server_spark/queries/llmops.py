@@ -4704,3 +4704,12 @@ SELECT doc_id                                    AS item_id,
        ROUND(AVG((i * 73) % 256), 4)             AS mean_b
 FROM px GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (RedPajama-v2's
+    repetition proxy). DEFLATE has no SQL form, so rows-only;
+    the discriminating behavior and determinism are pytest-locked
+    (tests/test_operators.py)."""
+    d = load(spark, sf_dir, "documents")
+    return T.compression_ratio(d, "text", "doc_id").orderBy("doc_id")

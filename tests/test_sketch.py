@@ -111,3 +111,38 @@ def test_ann_recall_bounded_and_deterministic(spark):
     b = sorted(tuple(r) for r in ann_recall(e, q, "embedding", "vec_id", k=3, n_cells=16).collect())
     assert a == b
     assert all(0.0 <= t[3] <= 1.0 for t in a)
+
+
+# ---- compression_ratio (text.py): the rows-only entry's substitutes ----
+
+
+def test_compression_ratio_discriminates(spark):
+    from easydb_server_spark.operators.text import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    rand_text = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),                      # highly repetitive
+            (2, "the quick brown fox jumps over the lazy dog. " * 44),
+            (3, rand_text),                           # near-incompressible
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in compression_ratio(docs, "text", "doc_id").collect()}
+    assert rows[1].ratio < rows[2].ratio < rows[3].ratio
+    assert rows[1].ratio < 0.05 and rows[3].ratio > 0.5
+    assert rows[4].ratio is None and rows[4].raw_bytes is None
+
+
+def test_compression_ratio_deterministic(spark):
+    from easydb_server_spark.operators.text import compression_ratio
+    from easydb_server_spark.queries._util import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(tuple(r) for r in compression_ratio(d, "text", "doc_id").collect())
+    b = sorted(tuple(r) for r in compression_ratio(d, "text", "doc_id").collect())
+    assert a == b and len(a) == 500
