@@ -164,6 +164,12 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "text_compression_ratio": (llmops.q_text_compression_ratio, None),
     "sim_ann_recall": (llmops.q_sim_ann_recall, llmops.ORACLE_SIM_ANN_RECALL),
     "multimodal_gif": (llmops.q_multimodal_gif, llmops.ORACLE_MULTIMODAL_GIF),
+    # below-window sibling of multimodal_gif (same codec, resize
+    # path); locked by the never-driver-seen pytest guard meanwhile
+    "multimodal_gif_resize": (
+        llmops.q_multimodal_gif_resize,
+        llmops.ORACLE_MULTIMODAL_GIF_RESIZE,
+    ),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

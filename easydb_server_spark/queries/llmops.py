@@ -4713,3 +4713,82 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_operators.py)."""
     d = load(spark, sf_dir, "documents")
     return T.compression_ratio(d, "text", "doc_id").orderBy("doc_id")
+
+
+def q_multimodal_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF resize end-to-end through the REAL pipeline: the
+    multimodal_gif synthetic images flow through
+    ``resize_images(codec='gif')`` (decode -> nearest-neighbor -> LZW
+    re-encode) and are decoded AGAIN for features. The oracle replays
+    the nearest-neighbor index arithmetic ((Y*h)//4, (X*w)//5) on the
+    palette recipe in closed form, so a hash match proves the full
+    decode->resize->encode->decode chain is pixel-faithful."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.multimodal import resize_images
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + did % 5, 6 + did % 4
+                y, x = np.mgrid[0:h, 0:w]
+                idx = (did * 3 + y * 5 + x * 7) % 16
+                out.append((did, encode_gif(pal[idx])))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    resized = resize_images(blobs, "payload", "item_id", 5, 4, codec="gif")
+
+    def feats(batches):
+        from easydb_server_spark.operators.gif import gif_decoder
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf["item_id"], pdf["payload"]):
+                f = gif_decoder(bytes(blob))
+                out.append(
+                    (
+                        item_id, f["width"], f["height"],
+                        round(f["mean_r"], 4), round(f["mean_g"], 4), round(f["mean_b"], 4),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["item_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return resized.mapInPandas(
+        feats,
+        "item_id bigint, width int, height int, mean_r double, mean_g double, mean_b double",
+    ).orderBy("item_id")
+
+
+ORACLE_MULTIMODAL_GIF_RESIZE = """
+WITH geo AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT g.doc_id,
+         (g.doc_id * 3 + ((yy.y * g.h) // 4) * 5 + ((xx.x * g.w) // 5) * 7) % 16 AS i
+  FROM geo g, UNNEST(generate_series(0, 3)) yy(y),
+       UNNEST(generate_series(0, 4)) xx(x)
+)
+SELECT doc_id                        AS item_id,
+       CAST(5 AS INT)                AS width,
+       CAST(4 AS INT)                AS height,
+       ROUND(AVG((i * 16) % 256), 4) AS mean_r,
+       ROUND(AVG((i * 37) % 256), 4) AS mean_g,
+       ROUND(AVG((i * 73) % 256), 4) AS mean_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
