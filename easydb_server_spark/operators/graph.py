@@ -53,9 +53,14 @@ def pagerank(
     # (contributions + dangling mass). Without persistence Catalyst
     # re-derives each reference, DOUBLING the plan per iteration (the
     # unpersisted formulation audited at 161 exchanges for 3
-    # iterations); persisting pins each to one materialization and an
-    # InMemoryTableScan per re-reference — the standard iterative-
-    # algorithm discipline (rank state is node-width, cheap to hold).
+    # iterations). This runs as EAGER supersteps with bounded cache —
+    # each iteration's rank state materializes (count) and its
+    # predecessor unpersists immediately, so a session iterating many
+    # graphs retains exactly ONE node-width frame per pagerank call
+    # (the returned state) plus nothing else: the standard
+    # iterative-algorithm discipline (same superstep-with-actions
+    # shape as bpe_merges; at 100 TB you would also checkpoint every
+    # ~10 iterations to truncate lineage).
     e = (
         edges.select(
             F.col(src_col).cast("bigint").alias("src"),
@@ -73,14 +78,15 @@ def pagerank(
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out")).persist()
 
-    ranks = nodes.crossJoin(n_row).selectExpr(
-        "node", f"CAST({RANK_SCALE} AS BIGINT) div _n AS rank"
+    ranks = (
+        nodes.crossJoin(n_row)
+        .selectExpr("node", f"CAST({RANK_SCALE} AS BIGINT) div _n AS rank")
+        .persist()
     )
+    ranks.count()
     for _ in range(iterations):
-        with_deg = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left")
-            .select("node", "rank", "out")
-            .persist()
+        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
+            "node", "rank", "out"
         )
         contrib = (
             with_deg.where(F.col("out").isNotNull())
@@ -94,7 +100,7 @@ def pagerank(
                 F.coalesce(F.sum("rank"), F.lit(0)).alias("_dang")
             )
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .crossJoin(dangling)
             .crossJoin(n_row)
@@ -103,5 +109,11 @@ def pagerank(
                 f"(CAST(3 * {RANK_SCALE} AS BIGINT) div (20 * _n))"
                 " + (17 * (COALESCE(contrib, 0) + _dang div _n) div 20) AS rank",
             )
+            .persist()
         )
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    for frame in (e, nodes, deg):
+        frame.unpersist()
     return ranks
