@@ -162,6 +162,11 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only by design: DEFLATE is not SQL-expressible; behavior
     # pytest-locked (repetitive << natural << random, determinism)
     "text_compression_ratio": (llmops.q_text_compression_ratio, None),
+    # rows-only by design: trained scores are round(ln(x)*1e6) and ln
+    # differs in the last ulp across libms — a flipped score flips a
+    # Viterbi tie next iteration, so an exact train oracle is unsound
+    # (the apply half IS integer-exact and oracled)
+    "text_unigram_train": (llmops.q_text_unigram_train, None),
     "sim_ann_recall": (llmops.q_sim_ann_recall, llmops.ORACLE_SIM_ANN_RECALL),
     "multimodal_gif": (llmops.q_multimodal_gif, llmops.ORACLE_MULTIMODAL_GIF),
     # below-window sibling of multimodal_gif (same codec, resize

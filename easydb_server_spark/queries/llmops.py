@@ -4792,3 +4792,20 @@ SELECT doc_id                        AS item_id,
        ROUND(AVG((i * 73) % 256), 4) AS mean_b
 FROM px GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training (2 hard-EM iterations, vocab 64) over the
+    documents corpus — rows-only BY DESIGN: the learned scores are
+    round(ln(count/total)*1e6), and ln() may differ in the last ulp
+    across engines' libms, which can flip a rounded score and hence a
+    Viterbi tie during the NEXT iteration's segmentation — so an
+    "exact" cross-engine train oracle would be unsound (flaky at the
+    rounding boundary), unlike the apply half whose DP is pure integer
+    arithmetic and IS oracled (text_unigram_tokenize). Training
+    behavior (learns real subwords, deterministic, feeds apply) is
+    pytest-locked in tests/test_unigram.py."""
+    from easydb_server_spark.operators.unigram import unigram_train
+
+    d = load(spark, sf_dir, "documents")
+    return unigram_train(d, "text", vocab_size=64, iterations=2, seed_size=2000)
