@@ -142,3 +142,54 @@ def profile_drift(
             & (density_change <= max_distinct_ratio_change)
         ).alias("ok"),
     )
+
+
+def bucket_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    bucket: str = "1 hour",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Temporal volume-anomaly detection — the monitoring dual of
+    :func:`profile_drift`: bucket events per (group, time window),
+    z-score each bucket's count against ITS group's distribution over
+    observed buckets, and flag |z| >= threshold (traffic spikes,
+    ingestion gaps, bot bursts). Returns one row per (group, bucket):
+    (grp, window_start, n, z, is_anomaly).
+
+    Determinism contract: mean/variance are computed from EXACT
+    integer sums (sum n, sum n^2, bucket count) in one fixed float
+    expression — never Spark's incremental ``stddev`` aggregate,
+    whose partition-order-dependent accumulation would diverge across
+    engines and runs. z rounds to 6 dp; sd = 0 (constant traffic)
+    yields z = 0.
+
+    Scale shape: one (group, bucket) count aggregation (map-side
+    combinable), one group-width stats aggregation, one broadcast
+    join back — the corpus shuffles (group, bucket) pairs once.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.window(ts_col, bucket)["start"].alias("window_start"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.groupBy("grp").agg(
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_nn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    mu = F.col("sum_n").cast("double") / F.col("k")
+    var = (
+        F.col("sum_nn") - F.col("sum_n") * F.col("sum_n") / F.col("k").cast("double")
+    ) / F.col("k")
+    sd = F.sqrt(var)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("n") - mu) / sd, 6)
+    )
+    return counts.join(F.broadcast(stats), "grp").select(
+        "grp",
+        F.col("window_start").cast("string").alias("window_start"),
+        "n",
+        z.alias("z"),
+        (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
+    )

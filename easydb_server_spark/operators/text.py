@@ -2841,3 +2841,53 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str, level: int = 6)
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
         compress, "doc_id bigint, raw_bytes int, compressed_bytes int, ratio double"
     )
+
+
+# line-level code-likeness signals (shared with the DuckDB oracle —
+# RE2/Java-common regex subset only: classes, anchors, alternation)
+CODE_LINE_PATTERNS: tuple[str, ...] = (
+    r"^[ \t]{4,}",  # deep indentation
+    r"[;{}][ \t]*$",  # statement/block terminators
+    r"^(def |class |import |from |return |for |while |if |#include|function |var |const |let )",
+    r"=>|==|!=|::|\(\)",  # operator tokens
+)
+
+
+def code_fraction(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-line code-likeness — the StarCoder/Pile-era signal for
+    routing mixed web text: fraction of lines matching any of four
+    code heuristics (deep indent, ;{} terminators, definition
+    keywords, operator tokens) plus a code-fence flag. The complement
+    of the C4 brace RULE (page-level boolean): this measures HOW MUCH
+    of a page is code, which is what mixture construction needs
+    (keep prose pages, route code-heavy pages to the code pile).
+    Returns (doc_id, n_lines, n_code_lines, code_frac, has_fence);
+    null text -> null values (the line_dedup convention).
+
+    Scale shape: split + a higher-order ``filter`` with JVM regexes —
+    in-row, zero shuffle, zero Python; rides the text scan.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    code_lines = F.filter(lines, _is_code_line)
+    n_lines = F.size(lines)
+    n_code = F.size(code_lines)
+    frac = F.round(n_code.cast("double") / F.greatest(n_lines, F.lit(1)), 6)
+    has_fence = F.col(text_col).contains("```")
+    null_text = F.col(text_col).isNull()
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(null_text, F.lit(None)).otherwise(n_lines).alias("n_lines"),
+        F.when(null_text, F.lit(None)).otherwise(n_code).alias("n_code_lines"),
+        F.when(null_text, F.lit(None)).otherwise(frac).alias("code_frac"),
+        F.when(null_text, F.lit(None)).otherwise(has_fence).alias("has_fence"),
+    )
+
+
+def _is_code_line(x):
+    """Lambda body for the code-line filter (closure-free module-level
+    def — HOF arity note)."""
+    out = None
+    for pat in CODE_LINE_PATTERNS:
+        hit = x.rlike(pat)
+        out = hit if out is None else (out | hit)
+    return out

@@ -167,6 +167,8 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # Viterbi tie next iteration, so an exact train oracle is unsound
     # (the apply half IS integer-exact and oracled)
     "text_unigram_train": (llmops.q_text_unigram_train, None),
+    "ts_anomaly": (llmops.q_ts_anomaly, llmops.ORACLE_TS_ANOMALY),
+    "text_code_fraction": (llmops.q_text_code_fraction, llmops.ORACLE_TEXT_CODE_FRACTION),
     "sim_ann_recall": (llmops.q_sim_ann_recall, llmops.ORACLE_SIM_ANN_RECALL),
     "multimodal_gif": (llmops.q_multimodal_gif, llmops.ORACLE_MULTIMODAL_GIF),
     # below-window sibling of multimodal_gif (same codec, resize

@@ -4809,3 +4809,92 @@ def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return unigram_train(d, "text", vocab_size=64, iterations=2, seed_size=2000)
+
+
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume z-scores per event type (operators/profile.py
+    bucket_anomalies). Mean/variance derive from exact integer sums in
+    one fixed float expression, so the oracle's identical arithmetic
+    is bit-equal — anomaly detection as an exactly-verified operator."""
+    from easydb_server_spark.operators.profile import bucket_anomalies
+
+    e = load(spark, sf_dir, "events")
+    return bucket_anomalies(e, "ts", "event_type").orderBy("grp", "window_start")
+
+
+ORACLE_TS_ANOMALY = """
+WITH counts AS (
+  SELECT event_type AS grp, time_bucket(INTERVAL 1 HOUR, ts) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT grp, CAST(SUM(n) AS BIGINT) AS sum_n,
+         CAST(SUM(n * n) AS BIGINT) AS sum_nn,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM counts GROUP BY grp
+),
+scored AS (
+  SELECT c.grp, c.w, c.n,
+         CASE WHEN SQRT((s.sum_nn - s.sum_n * s.sum_n / CAST(s.k AS DOUBLE)) / s.k) = 0
+              THEN 0.0
+              ELSE ROUND((c.n - CAST(s.sum_n AS DOUBLE) / s.k)
+                   / SQRT((s.sum_nn - s.sum_n * s.sum_n / CAST(s.k AS DOUBLE)) / s.k), 6)
+         END AS z
+  FROM counts c JOIN stats s USING (grp)
+)
+SELECT grp, CAST(w AS VARCHAR) AS window_start, n, z,
+       ABS(z) >= 2.0 AS is_anomaly
+FROM scored ORDER BY grp, window_start
+"""
+
+
+def q_text_code_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line code-likeness over synthetic multi-line pages: every
+    other doc gets an injected code block (indented call, brace close,
+    an import line), the rest an extra prose line — so the entry
+    discriminates. The oracle replays the four line heuristics with
+    the same RE2/Java-common regexes via list_filter."""
+    d = load(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.lit("import os"),
+                F.lit("    run(batch);"),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(F.concat_ws("\n", F.col("text"), F.lit("plain prose tail")))
+        .alias("text"),
+    )
+    return T.code_fraction(built, "text", "doc_id").orderBy("doc_id")
+
+
+ORACLE_TEXT_CODE_FRACTION = r"""
+WITH built AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || 'import os' || chr(10) ||
+                   '    run(batch);' || chr(10) || '}'
+              ELSE text || chr(10) || 'plain prose tail' END AS t
+  FROM documents
+),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS ls, t FROM built),
+f AS (
+  SELECT doc_id, t, CAST(len(ls) AS INT) AS n_lines,
+         CAST(len(list_filter(ls, x ->
+              regexp_matches(x, '^[ \t]{4,}')
+           OR regexp_matches(x, '[;{}][ \t]*$')
+           OR regexp_matches(x, '^(def |class |import |from |return |for |while |if |#include|function |var |const |let )')
+           OR regexp_matches(x, '=>|==|!=|::|\(\)'))) AS INT) AS n_code_lines
+  FROM l
+)
+SELECT doc_id, n_lines, n_code_lines,
+       ROUND(CAST(n_code_lines AS DOUBLE) / GREATEST(n_lines, 1), 6) AS code_frac,
+       contains(t, '```') AS has_fence
+FROM f ORDER BY doc_id
+"""
