@@ -218,3 +218,56 @@ class TestBm25Plan:
         assert "TakeOrderedAndProject" in p
         nodes = re.findall(r"\(\d+\) (BroadcastExchange|Exchange)\b", p)
         assert nodes.count("Exchange") <= 1, p  # stats partial-agg only
+
+
+def _exchange_kinds(p: str) -> list[str]:
+    """Partitioning kind of every Exchange in a formatted plan (the
+    kind lives on the operator's Arguments detail line, not the tree
+    line)."""
+    import re
+
+    return re.findall(
+        r"Arguments: (hashpartitioning|rangepartitioning|SinglePartition)", p
+    )
+
+
+class TestLateR10Plans:
+    """Plan locks for the late-round-10 operators: the scale claims
+    SCALE.md makes about them, held in CI."""
+
+    def test_unigram_tokenize_is_broadcast_only(self, spark, queries):
+        """The vocabulary-bounded collapse: distinct words fold JVM-side
+        and rejoin the corpus via BroadcastHashJoin — no SortMerge, no
+        Python stage anywhere (the Viterbi DP is a higher-order
+        aggregate, not a UDF)."""
+        p = plan_of(queries["text_unigram_tokenize"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "MapInPandas" not in p
+
+    def test_code_fraction_rides_the_scan(self, spark, queries):
+        """In-row regex filter over the line array: the only exchange
+        is the final presentation sort's range partitioning — the
+        signal itself is free on the first pass over the corpus."""
+        p = plan_of(queries["text_code_fraction"](spark, SF_DIR))
+        kinds = _exchange_kinds(p)
+        assert kinds and all(k == "rangepartitioning" for k in kinds), kinds
+
+    def test_audio_paths_are_arrow_batched_map_only(self, spark, queries):
+        """G.711 transcode and signal analysis are map-only Arrow
+        stages: no shuffle except the final presentation sort."""
+        for name in ("multimodal_audio_g711", "multimodal_audio_analysis"):
+            p = plan_of(queries[name](spark, SF_DIR))
+            assert "MapInPandas" in p, name
+            kinds = _exchange_kinds(p)
+            assert kinds and all(k == "rangepartitioning" for k in kinds), (name, kinds)
+
+    def test_sketch_build_is_two_phase_aggregate(self, spark, queries):
+        """Sketch building must be map-side combinable: partial HLL
+        aggregation (ObjectHashAggregate over the typed sketch buffer)
+        below the single hash exchange."""
+        p = plan_of(queries["sketch_distinct"](spark, SF_DIR))
+        assert p.count("ObjectHashAggregate") >= 2  # partial + final
+        kinds = _exchange_kinds(p)
+        assert kinds.count("hashpartitioning") == 1, kinds
