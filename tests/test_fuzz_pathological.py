@@ -11,9 +11,11 @@ whitespace docs, sep collisions), and gopher_repetition_rules
 c4_rules (quote terminators, empty/whitespace pages, javascript/
 lorem/brace/naughty flags), sentence_span_dedup (shared sentence
 runs, punctuation-only sentences, unterminated tails), and
-match_any_substrings (overlapping patterns, mixed case), and
+match_any_substrings (overlapping patterns, mixed case),
 unigram_apply (pieces containing the toks separator, quotes in vocab
-literals, unicode stripped by normalization, >24-char words) on Spark AND
+literals, unicode stripped by normalization, >24-char words), and
+code_fraction (indent/terminator/keyword/operator line soup, fences,
+nulls — heuristics pinned to the operator's constants) on Spark AND
 each operator's DuckDB oracle over the SAME generated table; results
 must agree bit-for-bit. Every drawn corpus also carries the fixed
 pathological docs.
@@ -640,3 +642,83 @@ def test_unigram_tokenize_pathological(spark, drawn):
     got = unigram_apply(sdf, "text", "doc_id", _UG_VOCAB).orderBy("doc_id").toPandas()
     want = con.execute(_oracle_unigram(_UG_VOCAB)).df()
     _assert_match(got, want, "unigram_tokenize")
+
+
+# code_fraction fuzz: line soup with indentation runs, terminator
+# punctuation, keyword prefixes, operator tokens, unicode, and
+# nulls — the oracle replays the SAME four heuristics (asserted
+# against the operator's shared constants so they cannot drift)
+_CODE_LINE = st.sampled_from(
+    [
+        "    deeply indented",
+        "\tno tab is not enough",
+        "x();",
+        "close }",
+        "import os",
+        "return 5",
+        "if cond:",
+        "a => b",
+        "a == b",
+        "plain prose line",
+        "…unicodé 中",
+        "",
+        "   ",
+        "```",
+        "for ever",  # keyword prefix without the trailing space shape
+        "form letter",  # NOT a keyword ('for ' would be)
+    ]
+)
+
+_CODE_FRACTION_SQL = r"""
+WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents),
+f AS (
+  SELECT doc_id, text, CAST(len(ls) AS INT) AS n_lines,
+         CAST(len(list_filter(ls, x ->
+              regexp_matches(x, '^[ \t]{4,}')
+           OR regexp_matches(x, '[;{}][ \t]*$')
+           OR regexp_matches(x, '^(def |class |import |from |return |for |while |if |#include|function |var |const |let )')
+           OR regexp_matches(x, '=>|==|!=|::|\(\)'))) AS INT) AS n_code_lines
+  FROM l
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE n_lines END AS n_lines,
+       CASE WHEN text IS NULL THEN NULL ELSE n_code_lines END AS n_code_lines,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE ROUND(CAST(n_code_lines AS DOUBLE) / GREATEST(n_lines, 1), 6) END AS code_frac,
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 ELSE contains(text, '```') END AS VARCHAR) AS has_fence
+FROM f ORDER BY doc_id
+"""
+
+
+@settings(**_SETTINGS)
+@given(
+    drawn=st.lists(
+        st.lists(_CODE_LINE, min_size=0, max_size=8).map("\n".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_code_fraction_pathological(spark, drawn):
+    from easydb_server_spark.operators.text import CODE_LINE_PATTERNS, code_fraction
+
+    # the fuzz oracle inlines the heuristics; pin them to the operator
+    assert CODE_LINE_PATTERNS == (
+        r"^[ \t]{4,}",
+        r"[;{}][ \t]*$",
+        r"^(def |class |import |from |return |for |while |if |#include|function |var |const |let )",
+        r"=>|==|!=|::|\(\)",
+    )
+    sdf, con = _mk_corpus(spark, drawn)
+    import pyspark.sql.functions as F
+
+    # nullable booleans canonicalize differently across pandas paths
+    # (None vs NaN) — compare has_fence as its string form
+    got = (
+        code_fraction(sdf, "text", "doc_id")
+        .withColumn("has_fence", F.col("has_fence").cast("string"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = con.execute(_CODE_FRACTION_SQL).df()
+    _assert_match(got, want, "code_fraction")
