@@ -171,8 +171,6 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "text_code_fraction": (llmops.q_text_code_fraction, llmops.ORACLE_TEXT_CODE_FRACTION),
     "sim_ann_recall": (llmops.q_sim_ann_recall, llmops.ORACLE_SIM_ANN_RECALL),
     "multimodal_gif": (llmops.q_multimodal_gif, llmops.ORACLE_MULTIMODAL_GIF),
-    # below-window sibling of multimodal_gif (same codec, resize
-    # path); locked by the never-driver-seen pytest guard meanwhile
     "multimodal_gif_resize": (
         llmops.q_multimodal_gif_resize,
         llmops.ORACLE_MULTIMODAL_GIF_RESIZE,
@@ -343,15 +341,17 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # this round); text_gopher_repetition / text_html_extract /
 # text_url_filter / crawl_pipeline also carry r10 code changes
 # (dup_stats fold, (?i) tag regexes, blocklist-table overload). Slots
-# 9-22 are the 14 oracled entries ADDED in r10 (audio bit depths, the
+# 9-25 are the 17 oracled entries ADDED in r10 (audio bit depths, the
 # table blocklist path, the C4 rule set + pipeline, the NB quality
 # classifier, Aho-Corasick matching, sentence-span dedup, embedding
 # covariance, the unigram tokenizer, G.711 companding, exact signal
-# analysis, purchase-graph PageRank, IVF recall@k, the GIF codec) —
-# new code
+# analysis, purchase-graph PageRank, IVF recall@k, the GIF codec +
+# its resize path, temporal volume anomalies, per-line code
+# fraction) — new code
 # outranks evidence refresh, same policy that front-loaded the r9
-# crawl entries. Slots 23-50 are the alphabetically-first 28 of the
-# 49-entry r6-evidence cohort; the remaining 21 (join_right_outer,
+# crawl entries. Slots 26-50 are the alphabetically-first 25 of the
+# 49-entry r6-evidence cohort; the remaining 24 (join_full_outer,
+# join_left_outer, join_nonequi, join_right_outer,
 # join_semi, join_using, multimodal_features,
 # multimodal_frames, multimodal_resize, sim_topk_bruteforce,
 # sim_topk_lsh, stream_session, stream_sliding, stream_tumbling,
@@ -384,6 +384,9 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "graph_pagerank",
     "sim_ann_recall",
     "multimodal_gif",
+    "multimodal_gif_resize",
+    "ts_anomaly",
+    "text_code_fraction",
     "agg_bool_bit",
     "agg_count_distinct",
     "agg_cube",
@@ -409,9 +412,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "emb_label_outliers",
     "join_anti",
     "join_cross",
-    "join_full_outer",
-    "join_left_outer",
-    "join_nonequi",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

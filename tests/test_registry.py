@@ -11,10 +11,10 @@ least-driver-evidence): the 7 entries no driver round ever verified
 resampler) plus multimodal_audio (WAV decode path gained 8/24-bit
 support in r10) — this front 8 also covers every r10 change to
 pre-existing code (dup_stats fold, (?i) tag regexes, url blocklist
-tables) — then the 14 oracled entries ADDED in r10 (slots 9-22: new
-code outranks evidence refresh), then the alphabetically-first 28 of
-the 49-entry r6-evidence cohort. The 21 r6 leftovers
-(join_right_outer … text_vocab) are the natural r11 fill. Rows-only
+tables) — then the 17 oracled entries ADDED in r10 (slots 9-25: new
+code outranks evidence refresh), then the alphabetically-first 25 of
+the 49-entry r6-evidence cohort. The 24 r6 leftovers
+(join_full_outer … text_vocab) are the natural r11 fill. Rows-only
 entries stay out of the window (they burn a slot on `no_oracle`).
 """
 
@@ -43,8 +43,8 @@ def test_window_holds_the_r10_rotation():
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
     # the never-driver-seen 7 + the r10-changed audio entry lead,
-    # then the 14 oracled entries added in r10
-    assert window[:22] == [
+    # then the 17 oracled entries added in r10
+    assert window[:25] == [
         "multimodal_audio",
         "text_gopher_repetition",
         "crawl_pipeline",
@@ -67,8 +67,11 @@ def test_window_holds_the_r10_rotation():
         "graph_pagerank",
         "sim_ann_recall",
         "multimodal_gif",
+        "multimodal_gif_resize",
+        "ts_anomaly",
+        "text_code_fraction",
     ]
-    # positions 23-50 are the alphabetically-first 28 of the
+    # positions 26-50 are the alphabetically-first 25 of the
     # r6-evidence cohort: entries whose newest driver evidence (across
     # all CORRECTNESS_r*.json up to r9 — the goalpost is fixed at
     # rotation time) was round 6
@@ -82,7 +85,7 @@ def test_window_holds_the_r10_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r6_cohort = sorted(n for n, r in newest.items() if r == 6)
     assert len(r6_cohort) == 49
-    assert window[22:] == r6_cohort[:28]
+    assert window[25:] == r6_cohort[:25]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
