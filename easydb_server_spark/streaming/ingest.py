@@ -671,3 +671,76 @@ def read_sketch_store(spark: SparkSession, store_path: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         F.countDistinct("batch_id").alias("n_batches"),
     )
+
+
+def stream_bucket_counts(
+    events_stream: DataFrame,
+    ts_col: str,
+    group_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+    bucket: str = "1 hour",
+):
+    """Streaming half of volume-anomaly monitoring
+    (operators/profile.py bucket_anomalies): each micro-batch lands
+    its (group, window, n) counts as a ``batch_id=N`` parquet
+    partition — replay overwrites the partition (idempotent, the
+    sketch-store discipline; counts are additive across batches, so
+    no seq gating is needed) and :func:`read_bucket_anomalies`
+    recomputes z-scores over the SUMMED history at read time, giving
+    the same numbers a batch run over the full corpus would (the
+    delegation contract: scoring math lives in ONE place)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.col(group_col).alias("grp"),
+                F.window(ts_col, bucket)["start"].alias("window_start"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("bucket_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bucket_anomalies(
+    spark: SparkSession, store_path: str, z_threshold: float = 2.0
+) -> DataFrame:
+    """Merge the landed count partitions and z-score each (group,
+    window) against its group's distribution — the identical exact-
+    integer-sum arithmetic as the batch operator, over counts summed
+    across batches. KB-scale regardless of stream history."""
+    counts = (
+        spark.read.parquet(store_path)
+        .groupBy("grp", "window_start")
+        .agg(F.sum("n").alias("n"))
+    )
+    stats = counts.groupBy("grp").agg(
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_nn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    mu = F.col("sum_n").cast("double") / F.col("k")
+    var = (
+        F.col("sum_nn") - F.col("sum_n") * F.col("sum_n") / F.col("k").cast("double")
+    ) / F.col("k")
+    sd = F.sqrt(var)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise(F.round((F.col("n") - mu) / sd, 6))
+    return counts.join(F.broadcast(stats), "grp").select(
+        "grp",
+        F.col("window_start").cast("string").alias("window_start"),
+        "n",
+        z.alias("z"),
+        (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
+    )

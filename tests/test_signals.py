@@ -68,3 +68,49 @@ def test_code_fraction_each_heuristic_fires(spark):
     df = spark.createDataFrame([(1, "\n".join(lines))], ["doc_id", "text"])
     (row,) = code_fraction(df, "text", "doc_id").collect()
     assert row.n_code_lines == 4 and row.n_lines == 5
+
+
+def test_streaming_anomalies_match_batch(spark, tmp_path):
+    """Batch/stream equivalence: anomalies computed from streamed
+    per-batch count partitions equal bucket_anomalies over the full
+    corpus — even when a bucket's events SPAN two micro-batches."""
+    import json
+
+    from easydb_server_spark.streaming import stream_events_ndjson
+    from easydb_server_spark.streaming.ingest import (
+        read_bucket_anomalies,
+        stream_bucket_counts,
+    )
+    from easydb_server_spark.operators.profile import bucket_anomalies
+
+    def write(path, ids, hours):
+        rows = [
+            {"event_id": i, "ts": f"2024-01-01T{h:02d}:{i % 60:02d}:00",
+             "user_id": i, "event_type": "click", "value": 1.0, "props": "{}"}
+            for i in ids for h in hours
+        ]
+        path.write_text("\n".join(json.dumps(r) for r in rows))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    # batch 1: hours 0-8 sparse; batch 2 adds hour 9 AND re-touches
+    # hour 4 with a burst (the bucket spans both batches). A single
+    # spike's z is bounded by sqrt(k-1), so 10 buckets are needed for
+    # the 2.0 threshold to fire (z ~= 2.85 here).
+    write(src / "b1.json", range(10), range(9))
+    q = stream_bucket_counts(stream_events_ndjson(spark, str(src)), "ts", "event_type", store, ckpt)
+    q.awaitTermination()
+    write(src / "b2.json", range(10, 110), [4])
+    write(src / "b2b.json", range(10, 20), [9])
+    q = stream_bucket_counts(stream_events_ndjson(spark, str(src)), "ts", "event_type", store, ckpt)
+    q.awaitTermination()
+
+    streamed = sorted(tuple(r) for r in read_bucket_anomalies(spark, store).collect())
+
+    batch_df = spark.read.json(str(src)).selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "event_type"
+    )
+    batch = sorted(tuple(r) for r in bucket_anomalies(batch_df, "ts", "event_type").collect())
+    assert streamed == batch
+    assert any(r[4] for r in streamed)  # the burst IS flagged
