@@ -36,6 +36,7 @@ def pagerank(
     src_col: str,
     dst_col: str,
     iterations: int = 5,
+    bounded_memory: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list. Returns
     (node, rank) with rank a BIGINT at scale 1e12; dangling mass
@@ -47,20 +48,24 @@ def pagerank(
       dangling   = sum of r(u) over u with outdeg 0
       r'(v)      = (3*SCALE div (20*N))
                    + (17 * (contrib(v) + dangling div N) div 20)
+
+    Materialization dial: every re-referenced frame persists either
+    way (without pinning, Catalyst re-derives each reference and the
+    plan DOUBLES per iteration — audited at 161 exchanges for 3
+    unpersisted iterations vs 26 pinned). Default (``bounded_memory=
+    False``) builds ONE lazy pinned plan — fastest for the bounded
+    iteration counts a ranking signal needs (convergence contracts at
+    the 0.85 damping rate, so ~10-30 iterations; measured 1.9 s vs
+    5.5 s eager at sf0.1 — the eager cost is per-action scheduling,
+    not data), at the cost of per-call cached intermediates living
+    until session cleanup. ``bounded_memory=True`` runs EAGER
+    supersteps: each iteration's rank state materializes, its
+    predecessor unpersists immediately, and the static frames release
+    at the end — a long-horizon session iterating many graphs retains
+    exactly one node-width frame per call (the superstep-with-actions
+    shape of bpe_merges; at 100 TB also checkpoint every ~10
+    iterations to truncate lineage).
     """
-    # The edge list, node set, and degree table are referenced every
-    # iteration, and the rank state is referenced twice per iteration
-    # (contributions + dangling mass). Without persistence Catalyst
-    # re-derives each reference, DOUBLING the plan per iteration (the
-    # unpersisted formulation audited at 161 exchanges for 3
-    # iterations). This runs as EAGER supersteps with bounded cache —
-    # each iteration's rank state materializes (count) and its
-    # predecessor unpersists immediately, so a session iterating many
-    # graphs retains exactly ONE node-width frame per pagerank call
-    # (the returned state) plus nothing else: the standard
-    # iterative-algorithm discipline (same superstep-with-actions
-    # shape as bpe_merges; at 100 TB you would also checkpoint every
-    # ~10 iterations to truncate lineage).
     e = (
         edges.select(
             F.col(src_col).cast("bigint").alias("src"),
@@ -78,16 +83,18 @@ def pagerank(
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out")).persist()
 
-    ranks = (
-        nodes.crossJoin(n_row)
-        .selectExpr("node", f"CAST({RANK_SCALE} AS BIGINT) div _n AS rank")
-        .persist()
+    ranks = nodes.crossJoin(n_row).selectExpr(
+        "node", f"CAST({RANK_SCALE} AS BIGINT) div _n AS rank"
     )
-    ranks.count()
+    if bounded_memory:
+        ranks = ranks.persist()
+        ranks.count()
     for _ in range(iterations):
         with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
             "node", "rank", "out"
         )
+        if not bounded_memory:
+            with_deg = with_deg.persist()
         contrib = (
             with_deg.where(F.col("out").isNotNull())
             .join(e, F.col("node") == e["src"])
@@ -109,11 +116,13 @@ def pagerank(
                 f"(CAST(3 * {RANK_SCALE} AS BIGINT) div (20 * _n))"
                 " + (17 * (COALESCE(contrib, 0) + _dang div _n) div 20) AS rank",
             )
-            .persist()
         )
-        new_ranks.count()
-        ranks.unpersist()
+        if bounded_memory:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+            ranks.unpersist()
         ranks = new_ranks
-    for frame in (e, nodes, deg):
-        frame.unpersist()
+    if bounded_memory:
+        for frame in (e, nodes, deg):
+            frame.unpersist()
     return ranks

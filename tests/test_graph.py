@@ -73,3 +73,15 @@ def test_duplicate_edges_collapse(spark):
 )
 def test_matches_reference_replay(spark, edges, iterations):
     assert _run(spark, edges, iterations) == ref_pagerank(edges, iterations)
+
+
+def test_bounded_memory_mode_is_equivalent(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    lazy = _run(spark, edges, iterations=4)
+    eager = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, ["s", "d"]), "s", "d", 4, bounded_memory=True
+        ).collect()
+    }
+    assert lazy == eager == ref_pagerank(edges, 4)
