@@ -28,11 +28,13 @@ if _REPO not in sys.path:
 # dedup; the exact all-pairs n-gram Jaccard stays in the conformance
 # suite as the correctness baseline but is not a headline operator,
 # precisely because exact all-pairs is the thing LSH exists to avoid).
-# r10 trim: fourteen sub-second low-signal shapes (trivial core-SQL
-# forms, <0.25 s scan riders, and the lighter half of near-duplicate
-# pairs — e.g. dedup_minhash subsumed by dedup_minhash_pairs,
-# bpe_apply by bpe_merges) left the set to make room for the twelve
-# r10 operators while keeping the compact stdout line under the
+# r10 trim: sixteen sub-second low-signal shapes (trivial core-SQL
+# forms, <0.25 s scan riders — corpus_shuffle and text_shard_manifest
+# among them — and the lighter half of near-duplicate pairs, e.g.
+# dedup_minhash subsumed by dedup_minhash_pairs, bpe_apply by
+# bpe_merges) left the set to make room for the fourteen r10
+# operators (incl. the bloom-prefiltered dedup admits and the SCD2
+# history build) while keeping the compact stdout line under the
 # driver's 2000-char tail capture; all dropped entries remain
 # oracle-verified in the conformance registry.
 HEADLINE = [
@@ -56,7 +58,6 @@ HEADLINE = [
     "text_url_filter",
     "text_repetition",
     "text_quality_prune",
-    "corpus_shuffle",
     "text_stratified_sample",
     "dedup_source_overlap",
     "dedup_incremental",
@@ -73,7 +74,6 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bm25",
     "sim_hybrid_rrf",
-    "text_shard_manifest",
     "curation_pipeline",
     "crawl_pipeline",
     # r8 additions: DSIR importance resampling, span clipping, and the
@@ -109,6 +109,8 @@ HEADLINE = [
     "multimodal_audio_g711",
     "multimodal_audio_analysis",
     "graph_pagerank",
+    "dedup_bloom_admits",
+    "ts_scd2_history",
     # composed TPC-H workloads (multi-join + agg + top-k)
     "tpch_q3",
     "tpch_q7",

@@ -159,6 +159,10 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only by design: DataSketches HLL estimates are
     # implementation-defined; accuracy/mergeability pytest-locked
     "sketch_distinct": (llmops.q_sketch_distinct, None),
+    "sketch_bloom_probe": (llmops.q_sketch_bloom_probe, llmops.ORACLE_SKETCH_BLOOM_PROBE),
+    "dedup_bloom_admits": (llmops.q_dedup_bloom_admits, llmops.ORACLE_DEDUP_BLOOM_ADMITS),
+    "sketch_cm_words": (llmops.q_sketch_cm_words, llmops.ORACLE_SKETCH_CM_WORDS),
+    "ts_scd2_history": (timeseries.q_ts_scd2_history, timeseries.ORACLE_TS_SCD2_HISTORY),
     # rows-only by design: DEFLATE is not SQL-expressible; behavior
     # pytest-locked (repetitive << natural << random, determinism)
     "text_compression_ratio": (llmops.q_text_compression_ratio, None),
@@ -387,6 +391,10 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "multimodal_gif_resize",
     "ts_anomaly",
     "text_code_fraction",
+    "sketch_bloom_probe",
+    "dedup_bloom_admits",
+    "sketch_cm_words",
+    "ts_scd2_history",
     "agg_bool_bit",
     "agg_count_distinct",
     "agg_cube",
@@ -408,10 +416,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "edge_natural_join",
     "edge_null_safe_misc",
     "edge_regexp_count",
-    "edge_string_fns",
-    "emb_label_outliers",
-    "join_anti",
-    "join_cross",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

@@ -4898,3 +4898,157 @@ SELECT doc_id, n_lines, n_code_lines,
        contains(t, '```') AS has_fence
 FROM f ORDER BY doc_id
 """
+
+
+def q_sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe (operators/bloom.py): the filter
+    is built over the even-doc_id half of the corpus's content
+    digests (m=2048 bits, k=3 — small on purpose, so real false
+    positives occur at sf0.01 and the entry exercises the FP path,
+    not just exact membership), then every document probes it. The
+    md5 bit positions, 32-bit word packing, and per-probe bool_and
+    are all replayed exactly by the DuckDB oracle — the filter is
+    deterministic; only its error vs true membership is
+    probabilistic."""
+    from easydb_server_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = load(spark, sf_dir, "documents")
+    members = d.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h"))
+    bl = bloom_build(members, "h", m_bits=2048, k=3, seed="bl1")
+    probed = bloom_probe(
+        d.select("doc_id", F.md5("text").alias("h")), "h", bl, "doc_id",
+        m_bits=2048, k=3, seed="bl1",
+    )
+    return probed.select("doc_id", "maybe_member").orderBy("doc_id")
+
+
+ORACLE_SKETCH_BLOOM_PROBE = """
+WITH keys AS (SELECT doc_id, md5(text) AS h FROM documents),
+mem AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bl1:' || j || ':' || h), 1, 15))::BIGINT % 2048 AS pos
+  FROM mem, UNNEST(generate_series(0, 2)) t(j)
+),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         BIT_OR(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+  FROM bits GROUP BY 1
+),
+probes AS (
+  SELECT k.doc_id,
+    ('0x' || substr(md5('bl1:' || j || ':' || k.h), 1, 15))::BIGINT % 2048 AS pos
+  FROM keys k, UNNEST(generate_series(0, 2)) t(j)
+  WHERE k.h IS NOT NULL
+),
+verd AS (
+  SELECT p.doc_id,
+         BOOL_AND(w.word IS NOT NULL
+                  AND ((w.word >> CAST(p.pos % 32 AS INT)) & 1) = 1) AS mm
+  FROM probes p LEFT JOIN words w ON w.word_idx = p.pos // 32
+  GROUP BY 1
+)
+SELECT k.doc_id, COALESCE(v.mm, FALSE) AS maybe_member
+FROM keys k LEFT JOIN verd v USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_dedup_bloom_admits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup: same fixture as
+    dedup_incremental (even docs are the ingested corpus; the batch
+    re-crawls 30 of them), but the batch probes a broadcast bloom of
+    the index digests FIRST — bloom-negative rows admit map-side and
+    only the bloom-positive slice reaches the index anti-join. No
+    false negatives means the admit list is bit-identical to the
+    plain anti-join, which is exactly what the oracle computes (the
+    bloom changes cost, never results; the FP path is oracled by
+    sketch_bloom_probe and the plan discipline is pytest-locked)."""
+    from easydb_server_spark.operators.bloom import bloom_build, bloom_prefilter_admits
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    idx = corpus.select(F.md5("text").alias("content_hash")).distinct()
+    bl = bloom_build(idx, "content_hash", m_bits=1 << 14, k=5, seed="adm1")
+    recrawl = d.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    batch = (
+        d.where(F.col("doc_id") % 2 == 1).select("doc_id", "text").unionAll(recrawl)
+    )
+    return bloom_prefilter_admits(
+        batch, "text", "doc_id", bl, idx, m_bits=1 << 14, k=5, seed="adm1"
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_BLOOM_ADMITS = """
+WITH idx AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 30000, text FROM documents WHERE doc_id < 60
+),
+batch_first AS (
+  SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+  FROM batch GROUP BY md5(text)
+)
+SELECT b.doc_id, b.content_hash
+FROM batch_first b
+WHERE b.content_hash NOT IN (SELECT content_hash FROM idx)
+ORDER BY doc_id
+"""
+
+
+def q_sketch_cm_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates (operators/sketch.py) for the
+    corpus's 30 most frequent words, from a depth=4 x width=256
+    sketch of the exploded word stream — width deliberately small so
+    bucket collisions (the overestimate path) are live at sf0.01.
+    The sketch is deterministic md5 arithmetic, so the oracle replays
+    every counter and every min exactly; the one-sided error bound
+    (est >= true, always) is pytest-locked separately. The candidate
+    top-30 comes from orderBy+limit — TakeOrderedAndProject, the
+    distributed top-k, never a single-partition global window."""
+    from easydb_server_spark.operators.sketch import cm_build, cm_estimate
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    cm = cm_build(words, "w", depth=4, width=256, seed="cm1")
+    true = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = true.orderBy(F.col("c").desc(), F.col("w").asc()).limit(30).select("w")
+    return cm_estimate(cm, top, "w", depth=4, width=256, seed="cm1").orderBy("w")
+
+
+ORACLE_SKETCH_CM_WORDS = """
+WITH wall AS (
+  SELECT UNNEST(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+wf AS (SELECT w FROM wall WHERE w <> ''),
+cm AS (
+  SELECT t.r,
+         ('0x' || substr(md5('cm1:' || t.r || ':' || w), 1, 15))::BIGINT % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM wf, UNNEST(generate_series(0, 3)) t(r)
+  GROUP BY 1, 2
+),
+keys AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM wf GROUP BY 1)
+  ORDER BY c DESC, w LIMIT 30
+),
+probe AS (
+  SELECT k.w, t.r,
+    ('0x' || substr(md5('cm1:' || t.r || ':' || k.w), 1, 15))::BIGINT % 256 AS bucket
+  FROM keys k, UNNEST(generate_series(0, 3)) t(r)
+)
+SELECT p.w, MIN(COALESCE(cm.cnt, 0)) AS est
+FROM probe p LEFT JOIN cm USING (r, bucket)
+GROUP BY p.w
+ORDER BY w
+"""

@@ -478,3 +478,39 @@ FROM q ORDER BY event_id
 
 
 ORACLE_TS_ZORDER_KEY = _zorder_oracle(["user_id", "value"], 8)
+
+
+def q_ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.py): each user's
+    event_type becomes a versioned attribute with half-open
+    [valid_from, valid_to) intervals — a new version wherever the
+    attribute IS DISTINCT FROM its predecessor in (ts, event_id)
+    order, the last version per key current. The incremental fold
+    (scd2_merge == full rebuild) is pytest-locked; this entry oracles
+    the from-scratch build."""
+    from easydb_server_spark.operators.scd import scd2_build
+
+    e = load(spark, sf_dir, "events")
+    return scd2_build(e, "user_id", "event_type", "ts", "event_id").orderBy(
+        "key", "valid_from"
+    )
+
+
+ORACLE_TS_SCD2_HISTORY = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+ch AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id AS key, event_type AS attr, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM ch
+ORDER BY key, valid_from
+"""

@@ -43,8 +43,8 @@ def test_window_holds_the_r10_rotation():
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
     # the never-driver-seen 7 + the r10-changed audio entry lead,
-    # then the 17 oracled entries added in r10
-    assert window[:25] == [
+    # then the 21 oracled entries added in r10
+    assert window[:29] == [
         "multimodal_audio",
         "text_gopher_repetition",
         "crawl_pipeline",
@@ -70,8 +70,12 @@ def test_window_holds_the_r10_rotation():
         "multimodal_gif_resize",
         "ts_anomaly",
         "text_code_fraction",
+        "sketch_bloom_probe",
+        "dedup_bloom_admits",
+        "sketch_cm_words",
+        "ts_scd2_history",
     ]
-    # positions 26-50 are the alphabetically-first 25 of the
+    # positions 30-50 are the alphabetically-first 21 of the
     # r6-evidence cohort: entries whose newest driver evidence (across
     # all CORRECTNESS_r*.json up to r9 — the goalpost is fixed at
     # rotation time) was round 6
@@ -85,7 +89,7 @@ def test_window_holds_the_r10_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r6_cohort = sorted(n for n, r in newest.items() if r == 6)
     assert len(r6_cohort) == 49
-    assert window[25:] == r6_cohort[:25]
+    assert window[29:] == r6_cohort[:21]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 

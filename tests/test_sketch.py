@@ -146,3 +146,64 @@ def test_compression_ratio_deterministic(spark):
     a = sorted(tuple(r) for r in compression_ratio(d, "text", "doc_id").collect())
     b = sorted(tuple(r) for r in compression_ratio(d, "text", "doc_id").collect())
     assert a == b and len(a) == 500
+
+
+# ---------------- Count-Min frequency sketch ----------------
+
+from easydb_server_spark.operators.sketch import cm_build, cm_estimate, cm_merge  # noqa: E402
+
+
+def _words(spark, n=8_000, vocab=300):
+    # zipf-ish: word w appears more often for small w
+    return spark.range(n).selectExpr(
+        "CONCAT('w', CAST(SQRT(id % 90000) AS INT)) AS w"
+    )
+
+
+def test_cm_never_underestimates(spark):
+    df = _words(spark)
+    cm = cm_build(df, "w", depth=4, width=64)  # tiny width: collisions live
+    true = df.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    j = true.join(cm_estimate(cm, true, "w", depth=4, width=64), "w")
+    assert j.where(F.col("est") < F.col("c")).count() == 0
+
+
+def test_cm_overestimate_bounded(spark):
+    # standard bound: overestimate <= e*N/width with prob 1-(1/e)^depth;
+    # assert the MEAN overestimate is well inside it (mean < 2N/width)
+    df = _words(spark)
+    n = df.count()
+    width = 128
+    cm = cm_build(df, "w", depth=4, width=width)
+    true = df.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    j = true.join(cm_estimate(cm, true, "w", depth=4, width=width), "w")
+    mean_over = j.agg(F.avg(F.col("est") - F.col("c"))).first()[0]
+    assert mean_over <= 2 * n / width
+
+
+def test_cm_merge_equals_build_on_union(spark):
+    a = spark.range(0, 3000).selectExpr("CONCAT('w', id % 200) AS w")
+    b = spark.range(0, 2000).selectExpr("CONCAT('w', id % 150) AS w")
+    merged = cm_merge(cm_build(a, "w", 4, 128), cm_build(b, "w", 4, 128))
+    scratch = cm_build(a.unionByName(b), "w", 4, 128)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+
+
+def test_cm_table_bounded_and_nulls_skipped(spark):
+    df = spark.range(4000).selectExpr(
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CONCAT('w', id % 500) END AS w"
+    )
+    cm = cm_build(df, "w", depth=3, width=64)
+    assert cm.count() <= 3 * 64
+    total = cm.where(F.col("r") == 0).agg(F.sum("cnt")).first()[0]
+    assert total == df.where(F.col("w").isNotNull()).count()
+
+
+def test_cm_estimate_broadcasts_sketch(spark):
+    df = _words(spark, n=2000)
+    cm = cm_build(df, "w", 4, 128)
+    est = cm_estimate(cm, df.select("w").distinct(), "w", 4, 128)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
