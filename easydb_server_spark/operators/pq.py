@@ -1,0 +1,205 @@
+"""Product quantization for embedding stores (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search") — the memory side
+of the ANN story the IVF index (operators/similarity.py) leaves open:
+IVF prunes WHICH vectors a query scores; PQ shrinks WHAT each stored
+vector costs. Splitting a d-dim vector into ``m`` subspaces and
+quantizing each to one of ``k`` centroids stores ``m`` small codes
+instead of d floats — m=4, k=16 over the 64-dim test embeddings is
+4 codes vs 64 floats (64×), and the asymmetric-distance ranking never
+reconstructs: scores are sums of ``m`` table lookups.
+
+This implementation quantizes in INNER-PRODUCT space, matching the
+repo's cosine/dot similarity stack end-to-end: the dot product
+decomposes EXACTLY across subspaces (``dot(q, x̂) = Σⱼ dot(qⱼ, cⱼ)``
+where x̂ is the reconstruction), so ADC scoring is not an extra
+approximation on top of quantization — it IS the reconstructed dot.
+Assignment uses the same rounded-dot-argmax + deterministic-seed
+k-means as :func:`~easydb_server_spark.operators.similarity.
+ivf_centroids` (init = the k vectors with the smallest md5(id) per
+subspace; Lloyd update = per-position rounded mean; empty cells keep
+their previous centroid), so a DuckDB oracle replays codebook,
+codes, and every ADC score bit-for-bit.
+
+Scale shape: training touches (sub, cid, subvec) rows — ``m`` narrow
+rows per vector — through one broadcast join (the codebook is m·k
+rows, KBs) and one (sub, cell, pos) mean shuffle per Lloyd iteration;
+nothing wider than a subvector ever shuffles. Encoding is the same
+broadcast-argmax, map-only after the explode. ADC fans the encoded
+corpus to (id, sub, code) rows, joins the broadcast query LUT
+(q·m·k rows), and partial-aggregates the per-(qid, id) sums
+map-side — the corpus is scanned once per query batch and only
+(qid, id, partial-sum) rows shuffle. Top-k lands in a per-qid window
+over k-bounded rows, and the caller composes with IVF pruning when
+the corpus is cell-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from easydb_server_spark.operators.similarity import _as_double, _dot
+
+
+def _subvecs(df: DataFrame, vec_col: str, id_col: str, m: int, width: int) -> DataFrame:
+    """(id, sub, svec): m subspace rows per vector."""
+    return df.select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        "cid",
+        "sub",
+        F.slice(F.col("vec"), F.col("sub") * width + 1, width).alias("svec"),
+    )
+
+
+def _dim_width(df: DataFrame, vec_col: str, m: int) -> int:
+    row = df.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()
+    if row is None:
+        raise ValueError("cannot train PQ on an empty corpus")
+    d = int(row["d"])
+    if d % m:
+        raise ValueError(f"vector dim {d} is not divisible by m={m} subspaces")
+    return d // m
+
+
+def _nearest_code(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """argmax rounded dot per (cid, sub); ties by code asc — the
+    assignment rule shared by training, encoding, and the oracle."""
+    sim = F.round(_dot(F.col("svec"), F.col("centroid")), 6)
+    w = Window.partitionBy("cid", "sub").orderBy(F.col("sim").desc(), F.col("code"))
+    return (
+        subs.join(F.broadcast(codebook), "sub")
+        .select("cid", "sub", "svec", "code", sim.alias("sim"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("cid", "sub", "svec", "code")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+) -> DataFrame:
+    """Train the PQ codebook → (sub, code, centroid) with codes
+    0..k-1 per subspace. Deterministic: per-subspace init is the k
+    subvectors whose parent ids have the smallest md5(id) (the
+    ivf_centroids seeding, replayable by the SQL oracle), then
+    ``n_iters`` Lloyd rounds of rounded-mean updates."""
+    width = _dim_width(corpus, vec_col, m)
+    subs = _subvecs(corpus, vec_col, id_col, m, width)
+    wseed = Window.partitionBy("sub").orderBy(
+        F.md5(F.col("cid").cast("string")), F.col("cid")
+    )
+    codebook = (
+        subs.withColumn("r", F.row_number().over(wseed))
+        .where(F.col("r") <= k)
+        .select("sub", (F.col("r") - 1).cast("int").alias("code"), F.col("svec").alias("centroid"))
+    )
+    for _ in range(n_iters):
+        assigned = _nearest_code(subs, codebook)
+        upd = (
+            assigned.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("val"), 5).alias("mval"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select("sub", "code", F.transform("pm", lambda s: s["mval"]).alias("centroid"))
+        )
+        codebook = (
+            codebook.select("sub", "code", F.col("centroid").alias("prev"))
+            .join(upd, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("centroid", "prev").alias("centroid"))
+        )
+    # the codebook feeds multiple broadcast branches (encode + every
+    # LUT); materialize once, same rationale as ivf_centroids
+    return codebook.localCheckpoint(eager=True)
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebook: DataFrame, m: int
+) -> DataFrame:
+    """Encode vectors → (id, codes array<int>, m codes in subspace
+    order). Map-only after the subspace explode: broadcast argmax,
+    then per-id reassembly."""
+    width = _dim_width(df, vec_col, m)
+    subs = _subvecs(df, vec_col, id_col, m, width)
+    return (
+        _nearest_code(subs, codebook)
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
+            ).alias("codes")
+        )
+        .select(F.col("cid").alias(id_col), "codes")
+    )
+
+
+def pq_decode(encoded: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Reconstruct approximations → (id, vec): concatenate each
+    code's centroid in subspace order. The reconstruction whose dot
+    products ADC returns exactly."""
+    return (
+        encoded.select(F.col(id_col).alias("cid"), F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(codebook), ["sub", "code"])
+        .groupBy("cid")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "centroid"))),
+                    lambda s: s["centroid"],
+                )
+            ).alias("vec")
+        )
+        .select(F.col("cid").alias(id_col), "vec")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    vec_col: str,
+    qid_col: str,
+    id_col: str = "vec_id",
+    m: int = 4,
+    k_top: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, score every encoded
+    vector as the sum of m LUT lookups (``Σⱼ round(dot(qⱼ, c[codeⱼ]),
+    6)``, the exact dot against the reconstruction) and keep the
+    ``k_top`` best — (qid, cid, adc_score, rank), ties by cid, the
+    query itself excluded. The LUT (queries × m × k rows) broadcasts;
+    the encoded corpus streams once."""
+    width = _dim_width(queries, vec_col, m)
+    lut = (
+        _subvecs(queries, vec_col, qid_col, m, width)
+        .withColumnRenamed("cid", "qid")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "qid",
+            "sub",
+            "code",
+            F.round(_dot(F.col("svec"), F.col("centroid")), 6).alias("part"),
+        )
+    )
+    fan = encoded.select(
+        F.col(id_col).alias("cid"), F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        fan.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(F.round(F.sum("part"), 6).alias("adc_score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select("qid", "cid", "adc_score", F.col("rank").cast("int").alias("rank"))
+    )
