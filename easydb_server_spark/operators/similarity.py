@@ -1012,66 +1012,101 @@ def topk_cosine_ivf_store(
     return _rank_probed(store, probed, k)
 
 
-def emb_covariance(df: DataFrame, vec_col: str) -> DataFrame:
-    """Sample covariance matrix of an embedding column, distributed:
-    each Arrow batch reduces to ONE partial row (count, sum vector,
-    Gram matrix X'X flattened — d + d² doubles, independent of batch
-    size), partials explode to (idx, value) pairs (|partials| × d²
-    rows, ∝ partition count, NOT corpus size) and sum in one hash
-    aggregate; cov = (G − n·μμ')/(n−1) assembles in-row. Returns
-    (i, j, cov) — d² scalar rows, the driver-comparable shape.
+def emb_covariance(
+    df: DataFrame,
+    vec_col: str,
+    mean_scale: int = 10**7,
+    prod_scale: int = 10**6,
+) -> DataFrame:
+    """Sample covariance matrix of an embedding column, distributed
+    and BIT-DETERMINISTIC under any partitioning (the PageRank /
+    ts_anomaly fixed-point discipline, :mod:`graph` lines 7-13):
 
+    * **Pass 1** — exact means. Each Arrow batch emits one partial row
+      (count, per-dimension INT64 sums of ``floor(x·mean_scale)``);
+      integer sums are associative/commutative, so the d-row collect
+      (bounded by embedding width, never the corpus) yields the SAME
+      μ_i = Σq_i/(n·mean_scale) no matter how batches arrive.
+    * **Pass 2** — centered fixed-point Gram. μ broadcasts; each batch
+      quantizes every centered product ``floor((x_i−μ_i)(x_j−μ_j) ·
+      prod_scale)`` to INT64 and emits the d² partial sums. One hash
+      aggregate over partials (∝ #partitions·d², NOT corpus size),
+      then a single float division ``qsum/((n−1)·prod_scale)`` and
+      ROUND(…,5) — both pure functions of exact integers.
+
+    The single-precision float summation the previous formulation used
+    (float Gram partials summed in partition-arrival order, then the
+    catastrophic-cancellation form ``G − n·μμ'``) flipped 5-decimal
+    rounding boundaries across runs; with per-row quantization BEFORE
+    any summation there is no order-dependent float add anywhere, so
+    an independent engine replaying the same arithmetic (the DuckDB
+    oracle does) agrees bit-for-bit on every run. Quantization shifts
+    each cell by at most ``1/prod_scale`` (floor bias) — below the
+    output rounding granularity.
+
+    INT64 headroom at the defaults, |x|≲1: pass-1 sums ≤ n·10⁷ and
+    pass-2 sums ≤ n·4·10⁶ → safe to n ≈ 10¹² vectors (≳100 TB of
+    64-dim float32); lower the scales for wider-magnitude corpora.
+
+    Returns (i, j, cov) — d² scalar rows, the driver-comparable shape.
     This is THE preprocessing statistic for embedding whitening / PCA
-    (:func:`emb_pca`): the corpus is scanned once, nothing
-    proportional to it is ever shuffled (the naive per-row double
-    explode shuffles N·d² rows — 20M at sf0.01 vs this plan's
-    #partitions·d²).
+    (:func:`emb_pca`); nothing proportional to the corpus is ever
+    shuffled (the naive per-row double explode shuffles N·d² rows).
     """
+    s1, s2 = float(mean_scale), float(prod_scale)
 
-    def partials(batches):
+    def mean_partials(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(x * s1).astype(np.int64)
             yield pd.DataFrame(
-                [(len(x), x.sum(axis=0).tolist(), (x.T @ x).ravel().tolist())],
-                columns=["n", "s", "g"],
+                [(len(x), q.sum(axis=0).tolist())], columns=["n", "qs"]
             )
 
-    p = df.select(vec_col).mapInPandas(
-        partials, "n bigint, s array<double>, g array<double>"
-    )
-    d_col = F.sqrt(F.size("g")).cast("int")
-    sums = (
-        p.select("n", d_col.alias("d"), F.posexplode("g").alias("idx", "v"))
-        .groupBy("idx")
-        .agg(F.sum("v").alias("gsum"), F.sum("n").alias("nsum"), F.max("d").alias("d"))
-    )
-    means = (
-        p.select("n", F.posexplode("s").alias("i", "v"))
+    p1 = df.select(vec_col).mapInPandas(mean_partials, "n bigint, qs array<bigint>")
+    mrows = (
+        p1.select("n", F.posexplode("qs").alias("i", "q"))
         .groupBy("i")
-        .agg((F.sum("v") / F.sum("n")).alias("m"))
+        .agg(F.sum("q").alias("qsum"), F.sum("n").alias("n"))
+        .collect()  # d rows — bounded by embedding width, not the corpus
     )
-    n_total = F.col("nsum")
-    g = sums.select(
-        (F.col("idx") / F.col("d")).cast("int").alias("i"),
-        (F.col("idx") % F.col("d")).cast("int").alias("j"),
-        "gsum",
-        "nsum",
-    )
-    mi = means.select(F.col("i"), F.col("m").alias("mi"))
-    mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    if not mrows:
+        spark = df.sparkSession
+        return spark.createDataFrame([], "i int, j int, cov double")
+    d = len(mrows)
+    n = int(mrows[0].n)
+    mu = np.zeros(d)
+    for r in mrows:
+        mu[r.i] = r.qsum / (n * s1)
+    bmu = df.sparkSession.sparkContext.broadcast(mu)
+
+    def gram_partials(batches):
+        m = bmu.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xc = x - m[None, :]
+            # row-blocked so the temp is batch×d, never batch×d²
+            g = np.empty((d, d), dtype=np.int64)
+            for i in range(d):
+                g[i] = (
+                    np.floor((xc[:, i : i + 1] * xc) * s2).astype(np.int64).sum(axis=0)
+                )
+            yield pd.DataFrame([(g.ravel().tolist(),)], columns=["g"])
+
+    p2 = df.select(vec_col).mapInPandas(gram_partials, "g array<bigint>")
+    denom = float(n - 1) * s2
     return (
-        g.join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
+        p2.select(F.posexplode("g").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("qsum"))
         .select(
-            "i",
-            "j",
-            F.round(
-                (F.col("gsum") - n_total * F.col("mi") * F.col("mj"))
-                / (n_total - F.lit(1)),
-                5,
-            ).alias("cov"),
+            (F.col("idx") / d).cast("int").alias("i"),
+            (F.col("idx") % d).cast("int").alias("j"),
+            F.round(F.col("qsum").cast("double") / F.lit(denom), 5).alias("cov"),
         )
     )
 

@@ -29,6 +29,15 @@ TABLES = (
 )
 
 
+# Test-only dial: when set, every table load() returns is
+# repartitioned to this many partitions. The repartition-invariance
+# sweep (tests/test_registry.py) uses it to vary the PHYSICAL
+# partitioning of every query's inputs without touching query code —
+# a float-summation-order bug (the r10 emb_covariance flake) shows up
+# as a canon_frame mismatch between _REPARTITION=1 and =32 runs.
+_REPARTITION: int | None = None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the test tables as a DataFrame (parquet scan).
 
@@ -50,6 +59,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
+    if _REPARTITION is not None:
+        df = df.repartition(_REPARTITION)
     return df
 
 

@@ -25,18 +25,32 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-phase agg over 6 measures; at scale this is a single shuffle of
     tiny partial-state rows (4 groups), AQE coalesces to 1 partition.
+
+    Money math follows the repo decimal convention (queries/tpch2.py):
+    cast to compact decimal BEFORE summing so the sums are exact and
+    order-free (the repartition-invariance sweep caught the raw-double
+    formulation flipping a ROUND(,2) boundary between partitionings);
+    averages divide the exact decimal sum CAST AS DOUBLE by the exact
+    count — one IEEE division, identical on both sides.
     """
     li = load(spark, sf_dir, "lineitem")
+    money = "decimal(10,2)"
+    factor = "decimal(3,2)"
+    qty = F.col("l_quantity").cast(money)
+    price = F.col("l_extendedprice").cast(money)
+    disc = F.col("l_discount").cast(factor)
+    vol = price * (F.lit(1).cast(factor) - disc).cast(factor)
+    cnt = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(vol), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -44,12 +58,14 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                            AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4)                            AS avg_qty,
-       ROUND(AVG(l_discount), 4)                            AS avg_disc,
-       COUNT(*)                                             AS count_order
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE)                                                       AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       COUNT(*)                                                              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus

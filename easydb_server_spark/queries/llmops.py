@@ -3757,10 +3757,14 @@ WITH built AS (
 
 def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed sample covariance of the embedding corpus — the
-    whitening/PCA preprocessing statistic: one corpus scan, per-batch
-    Gram partials (d + d² doubles each), partials-only aggregation.
-    The oracle recomputes all d² = 4096 cells by brute-force pairwise
-    products over the same vectors."""
+    whitening/PCA preprocessing statistic, two-pass fixed-point:
+    exact INT64 means first (floor(x·1e7) sums), then centered
+    products quantized per-row to floor((xi−μi)(xj−μj)·1e6) INT64
+    before ANY summation, so the result is bit-identical under any
+    partitioning. The oracle replays the identical quantized
+    arithmetic over the same vectors — every intermediate is either
+    an exact integer or a pure per-row IEEE expression, so the two
+    engines agree on every run, not most runs."""
     e = load(spark, sf_dir, "embeddings")
     return S.emb_covariance(e, "embedding").orderBy("i", "j")
 
@@ -3772,18 +3776,25 @@ x AS (
   FROM v, UNNEST(generate_series(1, len(e))) u(i)
 ),
 n AS (SELECT COUNT(*) AS n FROM v),
-mu AS (SELECT i, SUM(xi) / MAX(n.n) AS m FROM x, n GROUP BY i),
-g AS (
-  SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS gij
-  FROM x a JOIN x b USING (vec_id)
+mu AS (
+  SELECT i,
+         CAST(SUM(CAST(floor(xi * 10000000.0) AS BIGINT)) AS DOUBLE)
+           / (MAX(n.n) * 10000000.0) AS m
+  FROM x, n GROUP BY i
+),
+c AS (
+  SELECT x.vec_id, x.i, x.xi - mu.m AS ci
+  FROM x JOIN mu USING (i)
+),
+q AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(CAST(floor(a.ci * b.ci * 1000000.0) AS BIGINT)) AS qsum
+  FROM c a JOIN c b USING (vec_id)
   GROUP BY a.i, b.i
 )
-SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
-       ROUND((g.gij - n.n * ma.m * mb.m) / (n.n - 1), 5) AS cov
-FROM g
-CROSS JOIN n
-JOIN mu ma ON ma.i = g.i
-JOIN mu mb ON mb.i = g.j
+SELECT CAST(q.i AS INT) AS i, CAST(q.j AS INT) AS j,
+       ROUND(CAST(q.qsum AS DOUBLE) / ((n.n - 1) * 1000000.0), 5) AS cov
+FROM q CROSS JOIN n
 ORDER BY i, j
 """
 

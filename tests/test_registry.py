@@ -222,3 +222,52 @@ def test_bench_stdout_line_fits_driver_tail_capture():
         f"compact bench line would be {len(worst)} chars; trim HEADLINE "
         "or shorten the emitted form (driver tail capture is 2000)"
     )
+
+
+def test_float_emitting_entries_are_repartition_invariant(spark):
+    """Every oracled entry whose result carries a float column must
+    produce the IDENTICAL canonicalized frame when its inputs are one
+    partition and when they are 32 — i.e. no order-dependent float
+    summation anywhere in the repo (the r10 ``emb_covariance`` flake:
+    float Gram partials summed in partition-arrival order flipped a
+    ROUND(…,5) boundary between driver runs). Inputs are repartitioned
+    via the ``_util._REPARTITION`` dial so the sweep exercises real
+    physical partitionings without touching query code; shuffle
+    partitions vary in lockstep. Streaming entries are excluded (each
+    builds a real micro-batch; their determinism is locked by
+    tests/test_streaming_recovery.py's replay-equivalence checks).
+    """
+    from pyspark.sql import types as T
+
+    from easydb_server_spark.compare import canon_frame
+    from easydb_server_spark.queries import REGISTRY, _util, oracle_queries
+    from tests.conftest import SF_DIR
+
+    float_types = (T.FloatType, T.DoubleType, T.DecimalType)
+    oracled = set(oracle_queries())
+    targets = [
+        (name, fn)
+        for name, (fn, _) in REGISTRY.items()
+        if name in oracled
+        and not name.startswith("stream_")
+        and any(
+            isinstance(f.dataType, float_types)
+            for f in fn(spark, SF_DIR).schema.fields
+        )
+    ]
+    assert len(targets) >= 100  # the sweep must keep covering the registry
+
+    def run(fn, parts):
+        _util._REPARTITION = parts
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            return canon_frame(fn(spark, SF_DIR).toPandas())
+        finally:
+            _util._REPARTITION = None
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    bad = [name for name, fn in targets if run(fn, 1) != run(fn, 32)]
+    assert not bad, (
+        "order-dependent float arithmetic: these entries' results "
+        f"change with input partitioning: {bad}"
+    )
