@@ -185,12 +185,18 @@ def bloom_prefilter_admits(
     batch_first = b.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
     # pin the probed batch: the fresh/suspect split reads it twice,
     # and without pinning Catalyst re-derives the whole
-    # hash+probe+broadcast subtree per branch (audited: 17 exchanges,
-    # 12 scans -> 6 exchanges, 4 scans). The batch is micro-batch
-    # sized by contract, so the cache is bounded.
+    # hash+probe+broadcast subtree per branch (audited r11: 17
+    # exchanges, 12 scans -> 3 exchanges, 3 scans; checkpoint
+    # truncates the probe lineage entirely). localCheckpoint
+    # rather than persist so the block's lifetime is bounded per call
+    # — in the intended per-micro-batch loop a persist() would
+    # accumulate one cached batch per micro-batch until executor-cache
+    # pressure evicts (same rationale as pq_train / ivf_centroids).
+    # The batch is micro-batch sized by contract, so each block is
+    # small and dies with its lineage.
     probed = bloom_probe(
         batch_first, "content_hash", bloom, "doc_id", m_bits, k, seed
-    ).persist()
+    ).localCheckpoint(eager=True)
     fresh = probed.where(~F.col("maybe_member")).select("doc_id", "content_hash")
     suspect = probed.where(F.col("maybe_member")).select("doc_id", "content_hash")
     confirmed_new = suspect.join(

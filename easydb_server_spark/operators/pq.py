@@ -169,13 +169,21 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     m: int = 4,
     k_top: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k: per query, score every encoded
     vector as the sum of m LUT lookups (``Σⱼ round(dot(qⱼ, c[codeⱼ]),
     6)``, the exact dot against the reconstruction) and keep the
-    ``k_top`` best — (qid, cid, adc_score, rank), ties by cid, the
-    query itself excluded. The LUT (queries × m × k rows) broadcasts;
-    the encoded corpus streams once."""
+    ``k_top`` best — (qid, cid, adc_score, rank), ties by cid. The LUT
+    (queries × m × k rows) broadcasts; the encoded corpus streams once.
+
+    ``exclude_self=True`` (the default, for the queries-are-corpus-
+    rows case) drops candidates whose id equals the query id — it
+    assumes queries and corpus SHARE an id space of the same type. For
+    an EXTERNAL query batch pass ``exclude_self=False``: with separate
+    id spaces a corpus vector whose id collides with a query id would
+    be silently dropped, and a qid/cid type mismatch would null the
+    predicate and drop every row."""
     width = _dim_width(queries, vec_col, m)
     lut = (
         _subvecs(queries, vec_col, qid_col, m, width)
@@ -191,11 +199,11 @@ def pq_adc_topk(
     fan = encoded.select(
         F.col(id_col).alias("cid"), F.posexplode("codes").alias("sub", "code")
     )
-    scored = (
-        fan.join(F.broadcast(lut), ["sub", "code"])
-        .where(F.col("cid") != F.col("qid"))
-        .groupBy("qid", "cid")
-        .agg(F.round(F.sum("part"), 6).alias("adc_score"))
+    scored = fan.join(F.broadcast(lut), ["sub", "code"])
+    if exclude_self:
+        scored = scored.where(F.col("cid") != F.col("qid"))
+    scored = scored.groupBy("qid", "cid").agg(
+        F.round(F.sum("part"), 6).alias("adc_score")
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("cid"))
     return (

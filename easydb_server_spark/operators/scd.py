@@ -99,10 +99,20 @@ def scd2_merge(
     version is re-derived alongside the batch — it stays open if the
     batch never changes the attribute, closes at the first change
     otherwise. Batch keys absent from the dimension build fresh
-    histories."""
-    bkeys = batch.select(F.col(key_col).alias("key")).distinct()
-    untouched = dim.join(bkeys, "key", "left_anti")
-    touched = dim.join(bkeys, "key", "left_semi")
+    histories.
+
+    NULL is a real key value (matching :func:`scd2_build`, where the
+    window groups all null keys into one history): the touched /
+    untouched split uses NULL-SAFE equality — still an equi-join
+    condition Spark hash-joins — so a null-key batch folds into the
+    existing null-key history instead of duplicating it (a plain
+    semi/anti join never matches null, which would pass the old rows
+    through as 'untouched' while the batch rebuilt a fresh overlapping
+    null-key history, breaking the merge ≡ rebuild invariant)."""
+    bkeys = batch.select(F.col(key_col).alias("_bkey")).distinct()
+    null_safe = F.col("key").eqNullSafe(F.col("_bkey"))
+    untouched = dim.join(bkeys, null_safe, "left_anti")
+    touched = dim.join(bkeys, null_safe, "left_semi")
     closed = touched.where(~F.col("is_current"))
     # the open row becomes the seed event: its attr at its valid_from,
     # null tie so it orders before any same-timestamp batch event

@@ -109,3 +109,27 @@ def test_merge_touches_only_batch_keys(spark):
     keys = {r.key for r in merged.where(~F.col("is_current")).collect()}
     assert keys == {"a"}  # only the touched key gained a closed version
     assert merged.count() == 4
+
+
+def test_merge_folds_null_keys_into_existing_null_history(spark):
+    """NULL is a real key value: a null-key batch must extend the
+    existing null-key history (null-safe semi/anti split), not pass it
+    through untouched while building a duplicate overlapping one."""
+    old = spark.createDataFrame(
+        [(None, "a", 1.0, 0), (None, "a", 2.0, 1), ("u1", "x", 1.0, 2)],
+        "key string, attr string, ts double, tie long",
+    )
+    dim = scd2_build(old, *COLS)
+    batch = spark.createDataFrame(
+        [(None, "b", 3.0, 100)], "key string, attr string, ts double, tie long"
+    )
+    merged = scd2_merge(dim, batch, *COLS)
+    both = old.unionByName(batch)
+
+    def hist(df):  # null keys sort first
+        return sorted(map(tuple, df.collect()), key=lambda t: ((t[0] is not None, t[0]), t[2]))
+
+    assert hist(merged) == hist(scd2_build(both, *COLS))
+    null_rows = [r for r in merged.collect() if r.key is None]
+    assert len(null_rows) == 2  # a@[1,3) closed, b@[3,∞) current
+    assert sum(r.is_current for r in null_rows) == 1

@@ -153,8 +153,9 @@ def test_compression_ratio_deterministic(spark):
 from easydb_server_spark.operators.sketch import cm_build, cm_estimate, cm_merge  # noqa: E402
 
 
-def _words(spark, n=8_000, vocab=300):
-    # zipf-ish: word w appears more often for small w
+def _words(spark, n=8_000):
+    # zipf-ish, ~90 distinct words: word w appears more often for
+    # small w (sqrt compresses the id range toward low values)
     return spark.range(n).selectExpr(
         "CONCAT('w', CAST(SQRT(id % 90000) AS INT)) AS w"
     )
