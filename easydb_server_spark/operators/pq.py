@@ -183,7 +183,14 @@ def pq_adc_topk(
     an EXTERNAL query batch pass ``exclude_self=False``: with separate
     id spaces a corpus vector whose id collides with a query id would
     be silently dropped, and a qid/cid type mismatch would null the
-    predicate and drop every row."""
+    predicate and drop every row.
+
+    Determinism (the repo fixed-point discipline): each LUT partial is
+    quantized to INT64 micro-units (``round(dot·1e6)``) BEFORE the
+    per-(qid, cid) sum, so the m-way summation is exact integer
+    arithmetic — order-free under any partitioning — and the score is
+    one float division at the end. Quantization error ≤ m·5e-7,
+    identical to the previous per-part ROUND(…,6)."""
     width = _dim_width(queries, vec_col, m)
     lut = (
         _subvecs(queries, vec_col, qid_col, m, width)
@@ -193,7 +200,9 @@ def pq_adc_topk(
             "qid",
             "sub",
             "code",
-            F.round(_dot(F.col("svec"), F.col("centroid")), 6).alias("part"),
+            F.round(_dot(F.col("svec"), F.col("centroid")) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("part_units"),
         )
     )
     fan = encoded.select(
@@ -203,11 +212,18 @@ def pq_adc_topk(
     if exclude_self:
         scored = scored.where(F.col("cid") != F.col("qid"))
     scored = scored.groupBy("qid", "cid").agg(
-        F.round(F.sum("part"), 6).alias("adc_score")
+        F.sum("part_units").alias("adc_units")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("cid"))
+    w = Window.partitionBy("qid").orderBy(F.col("adc_units").desc(), F.col("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_top)
-        .select("qid", "cid", "adc_score", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "qid",
+            "cid",
+            F.round(F.col("adc_units").cast("double") / F.lit(1000000.0), 6).alias(
+                "adc_score"
+            ),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -5063,3 +5063,181 @@ FROM probe p LEFT JOIN cm USING (r, bucket)
 GROUP BY p.w
 ORDER BY w
 """
+
+
+# ---------- product quantization (operators/pq.py) ----------
+
+_PQ_CB_CTES = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+subs AS (
+  SELECT vec_id AS cid, t.s AS sub, list_slice(e, t.s * 16 + 1, t.s * 16 + 16) AS svec
+  FROM v, UNNEST(generate_series(0, 3)) t(s)
+),
+init AS (
+  SELECT sub, r - 1 AS code, svec AS centroid FROM (
+    SELECT sub, svec,
+           ROW_NUMBER() OVER (PARTITION BY sub
+                              ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS r
+    FROM subs
+  ) WHERE r <= 8
+),
+a0 AS (
+  SELECT cid, sub, code FROM (
+    SELECT s.cid, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.cid, s.sub
+                              ORDER BY ROUND(list_dot_product(s.svec, c.centroid), 6) DESC,
+                                       c.code) AS r
+    FROM subs s JOIN init c ON c.sub = s.sub
+  ) WHERE r = 1
+),
+upd AS (
+  SELECT a0.sub, a0.code, t.i AS pos, ROUND(AVG(s.svec[t.i]), 5) AS m
+  FROM a0 JOIN subs s ON s.cid = a0.cid AND s.sub = a0.sub,
+       UNNEST(generate_series(1, 16)) t(i)
+  GROUP BY a0.sub, a0.code, t.i
+),
+newc AS (SELECT sub, code, list(m ORDER BY pos) AS centroid FROM upd GROUP BY sub, code),
+cb AS (
+  SELECT i.sub, i.code, COALESCE(n.centroid, i.centroid) AS centroid
+  FROM init i LEFT JOIN newc n ON n.sub = i.sub AND n.code = i.code
+),
+enc AS (
+  SELECT cid, sub, code FROM (
+    SELECT s.cid, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.cid, s.sub
+                              ORDER BY ROUND(list_dot_product(s.svec, c.centroid), 6) DESC,
+                                       c.code) AS r
+    FROM subs s JOIN cb c ON c.sub = s.sub
+  ) WHERE r = 1
+)
+"""
+
+
+def _pq_artifacts(spark: SparkSession, sf_dir: str):
+    from easydb_server_spark.operators import pq as PQ
+
+    e = load(spark, sf_dir, "embeddings")
+    cb = PQ.pq_train(e, "embedding", "vec_id", m=4, k=8, n_iters=1)
+    enc = PQ.pq_encode(e, "embedding", "vec_id", cb, m=4)
+    return e, cb, enc
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization train + encode over the embedding corpus
+    (m=4 subspaces × k=8 codes, one Lloyd iteration): each 64-dim
+    vector compresses to 4 one-byte codes. The oracle replays the
+    whole derivation — md5-seeded per-subspace init, rounded-dot
+    argmax assignment (ties by code), rounded-mean Lloyd update with
+    empty-cell carry — so every emitted (vec_id, sub, code) matches
+    bit-for-bit. Scale shape (operators/pq.py): the codebook is m·k
+    rows broadcast; training shuffles only (sub, code, pos) means;
+    encoding is map-only after the subspace explode."""
+    _e, _cb, enc = _pq_artifacts(spark, sf_dir)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).orderBy("vec_id", "sub")
+
+
+ORACLE_PQ_CODES = (
+    _PQ_CB_CTES
+    + """
+SELECT cid AS vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+FROM enc
+ORDER BY vec_id, sub
+"""
+)
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 for 8 corpus queries against the
+    PQ-encoded corpus: per (query, candidate), the score is the sum of
+    m LUT lookups — each lookup quantized to INT64 micro-units before
+    summation (order-free; the repo fixed-point discipline), one float
+    division at the end. The oracle replays codebook, codes, LUT, and
+    the integer score arithmetic exactly."""
+    from easydb_server_spark.operators import pq as PQ
+
+    e, cb, enc = _pq_artifacts(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 8)
+    return PQ.pq_adc_topk(q, enc, cb, "embedding", "vec_id", m=4, k_top=5).orderBy(
+        "qid", "rank"
+    )
+
+
+ORACLE_PQ_ADC_TOPK = (
+    _PQ_CB_CTES
+    + """,
+lut AS (
+  SELECT s.cid AS qid, s.sub, c.code,
+         CAST(ROUND(list_dot_product(s.svec, c.centroid) * 1000000.0, 0) AS BIGINT)
+           AS part_units
+  FROM subs s JOIN cb c ON c.sub = s.sub
+  WHERE s.cid < 8
+),
+scored AS (
+  SELECT l.qid, e2.cid, SUM(l.part_units) AS adc_units
+  FROM enc e2 JOIN lut l ON l.sub = e2.sub AND l.code = e2.code
+  WHERE e2.cid != l.qid
+  GROUP BY l.qid, e2.cid
+),
+ranked AS (
+  SELECT qid, cid, adc_units,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_units DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid,
+       ROUND(CAST(adc_units AS DOUBLE) / 1000000.0, 6) AS adc_score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+)
+
+
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus (k=4, sign-fixed
+    components ordered by descending eigenvalue), exploded to
+    (id, pos, value) scalar rows. Rows-only by design: the covariance
+    input is now bit-deterministic (fixed-point two-pass,
+    operators/similarity.py:emb_covariance — driver-oracled), but the
+    d×d eigendecomposition is LAPACK float with no SQL-expressible
+    replay, the documented oracle-exception class. The projection's
+    semantics are pytest-locked instead: descending-variance order,
+    component orthonormality via the projected covariance, whitening
+    unit-variance, and run-to-run determinism (tests/test_r10_fixes.py).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    return S.emb_pca(e, "embedding", "vec_id", k=4).orderBy("id", "pos")
+
+
+def q_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT spectral summary over real WAV clips (the multimodal_audio
+    sample recipe encoded through the stdlib codec): dominant bin, its
+    dB level, spectral centroid. Rows-only by design: float FFT has no
+    exact cross-engine form (libm cos/sin last-ulp differences) — the
+    documented oracle-exception class; analytically-known signals are
+    pytest-locked instead (a pure tone at bin k must dominate bin k,
+    tests/test_g711_spectral.py)."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 100 + did % 50
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    from easydb_server_spark.operators.multimodal import audio_spectrogram
+
+    return audio_spectrogram(blobs, "payload", "item_id").orderBy("item_id")
