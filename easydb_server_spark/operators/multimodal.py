@@ -188,17 +188,38 @@ def resize_images(
 
 
 def sample_frames(df: DataFrame, blob_col: str, id_col: str, n_frames: int) -> DataFrame:
-    """Frame-sampling pipeline shape: one input video blob → n output
-    frame rows (fan-out inside mapInPandas). Stub frames are
-    deterministic equal-width byte slices standing in for decoded
-    frames; the row-explosion shape is what a real ffmpeg sampler
-    produces."""
+    """Frame-sampling pipeline shape: one input blob → n output frame
+    rows (fan-out inside mapInPandas). For GIF payloads this is a REAL
+    sampler: every animated frame is decoded and composited
+    (:func:`easydb_server_spark.operators.gif.decode_gif_frames` —
+    sub-rectangles, transparency, disposal), ``n_frames`` are chosen
+    evenly (frame ``i·T // n`` of T), and each sampled frame re-encodes
+    as a standalone single-frame GIF (``quantize=True`` so composited
+    frames whose color union exceeds a palette still encode; ≤256
+    colors stay bit-exact). Non-GIF blobs keep the deterministic
+    equal-width byte-slice stub standing in for decoders this
+    container lacks; the row-explosion shape is what a real ffmpeg
+    sampler produces either way."""
 
     def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from easydb_server_spark.operators.gif import (
+            decode_gif_frames,
+            encode_gif,
+        )
+
         for pdf in batches:
             out = []
             for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 payload = bytes(blob) or b"\x00"
+                if payload[:4] == b"GIF8":
+                    frames = decode_gif_frames(payload)
+                    t = len(frames)
+                    for i in range(n_frames):
+                        sel = i * t // n_frames
+                        out.append(
+                            (item_id, i, encode_gif(frames[sel], quantize=True))
+                        )
+                    continue
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     out.append((item_id, i, payload[i * step : i * step + step]))

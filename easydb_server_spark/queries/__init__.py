@@ -191,6 +191,12 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_multimodal_gif_resize,
         llmops.ORACLE_MULTIMODAL_GIF_RESIZE,
     ),
+    # added in r11: animated-GIF multi-frame decode + compositing +
+    # even frame sampling through the real codec (r10 verdict ask #6)
+    "multimodal_gif_frames": (
+        llmops.q_multimodal_gif_frames,
+        llmops.ORACLE_MULTIMODAL_GIF_FRAMES,
+    ),
     "text_html_extract": (llmops.q_text_html_extract, llmops.ORACLE_TEXT_HTML_EXTRACT),
     "text_paragraph_dedup": (
         llmops.q_text_paragraph_dedup,

@@ -5241,3 +5241,104 @@ def q_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easydb_server_spark.operators.multimodal import audio_spectrogram
 
     return audio_spectrogram(blobs, "payload", "item_id").orderBy("item_id")
+
+
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling end-to-end through the REAL codec:
+    each doc_id becomes a T-frame animation (T = 3 + doc_id % 4;
+    frame f is the palette grid ``(doc_id*3 + f*11 + y*5 + x*7) mod
+    16``, w = 8 + doc_id%5, h = 6 + doc_id%4) encoded with
+    encode_gif_animated (per-frame GCEs, global palette, real LZW);
+    sample_frames decodes + composites every frame, picks 3 evenly
+    (frame ``i·T//3``), and re-encodes each as a standalone GIF whose
+    features are extracted by gif_decoder. The oracle never sees bytes
+    — it replays the frame recipe and the sampling index arithmetic in
+    closed form — so a hash match proves multi-frame decode,
+    compositing, sampling, and re-encode are pixel-faithful."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif_animated
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h, t = 8 + did % 5, 6 + did % 4, 3 + did % 4
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [pal[(did * 3 + f * 11 + y * 5 + x * 7) % 16] for f in range(t)]
+                out.append((did, encode_gif_animated(frames)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    frames = sample_frames(blobs, "payload", "item_id", 3)
+
+    def feats(batches):
+        from easydb_server_spark.operators.gif import gif_decoder
+
+        for pdf in batches:
+            out = []
+            for item_id, frame_idx, blob in zip(
+                pdf["item_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                f = gif_decoder(bytes(blob))
+                out.append(
+                    (
+                        int(item_id),
+                        int(frame_idx),
+                        f["width"],
+                        f["height"],
+                        round(f["mean_r"], 4),
+                        round(f["mean_g"], 4),
+                        round(f["mean_b"], 4),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return frames.mapInPandas(
+        feats,
+        "item_id bigint, frame_idx int, width int, height int,"
+        " mean_r double, mean_g double, mean_b double",
+    ).orderBy("item_id", "frame_idx")
+
+
+ORACLE_MULTIMODAL_GIF_FRAMES = """
+WITH geo AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+         3 + doc_id % 4 AS t
+  FROM documents
+),
+sel AS (
+  SELECT g.doc_id, g.w, g.h, s.i AS frame_idx, (s.i * g.t) // 3 AS f
+  FROM geo g, UNNEST(generate_series(0, 2)) s(i)
+),
+px AS (
+  SELECT s.doc_id, s.frame_idx, s.w, s.h,
+         (s.doc_id * 3 + s.f * 11 + yy.y * 5 + xx.x * 7) % 16 AS i
+  FROM sel s, UNNEST(generate_series(0, s.h - 1)) yy(y),
+       UNNEST(generate_series(0, s.w - 1)) xx(x)
+)
+SELECT doc_id                                   AS item_id,
+       CAST(frame_idx AS INT)                   AS frame_idx,
+       CAST(MAX(w) AS INT)                      AS width,
+       CAST(MAX(h) AS INT)                      AS height,
+       ROUND(AVG((i * 16) % 256), 4)            AS mean_r,
+       ROUND(AVG((i * 37) % 256), 4)            AS mean_g,
+       ROUND(AVG((i * 73) % 256), 4)            AS mean_b
+FROM px GROUP BY doc_id, frame_idx
+ORDER BY item_id, frame_idx
+"""

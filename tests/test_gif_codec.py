@@ -109,3 +109,120 @@ def test_resize_images_gif_codec_path(spark):
     (row,) = resize_images(df, "payload", "item_id", 5, 6, codec="gif").collect()
     assert (row.width, row.height) == (5, 6)
     assert decode_gif(bytes(row.payload)).shape == (6, 5, 3)
+
+
+# ---------------- animated GIF (r11): multi-frame decode ----------------
+
+from easydb_server_spark.operators.gif import (  # noqa: E402
+    decode_gif_frames,
+    encode_gif_animated,
+)
+
+
+def _pal16():
+    return np.array(
+        [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+        dtype=np.uint8,
+    )
+
+
+def test_animated_roundtrip_full_frames():
+    pal = _pal16()
+    y, x = np.mgrid[0:6, 0:8]
+    frames = [pal[(f * 3 + y * 5 + x * 7) % 16] for f in range(5)]
+    dec = decode_gif_frames(encode_gif_animated(frames))
+    assert len(dec) == 5
+    for a, b in zip(frames, dec):
+        assert (a == b).all()
+    # single-frame decode keeps its first-frame contract
+    assert (decode_gif(encode_gif_animated(frames)) == frames[0]).all()
+
+
+def test_subrectangle_frames_composite_over_canvas():
+    pal = _pal16()
+    base = pal[(np.arange(48) % 16)].reshape(6, 8, 3)
+    patch = pal[np.full((2, 3), 5)]
+    dec = decode_gif_frames(
+        encode_gif_animated([base, patch], offsets=[(0, 0), (2, 1)])
+    )
+    want = base.copy()
+    want[1:3, 2:5] = pal[5]
+    assert (dec[0] == base).all()
+    assert (dec[1] == want).all()
+
+
+def test_disposal_2_restores_background_between_frames():
+    pal = _pal16()
+    patch = pal[np.full((2, 2), 7)]
+    dec = decode_gif_frames(
+        encode_gif_animated(
+            [patch, patch], offsets=[(1, 1), (4, 3)], screen=(8, 6), disposals=[2, 0]
+        )
+    )
+    bg = dec[0][0, 0]  # background = palette[0]
+    # frame 2: the first patch's rect was restored to background
+    assert (dec[1][1:3, 1:3] == bg).all()
+    assert (dec[1][3:5, 4:6] == pal[7]).all()
+
+
+def test_disposal_3_restores_previous_canvas():
+    pal = _pal16()
+    base = pal[np.full((4, 4), 2)]
+    overlay = pal[np.full((2, 2), 9)]
+    final = pal[np.full((1, 1), 11)]
+    dec = decode_gif_frames(
+        encode_gif_animated(
+            [base, overlay, final],
+            offsets=[(0, 0), (1, 1), (0, 0)],
+            disposals=[0, 3, 0],
+        )
+    )
+    # frame 2 shows the overlay; frame 3's canvas reverted to frame 1
+    assert (dec[1][1:3, 1:3] == pal[9]).all()
+    assert (dec[2][1:3, 1:3] == pal[2]).all()
+    assert (dec[2][0, 0] == pal[11]).all()
+
+
+def test_quantize_dial_roundtrip_and_determinism():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="distinct colors > 256"):
+        encode_gif(img)
+    payload = encode_gif(img, quantize=True)
+    assert payload == encode_gif(img, quantize=True)  # deterministic
+    dec = decode_gif(payload)
+    assert dec.shape == img.shape
+    assert len(np.unique(dec.reshape(-1, 3), axis=0)) <= 256
+    # quantization error bounded: median-cut on uniform noise stays
+    # within a coarse per-channel budget (empirically ~9)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 20
+    # <=256 distinct colors stays bit-exact even with the dial on
+    pal = _pal16()
+    small = pal[(np.arange(35) % 16)].reshape(5, 7, 3)
+    assert (decode_gif(encode_gif(small, quantize=True)) == small).all()
+
+
+def test_sample_frames_decodes_real_gif_frames(spark):
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.gif import gif_decoder
+    from easydb_server_spark.operators.multimodal import sample_frames
+
+    pal = _pal16()
+    y, x = np.mgrid[0:6, 0:8]
+    frames = [pal[(f * 3 + y * 5 + x * 7) % 16] for f in range(6)]
+    blob = encode_gif_animated(frames)
+    df = spark.createDataFrame([(1, bytearray(blob))], "item_id long, payload binary")
+    out = sample_frames(df, "payload", "item_id", 3).collect()
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    # frame i samples animation frame i*6//3 = 0, 2, 4 — pixel-exact
+    for r, f in zip(out, (0, 2, 4)):
+        assert (decode_gif(bytes(r.frame)) == frames[f]).all()
+        feats = gif_decoder(bytes(r.frame))
+        assert (feats["width"], feats["height"]) == (8, 6)
+    # non-GIF payloads keep the byte-slice stub
+    stub = spark.createDataFrame(
+        [(2, bytearray(b"0123456789ab"))], "item_id long, payload binary"
+    )
+    rows = sample_frames(stub, "payload", "item_id", 3).collect()
+    assert [bytes(r.frame) for r in rows] == [b"0123", b"4567", b"89ab"]
