@@ -23,36 +23,62 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-# headline set: one per operator family — the scale-path variants a
-# user would actually run at 100 TB (e.g. MinHash-LSH and SimHash for
-# dedup; the exact all-pairs n-gram Jaccard stays in the conformance
-# suite as the correctness baseline but is not a headline operator,
-# precisely because exact all-pairs is the thing LSH exists to avoid).
-# r10 trim: sixteen sub-second low-signal shapes (trivial core-SQL
-# forms, <0.25 s scan riders — corpus_shuffle and text_shard_manifest
-# among them — and the lighter half of near-duplicate pairs, e.g.
-# dedup_minhash subsumed by dedup_minhash_pairs, bpe_apply by
-# bpe_merges) left the set to make room for the fourteen r10
-# operators (incl. the bloom-prefiltered dedup admits and the SCD2
-# history build) while keeping the compact stdout line under the
-# driver's 2000-char tail capture; all dropped entries remain
-# oracle-verified in the conformance registry.
-HEADLINE = [
-    "agg_pricing_summary",
+# FIXED COMPARISON CORE (r11, per the r10 verdict's ask #7): ~20
+# queries — the TPC-H block plus one per operator family — that appear
+# in EVERY future BENCH_rN, in THIS order, at the START of the suite
+# (suite position affects JIT warmth, so position is part of the
+# contract). The headline set around it may rotate as operators are
+# added/trimmed; `fixed_core_sec` in the bench line is the
+# round-over-round comparable number. NEVER reorder, rename, or remove
+# entries from this list — append-only is also wrong (a growing core
+# is not comparable); if an entry's operator is ever redesigned, note
+# it in SCALE.md instead.
+FIXED_CORE = [
+    # composed TPC-H workloads (scan-agg, multi-join, top-k, EXISTS)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    # one per operator family
+    "agg_pricing_summary",  # multi-measure hash aggregation
+    "join_inner_revenue",  # broadcast-dim star join
+    "skew_salted_join",  # skew mitigation
+    "ts_asof_join",  # time-series joins
+    "dedup_minhash_pairs",  # fuzzy dedup (LSH end-to-end)
+    "text_line_dedup",  # corpus-wide text dedup
+    "text_gopher_rules",  # quality rule gates
+    "sim_topk_lsh",  # ANN similarity
+    "sim_semdedup",  # embedding clustering dedup
+    "emb_quantize",  # embedding transforms
+    "multimodal_audio",  # binary-modality codec path
+    "graph_pagerank",  # iterative graph
+    "curation_pipeline",  # composed multi-operator pipeline
+]
+
+# headline set: FIXED_CORE first (never rotated), then one per
+# remaining operator family — the scale-path variants a user would
+# actually run at 100 TB (e.g. MinHash-LSH and SimHash for dedup; the
+# exact all-pairs n-gram Jaccard stays in the conformance suite as the
+# correctness baseline but is not a headline operator, precisely
+# because exact all-pairs is the thing LSH exists to avoid).
+# r10 trim: sixteen sub-second low-signal shapes left the set to make
+# room for the fourteen r10 operators while keeping the compact stdout
+# line under the driver's 2000-char tail capture; all dropped entries
+# remain oracle-verified in the conformance registry. r11: the tail
+# gains the PQ ADC search and the animated-GIF frame sampler.
+HEADLINE = FIXED_CORE + [
     "agg_count_distinct",
-    "join_inner_revenue",
-    "skew_salted_join",
     "ts_tumbling",
     "ts_session_window",
-    "ts_asof_join",
     "ts_range_join",
     "ts_resample_interp",
-    "ts_zorder_key",
     "profile_documents",
-    "profile_drift",
-    "dedup_minhash_pairs",  # end-to-end LSH dedup incl. candidate-restricted verify
     "dedup_simhash",
-    "sim_topk_lsh",
     "text_html_extract",
     "text_paragraph_dedup",
     "text_url_filter",
@@ -63,10 +89,8 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_incremental_fuzzy",
     "chunk_dedup",
-    "chunk_pack",
     "curate_source_cap",
     "text_bigram_logprob",
-    "text_curriculum",
     "dedup_ngram_spans",
     "text_ccnet_buckets",
     "text_tfidf_keywords",
@@ -74,23 +98,14 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bm25",
     "sim_hybrid_rrf",
-    "curation_pipeline",
     "crawl_pipeline",
-    # r8 additions: DSIR importance resampling, span clipping, and the
-    # published Gopher rule gate
+    # r8 additions: DSIR importance resampling, span clipping
     "curate_dsir",
-    "text_clip_spans",
-    "text_gopher_rules",
     "text_gopher_repetition",
-    "text_line_dedup",
     "text_ngram_novelty",
-    "emb_quantize",
-    "sim_semdedup",
     "sim_incremental_neardup",
     "emb_label_outliers",
     "multimodal_features",
-    # r9: the real-WAV audio modality (encode -> decode -> features)
-    "multimodal_audio",
     # r10 additions: audio bit-depth/remix path, the table-blocklist
     # URL gate, the C4 rule set + composed pipeline, NB quality
     # scoring, Aho-Corasick matching, sentence-span dedup, and the
@@ -104,25 +119,16 @@ HEADLINE = [
     "c4_pipeline",
     "emb_covariance",
     # r10 late additions: the unigram tokenizer, G.711 companding,
-    # exact signal analysis, and the purchase-graph PageRank
+    # exact signal analysis
     "text_unigram_tokenize",
     "multimodal_audio_g711",
     "multimodal_audio_analysis",
-    "graph_pagerank",
     "dedup_bloom_admits",
     "ts_scd2_history",
-    # composed TPC-H workloads (multi-join + agg + top-k)
-    "tpch_q3",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q19",
-    # r3 completions: wide scan-agg, 6-way co-nation join, the
-    # double-EXISTS anti pattern — the heaviest of the 16 new shapes
-    "tpch_q1",
-    "tpch_q5",
-    "tpch_q21",
+    # r11 additions: PQ asymmetric-distance search and the animated-GIF
+    # multi-frame sampler
+    "pq_adc_topk",
+    "multimodal_gif_frames",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries
@@ -205,6 +211,7 @@ def main() -> None:
     spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 3)
+    fixed_core_sec = round(sum(timings[n] for n in FIXED_CORE), 3)
     sf = source_dir.rstrip("/").rsplit("sf", 1)[-1].removesuffix("-mrg")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -220,6 +227,8 @@ def main() -> None:
         "metric": f"headline-suite wall-clock (median of {RUNS} warm runs per query)",
         "value": total,
         "unit": "sec",
+        "fixed_core_sec": fixed_core_sec,
+        "fixed_core": FIXED_CORE,
         "queries": timings,
         "spread": spread,
         "sf": sf_val,
@@ -240,6 +249,7 @@ def main() -> None:
             "metric": f"headline suite (median of {RUNS} warm runs)",
             "value": total,
             "unit": "sec",
+            "fixed_core_sec": fixed_core_sec,
             "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf_val,
         },
@@ -257,6 +267,7 @@ def main() -> None:
                 "metric": f"headline suite (median of {RUNS} warm runs)",
                 "value": total,
                 "unit": "sec",
+                "fixed_core_sec": fixed_core_sec,
                 "unit_queries": "centisec",
                 "queries": {k: int(round(v * 100)) for k, v in timings.items()},
                 "sf": sf_val,
@@ -265,7 +276,13 @@ def main() -> None:
         )
     if len(line) > BENCHLINE_BUDGET:
         line = json.dumps(
-            {"metric": "headline suite", "value": total, "unit": "sec", "sf": sf_val},
+            {
+                "metric": "headline suite",
+                "value": total,
+                "unit": "sec",
+                "fixed_core_sec": fixed_core_sec,
+                "sf": sf_val,
+            },
             separators=(",", ":"),
         )
     print(line)

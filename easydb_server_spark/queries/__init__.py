@@ -353,87 +353,82 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
 }
 
-# --- ROUND-10 PRIORITY WINDOW (the 50-entry prefix the driver
+# --- ROUND-11 PRIORITY WINDOW (the 50-entry prefix the driver
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
-# operator code changed this round, (2) the entries with the LEAST
-# driver-verified evidence, fill from the oldest-evidence cohort.
-# Round 10: the 7 r9 never-driver-seen oracled entries (all five
-# crawl entries, the incremental embedding probe, the audio resampler)
-# plus multimodal_audio (the WAV decode path gained 8/24-bit support
-# this round); text_gopher_repetition / text_html_extract /
-# text_url_filter / crawl_pipeline also carry r10 code changes
-# (dup_stats fold, (?i) tag regexes, blocklist-table overload). Slots
-# 9-25 are the 17 oracled entries ADDED in r10 (audio bit depths, the
-# table blocklist path, the C4 rule set + pipeline, the NB quality
-# classifier, Aho-Corasick matching, sentence-span dedup, embedding
-# covariance, the unigram tokenizer, G.711 companding, exact signal
-# analysis, purchase-graph PageRank, IVF recall@k, the GIF codec +
-# its resize path, temporal volume anomalies, per-line code
-# fraction) — new code
-# outranks evidence refresh, same policy that front-loaded the r9
-# crawl entries. Slots 26-50 are the alphabetically-first 25 of the
-# 49-entry r6-evidence cohort; the remaining 24 (join_full_outer,
-# join_left_outer, join_nonequi, join_right_outer,
-# join_semi, join_using, multimodal_features,
-# multimodal_frames, multimodal_resize, sim_topk_bruteforce,
-# sim_topk_lsh, stream_session, stream_sliding, stream_tumbling,
-# text_fingerprint, text_langid, text_mixture, text_normalize,
-# text_pack, text_quality, text_quality_prune, text_redact,
-# text_token_counts, text_vocab) are the natural r11 fill — after a
-# green r10 they are the ONLY oracled entries with evidence older
-# than r7. Rows-only entries (agg_approx_distinct,
-# stream_funnel_stateful) stay OUT — they burn a slot on `no_oracle`.
+# operator code is NEW or changed this round, (2) the entries with the
+# LEAST driver-verified evidence, fill from the oldest-evidence
+# cohort. Round 11, slots 1-3: the never-driver-seen entries added
+# this round (the PQ train/encode + ADC-search oracles, the
+# animated-GIF multi-frame sampler). Slots 4-7: r11 code changes to
+# previously-green entries — emb_covariance (rewritten fixed-point
+# two-pass, r10's one red row), agg_pricing_summary (decimal-exact
+# sums after the repartition-invariance sweep caught raw-double
+# summation), dedup_bloom_admits (persist → localCheckpoint),
+# ts_scd2_history (null-safe merge split). Slots 8-35: the ENTIRE
+# 28-entry r6-evidence cohort (the r10 verdict's ask #3 list:
+# edge_string_fns … text_vocab) — after a green r11 no oracled
+# entry's evidence is older than r7. Slots 36-50: the
+# alphabetically-first 15 of the 40-entry r7-evidence cohort
+# (chunk_dedup … profile_documents); the remaining 25 are the natural
+# r12 fill. Rows-only entries (agg_approx_distinct,
+# stream_funnel_stateful, sketch_distinct, text_compression_ratio,
+# text_unigram_train, emb_pca, audio_spectrogram) stay OUT — they
+# burn a slot on `no_oracle`.
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
-    "multimodal_audio",
-    "text_gopher_repetition",
-    "crawl_pipeline",
-    "text_html_extract",
-    "text_paragraph_dedup",
-    "text_url_filter",
-    "sim_incremental_neardup",
-    "multimodal_audio_resample",
-    "multimodal_audio_depths",
-    "text_url_blocklist",
-    "text_c4_rules",
-    "text_nb_quality",
-    "text_match_any",
-    "text_sentence_span_dedup",
-    "c4_pipeline",
+    # new in r11
+    "pq_codes",
+    "pq_adc_topk",
+    "multimodal_gif_frames",
+    # r11 code changes
     "emb_covariance",
-    "text_unigram_tokenize",
-    "multimodal_audio_g711",
-    "multimodal_audio_analysis",
-    "graph_pagerank",
-    "sim_ann_recall",
-    "multimodal_gif",
-    "multimodal_gif_resize",
-    "ts_anomaly",
-    "text_code_fraction",
-    "sketch_bloom_probe",
-    "dedup_bloom_admits",
-    "sketch_cm_words",
-    "ts_scd2_history",
-    "agg_bool_bit",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filter_clause",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_minmax_by",
-    "agg_percentiles",
     "agg_pricing_summary",
-    "agg_regr",
-    "agg_rollup",
-    "agg_stats",
-    "agg_string_agg",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "edge_groups_frame",
-    "edge_ilike",
-    "edge_introspection",
-    "edge_natural_join",
-    "edge_null_safe_misc",
-    "edge_regexp_count",
+    "dedup_bloom_admits",
+    "ts_scd2_history",
+    # the full r6-evidence cohort
+    "edge_string_fns",
+    "emb_label_outliers",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_nonequi",
+    "join_right_outer",
+    "join_semi",
+    "join_using",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "text_fingerprint",
+    "text_langid",
+    "text_mixture",
+    "text_normalize",
+    "text_pack",
+    "text_quality",
+    "text_quality_prune",
+    "text_redact",
+    "text_token_counts",
+    "text_vocab",
+    # alphabetically-first 15 of the r7-evidence cohort
+    "chunk_dedup",
+    "chunk_pack",
+    "curate_source_cap",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_source_overlap",
+    "emb_label_centroids",
+    "emb_quantize",
+    "fn_array",
+    "fn_datetime_convert",
+    "fn_hash",
+    "fn_struct_map",
+    "profile_documents",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

@@ -722,3 +722,103 @@ def test_code_fraction_pathological(spark, drawn):
     )
     want = con.execute(_CODE_FRACTION_SQL).df()
     _assert_match(got, want, "code_fraction")
+
+
+# ---------------- sketch family properties (r11, verdict ask #8) ----------------
+#
+# Example-based tests in test_sketch.py/test_bloom.py pin the happy
+# paths; these hypothesis properties pin the THEOREMS at adversarial
+# geometries: Bloom never false-negatives for any key set at any
+# (m_bits, k); Count-Min only ever overestimates at any (depth,
+# width); HLL union estimates are order-independent (merge
+# commutativity/associativity — the property that makes per-shard
+# sketch tables foldable in any order).
+
+_sketch_key = st.text(
+    alphabet=_ALPHABET.replace("\n", "") + "0123456789", min_size=0, max_size=8
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(_sketch_key, min_size=1, max_size=30),
+    others=st.lists(_sketch_key, min_size=0, max_size=10),
+    m_words=st.sampled_from([1, 2, 8]),  # m_bits 32/64/256: collision-dense
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_bloom_has_no_false_negatives_under_any_geometry(spark, keys, others, m_words, k):
+    from easydb_server_spark.operators.bloom import bloom_build, bloom_probe
+
+    m_bits = 32 * m_words
+    kdf = spark.createDataFrame([(x,) for x in keys], "key string")
+    bloom = bloom_build(kdf, "key", m_bits=m_bits, k=k)
+    probes = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(keys + others)], "pid long, key string"
+    )
+    got = {
+        r.key: r.maybe_member
+        for r in bloom_probe(probes, "key", bloom, "pid", m_bits=m_bits, k=k).collect()
+    }
+    inserted = set(keys)
+    missed = [x for x in inserted if not got[x]]
+    assert missed == [], f"false negatives at m_bits={m_bits}, k={k}: {missed}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(_sketch_key, min_size=1, max_size=40),
+    depth=st.integers(min_value=1, max_value=5),
+    width=st.sampled_from([1, 2, 7]),  # near-degenerate: every bucket collides
+)
+def test_count_min_only_overestimates_under_any_geometry(spark, keys, depth, width):
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators.sketch import cm_build, cm_estimate
+
+    df = spark.createDataFrame([(x,) for x in keys], "w string")
+    cm = cm_build(df, "w", depth=depth, width=width)
+    true = df.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    j = true.join(cm_estimate(cm, true, "w", depth=depth, width=width), "w").collect()
+    assert len(j) == len(set(keys))
+    under = [(r.w, r.est, r.c) for r in j if r.est < r.c]
+    assert under == [], f"underestimates at depth={depth}, width={width}: {under}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), _sketch_key),
+        min_size=1,
+        max_size=40,
+    ),
+    order_seed=st.integers(min_value=0, max_value=7),
+)
+def test_hll_union_estimate_is_order_independent(spark, groups, order_seed):
+    import random
+
+    from easydb_server_spark.operators.sketch import distinct_sketches, union_estimate
+
+    df = spark.createDataFrame(groups, "grp int, key string")
+    sketches = distinct_sketches(df, "key", "grp", lg_k=8).collect()
+    base = union_estimate(
+        spark.createDataFrame(sketches, distinct_sketches(df, "key", "grp", lg_k=8).schema)
+    ).first()
+    shuffled = list(sketches)
+    random.Random(order_seed).shuffle(shuffled)
+    got = union_estimate(
+        spark.createDataFrame(shuffled, distinct_sketches(df, "key", "grp", lg_k=8).schema)
+    ).first()
+    assert got.distinct_estimate == base.distinct_estimate
+    assert got.n_sketches == base.n_sketches

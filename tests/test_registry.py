@@ -5,17 +5,16 @@ verification with no failure anywhere else. Since round 10 the window
 is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
-Round-10 window (never-driver-seen first, then changed code, then
-least-driver-evidence): the 7 entries no driver round ever verified
-(all five crawl entries, the incremental embedding probe, the audio
-resampler) plus multimodal_audio (WAV decode path gained 8/24-bit
-support in r10) — this front 8 also covers every r10 change to
-pre-existing code (dup_stats fold, (?i) tag regexes, url blocklist
-tables) — then the 17 oracled entries ADDED in r10 (slots 9-25: new
-code outranks evidence refresh), then the alphabetically-first 25 of
-the 49-entry r6-evidence cohort. The 24 r6 leftovers
-(join_full_outer … text_vocab) are the natural r11 fill. Rows-only
-entries stay out of the window (they burn a slot on `no_oracle`).
+Round-11 window (never-driver-seen first, then changed code, then
+least-driver-evidence): the 3 entries added in r11 (PQ codes/ADC,
+animated-GIF frame sampling), the 4 entries whose operator code
+changed in r11 (emb_covariance fixed-point rewrite — r10's one red
+row — agg_pricing_summary decimal sums, dedup_bloom_admits
+localCheckpoint, ts_scd2_history null-safe merge), the ENTIRE
+28-entry r6-evidence cohort (the r10 verdict's ask #3), and the
+alphabetically-first 15 of the 40-entry r7-evidence cohort; the
+remaining 25 r7 entries are the natural r12 fill. Rows-only entries
+stay out of the window (they burn a slot on `no_oracle`).
 """
 
 PRIORITY_WINDOW = 50
@@ -33,7 +32,7 @@ def test_priority_window_prefix_is_stable():
     assert len(set(names)) == len(names)
 
 
-def test_window_holds_the_r10_rotation():
+def test_window_holds_the_r11_rotation():
     import glob
     import json
     import os
@@ -42,54 +41,33 @@ def test_window_holds_the_r10_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # the never-driver-seen 7 + the r10-changed audio entry lead,
-    # then the 21 oracled entries added in r10
-    assert window[:29] == [
-        "multimodal_audio",
-        "text_gopher_repetition",
-        "crawl_pipeline",
-        "text_html_extract",
-        "text_paragraph_dedup",
-        "text_url_filter",
-        "sim_incremental_neardup",
-        "multimodal_audio_resample",
-        "multimodal_audio_depths",
-        "text_url_blocklist",
-        "text_c4_rules",
-        "text_nb_quality",
-        "text_match_any",
-        "text_sentence_span_dedup",
-        "c4_pipeline",
+    # slots 1-7: the 3 r11-new entries, then the 4 r11 code changes
+    assert window[:7] == [
+        "pq_codes",
+        "pq_adc_topk",
+        "multimodal_gif_frames",
         "emb_covariance",
-        "text_unigram_tokenize",
-        "multimodal_audio_g711",
-        "multimodal_audio_analysis",
-        "graph_pagerank",
-        "sim_ann_recall",
-        "multimodal_gif",
-        "multimodal_gif_resize",
-        "ts_anomaly",
-        "text_code_fraction",
-        "sketch_bloom_probe",
+        "agg_pricing_summary",
         "dedup_bloom_admits",
-        "sketch_cm_words",
         "ts_scd2_history",
     ]
-    # positions 30-50 are the alphabetically-first 21 of the
-    # r6-evidence cohort: entries whose newest driver evidence (across
-    # all CORRECTNESS_r*.json up to r9 — the goalpost is fixed at
-    # rotation time) was round 6
+    # slots 8-50 are evidence-driven: the WHOLE r6 cohort, then the
+    # alphabetically-first 15 of the r7 cohort (newest driver evidence
+    # across CORRECTNESS_r*.json up to r10 — the goalpost is fixed at
+    # rotation time)
     newest = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 9:
+        if rnd > 10:
             continue
         with open(f) as fh:
             for name in json.load(fh):
                 newest[name] = max(newest.get(name, 0), rnd)
     r6_cohort = sorted(n for n, r in newest.items() if r == 6)
-    assert len(r6_cohort) == 49
-    assert window[29:] == r6_cohort[:21]
+    r7_cohort = sorted(n for n, r in newest.items() if r == 7)
+    assert len(r6_cohort) == 28
+    assert window[7:35] == r6_cohort
+    assert window[35:] == r7_cohort[:15]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
@@ -213,6 +191,7 @@ def test_bench_stdout_line_fits_driver_tail_capture():
             "metric": f"headline suite (median of {bench.RUNS} warm runs)",
             "value": 99999.999,
             "unit": "sec",
+            "fixed_core_sec": 99999.999,
             "queries": {n: 99.99 for n in bench.HEADLINE},
             "sf": 0.001,
         },
@@ -271,3 +250,18 @@ def test_float_emitting_entries_are_repartition_invariant(spark):
         "order-dependent float arithmetic: these entries' results "
         f"change with input partitioning: {bad}"
     )
+
+
+def test_fixed_core_is_the_headline_prefix():
+    """The fixed comparison core (r11 contract) must stay the exact
+    PREFIX of HEADLINE in its declared order — suite position is part
+    of the round-over-round comparability contract — and its
+    composition must never change (hash-locked; a legitimate redesign
+    updates this lock with an SCALE.md note)."""
+    import hashlib
+
+    import bench
+
+    assert bench.HEADLINE[: len(bench.FIXED_CORE)] == bench.FIXED_CORE
+    digest = hashlib.md5("|".join(bench.FIXED_CORE).encode()).hexdigest()
+    assert digest == "f4ef9dab9d769943b1d79651208f66ed", digest
