@@ -226,3 +226,45 @@ def test_sample_frames_decodes_real_gif_frames(spark):
     )
     rows = sample_frames(stub, "payload", "item_id", 3).collect()
     assert [bytes(r.frame) for r in rows] == [b"0123", b"4567", b"89ab"]
+
+
+def test_local_color_table_overrides_global():
+    """A frame carrying its own local color table must decode through
+    it, not the global one (hand-built payload: the encoder always
+    writes a global table, so this exercises the decoder-only path)."""
+    import struct
+
+    from easydb_server_spark.operators.gif import _lzw_encode
+
+    def img_block(x, y, w, h, indices, local_pal=None):
+        out = bytearray()
+        iflags = 0
+        if local_pal is not None:
+            n = len(local_pal)
+            depth = max(1, (n - 1).bit_length())
+            iflags = 0x80 | (depth - 1)
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, iflags)
+        if local_pal is not None:
+            table_n = 1 << depth
+            padded = list(local_pal) + [(0, 0, 0)] * (table_n - len(local_pal))
+            out += bytes(v for rgb in padded for v in rgb)
+        out.append(2)  # min code size
+        body = _lzw_encode(2, indices)
+        for i in range(0, len(body), 255):
+            chunk = body[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+        return out
+
+    red, green, blue, yellow = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", 4, 4, 0x80 | 0, 0, 0)  # GCT size field 0 -> 2 colors
+    payload += bytes(v for rgb in (red, green) for v in rgb)
+    payload += img_block(0, 0, 4, 4, [0] * 16)  # global palette: red
+    payload += img_block(0, 0, 4, 4, [1] * 16, local_pal=[blue, yellow])
+    payload += b"\x3b"
+    frames = decode_gif_frames(bytes(payload))
+    assert len(frames) == 2
+    assert (frames[0] == np.array(red, dtype=np.uint8)).all()
+    assert (frames[1] == np.array(yellow, dtype=np.uint8)).all()
