@@ -125,9 +125,11 @@ HEADLINE = FIXED_CORE + [
     "multimodal_audio_analysis",
     "dedup_bloom_admits",
     "ts_scd2_history",
-    # r11 additions: PQ asymmetric-distance search and the animated-GIF
+    # r11 additions: PQ asymmetric-distance search, the IVFADC
+    # composition (coarse cells + residual PQ), and the animated-GIF
     # multi-frame sampler
     "pq_adc_topk",
+    "ivfpq_adc_topk",
     "multimodal_gif_frames",
 ]
 

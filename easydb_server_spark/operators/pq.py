@@ -227,3 +227,134 @@ def pq_adc_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+    k_top: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFADC (Jégou 2011 §IV): the coarse IVF quantizer prunes WHICH
+    vectors are scored, product quantization of the RESIDUALS shrinks
+    WHAT each stored vector costs — the composition every large-scale
+    ANN deployment runs (FAISS ``IVFx,PQy``), here in inner-product
+    space where the decomposition is exact:
+
+        dot(q, c_cell + r̂) = dot(q, c_cell) + Σⱼ dot(qⱼ, r̂ⱼ)
+
+    so the score is one coarse dot per probed (query, cell) plus m
+    residual-LUT lookups — and unlike the L2 formulation, the LUT is
+    built on q ITSELF (not q−c), so one LUT per query serves every
+    probed cell. Every term is quantized to INT64 micro-units before
+    the sum (the fixed-point discipline), so ranking is order-free and
+    a DuckDB oracle replays the whole derivation — coarse k-means,
+    residuals, residual codebook, codes, LUT, scores — bit-for-bit.
+
+    Scale shape: centroids broadcast (n_cells·d doubles); residual
+    computation rides the assignment pass map-side; PQ training/encode
+    shuffle only (sub, code, pos) rows; the search joins the encoded
+    corpus's probed slice to the broadcast LUT and shuffles only
+    (qid, cid, partial) rows. Nothing corpus-width ever moves.
+    """
+    from easydb_server_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(corpus, vec_col, id_col, n_cells=n_cells, n_iters=1)
+    vecs = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    assigned = _assign_cells(vecs, cents, id_col="cid", vec_col="cvec", top=1)
+    resid = assigned.join(F.broadcast(cents), "cell").select(
+        "cid",
+        "cell",
+        F.zip_with("cvec", "centroid", lambda a, b: a - b).alias("rvec"),
+    )
+    # the residual table feeds train + encode; pin it once (bounded:
+    # one narrow row per corpus vector, same rationale as pq_train's
+    # codebook checkpoint)
+    resid = resid.localCheckpoint(eager=True)
+    codebook = pq_train(resid, "rvec", "cid", m=m, k=k, n_iters=1)
+    # encode WITHOUT the (assemble codes array -> re-join cell) round
+    # trip pq_encode would take: the assignment window keeps cell as a
+    # passthrough column, so the fan-out rows the search needs come
+    # straight out of the argmax (same rule as _nearest_code — the
+    # oracle replays it identically) and no corpus-width join appears
+    # in the plan (the plan audit flagged a SortMergeJoin on cid in
+    # the assembled-codes formulation).
+    width = _dim_width(queries, vec_col, m)
+    rsubs = resid.select(
+        "cid",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "rvec",
+    ).select(
+        "cid",
+        "cell",
+        "sub",
+        F.slice(F.col("rvec"), F.col("sub") * width + 1, width).alias("svec"),
+    )
+    rsim = F.round(_dot(F.col("svec"), F.col("centroid")), 6)
+    wcode = Window.partitionBy("cid", "sub").orderBy(F.col("sim").desc(), F.col("code"))
+    fan = (
+        rsubs.join(F.broadcast(codebook), "sub")
+        .select("cid", "cell", "sub", "code", rsim.alias("sim"))
+        .withColumn("r", F.row_number().over(wcode))
+        .where(F.col("r") == 1)
+        .select("cid", "cell", "sub", "code")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    probed = _assign_cells(q, cents, id_col="qid", vec_col="qvec", top=nprobe)
+    coarse = probed.join(F.broadcast(cents), "cell").select(
+        "qid",
+        "cell",
+        F.round(_dot(F.col("qvec"), F.col("centroid")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("coarse_units"),
+    )
+    lut = (
+        _subvecs(q.select(F.col("qid").alias("cid"), F.col("qvec")), "qvec", "cid", m, width)
+        .withColumnRenamed("cid", "qid")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "qid",
+            "sub",
+            "code",
+            F.round(_dot(F.col("svec"), F.col("centroid")) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("part_units"),
+        )
+    )
+    cand = fan.join(F.broadcast(coarse), "cell").join(
+        F.broadcast(lut), ["qid", "sub", "code"]
+    )
+    if exclude_self:
+        cand = cand.where(F.col("cid") != F.col("qid"))
+    scored = cand.groupBy("qid", "cid").agg(
+        (F.min("coarse_units") + F.sum("part_units")).alias("adc_units")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_units").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select(
+            "qid",
+            "cid",
+            F.round(F.col("adc_units").cast("double") / F.lit(1000000.0), 6).alias(
+                "adc_score"
+            ),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -161,6 +161,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # driver-checked, not just pytest-checked)
     "pq_codes": (llmops.q_pq_codes, llmops.ORACLE_PQ_CODES),
     "pq_adc_topk": (llmops.q_pq_adc_topk, llmops.ORACLE_PQ_ADC_TOPK),
+    "ivfpq_adc_topk": (llmops.q_ivfpq_adc_topk, llmops.ORACLE_IVFPQ_ADC_TOPK),
     # added in r11, rows-only by design (r10 verdict asks #5): the
     # eigendecomposition / FFT cores are float with no SQL-expressible
     # replay — semantics pytest-locked (test_r10_fixes.py PCA class,
@@ -357,19 +358,20 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 11, slots 1-3: the never-driver-seen entries added
-# this round (the PQ train/encode + ADC-search oracles, the
-# animated-GIF multi-frame sampler). Slots 4-7: r11 code changes to
+# cohort. Round 11, slots 1-4: the never-driver-seen entries added
+# this round (the PQ train/encode + ADC-search oracles, the IVFADC
+# composition, the animated-GIF multi-frame sampler). Slots 5-8: r11
+# code changes to
 # previously-green entries — emb_covariance (rewritten fixed-point
 # two-pass, r10's one red row), agg_pricing_summary (decimal-exact
 # sums after the repartition-invariance sweep caught raw-double
 # summation), dedup_bloom_admits (persist → localCheckpoint),
-# ts_scd2_history (null-safe merge split). Slots 8-35: the ENTIRE
+# ts_scd2_history (null-safe merge split). Slots 9-36: the ENTIRE
 # 28-entry r6-evidence cohort (the r10 verdict's ask #3 list:
 # edge_string_fns … text_vocab) — after a green r11 no oracled
-# entry's evidence is older than r7. Slots 36-50: the
-# alphabetically-first 15 of the 40-entry r7-evidence cohort
-# (chunk_dedup … profile_documents); the remaining 25 are the natural
+# entry's evidence is older than r7. Slots 37-50: the
+# alphabetically-first 14 of the 40-entry r7-evidence cohort
+# (chunk_dedup … fn_struct_map); the remaining 26 are the natural
 # r12 fill. Rows-only entries (agg_approx_distinct,
 # stream_funnel_stateful, sketch_distinct, text_compression_ratio,
 # text_unigram_train, emb_pca, audio_spectrogram) stay OUT — they
@@ -378,6 +380,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     # new in r11
     "pq_codes",
     "pq_adc_topk",
+    "ivfpq_adc_topk",
     "multimodal_gif_frames",
     # r11 code changes
     "emb_covariance",
@@ -428,7 +431,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "fn_datetime_convert",
     "fn_hash",
     "fn_struct_map",
-    "profile_documents",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

@@ -5067,12 +5067,11 @@ ORDER BY w
 
 # ---------- product quantization (operators/pq.py) ----------
 
-_PQ_CB_CTES = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-subs AS (
-  SELECT vec_id AS cid, t.s AS sub, list_slice(e, t.s * 16 + 1, t.s * 16 + 16) AS svec
-  FROM v, UNNEST(generate_series(0, 3)) t(s)
-),
+# the from-``subs`` half of the PQ derivation (seeded init, one Lloyd
+# round, encode) — shared by the raw-vector oracles (pq_codes /
+# pq_adc_topk) and the residual-vector oracle (ivfpq_adc_topk), which
+# differ only in what the ``subs`` CTE slices
+_PQ_FROM_SUBS = """
 init AS (
   SELECT sub, r - 1 AS code, svec AS centroid FROM (
     SELECT sub, svec,
@@ -5111,6 +5110,16 @@ enc AS (
   ) WHERE r = 1
 )
 """
+
+_PQ_CB_CTES = (
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+subs AS (
+  SELECT vec_id AS cid, t.s AS sub, list_slice(e, t.s * 16 + 1, t.s * 16 + 16) AS svec
+  FROM v, UNNEST(generate_series(0, 3)) t(s)
+),"""
+    + _PQ_FROM_SUBS
+)
 
 
 def _pq_artifacts(spark: SparkSession, sf_dir: str):
@@ -5342,3 +5351,124 @@ SELECT doc_id                                   AS item_id,
 FROM px GROUP BY doc_id, frame_idx
 ORDER BY item_id, frame_idx
 """
+
+
+def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC end-to-end (operators/pq.py:ivfpq_adc_topk): 8 coarse
+    IVF cells (deterministic k-means, 1 Lloyd round), product
+    quantization of the RESIDUALS (m=4 × k=8, 1 round), nprobe=2
+    search for 8 corpus queries scored as coarse-dot + m residual-LUT
+    lookups in INT64 micro-units. The oracle replays the entire
+    derivation — coarse centroids, assignments, residuals, residual
+    codebook, codes, LUT, score arithmetic — bit-for-bit."""
+    from easydb_server_spark.operators.pq import ivfpq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return ivfpq_adc_topk(
+        e, q, "embedding", "vec_id", m=4, k=8, n_cells=8, nprobe=2, k_top=5
+    ).orderBy("qid", "rank")
+
+
+ORACLE_IVFPQ_ADC_TOPK = (
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cinit AS (
+  SELECT vec_id AS cell, e AS centroid FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+ca0 AS (
+  SELECT cid, cell FROM (
+    SELECT v.vec_id AS cid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_dot_product(v.e, c.centroid), 6) DESC,
+                                       c.cell) AS r
+    FROM v CROSS JOIN cinit c
+  ) WHERE r = 1
+),
+cupd AS (
+  SELECT ca0.cell, t.i AS pos, ROUND(AVG(v.e[t.i]), 5) AS m
+  FROM ca0 JOIN v ON v.vec_id = ca0.cid,
+       UNNEST(generate_series(1, 64)) t(i)
+  GROUP BY ca0.cell, t.i
+),
+cnew AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cupd GROUP BY cell),
+cents AS (
+  SELECT i.cell, COALESCE(n.centroid, i.centroid) AS centroid
+  FROM cinit i LEFT JOIN cnew n ON n.cell = i.cell
+),
+cassigned AS (
+  SELECT cid, cell FROM (
+    SELECT v.vec_id AS cid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_dot_product(v.e, c.centroid), 6) DESC,
+                                       c.cell) AS r
+    FROM v CROSS JOIN cents c
+  ) WHERE r = 1
+),
+rx AS (
+  SELECT a.cid, a.cell, t.i AS pos, v.e[t.i] - c.centroid[t.i] AS val
+  FROM cassigned a JOIN v ON v.vec_id = a.cid
+       JOIN cents c ON c.cell = a.cell,
+       UNNEST(generate_series(1, 64)) t(i)
+),
+rv AS (SELECT cid, cell, list(val ORDER BY pos) AS rvec FROM rx GROUP BY cid, cell),
+subs AS (
+  SELECT cid, t.s AS sub, list_slice(rvec, t.s * 16 + 1, t.s * 16 + 16) AS svec
+  FROM rv, UNNEST(generate_series(0, 3)) t(s)
+),"""
+    + _PQ_FROM_SUBS
+    + """,
+probed AS (
+  SELECT qid, cell FROM (
+    SELECT v.vec_id AS qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY ROUND(list_dot_product(v.e, c.centroid), 6) DESC,
+                                       c.cell) AS r
+    FROM v CROSS JOIN cents c
+    WHERE v.vec_id < 8
+  ) WHERE r <= 2
+),
+coarse AS (
+  SELECT p.qid, p.cell,
+         CAST(ROUND(list_dot_product(qv.e, c.centroid) * 1000000.0, 0) AS BIGINT)
+           AS coarse_units
+  FROM probed p JOIN cents c ON c.cell = p.cell
+       JOIN v qv ON qv.vec_id = p.qid
+),
+qsubs AS (
+  SELECT vec_id AS qid, t.s AS sub,
+         list_slice(e, t.s * 16 + 1, t.s * 16 + 16) AS svec
+  FROM v, UNNEST(generate_series(0, 3)) t(s)
+  WHERE vec_id < 8
+),
+lut AS (
+  SELECT q.qid, q.sub, c.code,
+         CAST(ROUND(list_dot_product(q.svec, c.centroid) * 1000000.0, 0) AS BIGINT)
+           AS part_units
+  FROM qsubs q JOIN cb c ON c.sub = q.sub
+),
+cand AS (
+  SELECT co.qid, f.cid, co.coarse_units, l.part_units
+  FROM enc f
+       JOIN rv ON rv.cid = f.cid
+       JOIN coarse co ON co.cell = rv.cell
+       JOIN lut l ON l.qid = co.qid AND l.sub = f.sub AND l.code = f.code
+  WHERE f.cid != co.qid
+),
+scored AS (
+  SELECT qid, cid, MIN(coarse_units) + SUM(part_units) AS adc_units
+  FROM cand GROUP BY qid, cid
+),
+ranked AS (
+  SELECT qid, cid, adc_units,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_units DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid,
+       ROUND(CAST(adc_units AS DOUBLE) / 1000000.0, 6) AS adc_score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+)

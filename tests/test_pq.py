@@ -130,3 +130,70 @@ def test_adc_plan_broadcasts_lut_no_cartesian(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------- IVFADC composition (r11) ----------------
+
+from easydb_server_spark.operators.pq import ivfpq_adc_topk  # noqa: E402
+
+
+def _clustered(spark, n_clusters=8, per=16, dim=DIM, seed=13):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 3.0
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(size=(per, dim)) * 0.15
+        for i, p in enumerate(pts):
+            rows.append((c * per + i, [float(v) for v in p]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_recalls_cluster_mates(spark):
+    emb = _clustered(spark)
+    q = emb.where(F.col("vec_id") % 16 == 0)  # one query per cluster
+    top = ivfpq_adc_topk(
+        emb, q, "embedding", "vec_id", m=M, k=K, n_cells=8, nprobe=2, k_top=5
+    )
+    rows = top.collect()
+    assert {r.qid for r in rows} == {c * 16 for c in range(8)}
+    # IVFADC scores rank cluster mates first: every hit shares the
+    # query's cluster (vec_id // 16)
+    same = [r for r in rows if r.cid // 16 == r.qid // 16]
+    assert len(same) / len(rows) > 0.9
+    # ranks are 1..5 per query, self excluded
+    for r in rows:
+        assert 1 <= r.rank <= 5 and r.cid != r.qid
+
+
+def test_ivfpq_is_deterministic_across_partitionings(spark):
+    emb = _clustered(spark, seed=29)
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(
+        map(
+            tuple,
+            ivfpq_adc_topk(
+                emb.repartition(1), q, "embedding", "vec_id", m=M, k=K, n_cells=8
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_adc_topk(
+                emb.repartition(32), q, "embedding", "vec_id", m=M, k=K, n_cells=8
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_ivfpq_score_tracks_true_dot(spark):
+    emb = _clustered(spark, seed=31)
+    q = emb.where(F.col("vec_id") == 0)
+    top = ivfpq_adc_topk(emb, q, "embedding", "vec_id", m=M, k=K, n_cells=8, k_top=5)
+    orig = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    for r in top.collect():
+        true = float(np.dot(orig[0], orig[r.cid]))
+        # coarse dot + residual reconstruction: tight clusters keep
+        # the quantization error small relative to |dot| ~ 9·dim·0.1
+        assert abs(true - r.adc_score) / max(abs(true), 1.0) < 0.25

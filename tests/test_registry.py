@@ -6,14 +6,15 @@ is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
 Round-11 window (never-driver-seen first, then changed code, then
-least-driver-evidence): the 3 entries added in r11 (PQ codes/ADC,
-animated-GIF frame sampling), the 4 entries whose operator code
+least-driver-evidence): the 4 entries added in r11 (PQ codes/ADC,
+the IVFADC composition, animated-GIF frame sampling), the 4 entries
+whose operator code
 changed in r11 (emb_covariance fixed-point rewrite — r10's one red
 row — agg_pricing_summary decimal sums, dedup_bloom_admits
 localCheckpoint, ts_scd2_history null-safe merge), the ENTIRE
 28-entry r6-evidence cohort (the r10 verdict's ask #3), and the
-alphabetically-first 15 of the 40-entry r7-evidence cohort; the
-remaining 25 r7 entries are the natural r12 fill. Rows-only entries
+alphabetically-first 14 of the 40-entry r7-evidence cohort; the
+remaining 26 r7 entries are the natural r12 fill. Rows-only entries
 stay out of the window (they burn a slot on `no_oracle`).
 """
 
@@ -41,10 +42,11 @@ def test_window_holds_the_r11_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # slots 1-7: the 3 r11-new entries, then the 4 r11 code changes
-    assert window[:7] == [
+    # slots 1-8: the 4 r11-new entries, then the 4 r11 code changes
+    assert window[:8] == [
         "pq_codes",
         "pq_adc_topk",
+        "ivfpq_adc_topk",
         "multimodal_gif_frames",
         "emb_covariance",
         "agg_pricing_summary",
@@ -66,8 +68,8 @@ def test_window_holds_the_r11_rotation():
     r6_cohort = sorted(n for n, r in newest.items() if r == 6)
     r7_cohort = sorted(n for n, r in newest.items() if r == 7)
     assert len(r6_cohort) == 28
-    assert window[7:35] == r6_cohort
-    assert window[35:] == r7_cohort[:15]
+    assert window[8:36] == r6_cohort
+    assert window[36:] == r7_cohort[:14]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
