@@ -19,6 +19,8 @@ import pandas as pd  # module-level: pandas_udf resolves postponed type hints ag
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from easydb_server_spark.functions.exactround import round_div
+
 LSH_PLANES = 8  # sign bits per vector → 256 buckets
 LSH_SEED = 42
 
@@ -1054,12 +1056,28 @@ def emb_covariance(
     shuffled (the naive per-row double explode shuffles N·d² rows).
     """
     s1, s2 = float(mean_scale), float(prod_scale)
+    # INT64 guard (advisor r11): quantization silently WRAPS in numpy
+    # when |x| blows past the documented headroom. Per-batch bound:
+    # |x| <= xmax keeps |floor(x*s1)| and every |centered product*s2|
+    # at least 2^12 batches away from 2^63 (batch rows <= ~2^17).
+    xmax = float(np.sqrt(2.0**63 / (2.0**29 * s2)))
+
+    def _check_magnitude(x):
+        m = float(np.max(np.abs(x))) if x.size else 0.0
+        if m > xmax:
+            raise ValueError(
+                f"emb_covariance: max|x|={m:.3g} exceeds the INT64 "
+                f"fixed-point headroom ({xmax:.3g}) at prod_scale="
+                f"{int(s2)}; lower mean_scale/prod_scale for "
+                "wide-magnitude embeddings"
+            )
 
     def mean_partials(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            _check_magnitude(x)
             q = np.floor(x * s1).astype(np.int64)
             yield pd.DataFrame(
                 [(len(x), q.sum(axis=0).tolist())], columns=["n", "qs"]
@@ -1077,6 +1095,10 @@ def emb_covariance(
         return spark.createDataFrame([], "i int, j int, cov double")
     d = len(mrows)
     n = int(mrows[0].n)
+    if n < 2:
+        # sample covariance undefined for n < 2 (and the exact-round
+        # denominator 10*(n-1) would be zero)
+        return df.sparkSession.createDataFrame([], "i int, j int, cov double")
     mu = np.zeros(d)
     for r in mrows:
         mu[r.i] = r.qsum / (n * s1)
@@ -1098,7 +1120,14 @@ def emb_covariance(
             yield pd.DataFrame([(g.ravel().tolist(),)], columns=["g"])
 
     p2 = df.select(vec_col).mapInPandas(gram_partials, "g array<bigint>")
-    denom = float(n - 1) * s2
+    # Final rounding happens in exact BIGINT (half-away-from-zero ==
+    # BigDecimal HALF_UP), NEVER on the double quotient: cov =
+    # qsum/((n-1)*prod_scale) is a small-denominator rational that
+    # lands on exact 5-decimal midpoints with probability ~1/(n-1) per
+    # cell, and Spark/DuckDB round(double) tie-break DIFFERENTLY by
+    # design (shortest-decimal HALF_UP vs binary value — the r10/r11
+    # driver reds). round_div_sql decides the tie in integers; the
+    # conformance oracle replays the identical formula.
     return (
         p2.select(F.posexplode("g").alias("idx", "v"))
         .groupBy("idx")
@@ -1106,7 +1135,7 @@ def emb_covariance(
         .select(
             (F.col("idx") / d).cast("int").alias("i"),
             (F.col("idx") % d).cast("int").alias("j"),
-            F.round(F.col("qsum").cast("double") / F.lit(denom), 5).alias("cov"),
+            round_div("qsum", f"CAST({n - 1} AS BIGINT) * {int(s2)}", 5).alias("cov"),
         )
     )
 

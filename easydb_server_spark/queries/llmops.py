@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from easydb_server_spark.functions.exactround import round_div_sql
 from easydb_server_spark.operators import dedup as D
 from easydb_server_spark.operators import similarity as S
 from easydb_server_spark.operators import text as T
@@ -3761,10 +3762,13 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact INT64 means first (floor(x·1e7) sums), then centered
     products quantized per-row to floor((xi−μi)(xj−μj)·1e6) INT64
     before ANY summation, so the result is bit-identical under any
-    partitioning. The oracle replays the identical quantized
-    arithmetic over the same vectors — every intermediate is either
-    an exact integer or a pure per-row IEEE expression, so the two
-    engines agree on every run, not most runs."""
+    partitioning. The final 5-decimal rounding is ALSO integer-exact
+    (functions/exactround: half-away-from-zero on the BIGINT rational,
+    never ROUND(double) — whose midpoint tie-break differs between
+    Spark and DuckDB by design). The oracle replays the identical
+    quantized arithmetic AND the identical integer rounding over the
+    same vectors, so the two engines agree on every run, not most
+    runs."""
     e = load(spark, sf_dir, "embeddings")
     return S.emb_covariance(e, "embedding").orderBy("i", "j")
 
@@ -3793,10 +3797,10 @@ q AS (
   GROUP BY a.i, b.i
 )
 SELECT CAST(q.i AS INT) AS i, CAST(q.j AS INT) AS j,
-       ROUND(CAST(q.qsum AS DOUBLE) / ((n.n - 1) * 1000000.0), 5) AS cov
+       {cov_round} AS cov
 FROM q CROSS JOIN n
 ORDER BY i, j
-"""
+""".format(cov_round=round_div_sql("q.qsum", "(n.n - 1) * 1000000", 5, "duckdb"))
 
 
 def q_text_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
