@@ -15,6 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from easydb_server_spark.functions.exactround import round_div
+
 
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-column profile: row count, null count/rate, exact distinct
@@ -55,10 +57,21 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
             F.col("p.column").alias("column"),
             F.lit(n).alias("n_rows"),
             F.col("p.n_null").alias("n_null"),
-            F.round(F.col("p.n_null") / F.lit(max(n, 1)), 6).alias("null_rate"),
             F.col("p.n_distinct").alias("n_distinct"),
             F.col("p.min_value").alias("min_value"),
             F.col("p.max_value").alias("max_value"),
+        )
+        .select(
+            "column",
+            "n_rows",
+            "n_null",
+            # n_null/n is a count rational: round it in exact INT64
+            # (functions/exactround) — ROUND(double, 6) tie-breaks
+            # 6-decimal midpoints differently on Spark vs DuckDB
+            round_div("n_null", str(max(n, 1)), 6).alias("null_rate"),
+            "n_distinct",
+            "min_value",
+            "max_value",
         )
     )
 

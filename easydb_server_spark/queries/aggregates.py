@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from easydb_server_spark.functions.exactround import round_div, round_div_sql
 from easydb_server_spark.queries._util import load
 
 
@@ -30,8 +31,10 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast to compact decimal BEFORE summing so the sums are exact and
     order-free (the repartition-invariance sweep caught the raw-double
     formulation flipping a ROUND(,2) boundary between partitionings);
-    averages divide the exact decimal sum CAST AS DOUBLE by the exact
-    count — one IEEE division, identical on both sides.
+    averages round the exact rational sum/count in INT64
+    (functions/exactround — ROUND(double, k) tie-breaks midpoints
+    differently on Spark vs DuckDB, and avg over a count denominator
+    hits exact midpoints at ~1/count per group).
     """
     li = load(spark, sf_dir, "lineitem")
     money = "decimal(10,2)"
@@ -48,29 +51,48 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
             F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum(vol), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
-            F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
+            (F.sum(qty) * 100).cast("bigint").alias("_nq"),
+            (F.sum(disc) * 100).cast("bigint").alias("_nd"),
             cnt.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            round_div("_nq", "count_order * 100", 4).alias("avg_qty"),
+            round_div("_nd", "count_order * 100", 4).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 ORACLE_PRICING_SUMMARY = """
-SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)
-            AS DOUBLE)                                                       AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
-       COUNT(*)                                                              AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       {avg_qty} AS avg_qty,
+       {avg_disc} AS avg_disc,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2)
+              AS DOUBLE)                                                       AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT)     AS _nq,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT)     AS _nd,
+         COUNT(*)                                                             AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 ORDER BY l_returnflag, l_linestatus
-"""
+""".format(
+    avg_qty=round_div_sql("_nq", "count_order * 1000000", 4, "duckdb"),
+    avg_disc=round_div_sql("_nd", "count_order * 1000000", 4, "duckdb"),
+)
 
 
 def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

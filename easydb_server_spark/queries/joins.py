@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from easydb_server_spark.functions.exactround import round_div, round_div_sql
 from easydb_server_spark.queries._util import load
 
 
@@ -221,19 +222,36 @@ def q_join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
         )
         .groupBy("band")
-        .agg(F.count("*").alias("parts"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .agg(
+            F.count("*").alias("parts"),
+            # avg over a count denominator: round the exact rational in
+            # INT64 (functions/exactround), never ROUND(double) — Spark
+            # and DuckDB tie-break decimal midpoints differently.
+            (F.sum(F.col("p_retailprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("_np"),
+        )
+        .select(
+            "band",
+            "parts",
+            round_div("_np", "parts * 100", 2).alias("avg_price"),
+        )
         .orderBy("band")
     )
 
 
 ORACLE_NONEQUI = """
-SELECT band, COUNT(*) AS parts, ROUND(AVG(p_retailprice), 2) AS avg_price
-FROM part
-JOIN (VALUES ('budget', 0.0, 940.0), ('mid', 940.0, 975.0), ('premium', 975.0, 1e12)) b(band, lo, hi)
-  ON p_retailprice >= lo AND p_retailprice < hi
-GROUP BY band
+SELECT band, parts, {avg_price} AS avg_price
+FROM (
+  SELECT band, COUNT(*) AS parts,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS _np
+  FROM part
+  JOIN (VALUES ('budget', 0.0, 940.0), ('mid', 940.0, 975.0), ('premium', 975.0, 1e12)) b(band, lo, hi)
+    ON p_retailprice >= lo AND p_retailprice < hi
+  GROUP BY band
+)
 ORDER BY band
-"""
+""".format(avg_price=round_div_sql("_np", "parts * 100", 2, "duckdb"))
 
 
 def q_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:

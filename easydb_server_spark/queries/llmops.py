@@ -2725,11 +2725,11 @@ per AS (
          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
 )
 SELECT per.column, n.n_rows, per.n_null,
-       ROUND(CAST(per.n_null AS DOUBLE) / GREATEST(n.n_rows, 1), 6) AS null_rate,
+       {null_rate} AS null_rate,
        per.n_distinct, per.min_value, per.max_value
 FROM per, n
 ORDER BY per.column
-"""
+""".format(null_rate=round_div_sql("per.n_null", "GREATEST(n.n_rows, 1)", 6, "duckdb"))
 
 
 def q_quality_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2808,28 +2808,36 @@ cand AS (
   FROM documents WHERE doc_id >= 250
 ),
 rp AS (
-  SELECT 'lang' AS column,
-         ROUND(CAST(COUNT(*) - COUNT(lang) AS DOUBLE) / GREATEST(COUNT(*), 1), 6) AS nr,
-         CAST(COUNT(DISTINCT lang) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
-  FROM ref
+  SELECT 'lang' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  FROM (SELECT COUNT(*) - COUNT(lang) AS nn, GREATEST(COUNT(*), 1) AS nd,
+               CAST(COUNT(DISTINCT lang) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+        FROM ref)
   UNION ALL
-  SELECT 'source', ROUND(CAST(COUNT(*) - COUNT(source) AS DOUBLE) / GREATEST(COUNT(*), 1), 6),
-         CAST(COUNT(DISTINCT source) AS DOUBLE) / GREATEST(COUNT(*), 1) FROM ref
+  SELECT 'source' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  FROM (SELECT COUNT(*) - COUNT(source) AS nn, GREATEST(COUNT(*), 1) AS nd,
+               CAST(COUNT(DISTINCT source) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+        FROM ref)
   UNION ALL
-  SELECT 'n_chars', ROUND(CAST(COUNT(*) - COUNT(n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1), 6),
-         CAST(COUNT(DISTINCT n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1) FROM ref
+  SELECT 'n_chars' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  FROM (SELECT COUNT(*) - COUNT(n_chars) AS nn, GREATEST(COUNT(*), 1) AS nd,
+               CAST(COUNT(DISTINCT n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+        FROM ref)
 ),
 cp AS (
-  SELECT 'lang' AS column,
-         ROUND(CAST(COUNT(*) - COUNT(lang) AS DOUBLE) / GREATEST(COUNT(*), 1), 6) AS nr,
-         CAST(COUNT(DISTINCT lang) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
-  FROM cand
+  SELECT 'lang' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  FROM (SELECT COUNT(*) - COUNT(lang) AS nn, GREATEST(COUNT(*), 1) AS nd,
+               CAST(COUNT(DISTINCT lang) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+        FROM cand)
   UNION ALL
-  SELECT 'source', ROUND(CAST(COUNT(*) - COUNT(source) AS DOUBLE) / GREATEST(COUNT(*), 1), 6),
-         CAST(COUNT(DISTINCT source) AS DOUBLE) / GREATEST(COUNT(*), 1) FROM cand
+  SELECT 'source' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  FROM (SELECT COUNT(*) - COUNT(source) AS nn, GREATEST(COUNT(*), 1) AS nd,
+               CAST(COUNT(DISTINCT source) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+        FROM cand)
   UNION ALL
-  SELECT 'n_chars', ROUND(CAST(COUNT(*) - COUNT(n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1), 6),
-         CAST(COUNT(DISTINCT n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1) FROM cand
+  SELECT 'n_chars' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  FROM (SELECT COUNT(*) - COUNT(n_chars) AS nn, GREATEST(COUNT(*), 1) AS nd,
+               CAST(COUNT(DISTINCT n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+        FROM cand)
 )
 SELECT rp."column", rp.nr AS ref_null_rate, cp.nr AS cand_null_rate,
        ROUND(cp.nr - rp.nr, 6) AS null_rate_increase,

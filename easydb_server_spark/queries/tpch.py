@@ -39,6 +39,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from easydb_server_spark.functions.exactround import round_div, round_div_sql
 from easydb_server_spark.queries._util import load
 
 # Compact-decimal fast path: Spark decimals with precision <= 18 live in
@@ -241,25 +242,38 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     vol = F.col("l_extendedprice").cast(_MONEY) * _one_minus_disc()
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(14,4)"))
-    return li.join(p, li.l_partkey == p.p_partkey).agg(
-        F.round(F.sum(promo) * 100 / F.sum(vol), 6).cast("double").alias("promo_revenue_pct")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            # exact decimal(·,4) sums -> unscaled INT64; the percentage
+            # rounds the exact rational 100*_np/_nv in integer space
+            # (functions/exactround) so midpoint tie-breaks can't
+            # diverge between engines
+            (F.sum(promo) * 10000).cast("bigint").alias("_np"),
+            (F.sum(vol) * 10000).cast("bigint").alias("_nv"),
+        )
+        .select(round_div("_np * 100", "_nv", 6).alias("promo_revenue_pct"))
     )
 
 
 ORACLE_TPCH_Q14 = """
-SELECT CAST(ROUND(
-         SUM(CASE WHEN p_type = 'PROMO'
-                  THEN CAST(l_extendedprice AS DECIMAL(18,6))
-                       * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
-                  ELSE CAST(0 AS DECIMAL(18,6)) END) * 100
-         / SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 6)
-       AS DOUBLE) AS promo_revenue_pct
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-06-01'
-  AND l_shipdate <  TIMESTAMP '1997-07-01'
-"""
+SELECT {pct} AS promo_revenue_pct
+FROM (
+  SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                         * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,4)) * 10000
+            AS BIGINT) AS _np,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                   AS DECIMAL(38,4)) * 10000
+            AS BIGINT) AS _nv
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    AND l_shipdate <  TIMESTAMP '1997-07-01'
+)
+""".format(pct=round_div_sql("_np * 100", "_nv", 6, "duckdb"))
 
 
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:

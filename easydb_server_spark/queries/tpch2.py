@@ -29,6 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from easydb_server_spark.functions.exactround import round_div, round_div_sql
 from easydb_server_spark.queries._util import load
 
 # Compact-decimal fast path (see queries/tpch.py): keep every decimal
@@ -70,31 +71,50 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum(_vol()), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
-            F.round(
-                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_price"),
-            F.round(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            # averages: exact INT64 rounding of sum/count (exactround
+            # — ROUND(double) is engine-ambiguous at 6-dec midpoints)
+            (F.sum(_dec("l_quantity")) * 100).cast("bigint").alias("_nq"),
+            (F.sum(_dec("l_extendedprice")) * 100).cast("bigint").alias("_np"),
+            (F.sum(_dec("l_discount")) * 100).cast("bigint").alias("_nd"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            round_div("_nq", "count_order * 100", 6).alias("avg_qty"),
+            round_div("_np", "count_order * 100", 6).alias("avg_price"),
+            round_div("_nd", "count_order * 100", 6).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 ORACLE_TPCH_Q1 = f"""
-SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(ROUND(SUM({_VOL_SQL}), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(ROUND(SUM({_VOL_SQL} * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))), 2)
-            AS DOUBLE) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2001-09-01'
-GROUP BY l_returnflag, l_linestatus
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       {round_div_sql("_nq", "count_order * 1000000", 6, "duckdb")} AS avg_qty,
+       {round_div_sql("_np", "count_order * 1000000", 6, "duckdb")} AS avg_price,
+       {round_div_sql("_nd", "count_order * 1000000", 6, "duckdb")} AS avg_disc,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(ROUND(SUM({_VOL_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+         CAST(ROUND(SUM({_VOL_SQL} * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6)))), 2)
+              AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS _nq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS _np,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS _nd,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+  GROUP BY l_returnflag, l_linestatus
+)
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -309,10 +329,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.groupBy("o_year")
         .agg(
-            F.round(F.sum(nat).cast("double") / F.sum("volume").cast("double"), 6).alias(
-                "mkt_share"
-            )
+            # both sums are exact decimal(·,4); the share rounds the
+            # exact integer rational in INT64 (functions/exactround)
+            (F.sum(nat) * 10000).cast("bigint").alias("_nn"),
+            (F.sum("volume") * 10000).cast("bigint").alias("_nv"),
         )
+        .select("o_year", round_div("_nn", "_nv", 6).alias("mkt_share"))
         .orderBy("o_year")
     )
 
@@ -333,12 +355,16 @@ WITH base AS (
   WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
     AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
 )
-SELECT o_year,
-       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
-                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
-FROM base
-GROUP BY o_year
+SELECT o_year, {round_div_sql("_nn", "_nv", 6, "duckdb")} AS mkt_share
+FROM (
+  SELECT o_year,
+         CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,4)) * 10000
+              AS BIGINT) AS _nn,
+         CAST(CAST(SUM(volume) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS _nv
+  FROM base
+  GROUP BY o_year
+)
 ORDER BY o_year
 """
 
@@ -579,9 +605,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .join(thr, li.l_partkey == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_thr"))
-        .agg(
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly")
-        )
+        .agg((F.sum(_dec("l_extendedprice")) * 100).cast("bigint").alias("_ne"))
+        # denominator 7 is the smallest in the suite — exact midpoints
+        # at 2 decimals every 7*100 units of _ne; round in INT64
+        .select(round_div("_ne", "7 * 100", 2).alias("avg_yearly"))
     )
 
 
@@ -591,13 +618,16 @@ WITH thr AS (
          0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS qty_thr
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN thr  ON l_partkey = t_partkey
-WHERE p_brand = 'Brand#23'
-  AND l_quantity < qty_thr
-"""
+SELECT {avg_yearly} AS avg_yearly
+FROM (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS _ne
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN thr  ON l_partkey = t_partkey
+  WHERE p_brand = 'Brand#23'
+    AND l_quantity < qty_thr
+)
+""".format(avg_yearly=round_div_sql("_ne", "7 * 1000000", 2, "duckdb"))
 
 
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
