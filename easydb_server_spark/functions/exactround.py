@@ -96,3 +96,41 @@ def round_div(num: str, den: str, k: int) -> Column:
     BIGINT numerators first, then apply this in a parent projection).
     """
     return F.expr(round_div_sql(num, den, k, "spark"))
+
+
+def round_ratio(num: Column, den: Column, k: int) -> Column:
+    """Column-composable ROUND(num/den, k), half-away-from-zero, exact
+    — the in-row twin of :func:`round_div` for per-document ratios
+    (dup-word fractions, jaccard, coverage rates) whose num/den are
+    Column EXPRESSIONS, not aliased names.
+
+    Same chunked algorithm; integer division is expressed as
+    ``(x - x % d) / d`` — the float division is EXACT because the
+    dividend is an exact multiple of ``d`` and both fit in 2^53
+    (headroom contract: ``|num| < 2^53`` and ``100*den < 2^53`` —
+    per-row counts are nowhere near it). ``den`` must be > 0.
+
+    The oracle side of a site using this must replay
+    :func:`round_div_sql` (duckdb dialect) over the same integer
+    num/den — both compute the identical integer function.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    x = F.abs(num.cast("bigint"))
+    d = den.cast("bigint")
+
+    def idiv(a: Column) -> Column:
+        return ((a - a % d) / d).cast("bigint")
+
+    q = idiv(x)
+    r = x % d
+    t = k
+    while t > 0:
+        step = 2 if t >= 2 else 1
+        m = F.lit(10**step)
+        q = q * m + idiv(r * m)
+        r = (r * m) % d
+        t -= step
+    q = q + F.when(F.lit(2) * r >= d, F.lit(1)).otherwise(F.lit(0))
+    signed = F.when(num < 0, -q).otherwise(q)
+    return signed.cast("double") / F.lit(float(10**k))

@@ -27,6 +27,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from easydb_server_spark.functions.exactround import round_ratio
+
 # universal-hash family parameters (deterministic; shared with oracles)
 MINHASH_P = 4294967311  # prime > 2^32
 MINHASH_N = 16  # signature length
@@ -274,9 +276,13 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
         .withColumn("n_inter", F.size(F.array_intersect("shingles_a", "shingles_b")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.size("shingles_a") + F.size("shingles_b") - F.col("n_inter")),
+            # exact INT64 rounding (functions/exactround): n/d count
+            # rationals land on 6-dec midpoints whenever the reduced
+            # denominator is 2^7*5^j, and ROUND(double) tie-breaks
+            # them differently on Spark vs DuckDB
+            round_ratio(
+                F.col("n_inter"),
+                F.size("shingles_a") + F.size("shingles_b") - F.col("n_inter"),
                 6,
             ),
         )
@@ -425,7 +431,12 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")), 6))
+        .withColumn(
+            "jaccard",
+            round_ratio(
+                F.col("n_inter"), F.col("sh_a") + F.col("sh_b") - F.col("n_inter"), 6
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -585,8 +596,8 @@ def source_overlap(
             "n_shared",
             "n_a",
             "n_b",
-            F.round(
-                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            round_ratio(
+                F.col("n_shared"), F.col("n_a") + F.col("n_b") - F.col("n_shared"), 6
             ).alias("overlap_jaccard"),
         )
     )

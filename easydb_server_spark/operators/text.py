@@ -28,6 +28,8 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from easydb_server_spark.functions.exactround import round_ratio
+
 # tiny deterministic stopword profiles per language (shared with oracles)
 LANG_PROFILES: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "a", "is"],
@@ -74,11 +76,18 @@ def _quality_col(t) -> F.Column:
     n_words = F.size(words)
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     en_stop = _profile_hits(words, LANG_PROFILES["en"])
-    return F.round(
-        (n_words / 400.0) + (en_stop / F.greatest(n_words, F.lit(1)) * 2.0)
-        - (n_punct / F.greatest(n_chars, F.lit(1)) * 5.0),
-        6,
+    # score = nw/400 + 2*stop/GW - 5*punct/GC as ONE exact rational
+    # (common denominator 400*GW*GC), rounded in INT64 via
+    # functions/exactround — the float-composite ROUND(double, 6) form
+    # tie-breaks exact 6-decimal midpoints differently across engines
+    gw = F.greatest(n_words, F.lit(1)).cast("bigint")
+    gc = F.greatest(n_chars, F.lit(1)).cast("bigint")
+    num = (
+        n_words.cast("bigint") * gw * gc
+        + F.lit(800).cast("bigint") * en_stop.cast("bigint") * gc
+        - F.lit(2000).cast("bigint") * n_punct.cast("bigint") * gw
     )
+    return round_ratio(num, F.lit(400).cast("bigint") * gw * gc, 6)
 
 
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -206,7 +215,7 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.size(ws).alias("ws_tokens"),
         F.size(bpe).alias("bpe_tokens"),
         F.size(F.array_distinct(ws)).alias("distinct_tokens"),
-        F.round(F.size(F.array_distinct(ws)) / F.size(ws), 6).alias("type_token_ratio"),
+        round_ratio(F.size(F.array_distinct(ws)), F.size(ws), 6).alias("type_token_ratio"),
     )
 
 
@@ -428,7 +437,7 @@ def length_histogram(df: DataFrame, len_col: str, group_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n").alias("min_len"),
             F.max("n").alias("max_len"),
-            F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 2).alias("avg_len"),
+            round_ratio(F.sum("n"), F.count(F.lit(1)), 2).alias("avg_len"),
         )
     )
 
@@ -675,11 +684,11 @@ def repetition_metrics(
         .groupBy("doc_id", "n_words", "n_dup_words")
         .agg(F.max("n").cast("int").alias("top_bigram_n"), F.sum("n").alias("n_bigrams"))
     )
-    dup_frac = F.round(
-        F.col("n_dup_words") / F.greatest(F.col("n_words"), F.lit(1)), 6
+    dup_frac = round_ratio(
+        F.col("n_dup_words"), F.greatest(F.col("n_words"), F.lit(1)), 6
     )
-    top_frac = F.round(
-        F.col("top_bigram_n") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+    top_frac = round_ratio(
+        F.col("top_bigram_n"), F.greatest(F.col("n_bigrams"), F.lit(1)), 6
     )
     return per_doc.select(
         "doc_id",
@@ -2871,7 +2880,7 @@ def code_fraction(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     code_lines = F.filter(lines, _is_code_line)
     n_lines = F.size(lines)
     n_code = F.size(code_lines)
-    frac = F.round(n_code.cast("double") / F.greatest(n_lines, F.lit(1)), 6)
+    frac = round_ratio(n_code, F.greatest(n_lines, F.lit(1)), 6)
     has_fence = F.col(text_col).contains("```")
     null_text = F.col(text_col).isNull()
     return df.select(

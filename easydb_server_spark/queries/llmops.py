@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from easydb_server_spark.functions.exactround import round_div_sql
+from easydb_server_spark.functions.exactround import round_div_sql, round_ratio
 from easydb_server_spark.operators import dedup as D
 from easydb_server_spark.operators import similarity as S
 from easydb_server_spark.operators import text as T
@@ -154,9 +154,9 @@ scored AS (
   JOIN arrs b ON b.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (sh_a + sh_b - n_inter), 6) AS jaccard
+       (CAST((CASE WHEN (n_inter) < 0 THEN -(((((abs(CAST(n_inter AS BIGINT)) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) >= (CAST(sh_a + sh_b - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_inter AS BIGINT)) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) >= (CAST(sh_a + sh_b - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS jaccard
 FROM scored
-WHERE ROUND(CAST(n_inter AS DOUBLE) / (sh_a + sh_b - n_inter), 6) >= 0.5
+WHERE (CAST((CASE WHEN (n_inter) < 0 THEN -(((((abs(CAST(n_inter AS BIGINT)) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) >= (CAST(sh_a + sh_b - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_inter AS BIGINT)) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) // (CAST(sh_a + sh_b - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) * 100) % (CAST(sh_a + sh_b - n_inter AS BIGINT))) >= (CAST(sh_a + sh_b - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) >= 0.5
 ORDER BY doc_a, doc_b
 """.replace("{params}", _params_values())
 
@@ -195,11 +195,11 @@ ORACLE_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SHINGLES_CTE},
 {_NGRAM_INTER_CTES}
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       (CAST((CASE WHEN (n_inter) < 0 THEN -(((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4
+WHERE (CAST((CASE WHEN (n_inter) < 0 THEN -(((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) >= 0.4
 ORDER BY doc_a, doc_b
 """
 
@@ -632,7 +632,7 @@ pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+  WHERE (CAST((CASE WHEN (n_inter) < 0 THEN -(((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) >= 0.6
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -678,7 +678,7 @@ pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4
+  WHERE (CAST((CASE WHEN (n_inter) < 0 THEN -(((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) >= 0.4
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -758,9 +758,9 @@ t2 AS (
   FROM t
 )
 SELECT doc_id, n_chars, n_words, n_punct, n_stopwords,
-       ROUND((n_words / 400.0) + (CAST(n_stopwords AS DOUBLE) / greatest(n_words, 1) * 2.0)
-             - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0), 6) AS quality
-FROM t2 ORDER BY doc_id
+       (CAST((CASE WHEN (qnum) < 0 THEN -(((((abs(CAST(qnum AS BIGINT)) // (CAST(qden AS BIGINT))) * 100 + ((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) >= (CAST(qden AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(qnum AS BIGINT)) // (CAST(qden AS BIGINT))) * 100 + ((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) >= (CAST(qden AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS quality
+FROM (SELECT *, CAST(n_words AS BIGINT) * GREATEST(n_words, 1) * GREATEST(n_chars, 1) + 800 * CAST(n_stopwords AS BIGINT) * GREATEST(n_chars, 1) - 2000 * CAST(n_punct AS BIGINT) * GREATEST(n_words, 1) AS qnum, 400 * CAST(GREATEST(n_words, 1) AS BIGINT) * GREATEST(n_chars, 1) AS qden FROM t2)
+ORDER BY doc_id
 """
 
 
@@ -774,8 +774,7 @@ SELECT doc_id,
        CAST(len(regexp_split_to_array(text, ' +')) AS INT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '{T.BPE_ISH_TOKEN_RE}')) AS INT) AS bpe_tokens,
        CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS INT) AS distinct_tokens,
-       ROUND(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS DOUBLE)
-             / len(regexp_split_to_array(text, ' +')), 6) AS type_token_ratio
+       (CAST((CASE WHEN (len(list_distinct(regexp_split_to_array(text, ' +')))) < 0 THEN -(((((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) // (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100 + ((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) // (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100 + ((((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) // (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100 + ((((((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) // (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) >= (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) // (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100 + ((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) // (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100 + ((((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) // (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100 + ((((((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) // (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT)) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) * 100) % (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT))) >= (CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS type_token_ratio
 FROM documents ORDER BY doc_id
 """
 
@@ -1945,7 +1944,7 @@ SELECT lang AS grp,
        COUNT(*) AS n_docs,
        MIN(n_chars) AS min_len,
        MAX(n_chars) AS max_len,
-       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_len
+       (CAST((CASE WHEN (SUM(n_chars)) < 0 THEN -(((abs(CAST(SUM(n_chars) AS BIGINT)) // (CAST(COUNT(*) AS BIGINT))) * 100 + ((abs(CAST(SUM(n_chars) AS BIGINT)) % (CAST(COUNT(*) AS BIGINT))) * 100) // (CAST(COUNT(*) AS BIGINT))) + (CASE WHEN 2 * (((abs(CAST(SUM(n_chars) AS BIGINT)) % (CAST(COUNT(*) AS BIGINT))) * 100) % (CAST(COUNT(*) AS BIGINT))) >= (CAST(COUNT(*) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((abs(CAST(SUM(n_chars) AS BIGINT)) // (CAST(COUNT(*) AS BIGINT))) * 100 + ((abs(CAST(SUM(n_chars) AS BIGINT)) % (CAST(COUNT(*) AS BIGINT))) * 100) // (CAST(COUNT(*) AS BIGINT))) + (CASE WHEN 2 * (((abs(CAST(SUM(n_chars) AS BIGINT)) % (CAST(COUNT(*) AS BIGINT))) * 100) % (CAST(COUNT(*) AS BIGINT))) >= (CAST(COUNT(*) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 100.0) AS avg_len
 FROM documents
 GROUP BY grp, bucket
 ORDER BY grp, bucket
@@ -2009,11 +2008,11 @@ per_doc AS (
   FROM counts GROUP BY ALL
 )
 SELECT doc_id, n_words,
-       ROUND(CAST(n_dup_words AS DOUBLE) / greatest(n_words, 1), 6) AS dup_word_frac,
+       (CAST((CASE WHEN (n_dup_words) < 0 THEN -(((((abs(CAST(n_dup_words AS BIGINT)) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) >= (CAST(GREATEST(n_words, 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_dup_words AS BIGINT)) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) >= (CAST(GREATEST(n_words, 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS dup_word_frac,
        top_bigram_n,
-       ROUND(CAST(top_bigram_n AS DOUBLE) / greatest(n_bigrams, 1), 6) AS top_bigram_frac,
-       (ROUND(CAST(n_dup_words AS DOUBLE) / greatest(n_words, 1), 6) <= 0.55
-        AND ROUND(CAST(top_bigram_n AS DOUBLE) / greatest(n_bigrams, 1), 6) <= 0.05) AS keep
+       (CAST((CASE WHEN (top_bigram_n) < 0 THEN -(((((abs(CAST(top_bigram_n AS BIGINT)) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) >= (CAST(GREATEST(n_bigrams, 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(top_bigram_n AS BIGINT)) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) >= (CAST(GREATEST(n_bigrams, 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS top_bigram_frac,
+       ((CAST((CASE WHEN (n_dup_words) < 0 THEN -(((((abs(CAST(n_dup_words AS BIGINT)) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) >= (CAST(GREATEST(n_words, 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_dup_words AS BIGINT)) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100 + ((((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_words, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_dup_words AS BIGINT)) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_words, 1) AS BIGINT))) >= (CAST(GREATEST(n_words, 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) <= 0.55
+        AND (CAST((CASE WHEN (top_bigram_n) < 0 THEN -(((((abs(CAST(top_bigram_n AS BIGINT)) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) >= (CAST(GREATEST(n_bigrams, 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(top_bigram_n AS BIGINT)) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100 + ((((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(top_bigram_n AS BIGINT)) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_bigrams, 1) AS BIGINT))) >= (CAST(GREATEST(n_bigrams, 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) <= 0.05) AS keep
 FROM per_doc ORDER BY doc_id
 """
 
@@ -2041,10 +2040,8 @@ t2 AS (
   FROM t
 ),
 q AS (
-  SELECT doc_id, grp,
-         ROUND((n_words / 400.0) + (CAST(n_stopwords AS DOUBLE) / greatest(n_words, 1) * 2.0)
-               - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0), 6) AS quality
-  FROM t2
+  SELECT doc_id, grp, (CAST((CASE WHEN (qnum) < 0 THEN -(((((abs(CAST(qnum AS BIGINT)) // (CAST(qden AS BIGINT))) * 100 + ((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) >= (CAST(qden AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(qnum AS BIGINT)) // (CAST(qden AS BIGINT))) * 100 + ((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) >= (CAST(qden AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS quality
+  FROM (SELECT *, CAST(n_words AS BIGINT) * GREATEST(n_words, 1) * GREATEST(n_chars, 1) + 800 * CAST(n_stopwords AS BIGINT) * GREATEST(n_chars, 1) - 2000 * CAST(n_punct AS BIGINT) * GREATEST(n_words, 1) AS qnum, 400 * CAST(GREATEST(n_words, 1) AS BIGINT) * GREATEST(n_chars, 1) AS qden FROM t2)
 ),
 r AS (
   SELECT doc_id, grp, quality,
@@ -2226,7 +2223,7 @@ shared AS (
   GROUP BY x.src, y.src
 )
 SELECT s.source_a, s.source_b, s.n_shared, a.n AS n_a, b.n AS n_b,
-       ROUND(CAST(s.n_shared AS DOUBLE) / (a.n + b.n - s.n_shared), 6) AS overlap_jaccard
+       (CAST((CASE WHEN (s.n_shared) < 0 THEN -(((((abs(CAST(s.n_shared AS BIGINT)) // (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100 + ((abs(CAST(s.n_shared AS BIGINT)) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) // (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100 + ((((abs(CAST(s.n_shared AS BIGINT)) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) // (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100 + ((((((abs(CAST(s.n_shared AS BIGINT)) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) // (CAST(a.n + b.n - s.n_shared AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(s.n_shared AS BIGINT)) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) >= (CAST(a.n + b.n - s.n_shared AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(s.n_shared AS BIGINT)) // (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100 + ((abs(CAST(s.n_shared AS BIGINT)) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) // (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100 + ((((abs(CAST(s.n_shared AS BIGINT)) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) // (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100 + ((((((abs(CAST(s.n_shared AS BIGINT)) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) // (CAST(a.n + b.n - s.n_shared AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(s.n_shared AS BIGINT)) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) * 100) % (CAST(a.n + b.n - s.n_shared AS BIGINT))) >= (CAST(a.n + b.n - s.n_shared AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS overlap_jaccard
 FROM shared s
 JOIN sizes a ON a.src = s.source_a
 JOIN sizes b ON b.src = s.source_b
@@ -2400,8 +2397,8 @@ def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_spans",
             F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
-            F.round(
-                F.coalesce("n_flagged", F.lit(0)) / F.greatest("n_spans", F.lit(1)), 6
+            round_ratio(
+                F.coalesce("n_flagged", F.lit(0)), F.greatest("n_spans", F.lit(1)), 6
             ).alias("dup_span_frac"),
             F.coalesce("max_gram_docs", F.lit(0)).alias("max_gram_docs"),
             F.coalesce("first_flagged_pos", F.lit(-1)).alias("first_flagged_pos"),
@@ -2438,7 +2435,7 @@ totals AS (
 )
 SELECT t.doc_id, t.n_spans,
        COALESCE(p.n_flagged, 0) AS n_flagged,
-       ROUND(CAST(COALESCE(p.n_flagged, 0) AS DOUBLE) / GREATEST(t.n_spans, 1), 6)
+       (CAST((CASE WHEN (COALESCE(p.n_flagged, 0)) < 0 THEN -(((((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) >= (CAST(GREATEST(t.n_spans, 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(p.n_flagged, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) >= (CAST(GREATEST(t.n_spans, 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0)
          AS dup_span_frac,
        COALESCE(p.max_gram_docs, 0) AS max_gram_docs,
        COALESCE(p.first_flagged_pos, -1) AS first_flagged_pos
@@ -2875,8 +2872,8 @@ def q_text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_spans",
             F.coalesce("n_contam", F.lit(0)).alias("n_contam"),
-            F.round(
-                F.coalesce("n_contam", F.lit(0)) / F.greatest("n_spans", F.lit(1)), 6
+            round_ratio(
+                F.coalesce("n_contam", F.lit(0)), F.greatest("n_spans", F.lit(1)), 6
             ).alias("contam_frac"),
             F.coalesce("first_pos", F.lit(-1)).alias("first_pos"),
             F.coalesce("last_pos", F.lit(-1)).alias("last_pos"),
@@ -2911,7 +2908,7 @@ totals AS (
 )
 SELECT t.doc_id, t.n_spans,
        COALESCE(p.n_contam, 0) AS n_contam,
-       ROUND(CAST(COALESCE(p.n_contam, 0) AS DOUBLE) / GREATEST(t.n_spans, 1), 6)
+       (CAST((CASE WHEN (COALESCE(p.n_contam, 0)) < 0 THEN -(((((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) >= (CAST(GREATEST(t.n_spans, 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) // (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(p.n_contam, 0) AS BIGINT)) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) * 100) % (CAST(GREATEST(t.n_spans, 1) AS BIGINT))) >= (CAST(GREATEST(t.n_spans, 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0)
          AS contam_frac,
        COALESCE(p.first_pos, -1) AS first_pos,
        COALESCE(p.last_pos, -1) AS last_pos
@@ -3318,9 +3315,9 @@ q2 AS (
   FROM q
 ),
 gated AS (
-  SELECT doc_id, source, text, ws FROM q2
-  WHERE ROUND((n_words / 400.0) + (CAST(n_stop AS DOUBLE) / greatest(n_words, 1) * 2.0)
-              - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0), 6) >= 0.2
+  SELECT doc_id, source, text, ws
+  FROM (SELECT *, CAST(n_words AS BIGINT) * GREATEST(n_words, 1) * GREATEST(n_chars, 1) + 800 * CAST(n_stop AS BIGINT) * GREATEST(n_chars, 1) - 2000 * CAST(n_punct AS BIGINT) * GREATEST(n_words, 1) AS qnum, 400 * CAST(GREATEST(n_words, 1) AS BIGINT) * GREATEST(n_chars, 1) AS qden FROM q2)
+  WHERE (CAST((CASE WHEN (qnum) < 0 THEN -(((((abs(CAST(qnum AS BIGINT)) // (CAST(qden AS BIGINT))) * 100 + ((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) >= (CAST(qden AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(qnum AS BIGINT)) // (CAST(qden AS BIGINT))) * 100 + ((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) >= (CAST(qden AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) >= 0.2
 ),
 keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
 dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
@@ -4138,7 +4135,7 @@ pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+  WHERE (CAST((CASE WHEN (n_inter) < 0 THEN -(((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_inter AS BIGINT)) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100 + ((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) // (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_inter AS BIGINT)) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) * 100) % (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT))) >= (CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) >= 0.6
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -4161,12 +4158,13 @@ qt AS (
   FROM documents
 ),
 q AS (
-  SELECT doc_id,
-         ROUND((n_words / 400.0)
-               + (CAST(len(list_filter(ws, w -> list_contains([{", ".join(repr(w) for w in T.LANG_PROFILES["en"])}], w))) AS DOUBLE)
-                  / greatest(n_words, 1) * 2.0)
-               - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5.0), 6) AS quality
-  FROM qt
+  SELECT doc_id, (CAST((CASE WHEN (qnum) < 0 THEN -(((((abs(CAST(qnum AS BIGINT)) // (CAST(qden AS BIGINT))) * 100 + ((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) >= (CAST(qden AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(qnum AS BIGINT)) // (CAST(qden AS BIGINT))) * 100 + ((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) * 100 + ((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) // (CAST(qden AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(qnum AS BIGINT)) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) * 100) % (CAST(qden AS BIGINT))) >= (CAST(qden AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS quality
+  FROM (SELECT doc_id,
+               CAST(n_words AS BIGINT) * GREATEST(n_words, 1) * GREATEST(n_chars, 1)
+                 + 800 * CAST(len(list_filter(ws, w -> list_contains([{", ".join(repr(w) for w in T.LANG_PROFILES["en"])}], w))) AS BIGINT) * GREATEST(n_chars, 1)
+                 - 2000 * CAST(n_punct AS BIGINT) * GREATEST(n_words, 1) AS qnum,
+               400 * CAST(GREATEST(n_words, 1) AS BIGINT) * GREATEST(n_chars, 1) AS qden
+        FROM qt)
 ),
 keepers AS (
   SELECT component, doc_id AS keeper FROM (
@@ -4917,7 +4915,7 @@ f AS (
   FROM l
 )
 SELECT doc_id, n_lines, n_code_lines,
-       ROUND(CAST(n_code_lines AS DOUBLE) / GREATEST(n_lines, 1), 6) AS code_frac,
+       (CAST((CASE WHEN (n_code_lines) < 0 THEN -(((((abs(CAST(n_code_lines AS BIGINT)) // (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100 + ((abs(CAST(n_code_lines AS BIGINT)) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100 + ((((abs(CAST(n_code_lines AS BIGINT)) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100 + ((((((abs(CAST(n_code_lines AS BIGINT)) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_lines, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_code_lines AS BIGINT)) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) >= (CAST(GREATEST(n_lines, 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(n_code_lines AS BIGINT)) // (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100 + ((abs(CAST(n_code_lines AS BIGINT)) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100 + ((((abs(CAST(n_code_lines AS BIGINT)) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100 + ((((((abs(CAST(n_code_lines AS BIGINT)) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) // (CAST(GREATEST(n_lines, 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(n_code_lines AS BIGINT)) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) * 100) % (CAST(GREATEST(n_lines, 1) AS BIGINT))) >= (CAST(GREATEST(n_lines, 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS code_frac,
        contains(t, '```') AS has_fence
 FROM f ORDER BY doc_id
 """

@@ -133,3 +133,28 @@ def test_round_div_column_form(spark):
 def test_rejects_negative_k():
     with pytest.raises(ValueError):
         round_div_sql("a", "b", -1, "spark")
+
+
+@pytest.mark.parametrize("num,den,k", [c for c in CASES if abs(c[0]) < 2**53 and c[1] * 100 < 2**53])
+def test_round_ratio_column_matches_fraction(spark, num, den, k):
+    from pyspark.sql import functions as F
+
+    from easydb_server_spark.functions.exactround import round_ratio
+
+    df = spark.createDataFrame([(num, den)], "a bigint, b bigint")
+    got = df.select(round_ratio(F.col("a"), F.col("b"), k).alias("v")).collect()[0].v
+    assert got == _expected(num, den, k), (num, den, k)
+
+
+def test_round_ratio_midpoint_denominators(spark):
+    """The per-row danger class: reduced denominator exactly 2^7*5^j
+    puts n/d on a k-decimal midpoint for every odd numerator."""
+    from pyspark.sql import functions as F
+
+    from easydb_server_spark.functions.exactround import round_ratio
+
+    rows = [(n, d) for d in (128, 640, 3200, 256, 384) for n in range(1, 12)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    got = df.select("a", "b", round_ratio(F.col("a"), F.col("b"), 6).alias("v")).collect()
+    for r in got:
+        assert r.v == _expected(r.a, r.b, 6), (r.a, r.b)
