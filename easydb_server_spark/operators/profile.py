@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from easydb_server_spark.functions.exactround import round_div
+from easydb_server_spark.functions.exactround import round_div, round_ratio
 
 
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -131,18 +131,38 @@ def profile_drift(
     ref = profile_table(reference, cols).select(
         "column",
         F.col("null_rate").alias("ref_null_rate"),
-        (F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1))).alias("ref_density"),
+        F.col("n_distinct").alias("_dr"),
+        F.greatest(F.col("n_rows"), F.lit(1)).alias("_nr"),
     )
     cand = profile_table(candidate, cols).select(
         "column",
         F.col("null_rate").alias("cand_null_rate"),
-        (F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1))).alias("cand_density"),
+        F.col("n_distinct").alias("_dc"),
+        F.greatest(F.col("n_rows"), F.lit(1)).alias("_nc"),
     )
+    # difference of two already-grid doubles is never an exact
+    # 6-decimal midpoint as a rational, so plain ROUND is portable
     null_jump = F.round(F.col("cand_null_rate") - F.col("ref_null_rate"), 6)
-    density_change = F.round(
-        F.abs(F.col("cand_density") - F.col("ref_density"))
-        / F.greatest(F.col("ref_density"), F.lit(1e-12)),
-        6,
+    # |dc/nc - dr/nr| / (dr/nr) == |dc*nr - dr*nc| / (nc*dr): a pure
+    # count rational -> round it in exact INT64 (functions/exactround);
+    # dr = 0 falls back to the 1e-12-guard double formula (values are
+    # ~1e12 x density, nowhere near a rounding boundary)
+    density_change = F.when(
+        F.col("_dr") > 0,
+        round_ratio(
+            F.abs(F.col("_dc") * F.col("_nr") - F.col("_dr") * F.col("_nc")),
+            F.col("_nc") * F.col("_dr"),
+            6,
+        ),
+    ).otherwise(
+        F.round(
+            F.abs(
+                F.col("_dc") / F.col("_nc").cast("double")
+                - F.col("_dr") / F.col("_nr").cast("double")
+            )
+            / F.lit(1e-12),
+            6,
+        )
     )
     return ref.join(cand, "column").select(
         "column",

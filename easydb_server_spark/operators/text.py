@@ -487,11 +487,9 @@ def gopher_rules(
     words = F.filter(F.split(t, "\\s+"), lambda w: w != F.lit(""))
     n_words = F.size(words)
     nw1 = F.greatest(n_words, F.lit(1))
-    mean_wl = F.round(
-        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)).cast(
-            "double"
-        )
-        / nw1,
+    mean_wl = round_ratio(
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)),
+        nw1,
         6,
     )
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
@@ -825,10 +823,10 @@ def gopher_repetition_rules(
 
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.round(dl_cnt / F.greatest(F.size(lines), F.lit(1)), 6).alias("dup_line_frac"),
-        F.round(dp_cnt / F.greatest(F.size(paras), F.lit(1)), 6).alias("dup_para_frac"),
-        F.round(dl_chars / total_chars, 6).alias("dup_line_char_frac"),
-        F.round(dp_chars / total_chars, 6).alias("dup_para_char_frac"),
+        round_ratio(dl_cnt, F.greatest(F.size(lines), F.lit(1)), 6).alias("dup_line_frac"),
+        round_ratio(dp_cnt, F.greatest(F.size(paras), F.lit(1)), 6).alias("dup_para_frac"),
+        round_ratio(dl_chars, total_chars, 6).alias("dup_line_char_frac"),
+        round_ratio(dp_chars, total_chars, 6).alias("dup_para_char_frac"),
         total_chars.alias("n_chars"),
         F.split(t, " ").alias("ws"),
     )
@@ -916,13 +914,13 @@ def gopher_repetition_rules(
     sig_cols = []
     for n in (2, 3, 4):
         sig_cols.append(
-            F.round(covered_chars(n).cast("double") / F.col("n_chars"), 6).alias(
+            round_ratio(covered_chars(n), F.col("n_chars"), 6).alias(
                 f"top_{n}gram_char_frac"
             )
         )
     for n in range(5, 11):
         sig_cols.append(
-            F.round(covered_chars(n).cast("double") / F.col("n_chars"), 6).alias(
+            round_ratio(covered_chars(n), F.col("n_chars"), 6).alias(
                 f"dup_{n}gram_char_frac"
             )
         )
@@ -1032,22 +1030,22 @@ def _rep_finalize(counts: DataFrame, th: dict[str, float]) -> DataFrame:
     both impls round identically."""
     nc = F.col("n_chars")
     sig_cols = [
-        F.round(F.col("dup_line_cnt") / F.greatest(F.col("n_lines"), F.lit(1)), 6).alias(
+        round_ratio(F.col("dup_line_cnt"), F.greatest(F.col("n_lines"), F.lit(1)), 6).alias(
             "dup_line_frac"
         ),
-        F.round(F.col("dup_para_cnt") / F.greatest(F.col("n_paras"), F.lit(1)), 6).alias(
+        round_ratio(F.col("dup_para_cnt"), F.greatest(F.col("n_paras"), F.lit(1)), 6).alias(
             "dup_para_frac"
         ),
-        F.round(F.col("dup_line_chars") / nc, 6).alias("dup_line_char_frac"),
-        F.round(F.col("dup_para_chars") / nc, 6).alias("dup_para_char_frac"),
+        round_ratio(F.col("dup_line_chars"), nc, 6).alias("dup_line_char_frac"),
+        round_ratio(F.col("dup_para_chars"), nc, 6).alias("dup_para_char_frac"),
     ]
     for n in (2, 3, 4):
         sig_cols.append(
-            F.round(F.col(f"cov_{n}").cast("double") / nc, 6).alias(f"top_{n}gram_char_frac")
+            round_ratio(F.col(f"cov_{n}"), nc, 6).alias(f"top_{n}gram_char_frac")
         )
     for n in range(5, 11):
         sig_cols.append(
-            F.round(F.col(f"cov_{n}").cast("double") / nc, 6).alias(f"dup_{n}gram_char_frac")
+            round_ratio(F.col(f"cov_{n}"), nc, 6).alias(f"dup_{n}gram_char_frac")
         )
     full = counts.select("doc_id", *sig_cols)
     out_cols = list(th)
@@ -1643,9 +1641,9 @@ def url_features(
     path_depth = F.size(F.filter(F.split(path, "/"), lambda x: x != F.lit("")))
     n_params = F.when(query == "", F.lit(0)).otherwise(F.size(F.split(query, "&")))
     dom_len = F.greatest(F.length(domain), F.lit(1))
-    digit_frac = F.round(
-        (F.length(domain) - F.length(F.regexp_replace(domain, "[0-9]", ""))).cast("double")
-        / dom_len,
+    digit_frac = round_ratio(
+        F.length(domain) - F.length(F.regexp_replace(domain, "[0-9]", "")),
+        dom_len,
         6,
     )
     dom_df = blocked_domains if isinstance(blocked_domains, DataFrame) else None
@@ -2794,9 +2792,9 @@ def ngram_novelty(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-            F.round(
-                F.coalesce("n_novel", F.lit(0))
-                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+            round_ratio(
+                F.coalesce("n_novel", F.lit(0)),
+                F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
                 6,
             ).alias("novelty_frac"),
         )

@@ -1152,8 +1152,7 @@ feats AS (
          regexp_extract(domain, '([^.]*)$', 1) AS tld,
          len(list_filter(string_split(path, '/'), x -> x != '')) AS path_depth,
          CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END AS n_params,
-         ROUND(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS DOUBLE)
-               / GREATEST(length(domain), 1), 6) AS digit_frac,
+         (CAST((CASE WHEN (length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g'))) < 0 THEN -(((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) >= (CAST(GREATEST(length(domain), 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) >= (CAST(GREATEST(length(domain), 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS digit_frac,
          (domain = 'spamexample.com' OR suffix(domain, '.spamexample.com')
           OR domain = 'news.example.org' OR suffix(domain, '.news.example.org')) AS blocked_domain,
          list_has_any(
@@ -1367,8 +1366,7 @@ feats AS (
          regexp_extract(domain, '([^.]*)$', 1) AS tld,
          len(list_filter(string_split(path, '/'), x -> x != '')) AS path_depth,
          CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END AS n_params,
-         ROUND(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS DOUBLE)
-               / GREATEST(length(domain), 1), 6) AS digit_frac,
+         (CAST((CASE WHEN (length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g'))) < 0 THEN -(((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) >= (CAST(GREATEST(length(domain), 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100 + ((((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) // (CAST(GREATEST(length(domain), 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(length(domain) - length(regexp_replace(domain, '[0-9]', '', 'g')) AS BIGINT)) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) * 100) % (CAST(GREATEST(length(domain), 1) AS BIGINT))) >= (CAST(GREATEST(length(domain), 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS digit_frac,
          (domain = 'spamexample.com' OR suffix(domain, '.spamexample.com')) AS blocked_domain,
          contains(u, 'casino') AS blocked_keyword
   FROM parsed
@@ -1600,15 +1598,23 @@ base AS (
          string_split(t, chr(10) || chr(10)) AS ps
   FROM built
 ),
+inrow_n AS (
+  SELECT doc_id, n_chars,
+    len(ls) - len(list_distinct(ls)) AS dl_cnt, GREATEST(len(ls), 1) AS nl,
+    len(ps) - len(list_distinct(ps)) AS dp_cnt, GREATEST(len(ps), 1) AS np,
+    COALESCE(list_sum(list_transform(list_distinct(ls),
+        d -> (len(list_filter(ls, x -> x = d)) - 1) * length(d))), 0) AS dl_chars,
+    COALESCE(list_sum(list_transform(list_distinct(ps),
+        d -> (len(list_filter(ps, x -> x = d)) - 1) * length(d))), 0) AS dp_chars
+  FROM base
+),
 inrow AS (
   SELECT doc_id, n_chars,
-    ROUND(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / GREATEST(len(ls), 1), 6) AS dup_line_frac,
-    ROUND(CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE) / GREATEST(len(ps), 1), 6) AS dup_para_frac,
-    ROUND(CAST(COALESCE(list_sum(list_transform(list_distinct(ls),
-        d -> (len(list_filter(ls, x -> x = d)) - 1) * length(d))), 0) AS DOUBLE) / n_chars, 6) AS dup_line_char_frac,
-    ROUND(CAST(COALESCE(list_sum(list_transform(list_distinct(ps),
-        d -> (len(list_filter(ps, x -> x = d)) - 1) * length(d))), 0) AS DOUBLE) / n_chars, 6) AS dup_para_char_frac
-  FROM base
+    (CAST((CASE WHEN (dl_cnt) < 0 THEN -(((((abs(CAST(dl_cnt AS BIGINT)) // (CAST(nl AS BIGINT))) * 100 + ((abs(CAST(dl_cnt AS BIGINT)) % (CAST(nl AS BIGINT))) * 100) // (CAST(nl AS BIGINT))) * 100 + ((((abs(CAST(dl_cnt AS BIGINT)) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) // (CAST(nl AS BIGINT))) * 100 + ((((((abs(CAST(dl_cnt AS BIGINT)) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) // (CAST(nl AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(dl_cnt AS BIGINT)) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) >= (CAST(nl AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(dl_cnt AS BIGINT)) // (CAST(nl AS BIGINT))) * 100 + ((abs(CAST(dl_cnt AS BIGINT)) % (CAST(nl AS BIGINT))) * 100) // (CAST(nl AS BIGINT))) * 100 + ((((abs(CAST(dl_cnt AS BIGINT)) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) // (CAST(nl AS BIGINT))) * 100 + ((((((abs(CAST(dl_cnt AS BIGINT)) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) // (CAST(nl AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(dl_cnt AS BIGINT)) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) * 100) % (CAST(nl AS BIGINT))) >= (CAST(nl AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS dup_line_frac,
+    (CAST((CASE WHEN (dp_cnt) < 0 THEN -(((((abs(CAST(dp_cnt AS BIGINT)) // (CAST(np AS BIGINT))) * 100 + ((abs(CAST(dp_cnt AS BIGINT)) % (CAST(np AS BIGINT))) * 100) // (CAST(np AS BIGINT))) * 100 + ((((abs(CAST(dp_cnt AS BIGINT)) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) // (CAST(np AS BIGINT))) * 100 + ((((((abs(CAST(dp_cnt AS BIGINT)) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) // (CAST(np AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(dp_cnt AS BIGINT)) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) >= (CAST(np AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(dp_cnt AS BIGINT)) // (CAST(np AS BIGINT))) * 100 + ((abs(CAST(dp_cnt AS BIGINT)) % (CAST(np AS BIGINT))) * 100) // (CAST(np AS BIGINT))) * 100 + ((((abs(CAST(dp_cnt AS BIGINT)) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) // (CAST(np AS BIGINT))) * 100 + ((((((abs(CAST(dp_cnt AS BIGINT)) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) // (CAST(np AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(dp_cnt AS BIGINT)) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) * 100) % (CAST(np AS BIGINT))) >= (CAST(np AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS dup_para_frac,
+    (CAST((CASE WHEN (dl_chars) < 0 THEN -(((((abs(CAST(dl_chars AS BIGINT)) // (CAST(n_chars AS BIGINT))) * 100 + ((abs(CAST(dl_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) * 100 + ((((abs(CAST(dl_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) * 100 + ((((((abs(CAST(dl_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(dl_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) >= (CAST(n_chars AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(dl_chars AS BIGINT)) // (CAST(n_chars AS BIGINT))) * 100 + ((abs(CAST(dl_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) * 100 + ((((abs(CAST(dl_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) * 100 + ((((((abs(CAST(dl_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(dl_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) >= (CAST(n_chars AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS dup_line_char_frac,
+    (CAST((CASE WHEN (dp_chars) < 0 THEN -(((((abs(CAST(dp_chars AS BIGINT)) // (CAST(n_chars AS BIGINT))) * 100 + ((abs(CAST(dp_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) * 100 + ((((abs(CAST(dp_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) * 100 + ((((((abs(CAST(dp_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(dp_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) >= (CAST(n_chars AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(dp_chars AS BIGINT)) // (CAST(n_chars AS BIGINT))) * 100 + ((abs(CAST(dp_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) * 100 + ((((abs(CAST(dp_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) * 100 + ((((((abs(CAST(dp_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) // (CAST(n_chars AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(dp_chars AS BIGINT)) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) * 100) % (CAST(n_chars AS BIGINT))) >= (CAST(n_chars AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS dup_para_char_frac
+  FROM inrow_n
 ),
 toks AS (
   SELECT doc_id, t.i - 1 AS i, ws[t.i] AS word
@@ -1670,11 +1676,11 @@ cov{n} AS (
     sig_exprs = []
     for n in (2, 3, 4):
         sig_exprs.append(
-            f"ROUND(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / i.n_chars, 6) AS top_{n}gram_char_frac"
+            f"{round_div_sql(f'COALESCE(cov{n}.chars, 0)', 'i.n_chars', 6, 'duckdb')} AS top_{n}gram_char_frac"
         )
     for n in range(5, 11):
         sig_exprs.append(
-            f"ROUND(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / i.n_chars, 6) AS dup_{n}gram_char_frac"
+            f"{round_div_sql(f'COALESCE(cov{n}.chars, 0)', 'i.n_chars', 6, 'duckdb')} AS dup_{n}gram_char_frac"
         )
     pass_terms = []
     for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
@@ -1682,7 +1688,7 @@ cov{n} AS (
             pass_terms.append(f"i.{name} <= {thr}")
         else:
             n = "".join(ch for ch in name.split("_")[1] if ch.isdigit())
-            frac = f"ROUND(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / i.n_chars, 6)"
+            frac = round_div_sql(f"COALESCE(cov{n}.chars, 0)", "i.n_chars", 6, "duckdb")
             pass_terms.append(f"{frac} <= {thr}")
     joins = "\n".join(
         f"LEFT JOIN cov{n} ON cov{n}.doc_id = i.doc_id" for n in range(2, 11)
@@ -2805,42 +2811,48 @@ cand AS (
   FROM documents WHERE doc_id >= 250
 ),
 rp AS (
-  SELECT 'lang' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  SELECT 'lang' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dct, nrw
   FROM (SELECT COUNT(*) - COUNT(lang) AS nn, GREATEST(COUNT(*), 1) AS nd,
-               CAST(COUNT(DISTINCT lang) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS dct,
+               CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS nrw
         FROM ref)
   UNION ALL
-  SELECT 'source' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  SELECT 'source' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dct, nrw
   FROM (SELECT COUNT(*) - COUNT(source) AS nn, GREATEST(COUNT(*), 1) AS nd,
-               CAST(COUNT(DISTINCT source) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS dct,
+               CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS nrw
         FROM ref)
   UNION ALL
-  SELECT 'n_chars' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  SELECT 'n_chars' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dct, nrw
   FROM (SELECT COUNT(*) - COUNT(n_chars) AS nn, GREATEST(COUNT(*), 1) AS nd,
-               CAST(COUNT(DISTINCT n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+               CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS dct,
+               CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS nrw
         FROM ref)
 ),
 cp AS (
-  SELECT 'lang' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  SELECT 'lang' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dct, nrw
   FROM (SELECT COUNT(*) - COUNT(lang) AS nn, GREATEST(COUNT(*), 1) AS nd,
-               CAST(COUNT(DISTINCT lang) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS dct,
+               CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS nrw
         FROM cand)
   UNION ALL
-  SELECT 'source' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  SELECT 'source' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dct, nrw
   FROM (SELECT COUNT(*) - COUNT(source) AS nn, GREATEST(COUNT(*), 1) AS nd,
-               CAST(COUNT(DISTINCT source) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS dct,
+               CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS nrw
         FROM cand)
   UNION ALL
-  SELECT 'n_chars' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dd
+  SELECT 'n_chars' AS column, (CAST((CASE WHEN (nn) < 0 THEN -(((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(nn AS BIGINT)) // (CAST(nd AS BIGINT))) * 100 + ((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) * 100 + ((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) // (CAST(nd AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(nn AS BIGINT)) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) * 100) % (CAST(nd AS BIGINT))) >= (CAST(nd AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS nr, dct, nrw
   FROM (SELECT COUNT(*) - COUNT(n_chars) AS nn, GREATEST(COUNT(*), 1) AS nd,
-               CAST(COUNT(DISTINCT n_chars) AS DOUBLE) / GREATEST(COUNT(*), 1) AS dd
+               CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS dct,
+               CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS nrw
         FROM cand)
 )
 SELECT rp."column", rp.nr AS ref_null_rate, cp.nr AS cand_null_rate,
        ROUND(cp.nr - rp.nr, 6) AS null_rate_increase,
-       ROUND(ABS(cp.dd - rp.dd) / GREATEST(rp.dd, 1e-12), 6) AS distinct_density_change,
+       CASE WHEN rp.dct > 0 THEN (CAST((CASE WHEN (ABS(cp.dct * rp.nrw - rp.dct * cp.nrw)) < 0 THEN -(((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) >= (CAST(cp.nrw * rp.dct AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) >= (CAST(cp.nrw * rp.dct AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) ELSE ROUND(ABS(CAST(cp.dct AS DOUBLE) / cp.nrw - CAST(rp.dct AS DOUBLE) / rp.nrw) / 1e-12, 6) END AS distinct_density_change,
        ROUND(cp.nr - rp.nr, 6) <= 0.05
-         AND ROUND(ABS(cp.dd - rp.dd) / GREATEST(rp.dd, 1e-12), 6) <= 0.5 AS ok
+         AND CASE WHEN rp.dct > 0 THEN (CAST((CASE WHEN (ABS(cp.dct * rp.nrw - rp.dct * cp.nrw)) < 0 THEN -(((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) >= (CAST(cp.nrw * rp.dct AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) * 100 + ((((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) // (CAST(cp.nrw * rp.dct AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(ABS(cp.dct * rp.nrw - rp.dct * cp.nrw) AS BIGINT)) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) * 100) % (CAST(cp.nrw * rp.dct AS BIGINT))) >= (CAST(cp.nrw * rp.dct AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) ELSE ROUND(ABS(CAST(cp.dct AS DOUBLE) / cp.nrw - CAST(rp.dct AS DOUBLE) / rp.nrw) / 1e-12, 6) END <= 0.5 AS ok
 FROM rp JOIN cp USING ("column")
 ORDER BY rp."column"
 """
@@ -3626,8 +3638,7 @@ m AS (
          -- COALESCE: list_sum([]) is NULL in DuckDB but the operator's
          -- F.aggregate seed makes an empty doc 0.0 (r9 pathological
          -- fuzz found the divergence on empty/whitespace-only docs)
-         ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
-               / GREATEST(len(ws), 1), 6) AS mean_word_len,
+         (CAST((CASE WHEN (COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)) < 0 THEN -(((((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) // (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100 + ((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) // (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) // (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) // (CAST(GREATEST(len(ws), 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) >= (CAST(GREATEST(len(ws), 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) // (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100 + ((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) // (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) // (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) // (CAST(GREATEST(len(ws), 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) * 100) % (CAST(GREATEST(len(ws), 1) AS BIGINT))) >= (CAST(GREATEST(len(ws), 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS mean_word_len,
          length(text) - length(replace(text, '#', '')) AS n_hash,
          CAST( (length(text) - length(replace(text, '…', '')))
              + (length(text) - length(replace(text, '...', ''))) / 3.0 AS INT) AS n_ellipsis,
@@ -4253,8 +4264,7 @@ nov AS (
 SELECT d.doc_id,
        CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
-       ROUND(CAST(COALESCE(v.n_novel, 0) AS DOUBLE)
-             / GREATEST(COALESCE(t.n_grams, 0), 1), 6) AS novelty_frac
+       (CAST((CASE WHEN (COALESCE(v.n_novel, 0)) < 0 THEN -(((((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) // (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100 + ((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) // (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) // (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) // (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) >= (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) // (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100 + ((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) // (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) // (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) // (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(v.n_novel, 0) AS BIGINT)) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) * 100) % (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT))) >= (CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS novelty_frac
 FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
 LEFT JOIN tot t ON t.doc_id = d.doc_id
 LEFT JOIN nov v ON v.doc_id = d.doc_id

@@ -132,9 +132,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    cost = F.round(
-        F.sum(_dec("l_extendedprice")).cast("double") / F.sum(_dec("l_quantity")).cast("double"), 4
-    ).alias("supply_cost")
+    # per-(part, supplier) qty sums are TINY (a handful of lineitems),
+    # so price/qty hits exact 4-decimal midpoints at a real rate: round
+    # the rational in INT64 (functions/exactround), never the double
+    cost = round_div("_np", "_nq", 4).alias("supply_cost")
     eu_s = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -150,9 +151,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # suppkey just to be discarded
     eu_keys = F.broadcast(eu_s.select("s_suppkey"))
     li_eu = li.join(eu_keys, li.l_suppkey == F.col("s_suppkey"), "left_semi")
-    ps = li_eu.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(cost)
+    ps = (
+        li_eu.groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(
+            (F.sum(_dec("l_extendedprice")) * 100).cast("bigint").alias("_np"),
+            (F.sum(_dec("l_quantity")) * 100).cast("bigint").alias("_nq"),
+        )
+        .select("partkey", "suppkey", cost)
+    )
     eu_ps = ps.join(eu_s, ps.suppkey == eu_s.s_suppkey)
     w = Window.partitionBy("partkey")
     best = eu_ps.withColumn("min_cost", F.min("supply_cost").over(w)).where(
@@ -168,10 +176,13 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q2 = """
 WITH ps AS (
-  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS supply_cost
-  FROM lineitem GROUP BY l_partkey, l_suppkey
+  SELECT partkey, suppkey, (CAST((CASE WHEN (_np) < 0 THEN -((((abs(CAST(_np AS BIGINT)) // (CAST(_nq AS BIGINT))) * 100 + ((abs(CAST(_np AS BIGINT)) % (CAST(_nq AS BIGINT))) * 100) // (CAST(_nq AS BIGINT))) * 100 + ((((abs(CAST(_np AS BIGINT)) % (CAST(_nq AS BIGINT))) * 100) % (CAST(_nq AS BIGINT))) * 100) // (CAST(_nq AS BIGINT))) + (CASE WHEN 2 * (((((abs(CAST(_np AS BIGINT)) % (CAST(_nq AS BIGINT))) * 100) % (CAST(_nq AS BIGINT))) * 100) % (CAST(_nq AS BIGINT))) >= (CAST(_nq AS BIGINT)) THEN 1 ELSE 0 END)) ELSE ((((abs(CAST(_np AS BIGINT)) // (CAST(_nq AS BIGINT))) * 100 + ((abs(CAST(_np AS BIGINT)) % (CAST(_nq AS BIGINT))) * 100) // (CAST(_nq AS BIGINT))) * 100 + ((((abs(CAST(_np AS BIGINT)) % (CAST(_nq AS BIGINT))) * 100) % (CAST(_nq AS BIGINT))) * 100) // (CAST(_nq AS BIGINT))) + (CASE WHEN 2 * (((((abs(CAST(_np AS BIGINT)) % (CAST(_nq AS BIGINT))) * 100) % (CAST(_nq AS BIGINT))) * 100) % (CAST(_nq AS BIGINT))) >= (CAST(_nq AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 10000.0) AS supply_cost
+  FROM (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS _np,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS _nq
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+  )
 ),
 eu AS (
   SELECT ps.*, s_name, s_acctbal, n_name
