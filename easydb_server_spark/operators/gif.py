@@ -91,6 +91,11 @@ def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
     # without building a tuple per pixel: ~2.5× faster, and this
     # encoder is the hot loop of the animated-GIF sampling path.
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    # the (prev_code << 8) | idx dict key silently collides for
+    # indices >= 256; every GIF palette caps at 256 entries, so fail
+    # loudly if a future caller violates the invariant (advisor r11)
+    if indices and max(indices) > 255:
+        raise ValueError("GIF LZW indices must be < 256 (palette cap)")
     width = min_code_size + 1
     table: dict[int, int] = {}
     next_code = end + 1
@@ -232,7 +237,10 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     COMPOSITED: each animated frame is the logical screen as a
     renderer would show it — sub-rectangle placement, GCE transparency
     (transparent indices keep the underlying canvas), and disposal
-    methods 0/1 (leave), 2 (restore frame rect to background color),
+    methods 0/1 (leave), 2 (restore frame rect to background color —
+    a deliberate simplification: mainstream renderers restore to
+    TRANSPARENT, so foreign disposal-2 GIFs with a non-black
+    background can composite differently than in a browser),
     3 (restore canvas to its pre-frame state). The canvas starts as
     the background color (GCT[bg] when a global table exists, else
     black), matching common renderer behavior."""

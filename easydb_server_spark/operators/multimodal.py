@@ -212,14 +212,21 @@ def sample_frames(df: DataFrame, blob_col: str, id_col: str, n_frames: int) -> D
             for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 payload = bytes(blob) or b"\x00"
                 if payload[:4] == b"GIF8":
-                    frames = decode_gif_frames(payload)
-                    t = len(frames)
-                    for i in range(n_frames):
-                        sel = i * t // n_frames
-                        out.append(
-                            (item_id, i, encode_gif(frames[sel], quantize=True))
-                        )
-                    continue
+                    # advisor r11: one truncated/corrupt GIF must not
+                    # kill the whole mapInPandas stage — fall through
+                    # to the byte-slice stub path instead
+                    try:
+                        frames = decode_gif_frames(payload)
+                    except ValueError:
+                        frames = None
+                    if frames:
+                        t = len(frames)
+                        for i in range(n_frames):
+                            sel = i * t // n_frames
+                            out.append(
+                                (item_id, i, encode_gif(frames[sel], quantize=True))
+                            )
+                        continue
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     out.append((item_id, i, payload[i * step : i * step + step]))

@@ -54,7 +54,7 @@ def test_window_holds_the_r11_rotation():
         "ts_scd2_history",
     ]
     # slots 8-50 are evidence-driven: the WHOLE r6 cohort, then the
-    # alphabetically-first 15 of the r7 cohort (newest driver evidence
+    # alphabetically-first 14 of the r7 cohort (newest driver evidence
     # across CORRECTNESS_r*.json up to r10 — the goalpost is fixed at
     # rotation time)
     newest = {}
