@@ -375,3 +375,235 @@ def ivfpq_adc_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --------------------------- PQ store lifecycle ---------------------------
+#
+# The persistent serving artifact for brute-ADC search — the PQ
+# analogue of the IVF store (operators/similarity.py:write_ivf_store):
+# codes are 100-500x narrower than raw vectors, so the store IS the
+# memory win PQ exists for. Two tables:
+#   <table>           (bucket, cid, codes array<int>, seq, cb_ver)
+#                     partitioned by bucket = pmod(hash(cid), 16) for
+#                     bounded per-file rewrite granularity
+#   <table>_codebook  (sub, code, centroid, cb_ver, m, width)
+# Appends encode against the FROZEN codebook and stamp its cb_ver;
+# mixing code spaces is refused loudly (a retrained codebook without a
+# re-encode would silently rank garbage). seq follows the IVF-store
+# re-crawl semantics: newest copy of an id wins at compaction;
+# replaying a crashed batch under the same seq stays idempotent.
+
+_PQ_STORE_BUCKETS = 16
+
+
+def write_pq_store(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+) -> None:
+    """Train the codebook on ``corpus``, encode it, and persist both
+    artifacts (overwrite). The codes table is the ONLY per-vector
+    state — m small ints per vector — so a 100 TB float corpus
+    serves from a ~1 TB store; raw vectors are never rescanned per
+    query batch."""
+    spark = corpus.sparkSession
+    width = _dim_width(corpus, vec_col, m)
+    cb = pq_train(corpus, vec_col, id_col, m=m, k=k, n_iters=n_iters)
+    enc = pq_encode(corpus, vec_col, id_col, cb, m=m)
+    (
+        enc.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(_PQ_STORE_BUCKETS)).alias("bucket"),
+            F.col(id_col).alias("cid"),
+            "codes",
+            F.lit(0).cast("bigint").alias("seq"),
+            F.lit(0).cast("bigint").alias("cb_ver"),
+        )
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    (
+        cb.select(
+            "sub",
+            "code",
+            "centroid",
+            F.lit(0).cast("bigint").alias("cb_ver"),
+            F.lit(m).cast("int").alias("m"),
+            F.lit(width).cast("int").alias("width"),
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{table}_codebook")
+    )
+
+
+def _store_codebook(spark, table: str):
+    """(codebook df, cb_ver, m, width) of the CURRENT codebook."""
+    cbt = spark.table(f"{table}_codebook")
+    meta = cbt.select("cb_ver", "m", "width").limit(1).collect()
+    if not meta:
+        raise ValueError(f"store {table!r} has an empty codebook")
+    ver, m, width = int(meta[0].cb_ver), int(meta[0].m), int(meta[0].width)
+    return cbt.select("sub", "code", "centroid"), ver, m, width
+
+
+def _refuse_stale(spark, table: str, ver: int, action: str) -> None:
+    stale = (
+        spark.table(table)
+        .where(F.col("cb_ver") != F.lit(ver))
+        .limit(1)
+        .count()
+    )
+    if stale:
+        raise ValueError(
+            f"store {table!r} holds codes from a different codebook version "
+            f"than the current cb_ver={ver}; re-encode (rebuild_pq_store) "
+            f"before {action} — mixing code spaces would rank garbage"
+        )
+
+
+def append_to_pq_store(
+    spark,
+    new_vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    seq: int | None = None,
+) -> int:
+    """Incremental ingest: encode the new batch against the store's
+    FROZEN codebook and append. Refuses a store whose codes were
+    written under a different codebook version (stale-codebook
+    refusal). Returns appended row count. ``seq`` defaults to
+    1 + current max; streaming callers pass their micro-batch id so
+    crash replays collapse at compaction (the IVF-store contract)."""
+    cb, ver, m, _w = _store_codebook(spark, table)
+    _refuse_stale(spark, table, ver, "appending")
+    nxt = (
+        seq
+        if seq is not None
+        else spark.table(table)
+        .agg(F.coalesce(F.max("seq") + 1, F.lit(0)).alias("s"))
+        .collect()[0]["s"]
+    )
+    enc = (
+        pq_encode(new_vectors, vec_col, id_col, cb, m=m)
+        .select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(_PQ_STORE_BUCKETS)).alias("bucket"),
+            F.col(id_col).alias("cid"),
+            "codes",
+            F.lit(nxt).cast("bigint").alias("seq"),
+            F.lit(ver).cast("bigint").alias("cb_ver"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    enc.write.partitionBy("bucket").mode("append").format("parquet").saveAsTable(table)
+    return enc.count()
+
+
+def compact_pq_store(spark, table: str) -> int:
+    """One row per vector id (newest ``seq`` wins — re-crawl update
+    semantics), bucket partitions rewritten to bounded file counts.
+    Crash-safe via the dedup-index staged swap. Returns kept rows."""
+    from easydb_server_spark.operators.dedup import _recover_staged, _staged_swap_write
+
+    _recover_staged(spark, table)
+    t = spark.table(table)
+    w = Window.partitionBy("cid").orderBy(F.col("seq").desc())
+    keep = (
+        t.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+        .select("bucket", "cid", "codes", "seq", "cb_ver")
+        .localCheckpoint(eager=True)
+    )
+    _staged_swap_write(
+        spark,
+        keep.repartition("bucket"),
+        table,
+        bucket_col=None,
+        partition_col="bucket",
+    )
+    return keep.count()
+
+
+def pq_store_adc_topk(
+    spark,
+    queries: DataFrame,
+    vec_col: str,
+    qid_col: str,
+    table: str,
+    k_top: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Serve brute-ADC top-k from a persisted store: broadcast-LUT
+    against the stored codebook, stream the codes table once, same
+    INT64 micro-unit ranking as :func:`pq_adc_topk`. Refuses a store
+    with mixed codebook versions."""
+    cb, ver, m, _w = _store_codebook(spark, table)
+    _refuse_stale(spark, table, ver, "serving")
+    enc = spark.table(table).select("cid", "codes")
+    return pq_adc_topk(
+        queries,
+        enc,
+        cb,
+        vec_col,
+        qid_col,
+        id_col="cid",
+        m=m,
+        k_top=k_top,
+        exclude_self=exclude_self,
+    )
+
+
+def rebuild_pq_store(
+    spark,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: str,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+) -> None:
+    """Retrain + re-encode (the fix for stale-codebook refusal and
+    for corpus drift): new codebook under cb_ver = old + 1, full
+    overwrite of both tables."""
+    try:
+        _cb, old_ver, _m, _w = _store_codebook(spark, table)
+    except Exception:
+        old_ver = -1
+    width = _dim_width(corpus, vec_col, m)
+    cb = pq_train(corpus, vec_col, id_col, m=m, k=k, n_iters=n_iters)
+    enc = pq_encode(corpus, vec_col, id_col, cb, m=m)
+    ver = old_ver + 1
+    (
+        enc.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(_PQ_STORE_BUCKETS)).alias("bucket"),
+            F.col(id_col).alias("cid"),
+            "codes",
+            F.lit(0).cast("bigint").alias("seq"),
+            F.lit(ver).cast("bigint").alias("cb_ver"),
+        )
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    (
+        cb.select(
+            "sub",
+            "code",
+            "centroid",
+            F.lit(ver).cast("bigint").alias("cb_ver"),
+            F.lit(m).cast("int").alias("m"),
+            F.lit(width).cast("int").alias("width"),
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{table}_codebook")
+    )

@@ -5223,6 +5223,134 @@ ORDER BY qid, rank
 )
 
 
+def q_pq_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ store lifecycle end-to-end: train+write on the first 40
+    vectors, append a batch that RE-CRAWLS ids 0..9 (their vectors
+    replaced by vec_id+40's embeddings) plus 10 brand-new ids, compact
+    (newest seq wins), then serve brute-ADC top-5 for 4 queries from
+    the compacted store. The oracle replays the final state directly:
+    codebook trained on the base slice, codes for the post-compaction
+    corpus (modified 0..9 + untouched 10..39 + new 1000..1009), LUT
+    and INT64 micro-unit scores — so the append/compact semantics are
+    what is actually graded, not just the search. Scale shape
+    (operators/pq.py store section): appends encode only the batch
+    against the frozen broadcast codebook, compaction rewrites
+    hash-bucket partitions, and nothing re-reads raw corpus vectors."""
+    from easydb_server_spark.operators import pq as PQ
+
+    e = load(spark, sf_dir, "embeddings")
+    tbl = "pq_store_conf"
+    base = e.where(F.col("vec_id") < 40)
+    PQ.write_pq_store(base, "embedding", "vec_id", tbl, m=4, k=8)
+    shifted = e.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+    recrawl = shifted.select((F.col("vec_id") - 40).alias("vec_id"), "embedding")
+    new = shifted.select((F.col("vec_id") + 960).alias("vec_id"), "embedding")
+    PQ.append_to_pq_store(spark, recrawl.unionAll(new), "embedding", "vec_id", tbl)
+    PQ.compact_pq_store(spark, tbl)
+    q = e.where(F.col("vec_id") < 4)
+    return PQ.pq_store_adc_topk(spark, q, "embedding", "vec_id", tbl, k_top=5).orderBy(
+        "qid", "rank"
+    )
+
+
+_PQ_STORE_TRAIN_CTES = """
+WITH vbase AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 40
+),
+subs AS (
+  SELECT cid, t.s AS sub, list_slice(e, t.s * 16 + 1, t.s * 16 + 16) AS svec
+  FROM vbase, UNNEST(generate_series(0, 3)) t(s)
+),
+init AS (
+  SELECT sub, r - 1 AS code, svec AS centroid FROM (
+    SELECT sub, svec,
+           ROW_NUMBER() OVER (PARTITION BY sub
+                              ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS r
+    FROM subs
+  ) WHERE r <= 8
+),
+a0 AS (
+  SELECT cid, sub, code FROM (
+    SELECT s.cid, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.cid, s.sub
+                              ORDER BY ROUND(list_dot_product(s.svec, c.centroid), 6) DESC,
+                                       c.code) AS r
+    FROM subs s JOIN init c ON c.sub = s.sub
+  ) WHERE r = 1
+),
+upd AS (
+  SELECT a0.sub, a0.code, t.i AS pos, ROUND(AVG(s.svec[t.i]), 5) AS m
+  FROM a0 JOIN subs s ON s.cid = a0.cid AND s.sub = a0.sub,
+       UNNEST(generate_series(1, 16)) t(i)
+  GROUP BY a0.sub, a0.code, t.i
+),
+newc AS (SELECT sub, code, list(m ORDER BY pos) AS centroid FROM upd GROUP BY sub, code),
+cb AS (
+  SELECT i.sub, i.code, COALESCE(n.centroid, i.centroid) AS centroid
+  FROM init i LEFT JOIN newc n ON n.sub = i.sub AND n.code = i.code
+)"""
+
+
+ORACLE_PQ_STORE_LIFECYCLE = (
+    _PQ_STORE_TRAIN_CTES
+    + """,
+vstore AS (
+  SELECT b.vec_id AS cid, CAST(n.embedding AS DOUBLE[]) AS e
+  FROM embeddings b JOIN embeddings n ON n.vec_id = b.vec_id + 40
+  WHERE b.vec_id < 10
+  UNION ALL
+  SELECT vec_id, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id >= 10 AND vec_id < 40
+  UNION ALL
+  SELECT vec_id + 960, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id >= 40 AND vec_id < 50
+),
+ssubs AS (
+  SELECT cid, t.s AS sub, list_slice(e, t.s * 16 + 1, t.s * 16 + 16) AS svec
+  FROM vstore, UNNEST(generate_series(0, 3)) t(s)
+),
+enc AS (
+  SELECT cid, sub, code FROM (
+    SELECT s.cid, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.cid, s.sub
+                              ORDER BY ROUND(list_dot_product(s.svec, c.centroid), 6) DESC,
+                                       c.code) AS r
+    FROM ssubs s JOIN cb c ON c.sub = s.sub
+  ) WHERE r = 1
+),
+qsubs AS (
+  SELECT vec_id AS qid, t.s AS sub,
+         list_slice(CAST(embedding AS DOUBLE[]), t.s * 16 + 1, t.s * 16 + 16) AS svec
+  FROM embeddings, UNNEST(generate_series(0, 3)) t(s)
+  WHERE vec_id < 4
+),
+lut AS (
+  SELECT s.qid, s.sub, c.code,
+         CAST(ROUND(list_dot_product(s.svec, c.centroid) * 1000000.0, 0) AS BIGINT)
+           AS part_units
+  FROM qsubs s JOIN cb c ON c.sub = s.sub
+),
+scored AS (
+  SELECT l.qid, e2.cid, SUM(l.part_units) AS adc_units
+  FROM enc e2 JOIN lut l ON l.sub = e2.sub AND l.code = e2.code
+  WHERE e2.cid != l.qid
+  GROUP BY l.qid, e2.cid
+),
+ranked AS (
+  SELECT qid, cid, adc_units,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_units DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, cid,
+       ROUND(CAST(adc_units AS DOUBLE) / 1000000.0, 6) AS adc_score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+)
+
+
 def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus (k=4, sign-fixed
     components ordered by descending eigenvalue), exploded to

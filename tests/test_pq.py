@@ -197,3 +197,62 @@ def test_ivfpq_score_tracks_true_dot(spark):
         # coarse dot + residual reconstruction: tight clusters keep
         # the quantization error small relative to |dot| ~ 9·dim·0.1
         assert abs(true - r.adc_score) / max(abs(true), 1.0) < 0.25
+
+
+def test_pq_store_lifecycle(spark):
+    """write -> append (re-crawled + new ids) -> compact -> serve:
+    newest seq wins, serving equals direct ADC over the equivalent
+    final corpus, and a codebook-version mismatch refuses loudly."""
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators import pq as PQ
+
+    e = _vecs(spark, n=1100, dim=DIM, seed=11)
+    tbl = "pq_store_t"
+    base = e.where(F.col("vec_id") < 40)
+    PQ.write_pq_store(base, "embedding", "vec_id", tbl, m=4, k=8)
+    assert spark.table(tbl).count() == 40
+
+    shifted = e.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+    recrawl = shifted.select((F.col("vec_id") - 40).alias("vec_id"), "embedding")
+    new = shifted.select((F.col("vec_id") + 960).alias("vec_id"), "embedding")
+    n = PQ.append_to_pq_store(spark, recrawl.unionAll(new), "embedding", "vec_id", tbl)
+    assert n == 20
+    assert spark.table(tbl).count() == 60  # append-only until compaction
+
+    kept = PQ.compact_pq_store(spark, tbl)
+    assert kept == 50
+    # newest-wins: ids 0..9 must carry the re-crawled vectors' codes
+    cb, _ver, m, _w = PQ._store_codebook(spark, tbl)
+    want = {
+        r.vec_id: r.codes
+        for r in PQ.pq_encode(recrawl, "embedding", "vec_id", cb, m=m).collect()
+    }
+    got = {r.cid: r.codes for r in spark.table(tbl).where(F.col("cid") < 10).collect()}
+    assert got == want
+
+    # serving equals direct ADC over the equivalent final corpus
+    q = e.where(F.col("vec_id") < 4)
+    served = PQ.pq_store_adc_topk(spark, q, "embedding", "vec_id", tbl, k_top=5)
+    final_corpus = recrawl.unionAll(
+        e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 40))
+    ).unionAll(new)
+    direct_enc = PQ.pq_encode(final_corpus, "embedding", "vec_id", cb, m=m)
+    direct = PQ.pq_adc_topk(q, direct_enc, cb, "embedding", "vec_id", m=m, k_top=5)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+
+    # stale-codebook refusal: bump the codebook version without
+    # re-encoding -> append and serve must refuse
+    cbt = spark.table(f"{tbl}_codebook")
+    bumped = cbt.withColumn("cb_ver", F.col("cb_ver") + 1).localCheckpoint(eager=True)
+    bumped.write.mode("overwrite").format("parquet").saveAsTable(f"{tbl}_codebook")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codebook version"):
+        PQ.append_to_pq_store(spark, recrawl, "embedding", "vec_id", tbl)
+    with _pytest.raises(ValueError, match="codebook version"):
+        PQ.pq_store_adc_topk(spark, q, "embedding", "vec_id", tbl)
+
+    # rebuild retrains, re-encodes, and serving works again
+    PQ.rebuild_pq_store(spark, final_corpus, "embedding", "vec_id", tbl, m=4, k=8)
+    assert PQ.pq_store_adc_topk(spark, q, "embedding", "vec_id", tbl).count() == 20
