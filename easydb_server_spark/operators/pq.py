@@ -607,3 +607,58 @@ def rebuild_pq_store(
         .format("parquet")
         .saveAsTable(f"{table}_codebook")
     )
+
+
+def ivfpq_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k_top: int = 5,
+    m: int = 4,
+    k: int = 16,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of IVFADC against EXACT search — the measurement the
+    two-layer approximation (coarse pruning × residual quantization)
+    is tuned by, as a first-class oracled operator (the PQ analogue of
+    :func:`~easydb_server_spark.operators.similarity.ann_recall`,
+    which only grades the IVF layer). Per query:
+    |ivfpq_topk ∩ exact_topk| / k. Both sides are deterministic
+    (rounded cosines / INT64 micro-unit ADC, id tie-breaks), so the
+    recall of a given geometry is a replayable fact, not a hand-waved
+    sweep number.
+
+    Scale shape: the exact side is the broadcast-query brute scan —
+    run this on a SAMPLED query set (dozens of rows), as every ANN
+    deployment does; the IVFADC side probes as in production."""
+    from easydb_server_spark.functions.exactround import round_ratio
+    from easydb_server_spark.operators.similarity import topk_cosine_bruteforce
+
+    exact = topk_cosine_bruteforce(corpus, queries, vec_col, id_col, k_top)
+    approx = ivfpq_adc_topk(
+        corpus,
+        queries,
+        vec_col,
+        id_col,
+        m=m,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        k_top=k_top,
+    )
+    hits = (
+        exact.join(approx.select("qid", "cid"), ["qid", "cid"], "leftsemi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = exact.select("qid").distinct()
+    return qids.join(hits, "qid", "left").select(
+        "qid",
+        F.lit(k_top).cast("int").alias("k"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+        round_ratio(F.coalesce(F.col("n_hits"), F.lit(0)), F.lit(k_top), 6).alias(
+            "recall"
+        ),
+    )

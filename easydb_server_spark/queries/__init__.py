@@ -163,6 +163,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "pq_adc_topk": (llmops.q_pq_adc_topk, llmops.ORACLE_PQ_ADC_TOPK),
     "ivfpq_adc_topk": (llmops.q_ivfpq_adc_topk, llmops.ORACLE_IVFPQ_ADC_TOPK),
     "pq_store_lifecycle": (llmops.q_pq_store_lifecycle, llmops.ORACLE_PQ_STORE_LIFECYCLE),
+    "sim_ivfpq_recall": (llmops.q_sim_ivfpq_recall, llmops._oracle_ivfpq_recall()),
     # added in r11, rows-only by design (r10 verdict asks #5): the
     # eigendecomposition / FFT cores are float with no SQL-expressible
     # replay — semantics pytest-locked (test_r10_fixes.py PCA class,

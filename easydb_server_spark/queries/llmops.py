@@ -5223,6 +5223,57 @@ ORDER BY qid, rank
 )
 
 
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVFADC (8 cells, nprobe=2, m=4 x k=8 residual PQ —
+    the ivfpq_adc_topk geometry) against exact cosine search for 8
+    corpus queries. The ANN stack has TWO approximation layers (coarse
+    pruning, residual quantization); sim_ann_recall grades only the
+    first — this grades the composition. Both searches are
+    deterministic, so the recall of the geometry is an oracled fact:
+    the oracle replays the full IVFADC derivation AND the brute-force
+    ranking and intersects them."""
+    from easydb_server_spark.operators.pq import ivfpq_recall
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return ivfpq_recall(
+        e, q, "embedding", "vec_id", k_top=5, m=4, k=8, n_cells=8, nprobe=2
+    ).orderBy("qid")
+
+
+def _oracle_ivfpq_recall() -> str:
+    """ORACLE_IVFPQ_ADC_TOPK's full derivation chain (everything up to
+    its final SELECT) + the brute-force ranking + the intersection."""
+    base = ORACLE_IVFPQ_ADC_TOPK[: ORACLE_IVFPQ_ADC_TOPK.rindex("SELECT qid, cid,")]
+    return (
+        base
+        + """, bscored AS (
+  SELECT qv.vec_id AS qid, cv.vec_id AS cid,
+         ROUND(list_cosine_similarity(cv.e, qv.e), 6) AS cosine
+  FROM v qv JOIN v cv ON cv.vec_id != qv.vec_id
+  WHERE qv.vec_id < 8
+),
+branked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+  FROM bscored
+),
+bf AS (SELECT qid, cid FROM branked WHERE r <= 5),
+ivfpq AS (SELECT qid, cid FROM ranked WHERE rank <= 5),
+hits AS (
+  SELECT b.qid, COUNT(*) AS n
+  FROM bf b JOIN ivfpq i ON i.qid = b.qid AND i.cid = b.cid
+  GROUP BY b.qid
+)
+SELECT q.qid, CAST(5 AS INT) AS k,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+       (CAST((CASE WHEN (COALESCE(h.n, 0)) < 0 THEN -(((((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) // (CAST(5 AS BIGINT))) * 100 + ((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) % (CAST(5 AS BIGINT))) * 100) // (CAST(5 AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) // (CAST(5 AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) // (CAST(5 AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) >= (CAST(5 AS BIGINT)) THEN 1 ELSE 0 END)) ELSE (((((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) // (CAST(5 AS BIGINT))) * 100 + ((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) % (CAST(5 AS BIGINT))) * 100) // (CAST(5 AS BIGINT))) * 100 + ((((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) // (CAST(5 AS BIGINT))) * 100 + ((((((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) // (CAST(5 AS BIGINT))) + (CASE WHEN 2 * (((((((abs(CAST(COALESCE(h.n, 0) AS BIGINT)) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) * 100) % (CAST(5 AS BIGINT))) >= (CAST(5 AS BIGINT)) THEN 1 ELSE 0 END)) END) AS DOUBLE) / 1000000.0) AS recall
+FROM (SELECT DISTINCT qid FROM bf) q
+LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid
+"""
+    )
+
+
 def q_pq_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ store lifecycle end-to-end: train+write on the first 40
     vectors, append a batch that RE-CRAWLS ids 0..9 (their vectors
