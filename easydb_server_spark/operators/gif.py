@@ -147,8 +147,7 @@ def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes → (h, w, 3) uint8 RGB array (first image frame)."""
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
     if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF87a/GIF89a payload")
     _sw, _sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
@@ -232,7 +231,27 @@ def _decode_frame_indices(payload: bytes, pos: int):
     return x, y, w, h, pal, rows, pos
 
 
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (h, w, 3) uint8 RGB array (first image frame).
+    Truncated/corrupt payloads raise ValueError — never wrong pixels
+    and never a leaked IndexError/struct.error."""
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt GIF payload: {e}") from e
+
+
 def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Composited animation frames — see :func:`_decode_gif_frames_inner`
+    for the compositing contract. Truncated/corrupt payloads raise
+    ValueError (refusal, not wrong pixels)."""
+    try:
+        return _decode_gif_frames_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt GIF payload: {e}") from e
+
+
+def _decode_gif_frames_inner(payload: bytes) -> list[np.ndarray]:
     """GIF bytes → list of (screen_h, screen_w, 3) uint8 RGB frames,
     COMPOSITED: each animated frame is the logical screen as a
     renderer would show it — sub-rectangle placement, GCE transparency
