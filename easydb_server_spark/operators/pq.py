@@ -396,6 +396,22 @@ def ivfpq_adc_topk(
 _PQ_STORE_BUCKETS = 16
 
 
+def _drop_table_and_location(spark, name: str) -> None:
+    """DROP TABLE IF EXISTS + remove the warehouse directory. A fresh
+    session's in-memory catalog does not know tables a PREVIOUS
+    session wrote, but the warehouse directory persists — overwrite
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS. The driver
+    runs every conformance entry in its own vanilla session, so store
+    writes must clear both the catalog entry and the orphaned path."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    jvm = spark.sparkContext._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name.lower()}")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_pq_store(
     corpus: DataFrame,
     vec_col: str,
@@ -411,6 +427,8 @@ def write_pq_store(
     serves from a ~1 TB store; raw vectors are never rescanned per
     query batch."""
     spark = corpus.sparkSession
+    _drop_table_and_location(spark, table)
+    _drop_table_and_location(spark, f"{table}_codebook")
     width = _dim_width(corpus, vec_col, m)
     cb = pq_train(corpus, vec_col, id_col, m=m, k=k, n_iters=n_iters)
     enc = pq_encode(corpus, vec_col, id_col, cb, m=m)
@@ -577,6 +595,8 @@ def rebuild_pq_store(
         _cb, old_ver, _m, _w = _store_codebook(spark, table)
     except Exception:
         old_ver = -1
+    _drop_table_and_location(spark, table)
+    _drop_table_and_location(spark, f"{table}_codebook")
     width = _dim_width(corpus, vec_col, m)
     cb = pq_train(corpus, vec_col, id_col, m=m, k=k, n_iters=n_iters)
     enc = pq_encode(corpus, vec_col, id_col, cb, m=m)

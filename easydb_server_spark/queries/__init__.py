@@ -356,83 +356,75 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
 }
 
-# --- ROUND-11 PRIORITY WINDOW (the 50-entry prefix the driver
+# --- ROUND-12 PRIORITY WINDOW (the 50-entry prefix the driver
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 11, slots 1-4: the never-driver-seen entries added
-# this round (the PQ train/encode + ADC-search oracles, the IVFADC
-# composition, the animated-GIF multi-frame sampler). Slots 5-8: r11
-# code changes to
-# previously-green entries — emb_covariance (rewritten fixed-point
-# two-pass, r10's one red row), agg_pricing_summary (decimal-exact
-# sums after the repartition-invariance sweep caught raw-double
-# summation), dedup_bloom_admits (persist → localCheckpoint),
-# ts_scd2_history (null-safe merge split). Slots 9-36: the ENTIRE
-# 28-entry r6-evidence cohort (the r10 verdict's ask #3 list:
-# edge_string_fns … text_vocab) — after a green r11 no oracled
-# entry's evidence is older than r7. Slots 37-50: the
-# alphabetically-first 14 of the 40-entry r7-evidence cohort
-# (chunk_dedup … fn_struct_map); the remaining 26 are the natural
-# r12 fill. Rows-only entries (agg_approx_distinct,
-# stream_funnel_stateful, sketch_distinct, text_compression_ratio,
-# text_unigram_train, emb_pca, audio_spectrogram) stay OUT — they
-# burn a slot on `no_oracle`.
+# cohort. Round 12 is change-heavy: the exact-integer rounding sweep
+# (functions/exactround — the fix for the emb_covariance midpoint
+# reds) rewrote the comparator arithmetic of 31 oracled entries, and
+# pq_adc_topk (two-stage bounded top-k) and multimodal_gif_frames
+# (corrupt-blob fallback) changed besides, so slots 1-34 are the two
+# NEW entries (pq_store_lifecycle, sim_ivfpq_recall) plus every
+# changed entry — a stale green is worse than an old green. Slots
+# 35-50 take the alphabetically-first 16 of the 23 untouched
+# r7-evidence entries; the remaining 7 (ts_range_join,
+# ts_resample_interp, ts_resample_locf, ts_session_window, ts_sliding,
+# ts_tumbling, ts_zorder_key) are the natural r13 fill — the r11 ask
+# #3 evidence floor moves for 19 of the 26 listed entries this round
+# and completes next round. Rows-only entries stay OUT (they burn a
+# slot on no_oracle).
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
-    # new in r11
-    "pq_codes",
-    "pq_adc_topk",
-    "ivfpq_adc_topk",
-    "multimodal_gif_frames",
-    # r11 code changes
+    "pq_store_lifecycle",
+    "sim_ivfpq_recall",
     "emb_covariance",
     "agg_pricing_summary",
-    "dedup_bloom_admits",
-    "ts_scd2_history",
-    # the full r6-evidence cohort
-    "edge_string_fns",
-    "emb_label_outliers",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer",
     "join_nonequi",
-    "join_right_outer",
-    "join_semi",
-    "join_using",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "text_fingerprint",
-    "text_langid",
-    "text_mixture",
-    "text_normalize",
-    "text_pack",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q14",
+    "tpch_q17",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_source_overlap",
+    "dedup_clusters",
+    "dedup_pipeline_keepers",
+    "dedup_keepers_quality",
+    "dedup_ngram_spans",
+    "curation_pipeline",
     "text_quality",
     "text_quality_prune",
-    "text_redact",
     "text_token_counts",
-    "text_vocab",
-    # alphabetically-first 15 of the r7-evidence cohort
-    "chunk_dedup",
-    "chunk_pack",
-    "curate_source_cap",
-    "dedup_embedding_lsh",
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_source_overlap",
-    "emb_label_centroids",
-    "emb_quantize",
-    "fn_array",
-    "fn_datetime_convert",
-    "fn_hash",
-    "fn_struct_map",
+    "text_length_histogram",
+    "text_repetition",
+    "text_gopher_rules",
+    "text_gopher_repetition",
+    "text_ngram_novelty",
+    "text_code_fraction",
+    "text_url_blocklist",
+    "text_url_filter",
+    "text_contamination_spans",
+    "profile_documents",
+    "profile_drift",
+    "pq_adc_topk",
+    "multimodal_gif_frames",
+    "quality_gate_events",
+    "sim_hybrid_rrf",
+    "text_bigram_logprob",
+    "text_bm25",
+    "text_bpe_apply",
+    "text_ccnet_buckets",
+    "text_chunks",
+    "text_curriculum",
+    "text_hash_split",
+    "text_shard_manifest",
+    "text_stratified_sample",
+    "text_tfidf_keywords",
+    "text_unigram_logprob",
+    "ts_asof_join",
+    "ts_date_bin",
+    "ts_gap_detection",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

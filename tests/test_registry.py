@@ -5,17 +5,16 @@ verification with no failure anywhere else. Since round 10 the window
 is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
-Round-11 window (never-driver-seen first, then changed code, then
-least-driver-evidence): the 4 entries added in r11 (PQ codes/ADC,
-the IVFADC composition, animated-GIF frame sampling), the 4 entries
-whose operator code
-changed in r11 (emb_covariance fixed-point rewrite — r10's one red
-row — agg_pricing_summary decimal sums, dedup_bloom_admits
-localCheckpoint, ts_scd2_history null-safe merge), the ENTIRE
-28-entry r6-evidence cohort (the r10 verdict's ask #3), and the
-alphabetically-first 14 of the 40-entry r7-evidence cohort; the
-remaining 26 r7 entries are the natural r12 fill. Rows-only entries
-stay out of the window (they burn a slot on `no_oracle`).
+Round-12 window (new first, then changed code, then least driver
+evidence): the 2 entries added in r12 (PQ store lifecycle, IVFADC
+recall), then every entry whose comparator arithmetic the r12
+exact-integer rounding sweep rewrote (31 entries — the
+emb_covariance midpoint-red fix applied registry-wide) plus
+pq_adc_topk (two-stage bounded top-k) and multimodal_gif_frames
+(corrupt-blob fallback), then the alphabetically-first 16 of the 23
+untouched r7-evidence entries; the remaining 7 (the ts_* block) are
+the natural r13 fill. Rows-only entries stay out of the window (they
+burn a slot on `no_oracle`).
 """
 
 PRIORITY_WINDOW = 50
@@ -33,7 +32,7 @@ def test_priority_window_prefix_is_stable():
     assert len(set(names)) == len(names)
 
 
-def test_window_holds_the_r11_rotation():
+def test_window_holds_the_r12_rotation():
     import glob
     import json
     import os
@@ -42,34 +41,42 @@ def test_window_holds_the_r11_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # slots 1-8: the 4 r11-new entries, then the 4 r11 code changes
-    assert window[:8] == [
-        "pq_codes",
-        "pq_adc_topk",
-        "ivfpq_adc_topk",
-        "multimodal_gif_frames",
-        "emb_covariance",
-        "agg_pricing_summary",
-        "dedup_bloom_admits",
-        "ts_scd2_history",
-    ]
-    # slots 8-50 are evidence-driven: the WHOLE r6 cohort, then the
-    # alphabetically-first 14 of the r7 cohort (newest driver evidence
-    # across CORRECTNESS_r*.json up to r10 — the goalpost is fixed at
-    # rotation time)
+    # slots 1-2: new in r12
+    assert window[:2] == ["pq_store_lifecycle", "sim_ivfpq_recall"]
+    # slots 3-34: every r12 code-changed entry (the rounding sweep +
+    # pq_adc_topk + multimodal_gif_frames); composition locked as a
+    # set — the sweep list is an r12 fact, not an evidence computation
+    changed = {
+        "emb_covariance", "agg_pricing_summary", "join_nonequi",
+        "tpch_q1", "tpch_q2", "tpch_q8", "tpch_q14", "tpch_q17",
+        "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_source_overlap",
+        "dedup_clusters", "dedup_pipeline_keepers", "dedup_keepers_quality",
+        "dedup_ngram_spans", "curation_pipeline",
+        "text_quality", "text_quality_prune", "text_token_counts",
+        "text_length_histogram", "text_repetition", "text_gopher_rules",
+        "text_gopher_repetition", "text_ngram_novelty", "text_code_fraction",
+        "text_url_blocklist", "text_url_filter", "text_contamination_spans",
+        "profile_documents", "profile_drift",
+        "pq_adc_topk", "multimodal_gif_frames",
+    }
+    assert set(window[2:34]) == changed
+    # slots 35-50: alphabetically-first 16 of the r7-evidence entries
+    # NOT already re-verified by the change slots (newest driver
+    # evidence across CORRECTNESS_r*.json up to r11 — the goalpost is
+    # fixed at rotation time)
     newest = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 10:
+        if rnd > 11:
             continue
         with open(f) as fh:
             for name in json.load(fh):
                 newest[name] = max(newest.get(name, 0), rnd)
-    r6_cohort = sorted(n for n, r in newest.items() if r == 6)
-    r7_cohort = sorted(n for n, r in newest.items() if r == 7)
-    assert len(r6_cohort) == 28
-    assert window[8:36] == r6_cohort
-    assert window[36:] == r7_cohort[:14]
+    r7_cohort = sorted(
+        n for n, r in newest.items() if r == 7 and n not in set(window[:34])
+    )
+    assert len(r7_cohort) == 23
+    assert window[34:] == r7_cohort[:16]
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
