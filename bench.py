@@ -72,7 +72,10 @@ FIXED_CORE = [
 # remain oracle-verified in the conformance registry. r11: the tail
 # gains the PQ ADC search and the animated-GIF frame sampler.
 HEADLINE = FIXED_CORE + [
-    "agg_count_distinct",
+    # r12 trim: agg_count_distinct left the rotating tail (sub-second
+    # Expand-rewrite shape, stays oracle-verified in the conformance
+    # registry) to keep the compact stdout line under the driver's
+    # 2000-char tail capture when sim_ivfpq_recall joined
     "ts_tumbling",
     "ts_session_window",
     "ts_range_join",
@@ -131,6 +134,11 @@ HEADLINE = FIXED_CORE + [
     "pq_adc_topk",
     "ivfpq_adc_topk",
     "multimodal_gif_frames",
+    # r12 addition: IVFADC recall vs exact search (the two-layer ANN
+    # quality measurement; pq_store_lifecycle stays conformance-only —
+    # it writes warehouse tables, a side effect the bench loop's 5
+    # warm repeats should not be timing)
+    "sim_ivfpq_recall",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

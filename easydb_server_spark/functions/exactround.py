@@ -98,39 +98,97 @@ def round_div(num: str, den: str, k: int) -> Column:
     return F.expr(round_div_sql(num, den, k, "spark"))
 
 
+def scaled_round_half(t: Column, d: Column) -> Column:
+    """round-half-away-from-zero of ``t/d`` as BIGINT, for
+    NON-NEGATIVE BIGINT ``t`` and positive BIGINT ``d`` — the shared
+    primitive under :func:`round_ratio` and pre-reduced call sites.
+
+    One IEEE division seeds the quotient, then two EXACT integer
+    correction steps pin it (the double quotient of int64 operands is
+    off by at most ``|q|*2^-52 + 1 < 2`` for ``q < 2^51``, and each
+    correction compares the exact bigint remainder ``t - q*d``). No
+    chunked long division — the old base-100 chain re-evaluated its
+    operand subtrees ~3^levels times (and its sign CASE blocked
+    Spark's subexpression elimination), which turned per-row ratios
+    over regexp/fold-derived counts into 2-3x query regressions
+    (BENCH r12 run-1: text_gopher_rules x3.2).
+
+    Headroom contract: ``t < 2^63`` (caller scales), quotient
+    ``t/d < 2^51``. ``t``/``d`` are referenced a handful of times in
+    the expression tree — pass CHEAP expressions (column refs, int
+    arithmetic); materialize regexp/fold-derived counts into columns
+    first.
+    """
+    q0 = F.floor(t.cast("double") / d.cast("double")).cast("bigint")
+    r0 = t - q0 * d
+    q1 = q0 + F.when(r0 >= d, F.lit(1)).when(r0 < 0, F.lit(-1)).otherwise(F.lit(0))
+    r1 = t - q1 * d
+    q2 = q1 + F.when(r1 >= d, F.lit(1)).when(r1 < 0, F.lit(-1)).otherwise(F.lit(0))
+    r2 = t - q2 * d
+    return q2 + F.when(F.lit(2) * r2 >= d, F.lit(1)).otherwise(F.lit(0))
+
+
 def round_ratio(num: Column, den: Column, k: int) -> Column:
     """Column-composable ROUND(num/den, k), half-away-from-zero, exact
     — the in-row twin of :func:`round_div` for per-document ratios
     (dup-word fractions, jaccard, coverage rates) whose num/den are
     Column EXPRESSIONS, not aliased names.
 
-    Same chunked algorithm; integer division is expressed as
-    ``(x - x % d) / d`` — the float division is EXACT because the
-    dividend is an exact multiple of ``d`` and both fit in 2^53
-    (headroom contract: ``|num| < 2^53`` and ``100*den < 2^53`` —
-    per-row counts are nowhere near it). ``den`` must be > 0.
+    Closed form: ``floor((2t + d) / (2d))`` with ``t = |num|*10^k`` IS
+    half-up of ``t/d``, and under the per-row headroom contract the
+    ONE double division computes it exactly:
+
+    * ``2t + d`` exact: needs ``t < 2^52``;
+    * ``floor`` lands right: the quotient's distance to the nearest
+      integer is either 0 (then the division of exactly-divisible
+      int64s < 2^53 is exact) or >= 1/(2d), and 1/(2d) beats the
+      division's half-ulp ``~q*2^-53`` whenever ``q*d ~ t < 2^50``.
+
+    So the contract is ``|num| * 10^k < 2^50`` (den > 0) — per-row
+    counts scaled by 10^6 sit orders of magnitude inside it; bigger
+    numerators (aggregate sums, the quality composite) use
+    :func:`round_div` / :func:`scaled_round_half` instead. Each
+    operand is referenced ~2x and there is NO conditional around the
+    arithmetic — both properties matter: Catalyst re-inlines projected
+    expressions into pushed-down filters, so a rounding chain that
+    referenced its operands ~50x (the first r12 formulation) turned
+    gated per-row ratios into 2-3x query regressions.
 
     The oracle side of a site using this must replay
     :func:`round_div_sql` (duckdb dialect) over the same integer
-    num/den — both compute the identical integer function.
+    num/den — identical mathematical function wherever both headroom
+    contracts hold. For a WHERE gate on the rounded value, use
+    :func:`ratio_ge` (pure integer predicate, single operand refs)
+    rather than comparing this column.
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    x = F.abs(num.cast("bigint"))
+    x = F.abs(num.cast("bigint")) * F.lit(10**k).cast("bigint")
     d = den.cast("bigint")
+    q = F.floor(
+        (F.lit(2).cast("bigint") * x + d).cast("double")
+        / (F.lit(2).cast("bigint") * d).cast("double")
+    ).cast("bigint")
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+    return (sgn * q).cast("double") / F.lit(float(10**k))
 
-    def idiv(a: Column) -> Column:
-        return ((a - a % d) / d).cast("bigint")
 
-    q = idiv(x)
-    r = x % d
-    t = k
-    while t > 0:
-        step = 2 if t >= 2 else 1
-        m = F.lit(10**step)
-        q = q * m + idiv(r * m)
-        r = (r * m) % d
-        t -= step
-    q = q + F.when(F.lit(2) * r >= d, F.lit(1)).otherwise(F.lit(0))
-    signed = F.when(num < 0, -q).otherwise(q)
-    return signed.cast("double") / F.lit(float(10**k))
+def ratio_ge(num: Column, den: Column, k: int, threshold: float) -> Column:
+    """Predicate ``ROUND(num/den, k) >= threshold`` in PURE INTEGER
+    arithmetic — algebraically identical to gating on
+    :func:`round_ratio`'s output, but each operand is referenced ONCE,
+    so when Catalyst pushes the filter below the projection and
+    re-inlines the expression, nothing expensive is duplicated.
+
+    Derivation (den > 0, T6 = threshold*10^k exact): round-half-away
+    of v = num/den at k decimals is >= threshold iff
+    ``v*10^k >= T6 - 1/2`` iff ``2*num*10^k >= (2*T6 - 1)*den``.
+    Headroom: ``2*|num|*10^k < 2^63``.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    t6 = round(threshold * 10**k)
+    if abs(t6 - threshold * 10**k) > 1e-9:
+        raise ValueError(f"threshold {threshold} is not on the 10^-{k} grid")
+    lhs = F.lit(2).cast("bigint") * num.cast("bigint") * F.lit(10**k).cast("bigint")
+    return lhs >= F.lit(2 * t6 - 1).cast("bigint") * den.cast("bigint")

@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from easydb_server_spark.functions.exactround import round_ratio
+from easydb_server_spark.functions.exactround import ratio_ge, round_ratio
 
 # universal-hash family parameters (deterministic; shared with oracles)
 MINHASH_P = 4294967311  # prime > 2^32
@@ -274,20 +274,29 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str, k: int = 3, thresho
         cand.join(left, "doc_a")
         .join(right, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("shingles_a", "shingles_b")))
-        .withColumn(
-            "jaccard",
-            # exact INT64 rounding (functions/exactround): n/d count
-            # rationals land on 6-dec midpoints whenever the reduced
-            # denominator is 2^7*5^j, and ROUND(double) tie-breaks
-            # them differently on Spark vs DuckDB
+        # exact INT64 rounding (functions/exactround): n/d count
+        # rationals land on 6-dec midpoints whenever the reduced
+        # denominator is 2^7*5^j, and ROUND(double) tie-breaks them
+        # differently on Spark vs DuckDB. The gate uses the pure
+        # integer predicate (ratio_ge) so Catalyst's filter pushdown
+        # cannot re-inline a rounding chain per candidate row.
+        .where(
+            ratio_ge(
+                F.col("n_inter"),
+                F.size("shingles_a") + F.size("shingles_b") - F.col("n_inter"),
+                6,
+                threshold,
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             round_ratio(
                 F.col("n_inter"),
                 F.size("shingles_a") + F.size("shingles_b") - F.col("n_inter"),
                 6,
-            ),
+            ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -431,14 +440,18 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
+        .where(
+            ratio_ge(
+                F.col("n_inter"), F.col("sh_a") + F.col("sh_b") - F.col("n_inter"), 6, threshold
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             round_ratio(
                 F.col("n_inter"), F.col("sh_a") + F.col("sh_b") - F.col("n_inter"), 6
-            ),
+            ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -28,7 +28,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from easydb_server_spark.functions.exactround import round_ratio
+from easydb_server_spark.functions.exactround import round_ratio, scaled_round_half
 
 # tiny deterministic stopword profiles per language (shared with oracles)
 LANG_PROFILES: dict[str, list[str]] = {
@@ -67,19 +67,28 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _quality_col(t) -> F.Column:
-    """The composite quality score as one column expression — shared
-    by :func:`quality_score` and :func:`quality_prune` so the two can
-    never drift apart. Rounded for cross-engine portability."""
+def _quality_counts(t) -> dict[str, F.Column]:
+    """The four exact counts the quality score is a function of.
+    MATERIALIZE these into columns before scoring — the regexp and
+    stopword-filter expressions are the expensive part, and the
+    integer rounding references its numerator several times."""
     words = _words(t)
-    n_chars = F.length(t)
-    n_words = F.size(words)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    en_stop = _profile_hits(words, LANG_PROFILES["en"])
-    # score = nw/400 + 2*stop/GW - 5*punct/GC as ONE exact rational
-    # (common denominator 400*GW*GC), rounded in INT64 via
-    # functions/exactround — the float-composite ROUND(double, 6) form
-    # tie-breaks exact 6-decimal midpoints differently across engines
+    return {
+        "n_chars": F.length(t),
+        "n_words": F.size(words),
+        "n_punct": F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")),
+        "n_stopwords": _profile_hits(words, LANG_PROFILES["en"]),
+    }
+
+
+def _quality_from_counts(n_chars, n_words, n_punct, en_stop) -> F.Column:
+    """score = nw/400 + 2*stop/GW - 5*punct/GC as ONE exact rational,
+    rounded half-away in INT64 (functions/exactround) — the
+    float-composite ROUND(double, 6) form tie-breaks exact 6-decimal
+    midpoints differently across engines. Scaling the numerator by
+    10^6 would overflow INT64 (num <= nw*GW*GC ~ 4e13), so the
+    fraction pre-reduces: score*10^6 = num*2500/(GW*GC). Inputs must
+    be cheap column references (see :func:`_quality_counts`)."""
     gw = F.greatest(n_words, F.lit(1)).cast("bigint")
     gc = F.greatest(n_chars, F.lit(1)).cast("bigint")
     num = (
@@ -87,25 +96,90 @@ def _quality_col(t) -> F.Column:
         + F.lit(800).cast("bigint") * en_stop.cast("bigint") * gc
         - F.lit(2000).cast("bigint") * n_punct.cast("bigint") * gw
     )
-    return round_ratio(num, F.lit(400).cast("bigint") * gw * gc, 6)
+    q = scaled_round_half(F.abs(num) * F.lit(2500).cast("bigint"), gw * gc)
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+    return (sgn * q).cast("double") / F.lit(1000000.0)
+
+
+def with_quality(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
+    """Append the composite quality score via a TWO-STEP projection:
+    the counts materialize first so the regexp/stopword work runs once
+    per row, then the score is integer arithmetic over column reads.
+    Keeps all existing columns; this is the form every consumer
+    (gates, rankers, the score query itself) should use."""
+    staged = df.select(
+        "*", *[c.alias(f"_q_{n}") for n, c in _quality_counts(F.col(text_col)).items()]
+    )
+    scored = staged.withColumn(
+        out_col,
+        _quality_from_counts(
+            F.col("_q_n_chars"),
+            F.col("_q_n_words"),
+            F.col("_q_n_punct"),
+            F.col("_q_n_stopwords"),
+        ),
+    )
+    return scored.drop("_q_n_chars", "_q_n_words", "_q_n_punct", "_q_n_stopwords")
+
+
+def quality_gate(df: DataFrame, text_col: str, threshold: float = 0.2) -> DataFrame:
+    """Filter to rows whose composite quality score (rounded at 6 dp)
+    is >= ``threshold`` — WITHOUT materializing the score. The gate is
+    the pure integer predicate round(num*2500/(GW*GC)) >= T  <=>
+    2*2500*num >= (2*T*10^6 - 1)*GW*GC, referencing each count ONCE,
+    so Catalyst's filter pushdown inlines the four count expressions
+    once per row (gating on a computed rounded column re-inlined the
+    whole rounding chain — a measured 2.5x on the curation pipeline).
+    Selects the same rows as ``with_quality(...).where(q >= T)``."""
+    t6 = round(threshold * 10**6)
+    if abs(t6 - threshold * 10**6) > 1e-6:
+        raise ValueError(f"threshold {threshold} is not on the 1e-6 grid")
+    c = _quality_counts(F.col(text_col))
+    gw = F.greatest(c["n_words"], F.lit(1)).cast("bigint")
+    gc = F.greatest(c["n_chars"], F.lit(1)).cast("bigint")
+    num = (
+        c["n_words"].cast("bigint") * gw * gc
+        + F.lit(800).cast("bigint") * c["n_stopwords"].cast("bigint") * gc
+        - F.lit(2000).cast("bigint") * c["n_punct"].cast("bigint") * gw
+    )
+    return df.where(
+        F.lit(5000).cast("bigint") * num
+        >= F.lit(2 * t6 - 1).cast("bigint") * gw * gc
+    )
+
+
+def _quality_col(t) -> F.Column:
+    """The composite score as ONE inline column expression — kept for
+    expression-level composition, but it re-derives the counts inside
+    the rounding chain (several x per row); prefer
+    :func:`with_quality` anywhere the input is a DataFrame."""
+    c = _quality_counts(t)
+    return _quality_from_counts(
+        c["n_chars"], c["n_words"], c["n_punct"], c["n_stopwords"]
+    )
 
 
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic quality metrics: counts are exact ints; the composite
-    score is a fixed linear formula rounded for portability."""
-    t = F.col(text_col)
-    words = _words(t)
-    n_chars = F.length(t)
-    n_words = F.size(words)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    en_stop = _profile_hits(words, LANG_PROFILES["en"])
-    return df.select(
+    score is a fixed linear formula rounded for portability. Two-step
+    projection: counts materialize, then the score reads them."""
+    counts = _quality_counts(F.col(text_col))
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        n_punct.alias("n_punct"),
-        en_stop.alias("n_stopwords"),
-        _quality_col(t).alias("quality"),
+        counts["n_chars"].alias("n_chars"),
+        counts["n_words"].alias("n_words"),
+        counts["n_punct"].alias("n_punct"),
+        counts["n_stopwords"].alias("n_stopwords"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_punct",
+        "n_stopwords",
+        _quality_from_counts(
+            F.col("n_chars"), F.col("n_words"), F.col("n_punct"), F.col("n_stopwords")
+        ).alias("quality"),
     )
 
 
@@ -138,11 +212,14 @@ def quality_prune(
     """
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("grp"),
-        _quality_col(F.col(text_col)).alias("quality"),
-    )
+    base = with_quality(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            F.col(text_col).alias("_qtext"),
+        ),
+        "_qtext",
+    ).drop("_qtext")
     if not exact:
         thr = base.groupBy("grp").agg(
             F.percentile_approx("quality", 1.0 - keep_frac, accuracy).alias("q_thr")
@@ -215,7 +292,9 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.size(ws).alias("ws_tokens"),
         F.size(bpe).alias("bpe_tokens"),
         F.size(F.array_distinct(ws)).alias("distinct_tokens"),
-        round_ratio(F.size(F.array_distinct(ws)), F.size(ws), 6).alias("type_token_ratio"),
+    ).withColumn(
+        "type_token_ratio",
+        round_ratio(F.col("distinct_tokens"), F.col("ws_tokens"), 6),
     )
 
 
@@ -485,40 +564,48 @@ def gopher_rules(
     """
     t = F.col(text_col)
     words = F.filter(F.split(t, "\\s+"), lambda w: w != F.lit(""))
-    n_words = F.size(words)
-    nw1 = F.greatest(n_words, F.lit(1))
-    mean_wl = round_ratio(
-        F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)),
-        nw1,
-        6,
-    )
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    # ellipsis occurrences: unicode … plus non-overlapping "..." runs
+    # two-step projection: the array-fold/filter counts materialize
+    # first, so each split/fold runs ONCE per row and the exact-round
+    # chain (which references its operands several times) reads cheap
+    # column slots — inlining these cost a measured 3x on this query
+    lines = F.split(t, "\n")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     n_ellipsis = (
         F.length(t)
         - F.length(F.replace(t, F.lit("…"), F.lit("")))
         + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
     ).cast("int")
-    lines = F.split(t, "\n")
-    n_lines = F.greatest(F.size(lines), F.lit(1))
-    bullet_starts = F.size(F.filter(lines, _startswith_any(_BULLET_PREFIXES)))
-    ellipsis_ends = F.size(F.filter(lines, _endswith_any(["...", "…"])))
-    alpha_words = F.size(F.filter(words, _matches_alpha()))
-    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
-
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("_sum_wl"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).alias("_n_hash"),
+        n_ellipsis.alias("_n_ellipsis"),
+        F.greatest(F.size(lines), F.lit(1)).alias("_n_lines"),
+        F.size(F.filter(lines, _startswith_any(_BULLET_PREFIXES))).alias("_bullets"),
+        F.size(F.filter(lines, _endswith_any(["...", "…"]))).alias("_ell_ends"),
+        F.size(F.filter(words, _matches_alpha())).alias("_alpha"),
+        F.size(F.array_intersect(F.array_distinct(words), stop_arr)).alias("n_stopwords"),
+    )
+    n_words = F.col("n_words")
+    nw1 = F.greatest(n_words, F.lit(1))
+    mean_wl = round_ratio(F.col("_sum_wl"), nw1, 6)
     word_count_ok = (n_words >= min_words) & (n_words <= max_words)
     mean_wl_ok = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-    symbol_ok = (n_hash / nw1 <= max_symbol_ratio) & (n_ellipsis / nw1 <= max_symbol_ratio)
-    bullet_ok = bullet_starts / n_lines < F.lit(max_bullet_frac)
-    ellipsis_ok = ellipsis_ends / n_lines <= F.lit(max_ellipsis_frac)
-    alpha_ok = alpha_words / nw1 >= F.lit(min_alpha_frac)
-    stop_ok = n_stop >= F.lit(min_stopwords)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
+    symbol_ok = (F.col("_n_hash") / nw1 <= max_symbol_ratio) & (
+        F.col("_n_ellipsis") / nw1 <= max_symbol_ratio
+    )
+    bullet_ok = F.col("_bullets") / F.col("_n_lines") < F.lit(max_bullet_frac)
+    ellipsis_ok = F.col("_ell_ends") / F.col("_n_lines") <= F.lit(max_ellipsis_frac)
+    alpha_ok = F.col("_alpha") / nw1 >= F.lit(min_alpha_frac)
+    stop_ok = F.col("n_stopwords") >= F.lit(min_stopwords)
+    return staged.select(
+        "doc_id",
+        "n_words",
         mean_wl.alias("mean_word_len"),
-        n_stop.alias("n_stopwords"),
+        "n_stopwords",
         word_count_ok.alias("word_count_ok"),
         mean_wl_ok.alias("mean_word_len_ok"),
         symbol_ok.alias("symbol_ratio_ok"),
@@ -821,14 +908,27 @@ def gopher_repetition_rules(
     dl_cnt, dl_chars = dup_stats(lines)
     dp_cnt, dp_chars = dup_stats(paras)
 
+    # materialize the fold-derived counts FIRST (the exact-round chain
+    # reads its operands several times; inlined folds were a measured
+    # 2x on this query), ratios in the next projection
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        round_ratio(dl_cnt, F.greatest(F.size(lines), F.lit(1)), 6).alias("dup_line_frac"),
-        round_ratio(dp_cnt, F.greatest(F.size(paras), F.lit(1)), 6).alias("dup_para_frac"),
-        round_ratio(dl_chars, total_chars, 6).alias("dup_line_char_frac"),
-        round_ratio(dp_chars, total_chars, 6).alias("dup_para_char_frac"),
+        dl_cnt.alias("_dl_cnt"),
+        dp_cnt.alias("_dp_cnt"),
+        dl_chars.alias("_dl_chars"),
+        dp_chars.alias("_dp_chars"),
+        F.greatest(F.size(lines), F.lit(1)).alias("_nl"),
+        F.greatest(F.size(paras), F.lit(1)).alias("_np"),
         total_chars.alias("n_chars"),
         F.split(t, " ").alias("ws"),
+    ).select(
+        "doc_id",
+        round_ratio(F.col("_dl_cnt"), F.col("_nl"), 6).alias("dup_line_frac"),
+        round_ratio(F.col("_dp_cnt"), F.col("_np"), 6).alias("dup_para_frac"),
+        round_ratio(F.col("_dl_chars"), F.col("n_chars"), 6).alias("dup_line_char_frac"),
+        round_ratio(F.col("_dp_chars"), F.col("n_chars"), 6).alias("dup_para_char_frac"),
+        "n_chars",
+        "ws",
     )
 
     # HOF-free gram rows: explode positions, then an ARRAY of nine
@@ -911,20 +1011,23 @@ def gopher_repetition_rules(
             _merge_span(n),
         )["chars"]
 
+    cov_staged = joined.select(
+        "*", *[covered_chars(n).alias(f"_cov_{n}") for n in range(2, 11)]
+    )
     sig_cols = []
     for n in (2, 3, 4):
         sig_cols.append(
-            round_ratio(covered_chars(n), F.col("n_chars"), 6).alias(
+            round_ratio(F.col(f"_cov_{n}"), F.col("n_chars"), 6).alias(
                 f"top_{n}gram_char_frac"
             )
         )
     for n in range(5, 11):
         sig_cols.append(
-            round_ratio(covered_chars(n), F.col("n_chars"), 6).alias(
+            round_ratio(F.col(f"_cov_{n}"), F.col("n_chars"), 6).alias(
                 f"dup_{n}gram_char_frac"
             )
         )
-    full = joined.select(
+    full = cov_staged.select(
         "doc_id",
         "dup_line_frac",
         "dup_para_frac",
@@ -1641,11 +1744,7 @@ def url_features(
     path_depth = F.size(F.filter(F.split(path, "/"), lambda x: x != F.lit("")))
     n_params = F.when(query == "", F.lit(0)).otherwise(F.size(F.split(query, "&")))
     dom_len = F.greatest(F.length(domain), F.lit(1))
-    digit_frac = round_ratio(
-        F.length(domain) - F.length(F.regexp_replace(domain, "[0-9]", "")),
-        dom_len,
-        6,
-    )
+    n_digits = F.length(domain) - F.length(F.regexp_replace(domain, "[0-9]", ""))
     dom_df = blocked_domains if isinstance(blocked_domains, DataFrame) else None
     kw_df = blocked_keywords if isinstance(blocked_keywords, DataFrame) else None
     dom_hit, kw_hit = _url_block_hits(
@@ -1660,11 +1759,16 @@ def url_features(
         F.substring_index(domain, ".", -1).alias("tld"),
         path_depth.alias("path_depth"),
         n_params.alias("n_params"),
-        digit_frac.alias("digit_frac"),
+        # regexp-derived count materializes before the exact-round
+        # chain reads it (the chain references its operands a few x)
+        n_digits.alias("_n_digits"),
+        dom_len.alias("_dom_len"),
         dom_hit.alias("blocked_domain"),
         kw_hit.alias("blocked_keyword"),
         *([u.alias("_url")] if kw_df is not None else []),
-    )
+    ).withColumn(
+        "digit_frac", round_ratio(F.col("_n_digits"), F.col("_dom_len"), 6)
+    ).drop("_n_digits", "_dom_len")
     if dom_df is not None:
         entries = F.broadcast(
             dom_df.select(
@@ -2878,15 +2982,21 @@ def code_fraction(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     code_lines = F.filter(lines, _is_code_line)
     n_lines = F.size(lines)
     n_code = F.size(code_lines)
-    frac = round_ratio(n_code, F.greatest(n_lines, F.lit(1)), 6)
     has_fence = F.col(text_col).contains("```")
     null_text = F.col(text_col).isNull()
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.when(null_text, F.lit(None)).otherwise(n_lines).alias("n_lines"),
         F.when(null_text, F.lit(None)).otherwise(n_code).alias("n_code_lines"),
-        F.when(null_text, F.lit(None)).otherwise(frac).alias("code_frac"),
         F.when(null_text, F.lit(None)).otherwise(has_fence).alias("has_fence"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_code_lines",
+        round_ratio(
+            F.col("n_code_lines"), F.greatest(F.col("n_lines"), F.lit(1)), 6
+        ).alias("code_frac"),
+        "has_fence",
     )
 
 

@@ -3296,7 +3296,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     bench = d.where(F.col("source") == "src0")
     train = d.where(F.col("source") != "src0")
-    gated = train.where(T._quality_col(F.col("text")) >= 0.2)
+    gated = T.quality_gate(train, "text", threshold=0.2)
     keep = D.exact_dedup(gated, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
     deduped = gated.join(keep, "doc_id")
     clean = T.decontaminate(deduped, bench, "text", "doc_id")
@@ -4115,14 +4115,14 @@ def q_dedup_keepers_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         keepers_by_priority,
     )
-    from easydb_server_spark.operators.text import _quality_col
-
     d = load(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
         d, "text", "doc_id", threshold=0.6, max_doc_freq=NGRAM_MAX_DF
     )
     cc = connected_components(pairs)
-    pr = d.select("doc_id", _quality_col(F.col("text")).alias("priority"))
+    pr = T.with_quality(d.select("doc_id", "text"), "text", "priority").select(
+        "doc_id", "priority"
+    )
     keep = keepers_by_priority(cc, pr)
     drops = (
         cc.join(keep.select("component", "keeper"), "component")

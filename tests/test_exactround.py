@@ -135,7 +135,10 @@ def test_rejects_negative_k():
         round_div_sql("a", "b", -1, "spark")
 
 
-@pytest.mark.parametrize("num,den,k", [c for c in CASES if abs(c[0]) < 2**53 and c[1] * 100 < 2**53])
+@pytest.mark.parametrize(
+    "num,den,k",
+    [c for c in CASES if abs(c[0]) * 10 ** c[2] < 2**50],
+)
 def test_round_ratio_column_matches_fraction(spark, num, den, k):
     from pyspark.sql import functions as F
 
@@ -158,3 +161,31 @@ def test_round_ratio_midpoint_denominators(spark):
     got = df.select("a", "b", round_ratio(F.col("a"), F.col("b"), 6).alias("v")).collect()
     for r in got:
         assert r.v == _expected(r.a, r.b, 6), (r.a, r.b)
+
+
+def test_ratio_ge_matches_rounded_gate(spark):
+    """ratio_ge must select exactly the rows whose round_ratio output
+    passes the >= gate — including exact-midpoint rows."""
+    from pyspark.sql import functions as F
+
+    from easydb_server_spark.functions.exactround import ratio_ge, round_ratio
+
+    rows = [(n, d) for d in (128, 640, 3200, 7, 400, 1) for n in range(0, 30)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    out = df.select(
+        "a",
+        "b",
+        round_ratio(F.col("a"), F.col("b"), 6).alias("v"),
+        ratio_ge(F.col("a"), F.col("b"), 6, 0.039063).alias("p"),
+    ).collect()
+    for r in out:
+        assert r.p == (r.v >= 0.039063), (r.a, r.b, r.v, r.p)
+
+
+def test_ratio_ge_rejects_off_grid_threshold():
+    from pyspark.sql import functions as F
+
+    from easydb_server_spark.functions.exactround import ratio_ge
+
+    with pytest.raises(ValueError, match="grid"):
+        ratio_ge(F.lit(1), F.lit(2), 2, 0.12345)
