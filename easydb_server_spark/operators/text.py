@@ -102,24 +102,36 @@ def _quality_from_counts(n_chars, n_words, n_punct, en_stop) -> F.Column:
 
 
 def with_quality(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
-    """Append the composite quality score via a TWO-STEP projection:
-    the counts materialize first so the regexp/stopword work runs once
-    per row, then the score is integer arithmetic over column reads.
+    """Append the composite quality score via a THREE-STEP projection:
+    the counts materialize first (regexp/stopword work runs once per
+    row), then the reduced integer numerator/denominator materialize
+    (the rounding chain references its operands ~50x — over two
+    column SLOTS that is ~100 cheap ops and small generated code;
+    over inline expressions it was a measured 1.8x), then the score.
     Keeps all existing columns; this is the form every consumer
-    (gates, rankers, the score query itself) should use."""
+    (rankers, the score query itself) should use — WHERE gates use
+    :func:`quality_gate` instead."""
     staged = df.select(
         "*", *[c.alias(f"_q_{n}") for n, c in _quality_counts(F.col(text_col)).items()]
     )
-    scored = staged.withColumn(
-        out_col,
-        _quality_from_counts(
-            F.col("_q_n_chars"),
-            F.col("_q_n_words"),
-            F.col("_q_n_punct"),
-            F.col("_q_n_stopwords"),
-        ),
+    gw = F.greatest(F.col("_q_n_words"), F.lit(1)).cast("bigint")
+    gc = F.greatest(F.col("_q_n_chars"), F.lit(1)).cast("bigint")
+    num = (
+        F.col("_q_n_words").cast("bigint") * gw * gc
+        + F.lit(800).cast("bigint") * F.col("_q_n_stopwords").cast("bigint") * gc
+        - F.lit(2000).cast("bigint") * F.col("_q_n_punct").cast("bigint") * gw
     )
-    return scored.drop("_q_n_chars", "_q_n_words", "_q_n_punct", "_q_n_stopwords")
+    reduced = staged.select("*", num.alias("_q_num"), (gw * gc).alias("_q_den"))
+    q = scaled_round_half(
+        F.abs(F.col("_q_num")) * F.lit(2500).cast("bigint"), F.col("_q_den")
+    )
+    sgn = F.when(F.col("_q_num") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+    scored = reduced.withColumn(
+        out_col, (sgn * q).cast("double") / F.lit(1000000.0)
+    )
+    return scored.drop(
+        "_q_n_chars", "_q_n_words", "_q_n_punct", "_q_n_stopwords", "_q_num", "_q_den"
+    )
 
 
 def quality_gate(df: DataFrame, text_col: str, threshold: float = 0.2) -> DataFrame:
@@ -171,15 +183,25 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         counts["n_punct"].alias("n_punct"),
         counts["n_stopwords"].alias("n_stopwords"),
     )
-    return staged.select(
+    gw = F.greatest(F.col("n_words"), F.lit(1)).cast("bigint")
+    gc = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    num = (
+        F.col("n_words").cast("bigint") * gw * gc
+        + F.lit(800).cast("bigint") * F.col("n_stopwords").cast("bigint") * gc
+        - F.lit(2000).cast("bigint") * F.col("n_punct").cast("bigint") * gw
+    )
+    reduced = staged.select("*", num.alias("_q_num"), (gw * gc).alias("_q_den"))
+    q = scaled_round_half(
+        F.abs(F.col("_q_num")) * F.lit(2500).cast("bigint"), F.col("_q_den")
+    )
+    sgn = F.when(F.col("_q_num") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+    return reduced.select(
         "doc_id",
         "n_chars",
         "n_words",
         "n_punct",
         "n_stopwords",
-        _quality_from_counts(
-            F.col("n_chars"), F.col("n_words"), F.col("n_punct"), F.col("n_stopwords")
-        ).alias("quality"),
+        ((sgn * q).cast("double") / F.lit(1000000.0)).alias("quality"),
     )
 
 
