@@ -682,3 +682,36 @@ def ivfpq_recall(
             "recall"
         ),
     )
+
+
+def pq_store_stats(spark, table: str, compact_threshold: float = 0.2) -> dict:
+    """Store health + the documented COMPACTION TRIGGER: appends are
+    append-only, so a re-crawled id leaves its superseded copy serving
+    alongside the newest until compaction — every superseded row is a
+    wasted LUT-join probe at serve time. Returns ``{"n_rows",
+    "n_ids", "n_superseded", "superseded_frac", "n_batches",
+    "cb_ver", "needs_compaction"}``; compact when superseded_frac
+    crosses the dial (default 20%). The codebook-drift question (is
+    the FROZEN codebook still a good fit for what appends brought in?)
+    is answered by :func:`ivfpq_recall` against a sampled query set —
+    recall decay, not bucket shape, is PQ's retrain signal, since the
+    hash buckets here are uniform by construction."""
+    t = spark.table(table)
+    row = t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cid").alias("n_ids"),
+        F.countDistinct("seq").alias("n_batches"),
+        F.max("cb_ver").alias("cb_ver"),
+    ).collect()[0]
+    n_rows, n_ids = int(row.n_rows), int(row.n_ids)
+    superseded = n_rows - n_ids
+    frac = superseded / n_rows if n_rows else 0.0
+    return {
+        "n_rows": n_rows,
+        "n_ids": n_ids,
+        "n_superseded": superseded,
+        "superseded_frac": round(frac, 6),
+        "n_batches": int(row.n_batches),
+        "cb_ver": int(row.cb_ver) if row.cb_ver is not None else 0,
+        "needs_compaction": frac >= compact_threshold,
+    }

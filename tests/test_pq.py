@@ -256,3 +256,26 @@ def test_pq_store_lifecycle(spark):
     # rebuild retrains, re-encodes, and serving works again
     PQ.rebuild_pq_store(spark, final_corpus, "embedding", "vec_id", tbl, m=4, k=8)
     assert PQ.pq_store_adc_topk(spark, q, "embedding", "vec_id", tbl).count() == 20
+
+
+def test_pq_store_stats_compaction_trigger(spark):
+    import pyspark.sql.functions as F
+
+    from easydb_server_spark.operators import pq as PQ
+
+    e = _vecs(spark, n=60, dim=DIM, seed=3)
+    tbl = "pq_store_stats_t"
+    PQ.write_pq_store(e.where(F.col("vec_id") < 40), "embedding", "vec_id", tbl, m=4, k=8)
+    s0 = PQ.pq_store_stats(spark, tbl)
+    assert s0["n_rows"] == s0["n_ids"] == 40 and not s0["needs_compaction"]
+    # re-crawl 15 of 40 ids -> 15/55 superseded > 20%
+    recrawl = e.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 55)).select(
+        (F.col("vec_id") - 40).alias("vec_id"), "embedding"
+    )
+    PQ.append_to_pq_store(spark, recrawl, "embedding", "vec_id", tbl)
+    s1 = PQ.pq_store_stats(spark, tbl)
+    assert s1["n_rows"] == 55 and s1["n_ids"] == 40 and s1["n_superseded"] == 15
+    assert s1["needs_compaction"]
+    PQ.compact_pq_store(spark, tbl)
+    s2 = PQ.pq_store_stats(spark, tbl)
+    assert s2["n_rows"] == s2["n_ids"] == 40 and not s2["needs_compaction"]
