@@ -1,0 +1,118 @@
+"""Driver-regeneration simulator: the per-round correctness gate runs
+over FRESHLY GENERATED parquet every round, so "green on today's
+fixtures" is weaker than "green on any fixtures". This test generates
+adversarial random documents/embeddings tables — word counts biased
+onto the 2^7·5^j midpoint-denominator class, embedding values tuned so
+covariance cells brush 5-decimal boundaries — and runs the r12
+rewritten comparator entries Spark-vs-DuckDB over each dataset.
+
+This is the registry-level closure of the exactround fix: the unit
+tests prove the PRIMITIVES tie-break identically; this proves the
+assembled entries do, on data the repo has never seen.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from easydb_server_spark.compare import canon_frame
+from easydb_server_spark.queries import REGISTRY
+
+# entries whose comparator arithmetic the r12 sweep rewrote and whose
+# inputs are documents/embeddings only (the TPC-H ones need lineitem;
+# their arithmetic is the same round_div path emb_covariance locks)
+ENTRIES = [
+    "emb_covariance",
+    "text_quality",
+    "text_token_counts",
+    "text_repetition",
+    "text_code_fraction",
+    "text_length_histogram",
+    "dedup_ngram_jaccard",
+    "profile_documents",
+    "text_ngram_novelty",
+]
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "the", "to",
+         "of", "and", "code", "def", "x", "ya", "lorem"]
+
+
+def _gen_documents(rng: np.random.RandomState, n_docs: int):
+    rows = []
+    # word counts biased onto midpoint-prone denominators: exact
+    # multiples of 128/640/3200 land n/d ratios on 6-decimal midpoints
+    # whenever the numerator keeps the reduced denominator 2^7*5^j
+    danger = [128, 256, 384, 640, 128, 64, 200]
+    for i in range(n_docs):
+        if rng.rand() < 0.6:
+            nw = danger[rng.randint(len(danger))]
+        else:
+            nw = int(rng.randint(5, 400))
+        words = [WORDS[rng.randint(len(WORDS))] for _ in range(nw)]
+        # inject duplicate runs so dup-word numerators are odd often
+        if rng.rand() < 0.5 and nw > 4:
+            words[1 : 1 + nw // 4] = [words[0]] * (nw // 4)
+        text = " ".join(words)
+        rows.append(
+            (i, text, ["en", "de", "fr"][i % 3], f"src{i % 4}", len(text))
+        )
+    return rows
+
+
+def _gen_embeddings(rng: np.random.RandomState, n: int, d: int = 8):
+    # values on a coarse grid make quantized covariance sums land on
+    # exact 5-decimal midpoints far more often than uniform doubles
+    vals = rng.randint(-40, 41, size=(n, d)) / 40.0
+    return [(i, [float(x) for x in vals[i]], int(i % 3)) for i in range(n)]
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_rewritten_entries_survive_regenerated_data(spark, tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    docs = _gen_documents(rng, 150)
+    embs = _gen_embeddings(rng, 60)
+
+    sf = str(tmp_path / f"regen_{seed}")
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(2).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        embs, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(2).write.parquet(f"{sf}/embeddings.parquet")
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    for name in ENTRIES:
+        fn, oracle = REGISTRY[name]
+        got = canon_frame(fn(spark, sf).toPandas())
+        want = canon_frame(con.execute(oracle).df())
+        assert got == want, f"{name} diverges on regenerated data (seed {seed})"
+
+
+def test_generator_produces_midpoint_ratios():
+    """Teeth: the adversarial data must actually contain ratios that
+    sit EXACTLY on 6-decimal midpoints (reduced denominator 2^7*5^j,
+    odd numerator) — otherwise the differential proves nothing about
+    the tie-break class."""
+    from fractions import Fraction
+
+    rng = np.random.RandomState(11)
+    docs = _gen_documents(rng, 150)
+    hits = 0
+    for _i, text, _l, _s, _n in docs:
+        ws = text.split(" ")
+        nw = len(ws)
+        dup = nw - len(set(ws))
+        for num in (dup, len(set(ws))):
+            if 0 < num and nw > 0:
+                fr = Fraction(num * 10**6, nw)
+                # exact midpoint: fr == m + 1/2 for integer m
+                if fr.denominator == 2:
+                    hits += 1
+    assert hits >= 3, f"only {hits} midpoint ratios generated — rebias the generator"
