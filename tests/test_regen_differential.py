@@ -116,3 +116,81 @@ def test_generator_produces_midpoint_ratios():
                 if fr.denominator == 2:
                     hits += 1
     assert hits >= 3, f"only {hits} midpoint ratios generated — rebias the generator"
+
+
+TPCH_ENTRIES = ["agg_pricing_summary", "tpch_q1", "tpch_q14", "tpch_q17", "join_nonequi"]
+
+
+def _gen_lineitem(rng: np.random.RandomState, n: int):
+    """Adversarial money rows: group sizes biased so avg denominators
+    (count*100) reduce onto the midpoint class, quantities/prices on
+    the cent grid with odd numerators frequent."""
+    import datetime
+
+    rows = []
+    flags = ["A", "N", "R"]
+    stats = ["F", "O"]
+    for i in range(n):
+        qty = float(rng.randint(1, 51))
+        # prices with odd cent counts half the time
+        price = rng.randint(90000, 110000) / 100.0
+        if rng.rand() < 0.5:
+            price += 0.01
+        disc = rng.randint(0, 11) / 100.0
+        tax = rng.randint(0, 9) / 100.0
+        ship = datetime.datetime(1996 + int(rng.randint(0, 3)), 1 + int(rng.randint(0, 12)), 1 + int(rng.randint(0, 28)))
+        rows.append(
+            (i, int(rng.randint(0, 40)), int(rng.randint(0, 10)), 1, qty, price,
+             disc, tax, flags[i % 3], stats[i % 2], ship)
+        )
+    return rows
+
+
+def _gen_part(rng: np.random.RandomState, n: int):
+    types = ["PROMO", "STANDARD", "ECONOMY"]
+    return [
+        (
+            i,
+            f"part {i}",
+            f"Brand#{(i % 5) * 10 + 3}",
+            types[i % 3],
+            int(rng.randint(1, 50)),
+            rng.randint(90000, 99999) / 100.0,
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_tpch_money_entries_survive_regenerated_data(spark, tmp_path, seed):
+    """The decimal-money comparator rewrites (exactround on avg/%/cost
+    columns) against freshly generated lineitem/part — group counts of
+    8/16/32 rows make count*100 denominators midpoint-capable."""
+    rng = np.random.RandomState(seed)
+    li = _gen_lineitem(rng, 256)  # 3 flags x 2 statuses -> groups ~42 rows
+    pt = _gen_part(rng, 40)
+
+    sf = str(tmp_path / f"tpch_{seed}")
+    spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(2).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        pt,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(f"{sf}/part.parquet")
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    for name in TPCH_ENTRIES:
+        fn, oracle = REGISTRY[name]
+        got = canon_frame(fn(spark, sf).toPandas())
+        want = canon_frame(con.execute(oracle).df())
+        assert got == want, f"{name} diverges on regenerated data (seed {seed})"
