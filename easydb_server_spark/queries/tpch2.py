@@ -14,8 +14,10 @@ states the substitution. Literals use the synthetic dialect
 Money math follows the repo convention: cast to decimal before SUM so
 both engines agree bit-for-bit regardless of summation order (Spark
 side uses compact precisions — see the _MONEY/_FACTOR note below);
-averages/ratios divide the exact decimal sum CAST AS DOUBLE by an
-exact integer count — one IEEE division, identical on both sides.
+averages/ratios round the exact unscaled-BIGINT rational in integer
+space (functions/exactround) — ROUND(double, k) tie-breaks exact
+decimal midpoints differently on Spark vs DuckDB, and count
+denominators hit midpoints at ~1/count per group.
 
 Scale shape (see tpch.py): only nation/region carry ``F.broadcast``;
 customer/supplier/part are unhinted so AQE broadcasts them while small
