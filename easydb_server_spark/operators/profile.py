@@ -21,15 +21,17 @@ from easydb_server_spark.functions.exactround import round_div, round_ratio
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-column profile: row count, null count/rate, exact distinct
     count, and min/max rendered as strings (so one result schema fits
-    every column type). One aggregation job for all columns.
+    every column type). One aggregation job for all columns — the row
+    count rides the same aggregate as a ``count(1)`` slot rather than
+    a separate ``df.count()`` job, so profiling 100 TB costs ONE scan,
+    not two.
 
     At real scale the exact ``countDistinct`` per column becomes
     ``approx_count_distinct`` (the HLL trade already measured for
     ``agg_approx_distinct``); exact is kept here because it is what an
     engine-independent oracle can replay.
     """
-    n = df.count()
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         col = F.col(c)
         aggs += [
@@ -52,10 +54,10 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return (
-        row.select(F.explode(per_col).alias("p"))
+        row.select(F.col("_n_rows").cast("long").alias("n_rows"), F.explode(per_col).alias("p"))
         .select(
             F.col("p.column").alias("column"),
-            F.lit(n).alias("n_rows"),
+            "n_rows",
             F.col("p.n_null").alias("n_null"),
             F.col("p.n_distinct").alias("n_distinct"),
             F.col("p.min_value").alias("min_value"),
@@ -67,8 +69,10 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
             "n_null",
             # n_null/n is a count rational: round it in exact INT64
             # (functions/exactround) — ROUND(double, 6) tie-breaks
-            # 6-decimal midpoints differently on Spark vs DuckDB
-            round_div("n_null", str(max(n, 1)), 6).alias("null_rate"),
+            # 6-decimal midpoints differently on Spark vs DuckDB.
+            # Operands are plain column refs of a |cols|-row frame, so
+            # the chunked chain's ~4x re-reference costs nothing.
+            round_div("n_null", "GREATEST(n_rows, 1)", 6).alias("null_rate"),
             "n_distinct",
             "min_value",
             "max_value",

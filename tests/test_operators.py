@@ -1222,6 +1222,22 @@ class TestProfileAndChecks:
         assert prof["s"].n_distinct == 2  # countDistinct ignores nulls
         assert prof["s"].max_value == "b"
 
+    def test_profile_is_lazy_no_separate_count_job(self, spark):
+        # the row count must ride the single aggregate as a count(1)
+        # slot — a df.count() inside profile_table would run an eager
+        # second scan at BUILD time (2x the 100 TB profile pass)
+        from easydb_server_spark.operators.profile import profile_table
+
+        sc = spark.sparkContext
+        sc.setJobGroup("profile-build-lazy", "profile_table must not run jobs")
+        try:
+            d = spark.range(1000).selectExpr("id", "CAST(id % 7 AS STRING) AS s")
+            prof = profile_table(d, ["id", "s"])
+            assert list(sc.statusTracker().getJobIdsForGroup("profile-build-lazy")) == []
+        finally:
+            sc.setJobGroup("", "")
+        assert prof.where("column = 'id'").first().n_rows == 1000
+
     def test_checks_count_null_predicates_as_violations(self, spark):
         from easydb_server_spark.operators.profile import quality_checks
 
