@@ -1198,6 +1198,81 @@ def emb_pca(
     return src.mapInPandas(project, "id bigint, pos int, value double")
 
 
+def emb_pca_invariants(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Driver-gradeable invariant check of :func:`emb_pca` — PCA's
+    eigendecomposition is not SQL-expressible, so instead of replaying
+    the factorization the oracle grades INVARIANTS that are exactly
+    zero (at 6 dp) whenever the PCA path is correct, over whatever
+    data the driver regenerated:
+
+    * ``gram`` (one row per component j): max_i |(WᵀW − I)_ij| — the
+      components are orthonormal (float error ~1e-15, rounds to 0).
+    * ``rayleigh`` (per component j): |w_jᵀ C w_j − λ_j| over the SAME
+      distributed covariance C the components were derived from —
+      exact by the eigen equation, ~1e-13 in float.
+    * ``eig_order`` (one row): max(0, max_j(λ_{j+1} − λ_j)) — the
+      components are ordered by descending eigenvalue (exactly 0 by
+      construction of the sort).
+    * ``isometry`` (one row, DISTRIBUTED): with the full k = d
+      rotation, per-corpus-row max of |‖Wᵀx‖² − ‖x‖²| — a square
+      orthonormal projection preserves norms, so any defect in the
+      broadcast, the Arrow batch alignment, or the matmul dtype makes
+      this nonzero. Computed by the same mapInPandas projection path
+      :func:`emb_pca` uses, per-row residuals rounded at 6 dp before
+      the max so the aggregate is order-insensitive and exact.
+
+    Returns (chk, pos, residual) rows; the oracle is the constant
+    zero table over the same (chk, pos) grid (dimension read from the
+    data, so regenerated fixtures with a different width still grade).
+    """
+    cov_rows = emb_covariance(df, vec_col).collect()
+    d = max(r.i for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r.i][r.j] = r.cov
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    lam = vals[order]
+    w = vecs[:, order]
+    for c in range(w.shape[1]):
+        lead = np.argmax(np.abs(w[:, c]))
+        if w[lead, c] < 0:
+            w[:, c] = -w[:, c]
+    gram = np.abs(w.T @ w - np.eye(d))
+    rows = [("gram", j, round(float(np.max(gram[:, j])), 6)) for j in range(d)]
+    rows += [
+        ("rayleigh", j, round(float(abs(w[:, j] @ cov @ w[:, j] - lam[j])), 6))
+        for j in range(d)
+    ]
+    asc = float(np.max(lam[1:] - lam[:-1])) if d > 1 else 0.0
+    rows.append(("eig_order", -1, round(max(0.0, asc), 6)))
+    spark = df.sparkSession
+    const = spark.createDataFrame(rows, "chk string, pos int, residual double")
+    bw = spark.sparkContext.broadcast(w)
+
+    def iso(batches):
+        wv = bw.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            p = x @ wv
+            res = np.abs((p * p).sum(axis=1) - (x * x).sum(axis=1))
+            yield pd.DataFrame({"residual": np.round(res, 6)})
+
+    iso_max = (
+        df.select(F.col(vec_col).alias("vec"))
+        .mapInPandas(iso, "residual double")
+        .agg(F.round(F.coalesce(F.max("residual"), F.lit(0.0)), 6).alias("residual"))
+        .select(
+            F.lit("isometry").alias("chk"),
+            F.lit(-1).cast("int").alias("pos"),
+            "residual",
+        )
+    )
+    return const.unionByName(iso_max)
+
+
 def ann_recall(
     corpus: DataFrame,
     queries: DataFrame,

@@ -170,6 +170,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # test_g711_spectral.py pure-tone locks); registering them means the
     # driver EXECUTES every operator the repo ships
     "emb_pca": (llmops.q_emb_pca, None),
+    "emb_pca_invariants": (llmops.q_emb_pca_invariants, llmops.ORACLE_EMB_PCA_INVARIANTS),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     # rows-only by design: DataSketches HLL estimates are
     # implementation-defined; accuracy/mergeability pytest-locked

@@ -5418,6 +5418,36 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.emb_pca(e, "embedding", "vec_id", k=4).orderBy("id", "pos")
 
 
+def q_emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gradeable companion to q_emb_pca: the eigendecomposition
+    itself has no SQL replay, but its correctness INVARIANTS round
+    exactly to zero on any data — component orthonormality (gram),
+    the eigen equation over the same distributed covariance
+    (rayleigh), descending eigenvalue order (eig_order), and norm
+    preservation of the full-rank distributed Arrow projection
+    (isometry). The oracle is the constant zero table over the same
+    (chk, pos) grid, with the component count read from the data so
+    regenerated fixtures still grade."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.emb_pca_invariants(e, "embedding", "vec_id").orderBy("chk", "pos")
+
+
+ORACLE_EMB_PCA_INVARIANTS = """
+WITH dim AS (SELECT CAST(MAX(len(embedding)) AS INT) AS d FROM embeddings),
+comps AS (SELECT UNNEST(generate_series(0, d - 1)) AS pos FROM dim)
+SELECT chk, CAST(pos AS INT) AS pos, residual FROM (
+  SELECT 'gram' AS chk, pos, 0.0 AS residual FROM comps
+  UNION ALL
+  SELECT 'rayleigh', pos, 0.0 FROM comps
+  UNION ALL
+  SELECT 'eig_order', -1, 0.0
+  UNION ALL
+  SELECT 'isometry', -1, 0.0
+)
+ORDER BY chk, pos
+"""
+
+
 def q_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STFT spectral summary over real WAV clips (the multimodal_audio
     sample recipe encoded through the stdlib codec): dominant bin, its

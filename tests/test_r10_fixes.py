@@ -530,3 +530,32 @@ class TestEmbPca:
         mat = np.array([[proj[i][p] for p in range(3)] for i in sorted(proj)])
         v = mat.var(axis=0, ddof=1)
         assert np.allclose(v, 1.0, atol=0.01)
+
+    def test_invariants_all_zero(self, spark):
+        from easydb_server_spark.operators.similarity import emb_pca_invariants
+
+        df, x = self._corpus(spark)
+        d = x.shape[1]
+        rows = emb_pca_invariants(df, "embedding", "vec_id").collect()
+        by_chk: dict = {}
+        for r in rows:
+            by_chk.setdefault(r.chk, []).append((r.pos, r.residual))
+        assert len(by_chk["gram"]) == d and len(by_chk["rayleigh"]) == d
+        assert len(by_chk["eig_order"]) == 1 and len(by_chk["isometry"]) == 1
+        assert all(res == 0.0 for vals in by_chk.values() for _, res in vals)
+
+    def test_invariants_zero_on_degenerate_spectrum(self, spark):
+        # repeated eigenvalues make the eigenBASIS arbitrary (LAPACK
+        # may return any rotation within the eigenspace) — the
+        # invariants must hold for every valid basis, so an isotropic
+        # corpus (all eigenvalues ~equal) is the adversarial case
+        import numpy as np
+
+        from easydb_server_spark.operators.similarity import emb_pca_invariants
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(150, 6))  # isotropic: near-degenerate spectrum
+        rows = [(i, [float(v) for v in x[i]]) for i in range(150)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = emb_pca_invariants(df, "embedding", "vec_id").collect()
+        assert all(r.residual == 0.0 for r in out)
