@@ -103,29 +103,34 @@ def scaled_round_half(t: Column, d: Column) -> Column:
     NON-NEGATIVE BIGINT ``t`` and positive BIGINT ``d`` — the shared
     primitive under :func:`round_ratio` and pre-reduced call sites.
 
-    One IEEE division seeds the quotient, then two EXACT integer
-    correction steps pin it (the double quotient of int64 operands is
-    off by at most ``|q|*2^-52 + 1 < 2`` for ``q < 2^51``, and each
-    correction compares the exact bigint remainder ``t - q*d``). No
-    chunked long division — the old base-100 chain re-evaluated its
-    operand subtrees ~3^levels times (and its sign CASE blocked
-    Spark's subexpression elimination), which turned per-row ratios
-    over regexp/fold-derived counts into 2-3x query regressions
-    (BENCH r12 run-1: text_gopher_rules x3.2).
+    Spark's ``div`` (IntegralDivide) and ``%`` are EXACT single native
+    ops on BIGINT — truncating, which equals floor for the
+    non-negative operands of this contract — so the whole round is one
+    div, one mod, one compare: a ~8-node tree with each operand
+    referenced at most 3x. (``div`` has no Column operator in PySpark;
+    ``F.call_function("div", ...)`` resolves the same SQL function an
+    ``a div b`` expression does.)
 
-    Headroom contract: ``t < 2^63`` (caller scales), quotient
-    ``t/d < 2^51``. ``t``/``d`` are referenced a handful of times in
-    the expression tree — pass CHEAP expressions (column refs, int
+    The r12 formulation seeded floor(double/double) and pinned it with
+    two integer correction steps; each step re-referenced the previous
+    quotient SUBTREE ~3x, so the expression expanded ~27-fold, and the
+    nested CASE WHEN branches blocked codegen subexpression
+    elimination — measured 2x on with_quality's scoring projection
+    (BENCH r12→r13: text_quality_prune 0.30→0.61 s) and 2-3x on gated
+    per-row ratios before that (BENCH r12 run-1: text_gopher_rules
+    x3.2, the same class via the base-100 chunk chain). An exact
+    decimal-division form was measured ~20% over double arithmetic;
+    native div matches double arithmetic's cost while staying exact.
+
+    Headroom contract: ``t < 2^63`` (caller scales), ``2*d < 2^63``,
+    both non-negative. ``t``/``d`` are referenced a handful of times
+    in the expression tree — pass CHEAP expressions (column refs, int
     arithmetic); materialize regexp/fold-derived counts into columns
     first.
     """
-    q0 = F.floor(t.cast("double") / d.cast("double")).cast("bigint")
-    r0 = t - q0 * d
-    q1 = q0 + F.when(r0 >= d, F.lit(1)).when(r0 < 0, F.lit(-1)).otherwise(F.lit(0))
-    r1 = t - q1 * d
-    q2 = q1 + F.when(r1 >= d, F.lit(1)).when(r1 < 0, F.lit(-1)).otherwise(F.lit(0))
-    r2 = t - q2 * d
-    return q2 + F.when(F.lit(2) * r2 >= d, F.lit(1)).otherwise(F.lit(0))
+    q = F.call_function("div", t, d)
+    r = t % d
+    return q + F.when(F.lit(2) * r >= d, F.lit(1)).otherwise(F.lit(0))
 
 
 def round_ratio(num: Column, den: Column, k: int) -> Column:

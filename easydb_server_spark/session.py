@@ -40,6 +40,14 @@ def get_spark(app_name: str = "easydb-spark", master: str | None = None) -> Spar
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4's DataFrame-debugging wrapper adds ~3 extra JVM
+        # round-trips per Column/DataFrame op to capture the Python
+        # call site for error context — measured ~40% of per-query
+        # CONSTRUCTION time on Column-heavy operators (BENCH r12:
+        # text_quality_prune x2.03 was mostly driver-side build, not
+        # executor work). Errors still surface normally, just without
+        # the Python line annotation.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # generous driver memory for local[32] single-JVM testing
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
