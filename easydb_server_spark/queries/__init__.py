@@ -357,75 +357,71 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
 }
 
-# --- ROUND-12 PRIORITY WINDOW (the 50-entry prefix the driver
+# --- ROUND-13 PRIORITY WINDOW (the 50-entry prefix the driver
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 12 is change-heavy: the exact-integer rounding sweep
-# (functions/exactround — the fix for the emb_covariance midpoint
-# reds) rewrote the comparator arithmetic of 31 oracled entries, and
-# pq_adc_topk (two-stage bounded top-k) and multimodal_gif_frames
-# (corrupt-blob fallback) changed besides, so slots 1-34 are the two
-# NEW entries (pq_store_lifecycle, sim_ivfpq_recall) plus every
-# changed entry — a stale green is worse than an old green. Slots
-# 35-50 take the alphabetically-first 16 of the 23 untouched
-# r7-evidence entries; the remaining 7 (ts_range_join,
-# ts_resample_interp, ts_resample_locf, ts_session_window, ts_sliding,
-# ts_tumbling, ts_zorder_key) are the natural r13 fill — the r11 ask
-# #3 evidence floor moves for 19 of the 26 listed entries this round
-# and completes next round. Rows-only entries stay OUT (they burn a
-# slot on no_oracle).
+# cohort. Round 13's changed set is small — profile_table folded its
+# row count into the single aggregate and null_rate moved to the
+# Column-built rounding; scaled_round_half became native div/% (the
+# r12 bench-regression fix), touching every quality-composite
+# consumer; emb_pca_invariants is NEW (the driver-gradeable PCA
+# oracle) — 8 slots. The other 42 close the evidence floor the r11
+# verdict asked for: the 7 r7-evidence ts_* entries (the pre-declared
+# r13 fill) and the COMPLETE 35-entry r8-evidence cohort. After a
+# green r13 no oracled entry's driver evidence is older than r9.
+# Rows-only entries stay OUT (they burn a slot on no_oracle).
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
-    "pq_store_lifecycle",
-    "sim_ivfpq_recall",
-    "emb_covariance",
-    "agg_pricing_summary",
-    "join_nonequi",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q14",
-    "tpch_q17",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_source_overlap",
-    "dedup_clusters",
-    "dedup_pipeline_keepers",
-    "dedup_keepers_quality",
-    "dedup_ngram_spans",
-    "curation_pipeline",
-    "text_quality",
-    "text_quality_prune",
-    "text_token_counts",
-    "text_length_histogram",
-    "text_repetition",
-    "text_gopher_rules",
-    "text_gopher_repetition",
-    "text_ngram_novelty",
-    "text_code_fraction",
-    "text_url_blocklist",
-    "text_url_filter",
-    "text_contamination_spans",
+    "emb_pca_invariants",
     "profile_documents",
     "profile_drift",
-    "pq_adc_topk",
-    "multimodal_gif_frames",
-    "quality_gate_events",
-    "sim_hybrid_rrf",
-    "text_bigram_logprob",
-    "text_bm25",
-    "text_bpe_apply",
-    "text_ccnet_buckets",
-    "text_chunks",
+    "text_quality",
+    "text_quality_prune",
+    "curation_pipeline",
     "text_curriculum",
-    "text_hash_split",
-    "text_shard_manifest",
-    "text_stratified_sample",
-    "text_tfidf_keywords",
-    "text_unigram_logprob",
-    "ts_asof_join",
-    "ts_date_bin",
-    "ts_gap_detection",
+    "dedup_keepers_quality",
+    "ts_range_join",
+    "ts_resample_interp",
+    "ts_resample_locf",
+    "ts_session_window",
+    "ts_sliding",
+    "ts_tumbling",
+    "ts_zorder_key",
+    "dedup_incremental_fuzzy",
+    "dedup_minhash",
+    "join_inner_revenue",
+    "sim_semdedup",
+    "sim_topk_ivf",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "sup_higher_order",
+    "sup_json",
+    "sup_lateral",
+    "sup_mode",
+    "sup_pivot",
+    "sup_unpivot",
+    "sup_variant",
+    "text_bpe_merges",
+    "text_clip_spans",
+    "text_decontaminate",
+    "text_ngram_topk",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "ts_multi_rollup",
+    "ts_rolling_1h",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the
