@@ -499,6 +499,7 @@ def append_to_pq_store(
     refusal). Returns appended row count. ``seq`` defaults to
     1 + current max; streaming callers pass their micro-batch id so
     crash replays collapse at compaction (the IVF-store contract)."""
+    _recover_pq_compact(spark, table)
     cb, ver, m, _w = _store_codebook(spark, table)
     _refuse_stale(spark, table, ver, "appending")
     nxt = (
@@ -523,30 +524,107 @@ def append_to_pq_store(
     return enc.count()
 
 
-def compact_pq_store(spark, table: str) -> int:
-    """One row per vector id (newest ``seq`` wins — re-crawl update
-    semantics), bucket partitions rewritten to bounded file counts.
-    Crash-safe via the dedup-index staged swap. Returns kept rows."""
-    from easydb_server_spark.operators.dedup import _recover_staged, _staged_swap_write
+def _bucket_file_counts(spark, table: str) -> dict[int, int]:
+    """Data-file count per ``bucket=N`` partition directory of a
+    managed table — the append-growth signal selective compaction
+    resets. FS listing only; no data read."""
+    jvm = spark.sparkContext._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    root = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out: dict[int, int] = {}
+    if not fs.exists(root):
+        return out
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("bucket=")):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith("_")
+        )
+        out[int(name.split("=", 1)[1])] = n
+    return out
 
-    _recover_staged(spark, table)
+
+def _recover_pq_compact(spark, table: str) -> None:
+    """Finish an interrupted SELECTIVE compaction: if the committed
+    staged table exists, the dirty-bucket contents it holds are the
+    one true post-compaction state of those partitions — replay the
+    dynamic-partition overwrite (idempotent: same partitions, same
+    rows) and drop it. Every store entry point (append / compact /
+    serve) calls this first, so a crash between the staged commit and
+    the partition overwrite can never be followed by an append whose
+    rows the replay would erase."""
+    staged = f"{table}__compact_staged"
+    if not spark.catalog.tableExists(staged):
+        return
+    if spark.catalog.tableExists(table):
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            spark.table(staged).select(*spark.table(table).columns).write.insertInto(
+                table, overwrite=True
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.sql(f"DROP TABLE {staged}")
+
+
+def compact_pq_store(spark, table: str, files_per_bucket_cap: int = 8) -> int:
+    """One row per vector id (newest ``seq`` wins — re-crawl update
+    semantics) with the rewrite bounded by the DIRTY slice, not the
+    store: only bucket partitions that hold a superseded row (a
+    re-crawled cid) or whose data-file count exceeded
+    ``files_per_bucket_cap`` (append growth) are rewritten, via
+    dynamic-partition overwrite; clean buckets' bytes are never
+    touched. A store that took only fresh-id appends compacts by
+    rewriting nothing beyond file coalescing, so compaction cost
+    tracks the re-crawl footprint — at 100 TB that is the difference
+    between a nightly maintenance job and a full index rebuild.
+
+    Crash-safe: the compacted dirty-bucket rows commit to
+    ``<table>__compact_staged`` BEFORE any live partition is replaced;
+    a crash mid-overwrite leaves the staged copy, and every store
+    entry point replays it via :func:`_recover_pq_compact` (the
+    overwrite is idempotent per partition). Returns the total
+    surviving row count of the store."""
+    from easydb_server_spark.operators.dedup import _recover_staged
+
+    _recover_staged(spark, table)  # legacy full-swap crashes
+    _recover_pq_compact(spark, table)
     t = spark.table(table)
+    dup_buckets = {
+        r.bucket
+        for r in t.groupBy("bucket", "cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    grown = {
+        b for b, n in _bucket_file_counts(spark, table).items() if n > files_per_bucket_cap
+    }
+    dirty = sorted(dup_buckets | grown)
+    if not dirty:
+        return t.count()
     w = Window.partitionBy("cid").orderBy(F.col("seq").desc())
     keep = (
-        t.withColumn("_r", F.row_number().over(w))
+        t.where(F.col("bucket").isin(dirty))
+        .withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") == 1)
         .drop("_r")
-        .select("bucket", "cid", "codes", "seq", "cb_ver")
-        .localCheckpoint(eager=True)
+        .select(*t.columns)
     )
-    _staged_swap_write(
-        spark,
-        keep.repartition("bucket"),
-        table,
-        bucket_col=None,
-        partition_col="bucket",
-    )
-    return keep.count()
+    staged = f"{table}__compact_staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    keep.repartition("bucket").write.partitionBy("bucket").mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(staged)
+    _recover_pq_compact(spark, table)  # performs the overwrite + drops staged
+    return spark.table(table).count()
 
 
 def pq_store_adc_topk(
@@ -562,6 +640,7 @@ def pq_store_adc_topk(
     against the stored codebook, stream the codes table once, same
     INT64 micro-unit ranking as :func:`pq_adc_topk`. Refuses a store
     with mixed codebook versions."""
+    _recover_pq_compact(spark, table)
     cb, ver, m, _w = _store_codebook(spark, table)
     _refuse_stale(spark, table, ver, "serving")
     enc = spark.table(table).select("cid", "codes")

@@ -279,3 +279,112 @@ def test_pq_store_stats_compaction_trigger(spark):
     PQ.compact_pq_store(spark, tbl)
     s2 = PQ.pq_store_stats(spark, tbl)
     assert s2["n_rows"] == s2["n_ids"] == 40 and not s2["needs_compaction"]
+
+
+def _bucket_files(spark, tbl):
+    from easydb_server_spark.operators.pq import _bucket_file_counts
+
+    # full file paths per bucket (not just counts) so "untouched" is
+    # checkable byte-for-byte: same paths = same files
+    jvm = spark.sparkContext._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    root = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{tbl.lower()}")
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("bucket="):
+            out[name] = sorted(
+                f.getPath().getName()
+                for f in fs.listStatus(st.getPath())
+                if f.isFile() and not f.getPath().getName().startswith("_")
+            )
+    assert out == {f"bucket={b}": v for b, v in {
+        int(k.split("=")[1]): v for k, v in out.items()
+    }.items()}  # sanity: keys parse
+    return out
+
+
+def test_compaction_rewrites_only_dirty_buckets(spark):
+    """Selective compaction: fresh-id appends leave every bucket's
+    files physically untouched; a re-crawl rewrites ONLY the buckets
+    holding the superseded cids."""
+    from easydb_server_spark.operators import pq as PQ
+
+    e = _vecs(spark, n=300, dim=DIM, seed=21)
+    tbl = "pq_store_selective_t"
+    PQ.write_pq_store(e.where(F.col("vec_id") < 100), "embedding", "vec_id", tbl, m=4, k=8)
+
+    # fresh-id append, no superseded rows, file counts under the cap
+    fresh = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    PQ.append_to_pq_store(spark, fresh, "embedding", "vec_id", tbl)
+    before = _bucket_files(spark, tbl)
+    kept = PQ.compact_pq_store(spark, tbl)
+    assert kept == 120
+    assert _bucket_files(spark, tbl) == before  # zero bytes rewritten
+
+    # re-crawl TWO ids -> only their buckets may be rewritten
+    recrawl = e.where((F.col("vec_id") >= 120) & (F.col("vec_id") < 122)).select(
+        (F.col("vec_id") - 120).alias("vec_id"), "embedding"
+    )
+    PQ.append_to_pq_store(spark, recrawl, "embedding", "vec_id", tbl)
+    before = _bucket_files(spark, tbl)
+    dirty = {
+        f"bucket={r.bucket}"
+        for r in spark.table(tbl)
+        .groupBy("bucket", "cid").count().where("count > 1")
+        .select("bucket").distinct().collect()
+    }
+    kept = PQ.compact_pq_store(spark, tbl)
+    assert kept == 120
+    after = _bucket_files(spark, tbl)
+    for b in before:
+        if b not in dirty:
+            assert after[b] == before[b], f"clean bucket {b} was rewritten"
+    # the dirty buckets really did change and hold no superseded rows
+    assert spark.table(tbl).groupBy("cid").count().where("count > 1").count() == 0
+
+
+def test_compaction_crash_recovery_replays_staged(spark):
+    """A crash between the staged commit and the partition overwrite
+    leaves <table>__compact_staged; the next store entry point must
+    replay it (newest-wins state) before doing anything else."""
+    from easydb_server_spark.operators import pq as PQ
+
+    e = _vecs(spark, n=80, dim=DIM, seed=23)
+    tbl = "pq_store_crash_t"
+    PQ.write_pq_store(e.where(F.col("vec_id") < 40), "embedding", "vec_id", tbl, m=4, k=8)
+    recrawl = e.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 48)).select(
+        (F.col("vec_id") - 40).alias("vec_id"), "embedding"
+    )
+    PQ.append_to_pq_store(spark, recrawl, "embedding", "vec_id", tbl)
+
+    # simulate the crash: build the staged table exactly as compaction
+    # would, then "die" before the overwrite
+    from pyspark.sql import Window
+
+    t = spark.table(tbl)
+    dirty = [
+        r.bucket
+        for r in t.groupBy("bucket", "cid").count().where("count > 1")
+        .select("bucket").distinct().collect()
+    ]
+    w = Window.partitionBy("cid").orderBy(F.col("seq").desc())
+    keep = (
+        t.where(F.col("bucket").isin(dirty))
+        .withColumn("_r", F.row_number().over(w)).where("_r = 1").drop("_r")
+        .select(*t.columns)
+    )
+    staged = f"{tbl}__compact_staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    keep.repartition("bucket").write.partitionBy("bucket").mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(staged)
+    assert spark.catalog.tableExists(staged)
+
+    # next append runs recovery first: staged replayed, dupes gone
+    fresh = e.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 70))
+    PQ.append_to_pq_store(spark, fresh, "embedding", "vec_id", tbl)
+    assert not spark.catalog.tableExists(staged)
+    assert spark.table(tbl).groupBy("cid").count().where("count > 1").count() == 0
+    assert spark.table(tbl).count() == 50  # 40 distinct after replay + 10 fresh
