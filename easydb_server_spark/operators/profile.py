@@ -35,7 +35,15 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         col = F.col(c)
         aggs += [
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+            # coalesce: SUM over an EMPTY table is NULL in Spark while
+            # the SQL-count form (COUNT(*) - COUNT(col)) an oracle
+            # writes is 0 — an empty snapshot must profile as zero
+            # nulls / zero rate, not NaN (caught by the regeneration
+            # differential when a generated corpus left q_profile_drift's
+            # candidate half empty)
+            F.coalesce(F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)).alias(
+                f"_null_{c}"
+            ),
             F.countDistinct(col).alias(f"_dist_{c}"),
             F.min(col).cast("string").alias(f"_min_{c}"),
             F.max(col).cast("string").alias(f"_max_{c}"),

@@ -1222,6 +1222,20 @@ class TestProfileAndChecks:
         assert prof["s"].n_distinct == 2  # countDistinct ignores nulls
         assert prof["s"].max_value == "b"
 
+    def test_profile_of_empty_table_is_zero_not_null(self, spark):
+        # SUM over an empty table is NULL; the SQL-count form an
+        # oracle writes is 0 — an empty snapshot must profile as zero
+        # nulls / 0.0 rate (profile_drift against an empty candidate
+        # otherwise reports NaN; caught by the regen differential)
+        from easydb_server_spark.operators.profile import profile_table
+
+        d = spark.createDataFrame([], "id long, s string")
+        rows = {r.column: r for r in profile_table(d, ["id", "s"]).collect()}
+        for c in ("id", "s"):
+            assert rows[c].n_rows == 0 and rows[c].n_null == 0
+            assert rows[c].null_rate == 0.0 and rows[c].n_distinct == 0
+            assert rows[c].min_value is None and rows[c].max_value is None
+
     def test_profile_is_lazy_no_separate_count_job(self, spark):
         # the row count must ride the single aggregate as a count(1)
         # slot — a df.count() inside profile_table would run an eager

