@@ -262,6 +262,11 @@ def main() -> None:
             "fixed_core_sec": fixed_core_sec,
             "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf_val,
+            # compact layout marker so the per-round BENCH record shows
+            # whether the multi-row-group relayout was in effect (full
+            # prose in BENCHDETAIL.md): "mrg" = relayout, "srg" = the
+            # driver's single-row-group fixture as-given
+            "layout": "mrg" if "relayout" in layout else "srg",
         },
         separators=(",", ":"),
     )
