@@ -393,6 +393,11 @@ def ivfpq_adc_topk(
 # re-crawl semantics: newest copy of an id wins at compaction;
 # replaying a crashed batch under the same seq stays idempotent.
 
+# DEFAULT bucket count for new stores (conformance/test scale). The
+# count a store was WRITTEN with is persisted in its codebook meta and
+# re-read by every append — never trust a process-local constant for
+# an existing store (a mismatch would scatter one cid over two
+# partitions and break selective compaction's per-bucket newest-wins).
 _PQ_STORE_BUCKETS = 16
 
 
@@ -420,13 +425,23 @@ def write_pq_store(
     m: int = 4,
     k: int = 16,
     n_iters: int = 1,
+    n_buckets: int | None = None,
 ) -> None:
     """Train the codebook on ``corpus``, encode it, and persist both
     artifacts (overwrite). The codes table is the ONLY per-vector
     state — m small ints per vector — so a 100 TB float corpus
     serves from a ~1 TB store; raw vectors are never rescanned per
-    query batch."""
+    query batch.
+
+    ``n_buckets`` is FIXED for the store's lifetime and persisted in
+    the codebook meta: every later append re-derives bucket = pmod(
+    hash(cid), n_buckets) from the STORE, never from a process-local
+    constant — if two writers disagreed, the same cid would land in
+    two partitions and selective compaction's per-bucket newest-wins
+    would silently keep both. Size it so bucket_size stays bounded at
+    the target corpus (the SCALE.md pq-store sweep sizing rule)."""
     spark = corpus.sparkSession
+    nb = int(n_buckets) if n_buckets else _PQ_STORE_BUCKETS
     _drop_table_and_location(spark, table)
     _drop_table_and_location(spark, f"{table}_codebook")
     width = _dim_width(corpus, vec_col, m)
@@ -434,7 +449,7 @@ def write_pq_store(
     enc = pq_encode(corpus, vec_col, id_col, cb, m=m)
     (
         enc.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(_PQ_STORE_BUCKETS)).alias("bucket"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(nb)).alias("bucket"),
             F.col(id_col).alias("cid"),
             "codes",
             F.lit(0).cast("bigint").alias("seq"),
@@ -453,6 +468,7 @@ def write_pq_store(
             F.lit(0).cast("bigint").alias("cb_ver"),
             F.lit(m).cast("int").alias("m"),
             F.lit(width).cast("int").alias("width"),
+            F.lit(nb).cast("int").alias("n_buckets"),
         )
         .write.mode("overwrite")
         .format("parquet")
@@ -468,6 +484,16 @@ def _store_codebook(spark, table: str):
         raise ValueError(f"store {table!r} has an empty codebook")
     ver, m, width = int(meta[0].cb_ver), int(meta[0].m), int(meta[0].width)
     return cbt.select("sub", "code", "centroid"), ver, m, width
+
+
+def _store_n_buckets(spark, table: str) -> int:
+    """The store's persisted bucket count (legacy stores without the
+    meta column keep the module default they were written with)."""
+    cbt = spark.table(f"{table}_codebook")
+    if "n_buckets" not in cbt.columns:
+        return _PQ_STORE_BUCKETS
+    row = cbt.select("n_buckets").limit(1).collect()
+    return int(row[0].n_buckets) if row else _PQ_STORE_BUCKETS
 
 
 def _refuse_stale(spark, table: str, ver: int, action: str) -> None:
@@ -509,10 +535,11 @@ def append_to_pq_store(
         .agg(F.coalesce(F.max("seq") + 1, F.lit(0)).alias("s"))
         .collect()[0]["s"]
     )
+    nb = _store_n_buckets(spark, table)  # the STORE's bucket count, never a local constant
     enc = (
         pq_encode(new_vectors, vec_col, id_col, cb, m=m)
         .select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(_PQ_STORE_BUCKETS)).alias("bucket"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(nb)).alias("bucket"),
             F.col(id_col).alias("cid"),
             "codes",
             F.lit(nxt).cast("bigint").alias("seq"),
@@ -669,11 +696,14 @@ def rebuild_pq_store(
 ) -> None:
     """Retrain + re-encode (the fix for stale-codebook refusal and
     for corpus drift): new codebook under cb_ver = old + 1, full
-    overwrite of both tables."""
+    overwrite of both tables. The store's persisted bucket count is
+    carried over (the full rewrite is the one safe point to change it,
+    but resharding is a separate decision from retraining)."""
     try:
         _cb, old_ver, _m, _w = _store_codebook(spark, table)
+        nb = _store_n_buckets(spark, table)
     except Exception:
-        old_ver = -1
+        old_ver, nb = -1, _PQ_STORE_BUCKETS
     _drop_table_and_location(spark, table)
     _drop_table_and_location(spark, f"{table}_codebook")
     width = _dim_width(corpus, vec_col, m)
@@ -682,7 +712,7 @@ def rebuild_pq_store(
     ver = old_ver + 1
     (
         enc.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(_PQ_STORE_BUCKETS)).alias("bucket"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(nb)).alias("bucket"),
             F.col(id_col).alias("cid"),
             "codes",
             F.lit(0).cast("bigint").alias("seq"),
@@ -701,6 +731,7 @@ def rebuild_pq_store(
             F.lit(ver).cast("bigint").alias("cb_ver"),
             F.lit(m).cast("int").alias("m"),
             F.lit(width).cast("int").alias("width"),
+            F.lit(nb).cast("int").alias("n_buckets"),
         )
         .write.mode("overwrite")
         .format("parquet")

@@ -388,3 +388,30 @@ def test_compaction_crash_recovery_replays_staged(spark):
     assert not spark.catalog.tableExists(staged)
     assert spark.table(tbl).groupBy("cid").count().where("count > 1").count() == 0
     assert spark.table(tbl).count() == 50  # 40 distinct after replay + 10 fresh
+
+
+def test_store_bucket_count_is_persisted_not_process_local(spark):
+    """A store written with n_buckets=64 must keep 64 for every later
+    append even if the module default says 16 — otherwise the same cid
+    scatters across two partitions and per-bucket newest-wins breaks."""
+    from easydb_server_spark.operators import pq as PQ
+
+    e = _vecs(spark, n=80, dim=DIM, seed=31)
+    tbl = "pq_store_nb_t"
+    PQ.write_pq_store(
+        e.where(F.col("vec_id") < 40), "embedding", "vec_id", tbl, m=4, k=8, n_buckets=64
+    )
+    assert PQ._store_n_buckets(spark, tbl) == 64
+    # re-crawl id 0 with a different vector; its new row must land in
+    # the SAME bucket as the original (pmod(hash, 64), not 16)
+    recrawl = e.where(F.col("vec_id") == 41).select(
+        F.lit(0).cast("long").alias("vec_id"), "embedding"
+    )
+    PQ.append_to_pq_store(spark, recrawl, "embedding", "vec_id", tbl)
+    buckets = [
+        r.bucket for r in spark.table(tbl).where("cid = 0").select("bucket").collect()
+    ]
+    assert len(buckets) == 2 and len(set(buckets)) == 1
+    # compaction then keeps exactly one row for cid 0 (newest wins)
+    PQ.compact_pq_store(spark, tbl)
+    assert spark.table(tbl).where("cid = 0").count() == 1

@@ -77,12 +77,11 @@ def main() -> None:
     from easydb_server_spark.operators import pq as PQ
 
     spark = get_spark("pq-store-sweep")
-    PQ._PQ_STORE_BUCKETS = N_BUCKETS  # fixed per store lifetime
     rng = np.random.default_rng(29)
     tbl = "pq_store_sweep_t"
 
     base = _vec_frame(spark, range(BASE), rng)
-    PQ.write_pq_store(base, "embedding", "vec_id", tbl, m=8, k=16)
+    PQ.write_pq_store(base, "embedding", "vec_id", tbl, m=8, k=16, n_buckets=N_BUCKETS)
     queries = _vec_frame(spark, range(N_QUERIES), rng)
     # warm the serve path (LUT codegen, broadcast machinery)
     PQ.pq_store_adc_topk(spark, queries, "embedding", "vec_id", tbl, k_top=5).count()
