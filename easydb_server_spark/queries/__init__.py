@@ -172,9 +172,17 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "emb_pca": (llmops.q_emb_pca, None),
     "emb_pca_invariants": (llmops.q_emb_pca_invariants, llmops.ORACLE_EMB_PCA_INVARIANTS),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
+    "audio_spectrogram_tone": (
+        llmops.q_audio_spectrogram_tone,
+        llmops.ORACLE_AUDIO_SPECTROGRAM_TONE,
+    ),
     # rows-only by design: DataSketches HLL estimates are
     # implementation-defined; accuracy/mergeability pytest-locked
     "sketch_distinct": (llmops.q_sketch_distinct, None),
+    "sketch_distinct_bound": (
+        llmops.q_sketch_distinct_bound,
+        llmops.ORACLE_SKETCH_DISTINCT_BOUND,
+    ),
     "sketch_bloom_probe": (llmops.q_sketch_bloom_probe, llmops.ORACLE_SKETCH_BLOOM_PROBE),
     "dedup_bloom_admits": (llmops.q_dedup_bloom_admits, llmops.ORACLE_DEDUP_BLOOM_ADMITS),
     "sketch_cm_words": (llmops.q_sketch_cm_words, llmops.ORACLE_SKETCH_CM_WORDS),
@@ -353,6 +361,10 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only by design: HLL sketch values are engine-specific
     # (error-bound asserted in tests/test_approx_accuracy.py)
     "agg_approx_distinct": (agg.q_agg_approx_distinct, None),
+    "agg_approx_distinct_bound": (
+        agg.q_agg_approx_distinct_bound,
+        agg.ORACLE_APPROX_DISTINCT_BOUND,
+    ),
     # --- custom stateful streaming (no oracle by construction) ---
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
 }

@@ -422,3 +422,39 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q_agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gradeable invariant companion to q_agg_approx_distinct
+    (the emb_pca_invariants pattern): the HLL estimate itself is
+    implementation-defined, but its ERROR BOUND is a replayable fact —
+    at rsd=0.01, |approx − exact| ≤ max(5%·exact, 100/20) is ~5σ, so
+    the boolean is TRUE on any data the driver regenerates. The bound
+    predicate is pure integer (20·|Δ| ≤ max(exact, 100)); the exact
+    count and group size are oracle-exact columns."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_approx"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    within = F.lit(20).cast("bigint") * F.abs(
+        F.col("_approx").cast("bigint") - F.col("exact_orders").cast("bigint")
+    ) <= F.greatest(F.col("exact_orders").cast("bigint"), F.lit(100).cast("bigint"))
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        F.col("cnt").cast("long").alias("cnt"),
+        within.alias("within_bound"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_APPROX_DISTINCT_BOUND = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

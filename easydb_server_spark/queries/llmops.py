@@ -4615,6 +4615,47 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gradeable invariant companion to q_sketch_distinct (the
+    emb_pca_invariants pattern): the DataSketches HLL estimate is
+    implementation-defined, but at lg_k=14 (rse ≈ 0.81%) the bound
+    |estimate − exact| ≤ max(5%·exact, 5) is ~6σ — TRUE on any data
+    the driver regenerates. Pure-integer predicate over the truncated
+    estimate (the ±1 truncation is absorbed by the absolute floor);
+    exact count and group size are oracle-exact columns."""
+    from easydb_server_spark.operators.sketch import distinct_sketches
+
+    e = load(spark, sf_dir, "events")
+    sk = distinct_sketches(e, "user_id", "event_type").select("grp", "estimate", "n_rows")
+    exact = e.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    within = F.lit(20).cast("bigint") * F.abs(
+        F.col("estimate").cast("bigint") - F.col("exact_users").cast("bigint")
+    ) <= F.greatest(F.col("exact_users").cast("bigint"), F.lit(100).cast("bigint"))
+    return (
+        sk.join(exact, "grp")
+        .select(
+            "grp",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            within.alias("within_bound"),
+        )
+        .orderBy("grp")
+    )
+
+
+ORACLE_SKETCH_DISTINCT_BOUND = """
+SELECT event_type AS grp,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+ORDER BY grp
+"""
+
+
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the IVF index (16 cells, nprobe=2 — the
     sim_topk_ivf geometry) against exact search for queries
@@ -5479,6 +5520,61 @@ def q_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easydb_server_spark.operators.multimodal import audio_spectrogram
 
     return audio_spectrogram(blobs, "payload", "item_id").orderBy("item_id")
+
+
+def q_audio_spectrogram_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gradeable companion to q_audio_spectrogram (the
+    emb_pca_invariants pattern): FFT magnitudes are float and stay
+    rows-only, but a PURE TONE at an exact FFT bin has an
+    analytically-known dominant bin — so the WAV encode → decode →
+    Hann STFT → argmax pipeline is graded end-to-end against a
+    closed-form oracle. Each doc_id becomes a 256-sample int16 tone at
+    bin b = 1 + doc_id % 30 of the 64-point frame (bins 1..30: inside
+    the rfft range, away from DC/Nyquist edges where leakage could
+    tie); n_frames is the closed form (256-64)/32 + 1 = 7. Float
+    columns (dB level, centroid) are deliberately not selected."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                b = 1 + did % 30
+                i = np.arange(256, dtype=np.float64)
+                s = np.round(20000.0 * np.sin(2.0 * np.pi * b * i / 64.0)).astype(
+                    np.int16
+                )
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    from easydb_server_spark.operators.multimodal import audio_spectrogram
+
+    return (
+        audio_spectrogram(blobs, "payload", "item_id")
+        .select(
+            "item_id",
+            F.col("n_frames").cast("int").alias("n_frames"),
+            F.col("dominant_bin").cast("int").alias("dominant_bin"),
+        )
+        .orderBy("item_id")
+    )
+
+
+ORACLE_AUDIO_SPECTROGRAM_TONE = """
+SELECT doc_id AS item_id,
+       CAST(7 AS INT) AS n_frames,
+       CAST(1 + doc_id % 30 AS INT) AS dominant_bin
+FROM documents
+ORDER BY item_id
+"""
 
 
 def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

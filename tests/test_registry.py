@@ -5,16 +5,14 @@ verification with no failure anywhere else. Since round 10 the window
 is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
-Round-12 window (new first, then changed code, then least driver
-evidence): the 2 entries added in r12 (PQ store lifecycle, IVFADC
-recall), then every entry whose comparator arithmetic the r12
-exact-integer rounding sweep rewrote (31 entries — the
-emb_covariance midpoint-red fix applied registry-wide) plus
-pq_adc_topk (two-stage bounded top-k) and multimodal_gif_frames
-(corrupt-blob fallback), then the alphabetically-first 16 of the 23
-untouched r7-evidence entries; the remaining 7 (the ts_* block) are
-the natural r13 fill. Rows-only entries stay out of the window (they
-burn a slot on `no_oracle`).
+Round-13 window (new/changed first, then least driver evidence):
+the 8 entries whose code changed this round (emb_pca_invariants is
+new; the profile family's single-scan + Column-built null_rate; every
+quality-composite consumer of the native-div scaled_round_half), then
+the pre-declared 7-entry r7-evidence ts_* fill, then the COMPLETE
+35-entry r8-evidence cohort — after a green r13 no oracled entry's
+driver evidence is older than r9. Rows-only entries stay out of the
+window (they burn a slot on `no_oracle`).
 """
 
 PRIORITY_WINDOW = 50
@@ -32,7 +30,7 @@ def test_priority_window_prefix_is_stable():
     assert len(set(names)) == len(names)
 
 
-def test_window_holds_the_r12_rotation():
+def test_window_holds_the_r13_rotation():
     import glob
     import json
     import os
@@ -41,42 +39,38 @@ def test_window_holds_the_r12_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # slots 1-2: new in r12
-    assert window[:2] == ["pq_store_lifecycle", "sim_ivfpq_recall"]
-    # slots 3-34: every r12 code-changed entry (the rounding sweep +
-    # pq_adc_topk + multimodal_gif_frames); composition locked as a
-    # set — the sweep list is an r12 fact, not an evidence computation
+    # slots 1-8: r13 changed/new code — emb_pca_invariants (new), the
+    # profile family (single-scan + Column-built null_rate), and every
+    # quality-composite consumer touched by the native-div
+    # scaled_round_half rewrite; composition locked as a SET (an r13
+    # fact, not an evidence computation)
     changed = {
-        "emb_covariance", "agg_pricing_summary", "join_nonequi",
-        "tpch_q1", "tpch_q2", "tpch_q8", "tpch_q14", "tpch_q17",
-        "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_source_overlap",
-        "dedup_clusters", "dedup_pipeline_keepers", "dedup_keepers_quality",
-        "dedup_ngram_spans", "curation_pipeline",
-        "text_quality", "text_quality_prune", "text_token_counts",
-        "text_length_histogram", "text_repetition", "text_gopher_rules",
-        "text_gopher_repetition", "text_ngram_novelty", "text_code_fraction",
-        "text_url_blocklist", "text_url_filter", "text_contamination_spans",
-        "profile_documents", "profile_drift",
-        "pq_adc_topk", "multimodal_gif_frames",
+        "emb_pca_invariants", "profile_documents", "profile_drift",
+        "text_quality", "text_quality_prune", "curation_pipeline",
+        "text_curriculum", "dedup_keepers_quality",
     }
-    assert set(window[2:34]) == changed
-    # slots 35-50: alphabetically-first 16 of the r7-evidence entries
-    # NOT already re-verified by the change slots (newest driver
-    # evidence across CORRECTNESS_r*.json up to r11 — the goalpost is
-    # fixed at rotation time)
+    assert set(window[:8]) == changed
+    # slots 9-15: the pre-declared r13 fill — the last 7 r7-evidence
+    # entries (the ts_* block)
+    assert window[8:15] == [
+        "ts_range_join", "ts_resample_interp", "ts_resample_locf",
+        "ts_session_window", "ts_sliding", "ts_tumbling", "ts_zorder_key",
+    ]
+    # slots 16-50: the COMPLETE r8-evidence cohort (newest driver
+    # evidence across CORRECTNESS_r*.json up to r12 — the goalpost is
+    # fixed at rotation time). After a green r13 no oracled entry's
+    # evidence is older than r9.
     newest = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 11:
+        if rnd > 12:
             continue
         with open(f) as fh:
             for name in json.load(fh):
                 newest[name] = max(newest.get(name, 0), rnd)
-    r7_cohort = sorted(
-        n for n, r in newest.items() if r == 7 and n not in set(window[:34])
-    )
-    assert len(r7_cohort) == 23
-    assert window[34:] == r7_cohort[:16]
+    r8_cohort = sorted(n for n, r in newest.items() if r == 8)
+    assert len(r8_cohort) == 35
+    assert sorted(window[15:]) == r8_cohort
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
