@@ -373,16 +373,21 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 13's changed set is small — profile_table folded its
-# row count into the single aggregate and null_rate moved to the
+# cohort. Round 13's changed/new set: profile_table folded its row
+# count into the single aggregate and null_rate moved to the
 # Column-built rounding; scaled_round_half became native div/% (the
 # r12 bench-regression fix), touching every quality-composite
-# consumer; emb_pca_invariants is NEW (the driver-gradeable PCA
-# oracle) — 8 slots. The other 42 close the evidence floor the r11
-# verdict asked for: the 7 r7-evidence ts_* entries (the pre-declared
-# r13 fill) and the COMPLETE 35-entry r8-evidence cohort. After a
-# green r13 no oracled entry's driver evidence is older than r9.
-# Rows-only entries stay OUT (they burn a slot on no_oracle).
+# consumer; and FOUR entries are NEW — emb_pca_invariants plus the
+# three rows-only companions (agg_approx_distinct_bound,
+# sketch_distinct_bound, audio_spectrogram_tone) that grade the
+# HLL/FFT paths via closed-form bounds — 11 slots. The next 39 close
+# the evidence floor the r11 verdict asked for: the 7 r7-evidence
+# ts_* entries (the pre-declared fill) and 32 of the 35-entry
+# r8-evidence cohort (the three frozen sup_* dialect shims sup_mode /
+# sup_pivot / sup_unpivot yield their slots to the new entries and
+# keep r8 evidence — still inside the original not-older-than-r8
+# criterion; they rotate r14). Rows-only entries stay OUT (they burn
+# a slot on no_oracle).
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "emb_pca_invariants",
     "profile_documents",
@@ -392,6 +397,9 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "curation_pipeline",
     "text_curriculum",
     "dedup_keepers_quality",
+    "agg_approx_distinct_bound",
+    "sketch_distinct_bound",
+    "audio_spectrogram_tone",
     "ts_range_join",
     "ts_resample_interp",
     "ts_resample_locf",
@@ -409,9 +417,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "sup_higher_order",
     "sup_json",
     "sup_lateral",
-    "sup_mode",
-    "sup_pivot",
-    "sup_unpivot",
     "sup_variant",
     "text_bpe_merges",
     "text_clip_spans",

@@ -6,13 +6,13 @@ is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
 Round-13 window (new/changed first, then least driver evidence):
-the 8 entries whose code changed this round (emb_pca_invariants is
-new; the profile family's single-scan + Column-built null_rate; every
-quality-composite consumer of the native-div scaled_round_half), then
-the pre-declared 7-entry r7-evidence ts_* fill, then the COMPLETE
-35-entry r8-evidence cohort — after a green r13 no oracled entry's
-driver evidence is older than r9. Rows-only entries stay out of the
-window (they burn a slot on `no_oracle`).
+the 11 new/changed entries (emb_pca_invariants and the three
+rows-only bound companions are new; the profile family's single-scan
++ Column-built null_rate; every quality-composite consumer of the
+native-div scaled_round_half), then the pre-declared 7-entry
+r7-evidence ts_* fill, then 32 of the 35-entry r8-evidence cohort
+(three frozen sup_* shims yielded slots and rotate r14). Rows-only
+entries stay out of the window (they burn a slot on `no_oracle`).
 """
 
 PRIORITY_WINDOW = 50
@@ -39,8 +39,9 @@ def test_window_holds_the_r13_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # slots 1-8: r13 changed/new code — emb_pca_invariants (new), the
-    # profile family (single-scan + Column-built null_rate), and every
+    # slots 1-11: r13 changed/new code — emb_pca_invariants + the three
+    # rows-only bound companions (new), the profile family
+    # (single-scan + Column-built null_rate), and every
     # quality-composite consumer touched by the native-div
     # scaled_round_half rewrite; composition locked as a SET (an r13
     # fact, not an evidence computation)
@@ -48,18 +49,20 @@ def test_window_holds_the_r13_rotation():
         "emb_pca_invariants", "profile_documents", "profile_drift",
         "text_quality", "text_quality_prune", "curation_pipeline",
         "text_curriculum", "dedup_keepers_quality",
+        # the three rows-only companions added late in r13
+        "agg_approx_distinct_bound", "sketch_distinct_bound",
+        "audio_spectrogram_tone",
     }
-    assert set(window[:8]) == changed
-    # slots 9-15: the pre-declared r13 fill — the last 7 r7-evidence
+    assert set(window[:11]) == changed
+    # slots 12-18: the pre-declared r13 fill — the last 7 r7-evidence
     # entries (the ts_* block)
-    assert window[8:15] == [
+    assert window[11:18] == [
         "ts_range_join", "ts_resample_interp", "ts_resample_locf",
         "ts_session_window", "ts_sliding", "ts_tumbling", "ts_zorder_key",
     ]
-    # slots 16-50: the COMPLETE r8-evidence cohort (newest driver
-    # evidence across CORRECTNESS_r*.json up to r12 — the goalpost is
-    # fixed at rotation time). After a green r13 no oracled entry's
-    # evidence is older than r9.
+    # slots 19-50: the r8-evidence cohort minus the yielded shims
+    # (newest driver evidence across CORRECTNESS_r*.json up to r12 —
+    # the goalpost is fixed at rotation time)
     newest = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
@@ -70,7 +73,11 @@ def test_window_holds_the_r13_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r8_cohort = sorted(n for n, r in newest.items() if r == 8)
     assert len(r8_cohort) == 35
-    assert sorted(window[15:]) == r8_cohort
+    # the three frozen sup_* dialect shims yielded their slots to the
+    # new rows-only companions; they keep r8 evidence (inside the
+    # original not-older-than-r8 criterion) and rotate r14
+    yielded = {"sup_mode", "sup_pivot", "sup_unpivot"}
+    assert sorted(window[18:]) == sorted(set(r8_cohort) - yielded)
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
