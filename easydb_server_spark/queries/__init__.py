@@ -190,6 +190,10 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only by design: DEFLATE is not SQL-expressible; behavior
     # pytest-locked (repetitive << natural << random, determinism)
     "text_compression_ratio": (llmops.q_text_compression_ratio, None),
+    "text_compression_invariants": (
+        llmops.q_text_compression_invariants,
+        llmops.ORACLE_TEXT_COMPRESSION_INVARIANTS,
+    ),
     # rows-only by design: trained scores are round(ln(x)*1e6) and ln
     # differs in the last ulp across libms — a flipped score flips a
     # Viterbi tie next iteration, so an exact train oracle is unsound

@@ -4787,6 +4787,79 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.compression_ratio(d, "text", "doc_id").orderBy("doc_id")
 
 
+def q_text_compression_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gradeable companion to q_text_compression_ratio (the
+    emb_pca_invariants pattern): DEFLATE byte counts are
+    implementation-defined (rows-only), but three facts about the real
+    zlib path hold on any data and replay in SQL:
+
+    * ``raw_bytes`` — the UTF-8 byte length the operator feeds zlib —
+      is oracle-exact (octet_length on both engines);
+    * ``roundtrip_exact`` — decompress(compress(t)) == t;
+    * ``doubling_subadditive`` — len(z(t+t)) < 2·len(z(t)): the second
+      copy is window back-references, so compressing a doubled text
+      can never cost double (docs capped at 8192 chars so the 32 KB
+      DEFLATE window always spans the first copy);
+    * ``within_deflate_bound`` — compressed ≤ raw + 11 + 5·ceil(raw/
+      16383), zlib's stored-block worst case.
+
+    All three booleans replay as constant TRUE."""
+    import pandas as pd
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length("text") >= 1) & (F.length("text") <= 8192))
+        .select("doc_id", "text")
+    )
+
+    def check(batches):
+        import zlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                z = zlib.compress(raw, 6)
+                z2 = zlib.compress(raw + raw, 6)
+                out.append(
+                    (
+                        int(doc_id),
+                        len(raw),
+                        zlib.decompress(z) == raw,
+                        len(z2) < 2 * len(z),
+                        len(z) <= len(raw) + 11 + 5 * ((len(raw) + 16382) // 16383),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "raw_bytes",
+                    "roundtrip_exact",
+                    "doubling_subadditive",
+                    "within_deflate_bound",
+                ],
+            )
+
+    schema = (
+        "doc_id bigint, raw_bytes bigint, roundtrip_exact boolean, "
+        "doubling_subadditive boolean, within_deflate_bound boolean"
+    )
+    return d.mapInPandas(check, schema).orderBy("doc_id")
+
+
+ORACLE_TEXT_COMPRESSION_INVARIANTS = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS raw_bytes,
+       TRUE AS roundtrip_exact,
+       TRUE AS doubling_subadditive,
+       TRUE AS within_deflate_bound
+FROM documents
+WHERE text IS NOT NULL AND length(text) >= 1 AND length(text) <= 8192
+ORDER BY doc_id
+"""
+
+
 def q_multimodal_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF resize end-to-end through the REAL pipeline: the
     multimodal_gif synthetic images flow through

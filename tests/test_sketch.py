@@ -208,3 +208,39 @@ def test_cm_estimate_broadcasts_sketch(spark):
     est = cm_estimate(cm, df.select("w").distinct(), "w", 4, 128)
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_compression_invariants_hold_on_adversarial_texts(spark):
+    """The three zlib invariants the driver-graded companion entry
+    asserts as constant TRUE (roundtrip, doubling-subadditive,
+    stored-block bound) must hold on pathological inputs, not just
+    fixture prose — single char, all-same-char (extreme compressible),
+    hex noise (incompressible), multi-byte UTF-8, and the 8192-char
+    filter boundary."""
+    import hashlib
+
+    from easydb_server_spark.queries.llmops import q_text_compression_invariants
+
+    noise = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(120)
+    )  # 7680 chars of hex noise
+    texts = [
+        "a",
+        "ab",
+        "a" * 8192,
+        noise,
+        "héllo wörld ünïcode — ∑∆ " * 40,
+        ("x y z " * 1366)[:8192],
+    ]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_text_compression_invariants(spark, td).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert r.roundtrip_exact and r.doubling_subadditive and r.within_deflate_bound, r
