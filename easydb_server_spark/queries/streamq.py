@@ -136,7 +136,10 @@ ORACLE_STREAM_SESSION = """
 WITH wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 30 MINUTE AS w FROM events),
 flagged AS (
   SELECT user_id, ts, value,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+         -- STRICT >: Spark's session_window merges an exactly-at-gap
+         -- event (same boundary fact as the batch oracle,
+         -- queries/timeseries.py ORACLE_TS_SESSION)
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events

@@ -87,7 +87,11 @@ def q_ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TS_SESSION = """
 WITH flagged AS (
   SELECT user_id, ts, value,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+         -- STRICT >: Spark's session_window MERGES an event landing
+         -- exactly gap after the previous one (measured on 4.1 — the
+         -- [start, end) doc reading is wrong at the boundary; caught
+         -- by the events regeneration differential's exact-gap rows)
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events

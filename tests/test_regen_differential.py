@@ -224,3 +224,113 @@ def test_tpch_money_entries_survive_regenerated_data(spark, tmp_path, seed):
         got = canon_frame(fn(spark, sf).toPandas())
         want = canon_frame(con.execute(oracle).df())
         assert got == want, f"{name} diverges on regenerated data (seed {seed})"
+
+
+# ---- events-table differential (r13): the ts_*/window/gate entries ----
+
+# streaming entries run real micro-batches (~10 s each) and have their
+# own batch≡stream + recovery locks; everything else events-only joins
+_EVENTS_EXCLUDE = {
+    "stream_dedup", "stream_join", "stream_tumbling",
+    "stream_sliding", "stream_session",
+}
+
+
+def _events_entries() -> list[str]:
+    import re
+
+    non_events = [t for t in _OTHER_TABLES if t != "events"] + [
+        "documents",
+        "embeddings",
+    ]
+    out = []
+    for name, (_fn, oracle) in REGISTRY.items():
+        if oracle is None or name in _EVENTS_EXCLUDE:
+            continue
+        low = oracle.lower()
+        if not re.search(r"\b(from|join)\s+events\b", low):
+            continue
+        if any(re.search(rf"\b(from|join)\s+{t}\b", low) for t in non_events):
+            continue
+        out.append(name)
+    return out
+
+
+def _gen_events(rng: np.random.RandomState, n: int):
+    """Adversarial-but-plausible events: timestamps biased onto EXACT
+    window boundaries (hour/minute edges — tumbling/session/rollup tie
+    points), ±1 µs straddles, and exact-duplicate instants (rank/dedup
+    ties); gaps stay >= 1 s (the fixture's cadence class — the interp
+    denominators keep their documented huge-den shape)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "signup", "error", "exotic"]
+    rows = []
+    t = base
+    for i in range(n):
+        r = rng.rand()
+        if r < 0.25:  # exact hour/minute boundary
+            t = base + datetime.timedelta(
+                hours=int(rng.randint(0, 72)),
+                minutes=int(rng.randint(0, 2)) * 30,
+            )
+        elif r < 0.35:  # straddle a boundary by 1 microsecond
+            edge = base + datetime.timedelta(hours=int(rng.randint(0, 72)))
+            t = edge + datetime.timedelta(microseconds=int(rng.choice([-1, 0, 1])))
+        elif r < 0.45 and rows:  # exact duplicate instant
+            t = rows[-1][1]
+        else:
+            t = t + datetime.timedelta(seconds=int(rng.randint(1, 400)))
+        rows.append(
+            (
+                i,
+                t,
+                int(rng.randint(-2, 60)),  # a few negatives: gate violations
+                types[int(rng.randint(0, len(types)))],
+                float(rng.randint(-100, 10000)) / 100.0,
+                '{"k": %d}' % int(rng.randint(0, 100)),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_events_entries_survive_regenerated_data(spark, tmp_path, seed):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rng = np.random.RandomState(seed)
+    rows = _gen_events(rng, 2000)
+    sf = str(tmp_path / f"ev_{seed}")
+    # naive microsecond timestamps — the fixture's logical shape
+    # (isAdjustedToUTC=false), which load() normalizes via
+    # normalize_event_ts and DuckDB reads as plain TIMESTAMP
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    import os
+
+    os.makedirs(f"{sf}/events.parquet", exist_ok=True)
+    pq_.write_table(table, f"{sf}/events.parquet/part-0.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    entries = _events_entries()
+    assert {"ts_tumbling", "ts_session_window", "ts_resample_interp",
+            "quality_gate_events", "ts_asof_join"} <= set(entries)
+    for name in entries:
+        fn, oracle = REGISTRY[name]
+        got = canon_frame(fn(spark, sf).toPandas())
+        want = canon_frame(con.execute(oracle).df())
+        assert got == want, f"{name} diverges on regenerated events (seed {seed})"
