@@ -369,3 +369,56 @@ def test_append_windows_emit_exactly_the_watermark_closed_set(spark):
     open_ = {(r.ws, r.event_type) for r in batch.where(F.col("we") > F.lit(wm)).collect()}
     assert emitted == closed
     assert open_ and not (emitted & open_)  # trailing windows really were withheld
+
+
+def test_session_emission_boundary_at_exact_watermark(spark, tmp_path):
+    """Pin BOTH session boundaries the oracles encode, at exact
+    equality (the regeneration differential caught the batch gap
+    boundary; this locks the streaming WATERMARK boundary):
+
+    * a session whose end (last event + 5 min gap) equals the final
+      watermark EXACTLY is emitted — Spark's flush predicate is
+      ``end <= watermark``, the oracle's ``MAX(ts)+gap <= w``;
+    * end strictly before the watermark: emitted;
+    * end strictly after: withheld (still-open state).
+    """
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from easydb_server_spark.queries.streamq import q_stream_session
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    T = base + datetime.timedelta(minutes=60)
+    rows = [
+        # user 1: end = T-30min == watermark (= max_ts - 30min) exactly
+        (0, T - datetime.timedelta(minutes=35), 1, "view", 1.0, "{}"),
+        # user 2: end = T-31min < watermark
+        (1, T - datetime.timedelta(minutes=36), 2, "view", 1.0, "{}"),
+        # user 3: end = T-24min > watermark -> withheld
+        (2, T - datetime.timedelta(minutes=29), 3, "view", 1.0, "{}"),
+        # the watermark driver
+        (3, T, 9, "view", 1.0, "{}"),
+    ]
+    sf = str(tmp_path / "wm_edge")
+    os.makedirs(sf, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    out = q_stream_session(spark, sf).collect()
+    emitted = {r.user_id for r in out}
+    assert 1 in emitted, "end == watermark must be emitted (flush is end <= wm)"
+    assert 2 in emitted
+    assert 3 not in emitted and 9 not in emitted
