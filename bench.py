@@ -139,6 +139,12 @@ HEADLINE = FIXED_CORE + [
     # it writes warehouse tables, a side effect the bench loop's 5
     # warm repeats should not be timing)
     "sim_ivfpq_recall",
+    # r13 additions: exact-INT64 Lloyd k-means (clustering family),
+    # canonical-URL dedup (the pre-fetch crawl dedup), and the
+    # forward-direction as-of join
+    "emb_kmeans_assign",
+    "dedup_url_canonical",
+    "ts_asof_forward",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

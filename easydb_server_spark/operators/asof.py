@@ -37,12 +37,33 @@ def asof_join(
     quote_ts: str,
     quote_cols: list[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
+    quote_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each probe row, attach the most recent quote row (per ``on``
-    key) with quote_ts <= probe_ts. Probe columns pass through; quote
-    attribute columns arrive as ``asof_<name>`` (NULL when no quote
-    precedes, or when it is older than ``tolerance_seconds``).
+    key) with quote_ts <= probe_ts (``direction="backward"``, the
+    default) or the most IMMINENT quote with quote_ts >= probe_ts
+    (``direction="forward"`` — the "next reading" lookup: next
+    heartbeat after an alert, next fill after an order). Probe columns
+    pass through; quote attribute columns arrive as ``asof_<name>``
+    (NULL when no quote qualifies, or when it is further away than
+    ``tolerance_seconds``).
+
+    ``direction="forward"`` reuses the identical one-shuffle
+    union+window plan with the window ordered on ``ts`` DESCENDING —
+    the running ``last(..., ignorenulls)`` then carries the SMALLEST
+    quote_ts >= probe_ts backward onto each probe. Equal timestamps
+    stay inclusive in both directions.
+
+    ``quote_tiebreak`` (a member of ``quote_cols``): when several
+    quotes share the matching timestamp, pick the one with the
+    SMALLEST tiebreak value — without it the winner among equal-ts
+    quotes is partition-order dependent, which a conformance oracle
+    can't replay. (The pre-r13 call sites run tie-free fixtures and
+    keep the unspecified behavior.)
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     probe_out = [c for c in probe.columns]
     tagged_p = probe.select(
         F.col(on).alias("__k"),
@@ -59,9 +80,16 @@ def asof_join(
         *[F.col(c).alias(f"__q_{c}") for c in quote_cols],
     )
 
+    ts_key = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    order_keys = [ts_key, F.col("__side").asc()]
+    if quote_tiebreak is not None:
+        # among equal-(ts, side) quote rows the running last() wins, so
+        # descending tiebreak makes the SMALLEST value the winner;
+        # probe rows carry NULL here and are separated by __side anyway
+        order_keys.append(F.col(f"__q_{quote_tiebreak}").desc())
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = tagged_p.unionByName(tagged_q)
@@ -75,9 +103,13 @@ def asof_join(
     ).where(F.col("__side") == 1)
 
     if tolerance_seconds is not None:
+        gap = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__q_ts"))
+            if direction == "backward"
+            else F.unix_micros(F.col("__q_ts")) - F.unix_micros(F.col("__ts"))
+        )
         in_tol = F.col("__q_ts").isNotNull() & (
-            (F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__q_ts")))
-            <= int(tolerance_seconds * 1_000_000)
+            gap <= int(tolerance_seconds * 1_000_000)
         )
         filled = filled.select(
             "__k",

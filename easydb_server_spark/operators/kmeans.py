@@ -1,0 +1,170 @@
+"""Distributed Lloyd k-means over an embedding column, exact in INT64.
+
+The missing clustering primitive next to operators/similarity.py's IVF
+(which trains its coarse quantizer by grid seeding) — k-means is the
+workhorse for corpus bucketing, SemDeDup-style pruning, IVF training,
+and mixture balancing in a training-data pipeline. The reference
+(a DataFusion SQL gateway, src/controllers.rs) has no clustering
+surface at all; this is part of the repo's declared LLM-pipeline
+superset.
+
+Why exact integers: the conformance harness compares against a DuckDB
+replay, and float centroid means are order-of-summation dependent —
+the exact class of flake the r10 `emb_covariance` post-mortem killed.
+So every quantity here is a BIGINT:
+
+* coordinates quantize once, per-row, to ``floor(x * 10^6)`` (cast
+  float->double exact, one IEEE multiply + floor both engines agree
+  on);
+* distances are integer sums of squared integer differences;
+* centroid updates are ``round-half-away-from-zero(sum / count)``
+  computed as one integer div + mod + compare
+  (functions/exactround.scaled_round_half), so the new centroid stays
+  on the same 1e-6 grid and both engines reproduce it bit-for-bit
+  under ANY partitioning.
+
+Headroom (embedding coords |x| < 1e3): |q| < 1e9, per-dim squared
+diff < 4e18/d ... for the fixture's |x| < 1 geometry |q| <= ~1.2e6,
+dist2 <= d * (2.4e6)^2 ~ 4e14 at d=64, and a per-(cluster,dim) sum
+overflows INT64 only past ~7e12 members per cluster.
+
+Scale shape (the 100 TB reading):
+
+* seeding is a deterministic md5-order top-k
+  (TakeOrderedAndProject — no full sort, no extra shuffle);
+* each assignment is a BROADCAST join of the k x d centroid table
+  against the corpus — map-only, no shuffle of the points;
+* each update shuffles only partial aggregates: posexplode to
+  (cluster, dim) rows is map-side combined before the exchange, so
+  the shuffle volume is bounded by partitions x k x d, NOT n x d;
+* per-iteration driver traffic is the k x d centroid table itself
+  (the same bounded collect Spark MLlib's KMeans does) — centroids
+  re-enter the plan as a literal broadcast frame, keeping lineage
+  flat across iterations.
+
+Ties (equal squared distance) break toward the SMALLER cluster id on
+both engines; empty clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from easydb_server_spark.functions.exactround import scaled_round_half
+
+SCALE = 10**6
+
+
+def quantize_points(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, q: array<bigint>) — coordinates as floor(x * 1e6) INT64."""
+    return emb.select(
+        F.col(id_col).alias("pid"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(SCALE))).cast("long")
+        ).alias("q"),
+    )
+
+
+def seed_centroids(pts: DataFrame, k: int) -> list[tuple[int, list[int]]]:
+    """k deterministic seeds: the points whose md5(CAST(id AS STRING))
+    sort first; cluster ids 0..k-1 follow that md5 order. A top-k by a
+    computed key (TakeOrderedAndProject), never a full sort."""
+    rows = (
+        pts.select("pid", "q", F.md5(F.col("pid").cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    # Re-assert the order driver-side (collect preserves limit order,
+    # but the contract is the md5 order, so compute it explicitly).
+    rows.sort(key=lambda r: hashlib.md5(str(r["pid"]).encode()).hexdigest())
+    return [(i, list(r["q"])) for i, r in enumerate(rows)]
+
+
+def _centroid_frame(spark: SparkSession, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(c, q) for c, q in cents], "cluster INT, cq ARRAY<BIGINT>"
+    )
+
+
+def assign(spark: SparkSession, pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(pid, q, cluster, dist2): each point's argmin-distance centroid,
+    ties to the smaller cluster id. Broadcast join + min(struct) —
+    map-only over the corpus, one partial-aggregated shuffle keyed on
+    pid... actually keyed on pid only to reduce the k candidate rows;
+    with min(struct(dist2, cluster)) the combine is associative and
+    map-side, so the exchange carries one row per point."""
+    c = F.broadcast(_centroid_frame(spark, cents))
+    j = pts.crossJoin(c).withColumn(
+        "dist2",
+        F.aggregate(
+            F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    best = (
+        j.groupBy("pid")
+        .agg(
+            F.min(F.struct(F.col("dist2"), F.col("cluster"))).alias("m"),
+            F.first("q").alias("q"),
+        )
+        .select("pid", "q", F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
+    )
+    return best
+
+
+def update_centroids(
+    assigned: DataFrame, prev: list[tuple[int, list[int]]]
+) -> list[tuple[int, list[int]]]:
+    """New centroid = round-half-away(sum/count) per (cluster, dim) in
+    exact INT64; clusters with no members keep their previous
+    centroid. Shuffle volume: map-side-combined (cluster, dim)
+    partials — partitions x k x d, independent of n."""
+    s = F.col("s")
+    mag = scaled_round_half(F.abs(s), F.col("n"))
+    upd = (
+        assigned.select("cluster", F.posexplode("q").alias("d", "val"))
+        .groupBy("cluster", "d")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "d",
+            (F.when(s < 0, -F.lit(1)).otherwise(F.lit(1)).cast("long") * mag).alias("v"),
+        )
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, int]] = {}
+    for r in upd:
+        by_cluster.setdefault(r["cluster"], {})[r["d"]] = r["v"]
+    out = []
+    for c, q in prev:
+        if c in by_cluster:
+            coords = by_cluster[c]
+            out.append((c, [coords[d] for d in range(len(q))]))
+        else:
+            out.append((c, q))
+    return out
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from md5-order seeds, then return
+    the FINAL assignment: (pid, cluster, dist2) per point, exact INT64
+    end to end (bit-identical under any partitioning / either engine).
+    """
+    spark = emb.sparkSession
+    pts = quantize_points(emb, vec_col, id_col)
+    cents = seed_centroids(pts, k)
+    for _ in range(iters):
+        assigned = assign(spark, pts, cents)
+        cents = update_centroids(assigned, cents)
+    return assign(spark, pts, cents).select("pid", "cluster", "dist2")

@@ -3030,3 +3030,97 @@ def _is_code_line(x):
         hit = x.rlike(pat)
         out = hit if out is None else (out | hit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup
+# ---------------------------------------------------------------------------
+
+# Tracking parameters stripped during canonicalization (lowercased
+# key= prefix match) — the published crawl-dedup recipes drop these
+# because they vary per referral without changing the page.
+_TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*=|fbclid=|gclid=|ref=)"
+
+
+def canonical_url(url_col: str):
+    """Column: the canonical form of ``url_col`` — the key crawl
+    pipelines dedup on BEFORE any content fetch (the cheapest dedup in
+    the stack: two pages with one canonical URL are the same page,
+    no shingles needed).
+
+    Rules (each expressible identically in Spark and ANSI/DuckDB SQL —
+    plain regexp + array ops, no engine-specific URL parser, so the
+    conformance oracle replays the exact function):
+
+    * scheme and host lowercase; path/query case preserved;
+    * a leading ``www.`` strips off the host;
+    * an explicit default port strips (``:80`` for http, ``:443`` for
+      https); other ports stay;
+    * the fragment drops entirely;
+    * query params: empties and tracking params (``utm_*``, ``fbclid``,
+      ``gclid``, ``ref``; key match on the lowercased param) drop, the
+      rest SORT bytewise so param order never splits a group;
+    * trailing ``/`` runs strip from the path (so ``/a/`` == ``/a``,
+      and a bare host with ``/`` == without).
+
+    Scale shape: pure in-row string/array arithmetic — zero shuffle,
+    zero Python, whole-stage-codegen friendly.
+    """
+    u = F.col(url_col).cast("string")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_extract(hostport, r"^([^:]+)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~F.lower(p).rlike(_TRACKING_PARAM_RE),
+    )
+    qpart = F.when(F.size(kept) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&"))
+    )
+    return F.concat(scheme, F.lit("://"), host, port_part, path, qpart)
+
+
+def dedup_url_canonical(
+    df: DataFrame, url_col: str, id_col: str, quality_col: str
+) -> DataFrame:
+    """Canonical-URL dedup: group documents by :func:`canonical_url`
+    and keep the highest-``quality_col`` doc per group (ties to the
+    smallest id). Returns one row per canonical URL:
+    ``(canonical_url, keep_id, keep_quality, n_variants)``.
+
+    Scale shape: the canonicalization is map-only; the dedup is ONE
+    hash-aggregate shuffled on the canonical string — same cost as
+    exact text dedup but over ~60-byte keys instead of document
+    digests, and it runs at CRAWL time, before text is even fetched.
+    The keeper argmax rides the same aggregate as a min(struct)
+    (map-side combinable), never a window over the corpus.
+    """
+    canon = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(quality_col).cast("long").alias("__q"),
+        canonical_url(url_col).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min(F.struct((-F.col("__q")).alias("nq"), F.col("__id").alias("id"))).alias("m"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .select(
+            "canonical_url",
+            F.col("m.id").alias("keep_id"),
+            (-F.col("m.nq")).alias("keep_quality"),
+            "n_variants",
+        )
+    )

@@ -171,6 +171,9 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # driver EXECUTES every operator the repo ships
     "emb_pca": (llmops.q_emb_pca, None),
     "emb_pca_invariants": (llmops.q_emb_pca_invariants, llmops.ORACLE_EMB_PCA_INVARIANTS),
+    "emb_kmeans_assign": (llmops.q_emb_kmeans_assign, llmops.ORACLE_EMB_KMEANS_ASSIGN),
+    "dedup_url_canonical": (llmops.q_dedup_url_canonical, llmops.ORACLE_DEDUP_URL_CANONICAL),
+    "ts_asof_forward": (timeseries.q_ts_asof_forward, timeseries.ORACLE_TS_ASOF_FORWARD),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -381,17 +384,19 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # count into the single aggregate and null_rate moved to the
 # Column-built rounding; scaled_round_half became native div/% (the
 # r12 bench-regression fix), touching every quality-composite
-# consumer; and FOUR entries are NEW — emb_pca_invariants plus the
+# consumer; SEVEN entries are NEW — emb_pca_invariants plus the
 # three rows-only companions (agg_approx_distinct_bound,
 # sketch_distinct_bound, audio_spectrogram_tone) that grade the
-# HLL/FFT paths via closed-form bounds — 11 slots. The next 39 close
-# the evidence floor the r11 verdict asked for: the 7 r7-evidence
-# ts_* entries (the pre-declared fill) and 32 of the 35-entry
-# r8-evidence cohort (the three frozen sup_* dialect shims sup_mode /
-# sup_pivot / sup_unpivot yield their slots to the new entries and
-# keep r8 evidence — still inside the original not-older-than-r8
-# criterion; they rotate r14). Rows-only entries stay OUT (they burn
-# a slot on no_oracle).
+# HLL/FFT paths via closed-form bounds, plus the late-r13 operators
+# emb_kmeans_assign / dedup_url_canonical / ts_asof_forward; and
+# ts_asof_join re-verifies because its shared operator grew the
+# direction/tiebreak dials — 15 slots. The next 35 close the
+# evidence floor the r11 verdict asked for: the 7 r7-evidence
+# ts_* entries (the pre-declared fill) and 28 of the 35-entry
+# r8-evidence cohort (all seven frozen sup_* dialect shims yield
+# their slots to the new entries and keep r8 evidence — still inside
+# the original not-older-than-r8 criterion; they rotate r14).
+# Rows-only entries stay OUT (they burn a slot on no_oracle).
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "emb_pca_invariants",
     "profile_documents",
@@ -404,6 +409,15 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "agg_approx_distinct_bound",
     "sketch_distinct_bound",
     "audio_spectrogram_tone",
+    # late-r13 new operators (clustering, canonical-URL dedup, forward
+    # as-of) + ts_asof_join, whose shared operator (operators/asof.py)
+    # grew the direction/tiebreak dials — behaviorally identical for
+    # the frozen backward call, re-verified under the
+    # changed-code-first rule
+    "emb_kmeans_assign",
+    "dedup_url_canonical",
+    "ts_asof_forward",
+    "ts_asof_join",
     "ts_range_join",
     "ts_resample_interp",
     "ts_resample_locf",
@@ -418,10 +432,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "sim_topk_ivf",
     "skew_salted_agg",
     "skew_salted_join",
-    "sup_higher_order",
-    "sup_json",
-    "sup_lateral",
-    "sup_variant",
     "text_bpe_merges",
     "text_clip_spans",
     "text_decontaminate",

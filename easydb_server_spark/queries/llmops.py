@@ -5870,3 +5870,181 @@ FROM ranked WHERE rank <= 5
 ORDER BY qid, rank
 """
 )
+
+
+def q_emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/kmeans.py): 2 iterations
+    from md5-order seeds, k=8, every quantity exact INT64 — quantized
+    coords floor(x*1e6), integer squared distances, centroid updates
+    round-half-away(sum/count) on the same 1e-6 grid — so the oracle
+    replays the ENTIRE iteration history in SQL (seeds, 2 assignment
+    rounds, 2 centroid updates, final assignment) and the two engines
+    agree bit-for-bit. Spark shape: broadcast k x d centroids,
+    map-only assignment, map-side-combined (cluster, dim) update
+    partials; the only driver traffic is the k x d centroid table per
+    iteration (the Spark MLlib KMeans shape)."""
+    from easydb_server_spark.operators.kmeans import kmeans_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    out = kmeans_assign(e, "embedding", "vec_id", k=8, iters=2)
+    return out.select(
+        F.col("pid").alias("vec_id"), "cluster", "dist2"
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-CTE DuckDB replay of q_emb_kmeans_assign: c0 from the
+    md5-order seeds, then per iteration an assignment (argmin integer
+    distance, ties to the smaller cluster) and a centroid update
+    (round-half-away(sum/count), empty clusters coalesce to the
+    previous centroid), then the final assignment over c{iters}."""
+    parts = [
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+x AS (
+  SELECT vec_id, u.i - 1 AS d,
+         CAST(floor(e[u.i] * 1000000.0) AS BIGINT) AS q
+  FROM v, UNNEST(generate_series(1, len(e))) u(i)
+),
+s AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT %d
+),
+c0 AS (SELECT s.cluster, x.d, x.q AS cq FROM s JOIN x USING (vec_id))"""
+        % k
+    ]
+    assign_tpl = """{name} AS (
+  SELECT vec_id, cluster, dist2 FROM (
+    SELECT x.vec_id, c.cluster,
+           SUM((x.q - c.cq) * (x.q - c.cq)) AS dist2,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY SUM((x.q - c.cq) * (x.q - c.cq)), c.cluster
+           ) AS rn
+    FROM x JOIN {cents} c ON x.d = c.d
+    GROUP BY x.vec_id, c.cluster
+  ) WHERE rn = 1
+)"""
+    for t in range(1, iters + 1):
+        parts.append(assign_tpl.format(name=f"a{t}", cents=f"c{t - 1}"))
+        parts.append(
+            f"""u{t} AS (
+  SELECT a.cluster, x.d, CAST(SUM(x.q) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN x USING (vec_id)
+  GROUP BY a.cluster, x.d
+),
+c{t} AS (
+  SELECT c.cluster, c.d,
+         COALESCE(
+           CAST((CASE WHEN u.s < 0 THEN -1 ELSE 1 END) *
+                ((abs(u.s) // u.n) +
+                 (CASE WHEN 2 * (abs(u.s) % u.n) >= u.n THEN 1 ELSE 0 END))
+                AS BIGINT),
+           c.cq) AS cq
+  FROM c{t - 1} c LEFT JOIN u{t} u ON c.cluster = u.cluster AND c.d = u.d
+)"""
+        )
+    parts.append(assign_tpl.format(name="afinal", cents=f"c{iters}"))
+    return (
+        ",\n".join(parts)
+        + """
+SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(dist2 AS BIGINT) AS dist2
+FROM afinal ORDER BY vec_id"""
+    )
+
+
+ORACLE_EMB_KMEANS_ASSIGN = _kmeans_oracle(8, 2)
+
+
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (operators/text.py canonical_url /
+    dedup_url_canonical) over deterministically synthesized messy
+    variants: doc_id % 50 picks the logical page, doc_id % 6 the mess
+    applied to its URL — uppercased scheme+host+www, an explicit
+    default :443 port, a trailing slash plus utm_* params, a fragment,
+    and the same two real params in both orders. Variants 0-3
+    canonicalize to the bare page URL and 4-5 to its ?a=1&b=2 twin;
+    the keeper is the longest doc (ties to the smaller doc_id). The
+    oracle replays the URL construction AND every canonicalization
+    rule in SQL."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    site = (F.col("doc_id") % 50 % 5).cast("string")
+    page = (F.col("doc_id") % 50).cast("string")
+    path = F.concat(F.lit("/articles/page"), page)
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://WWW.SITE"), site, F.lit(".COM"), path))
+        .when(m == 1, F.concat(F.lit("https://site"), site, F.lit(".com:443"), path))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://site"), site, F.lit(".com"), path,
+                F.lit("/?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(F.lit("https://www.site"), site, F.lit(".com"), path, F.lit("#section-2")),
+        )
+        .when(m == 4, F.concat(F.lit("https://site"), site, F.lit(".com"), path, F.lit("?b=2&a=1")))
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), site, F.lit(".com"), path, F.lit("?a=1&b=2&utm_medium=email")
+            )
+        )
+    )
+    built = d.select("doc_id", "n_chars", url.alias("url"))
+    return T.dedup_url_canonical(built, "url", "doc_id", "n_chars").orderBy("canonical_url")
+
+
+ORACLE_DEDUP_URL_CANONICAL = """
+WITH built AS (
+  SELECT doc_id, n_chars,
+         CASE doc_id % 6
+           WHEN 0 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 50 % 5 AS VARCHAR) || '.COM/articles/page' || CAST(doc_id % 50 AS VARCHAR)
+           WHEN 1 THEN 'https://site' || CAST(doc_id % 50 % 5 AS VARCHAR) || '.com:443/articles/page' || CAST(doc_id % 50 AS VARCHAR)
+           WHEN 2 THEN 'https://site' || CAST(doc_id % 50 % 5 AS VARCHAR) || '.com/articles/page' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&utm_campaign=x'
+           WHEN 3 THEN 'https://www.site' || CAST(doc_id % 50 % 5 AS VARCHAR) || '.com/articles/page' || CAST(doc_id % 50 AS VARCHAR) || '#section-2'
+           WHEN 4 THEN 'https://site' || CAST(doc_id % 50 % 5 AS VARCHAR) || '.com/articles/page' || CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
+           ELSE 'https://site' || CAST(doc_id % 50 % 5 AS VARCHAR) || '.com/articles/page' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2&utm_medium=email'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+         regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM built
+),
+canon AS (
+  SELECT doc_id, n_chars,
+         scheme || '://' ||
+         regexp_replace(regexp_extract(hostport, '^([^:]+)', 1), '^www\\.', '') ||
+         CASE
+           WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = '' THEN ''
+           WHEN scheme = 'http'  AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80'  THEN ''
+           WHEN scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443' THEN ''
+           ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1)
+         END ||
+         path ||
+         CASE
+           WHEN len(list_filter(str_split(query, '&'),
+                    p -> p <> '' AND NOT regexp_matches(lower(p), '^(utm_[a-z0-9_]*=|fbclid=|gclid=|ref=)'))) = 0
+           THEN ''
+           ELSE '?' || array_to_string(
+                  list_sort(list_filter(str_split(query, '&'),
+                    p -> p <> '' AND NOT regexp_matches(lower(p), '^(utm_[a-z0-9_]*=|fbclid=|gclid=|ref=)'))),
+                  '&')
+         END AS canonical_url
+  FROM parts
+)
+SELECT canonical_url, keep_id, keep_quality, n_variants FROM (
+  SELECT canonical_url, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS keep_quality,
+         row_number() OVER (PARTITION BY canonical_url ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY canonical_url) AS n_variants
+  FROM canon
+) WHERE rn = 1
+ORDER BY canonical_url
+"""

@@ -518,3 +518,55 @@ SELECT user_id AS key, event_type AS attr, ts AS valid_from,
 FROM ch
 ORDER BY key, valid_from
 """
+
+
+def q_ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction="forward"):
+    each purchase picks up the NEXT click by the same user within 10
+    minutes — the "next reading after the alert" lookup — with ties at
+    equal timestamps broken to the smallest click event_id so the
+    result is partition-order independent. Same one-shuffle
+    union+window plan as the backward entry, window ordered ts DESC.
+    Unmatched purchases keep NULL click columns (left semantics); the
+    oracle is the plain LEFT-join + row_number replay."""
+    from easydb_server_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id", "value")
+    joined = asof_join(
+        purchases.withColumnRenamed("event_id", "p_id"),
+        clicks.withColumnRenamed("event_id", "c_event_id").withColumnRenamed("value", "c_value"),
+        on="user_id",
+        probe_ts="ts",
+        quote_ts="ts",
+        quote_cols=["c_event_id", "c_value"],
+        tolerance_seconds=600,
+        direction="forward",
+        quote_tiebreak="c_event_id",
+    )
+    return joined.select(
+        "p_id",
+        "user_id",
+        F.col("asof_c_event_id").alias("c_id"),
+        F.col("asof_c_value").alias("c_value"),
+        (F.unix_micros(F.col("asof_ts")) - F.unix_micros(F.col("ts"))).alias("lead_us"),
+    ).orderBy("p_id")
+
+
+ORACLE_TS_ASOF_FORWARD = """
+WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS c_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p_id, user_id, c_id, c_value, lead_us FROM (
+  SELECT p.p_id, p.user_id, c.c_id, c.value AS c_value,
+         CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS lead_us,
+         row_number() OVER (
+           PARTITION BY p.p_id ORDER BY c.ts ASC NULLS LAST, c.c_id ASC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts
+   AND epoch_us(c.ts) - epoch_us(p.ts) <= 600000000
+) WHERE rn = 1
+ORDER BY p_id
+"""

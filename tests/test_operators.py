@@ -1645,3 +1645,99 @@ class TestBigramLogprob:
         a = bigram_logprob(docs, "text", "doc_id").collect()
         b = bigram_logprob(docs, "text", "doc_id", materialize=True).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestAsofForward:
+    def _frames(self, spark):
+        p = spark.createDataFrame(
+            [(1, 100, "2024-01-01 10:00:00"), (2, 100, "2024-01-01 12:00:00"),
+             (3, 200, "2024-01-01 10:30:00")],
+            "p_id BIGINT, user_id BIGINT, ts_s STRING",
+        ).select("p_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+        q = spark.createDataFrame(
+            [(11, 100, "2024-01-01 10:05:00", 1.5),
+             (12, 100, "2024-01-01 09:00:00", 2.5),   # before every probe
+             (13, 200, "2024-01-01 10:30:00", 3.5),   # equal-ts: inclusive
+             (14, 200, "2024-01-01 10:30:00", 4.5)],  # equal-ts tie -> smaller id
+            "q_id BIGINT, user_id BIGINT, ts_s STRING, v DOUBLE",
+        ).select("q_id", "user_id", F.to_timestamp("ts_s").alias("q_ts"), "v")
+        return p, q
+
+    def test_forward_picks_next_quote_inclusive_with_tiebreak(self, spark):
+        from easydb_server_spark.operators.asof import asof_join
+
+        p, q = self._frames(spark)
+        got = {
+            r["p_id"]: (r["asof_q_id"], r["asof_v"])
+            for r in asof_join(
+                p, q, on="user_id", probe_ts="ts", quote_ts="q_ts",
+                quote_cols=["q_id", "v"], direction="forward",
+                quote_tiebreak="q_id",
+            ).collect()
+        }
+        assert got[1] == (11, 1.5)        # next at 10:05
+        assert got[2] == (None, None)     # nothing at/after 12:00
+        assert got[3] == (13, 3.5)        # equal ts inclusive, tie -> q_id 13
+
+    def test_forward_tolerance(self, spark):
+        from easydb_server_spark.operators.asof import asof_join
+
+        p, q = self._frames(spark)
+        got = {
+            r["p_id"]: r["asof_q_id"]
+            for r in asof_join(
+                p, q, on="user_id", probe_ts="ts", quote_ts="q_ts",
+                quote_cols=["q_id"], direction="forward",
+                quote_tiebreak="q_id", tolerance_seconds=60,
+            ).collect()
+        }
+        assert got[1] is None  # 10:05 is 300s away, outside 60s
+        assert got[3] == 13    # 0s away
+
+    def test_forward_matches_bruteforce(self, spark):
+        """forward asof == the O(n*m) theta-join + row_number definition
+        on real event data, ties broken by quote id on both sides."""
+        from pyspark.sql import Window
+
+        from easydb_server_spark.operators.asof import asof_join
+        from easydb_server_spark.queries._util import load
+
+        e = load(spark, SF_DIR, "events")
+        p = e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts"
+        )
+        q = e.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("q_user"), F.col("ts").alias("q_ts"),
+            F.col("event_id").alias("q_id"),
+        )
+        got = asof_join(
+            p, q.withColumnRenamed("q_user", "user_id"),
+            on="user_id", probe_ts="ts", quote_ts="q_ts",
+            quote_cols=["q_id"], direction="forward", quote_tiebreak="q_id",
+        )
+        w = Window.partitionBy("p_id").orderBy(F.col("q_ts").asc(), F.col("q_id").asc())
+        want = (
+            p.join(q, (p.user_id == q.q_user) & (q.q_ts >= p.ts), "left")
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("p_id", F.col("q_id").alias("want_q_id"))
+        )
+        diff = (
+            got.select("p_id", "asof_q_id")
+            .join(want, "p_id", "full")
+            .where(
+                F.coalesce(F.col("asof_q_id"), F.lit(-1))
+                != F.coalesce(F.col("want_q_id"), F.lit(-1))
+            )
+        )
+        assert diff.count() == 0
+
+    def test_bad_direction_raises(self, spark):
+        import pytest as _pytest
+
+        from easydb_server_spark.operators.asof import asof_join
+
+        p, q = self._frames(spark)
+        with _pytest.raises(ValueError, match="direction"):
+            asof_join(p, q, on="user_id", probe_ts="ts", quote_ts="q_ts",
+                      quote_cols=["q_id"], direction="sideways")

@@ -6,13 +6,16 @@ is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
 Round-13 window (new/changed first, then least driver evidence):
-the 11 new/changed entries (emb_pca_invariants and the three
-rows-only bound companions are new; the profile family's single-scan
-+ Column-built null_rate; every quality-composite consumer of the
-native-div scaled_round_half), then the pre-declared 7-entry
-r7-evidence ts_* fill, then 32 of the 35-entry r8-evidence cohort
-(three frozen sup_* shims yielded slots and rotate r14). Rows-only
-entries stay out of the window (they burn a slot on `no_oracle`).
+the 15 new/changed entries (emb_pca_invariants, the three rows-only
+bound companions, and the late-r13 operators emb_kmeans_assign /
+dedup_url_canonical / ts_asof_forward are new; ts_asof_join
+re-verifies because its shared operator grew direction/tiebreak
+dials; the profile family's single-scan + Column-built null_rate;
+every quality-composite consumer of the native-div
+scaled_round_half), then the pre-declared 7-entry r7-evidence ts_*
+fill, then 28 of the 35-entry r8-evidence cohort (all seven frozen
+sup_* shims yielded slots and rotate r14). Rows-only entries stay
+out of the window (they burn a slot on `no_oracle`).
 """
 
 PRIORITY_WINDOW = 50
@@ -52,11 +55,15 @@ def test_window_holds_the_r13_rotation():
         # the three rows-only companions added late in r13
         "agg_approx_distinct_bound", "sketch_distinct_bound",
         "audio_spectrogram_tone",
+        # the late-r13 operators (clustering, canonical-URL dedup,
+        # forward as-of) + ts_asof_join whose shared operator changed
+        "emb_kmeans_assign", "dedup_url_canonical",
+        "ts_asof_forward", "ts_asof_join",
     }
-    assert set(window[:11]) == changed
-    # slots 12-18: the pre-declared r13 fill — the last 7 r7-evidence
+    assert set(window[:15]) == changed
+    # slots 16-22: the pre-declared r13 fill — the last 7 r7-evidence
     # entries (the ts_* block)
-    assert window[11:18] == [
+    assert window[15:22] == [
         "ts_range_join", "ts_resample_interp", "ts_resample_locf",
         "ts_session_window", "ts_sliding", "ts_tumbling", "ts_zorder_key",
     ]
@@ -73,11 +80,14 @@ def test_window_holds_the_r13_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r8_cohort = sorted(n for n, r in newest.items() if r == 8)
     assert len(r8_cohort) == 35
-    # the three frozen sup_* dialect shims yielded their slots to the
-    # new rows-only companions; they keep r8 evidence (inside the
-    # original not-older-than-r8 criterion) and rotate r14
-    yielded = {"sup_mode", "sup_pivot", "sup_unpivot"}
-    assert sorted(window[18:]) == sorted(set(r8_cohort) - yielded)
+    # all seven frozen sup_* dialect shims yielded their slots to the
+    # new entries; they keep r8 evidence (inside the original
+    # not-older-than-r8 criterion) and rotate r14
+    yielded = {
+        "sup_mode", "sup_pivot", "sup_unpivot", "sup_higher_order",
+        "sup_json", "sup_lateral", "sup_variant",
+    }
+    assert sorted(window[22:]) == sorted(set(r8_cohort) - yielded)
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
