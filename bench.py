@@ -75,7 +75,14 @@ HEADLINE = FIXED_CORE + [
     # r12 trim: agg_count_distinct left the rotating tail (sub-second
     # Expand-rewrite shape, stays oracle-verified in the conformance
     # registry) to keep the compact stdout line under the driver's
-    # 2000-char tail capture when sim_ivfpq_recall joined
+    # 2000-char tail capture when sim_ivfpq_recall joined.
+    # r13 trim, same reason when the three r13 operators joined:
+    # text_stratified_sample (0.09 s hash-split shape),
+    # curate_source_cap (0.15 s per-key rank cap — curation_pipeline
+    # composes it in the fixed core), and dedup_incremental (0.24 s —
+    # dedup_incremental_fuzzy keeps the incremental-index family's
+    # slot); all three stay oracle-verified in the conformance
+    # registry.
     "ts_tumbling",
     "ts_session_window",
     "ts_range_join",
@@ -87,12 +94,9 @@ HEADLINE = FIXED_CORE + [
     "text_url_filter",
     "text_repetition",
     "text_quality_prune",
-    "text_stratified_sample",
     "dedup_source_overlap",
-    "dedup_incremental",
     "dedup_incremental_fuzzy",
     "chunk_dedup",
-    "curate_source_cap",
     "text_bigram_logprob",
     "dedup_ngram_spans",
     "text_ccnet_buckets",
@@ -140,11 +144,13 @@ HEADLINE = FIXED_CORE + [
     # warm repeats should not be timing)
     "sim_ivfpq_recall",
     # r13 additions: exact-INT64 Lloyd k-means (clustering family),
-    # canonical-URL dedup (the pre-fetch crawl dedup), and the
-    # forward-direction as-of join
+    # canonical-URL dedup (the pre-fetch crawl dedup), the
+    # forward-direction as-of join, and gaps-and-islands interval
+    # coalescing
     "emb_kmeans_assign",
     "dedup_url_canonical",
     "ts_asof_forward",
+    "ts_interval_merge",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

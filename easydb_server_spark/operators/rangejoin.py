@@ -65,3 +65,57 @@ def range_join(
         .where((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    lo_col: str,
+    hi_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Coalesce overlapping-or-touching intervals per key into coverage
+    spans — the gaps-and-islands primitive (downtime windows, session
+    coverage, retention spans). Intervals are half-open ``[lo, hi)``;
+    touching (``next.lo == prev.hi``) merges, a strict gap
+    (``lo > running max hi``) opens a new island.
+
+    Returns ``(key, island, span_start, span_end, n_events)`` with
+    islands numbered 1..m per key in span order.
+
+    Determinism: the window orders by (lo, hi, tiebreak), so island
+    numbering — and therefore the whole result — is independent of the
+    input partitioning (``tiebreak_col`` must be unique per row; the
+    running-max/new-island VALUES only depend on (lo, hi), but a total
+    order keeps the plan's sort stable for free).
+
+    Scale shape: ONE shuffle for the two same-spec running windows
+    (partitioned by key — bounded per-key state with external-sort
+    spill, never a corpus-wide partition), then the island hash
+    aggregate reuses the same (key)-compatible partitioning. Pure
+    integer arithmetic when lo/hi are integer columns.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(lo_col).asc(), F.col(hi_col).asc(), F.col(tiebreak_col).asc()]
+    w_prev = (
+        Window.partitionBy(key_col).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_hi = F.max(hi_col).over(w_prev)
+    new_island = F.when(
+        prev_max_hi.isNull() | (F.col(lo_col) > prev_max_hi), 1
+    ).otherwise(0)
+    return (
+        df.withColumn("island", F.sum(new_island).over(w_run))
+        .groupBy(key_col, "island")
+        .agg(
+            F.min(lo_col).alias("span_start"),
+            F.max(hi_col).alias("span_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

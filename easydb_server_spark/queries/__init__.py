@@ -174,6 +174,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "emb_kmeans_assign": (llmops.q_emb_kmeans_assign, llmops.ORACLE_EMB_KMEANS_ASSIGN),
     "dedup_url_canonical": (llmops.q_dedup_url_canonical, llmops.ORACLE_DEDUP_URL_CANONICAL),
     "ts_asof_forward": (timeseries.q_ts_asof_forward, timeseries.ORACLE_TS_ASOF_FORWARD),
+    "ts_interval_merge": (timeseries.q_ts_interval_merge, timeseries.ORACLE_TS_INTERVAL_MERGE),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -384,19 +385,20 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # count into the single aggregate and null_rate moved to the
 # Column-built rounding; scaled_round_half became native div/% (the
 # r12 bench-regression fix), touching every quality-composite
-# consumer; SEVEN entries are NEW — emb_pca_invariants plus the
+# consumer; EIGHT entries are NEW — emb_pca_invariants plus the
 # three rows-only companions (agg_approx_distinct_bound,
 # sketch_distinct_bound, audio_spectrogram_tone) that grade the
 # HLL/FFT paths via closed-form bounds, plus the late-r13 operators
-# emb_kmeans_assign / dedup_url_canonical / ts_asof_forward; and
-# ts_asof_join re-verifies because its shared operator grew the
-# direction/tiebreak dials — 15 slots. The next 35 close the
-# evidence floor the r11 verdict asked for: the 7 r7-evidence
-# ts_* entries (the pre-declared fill) and 28 of the 35-entry
-# r8-evidence cohort (all seven frozen sup_* dialect shims yield
-# their slots to the new entries and keep r8 evidence — still inside
-# the original not-older-than-r8 criterion; they rotate r14).
-# Rows-only entries stay OUT (they burn a slot on no_oracle).
+# emb_kmeans_assign / dedup_url_canonical / ts_asof_forward /
+# ts_interval_merge; and ts_asof_join re-verifies because its shared
+# operator grew the direction/tiebreak dials — 16 slots. The next 34
+# close the evidence floor the r11 verdict asked for: the 7
+# r7-evidence ts_* entries (the pre-declared fill) and 27 of the
+# 35-entry r8-evidence cohort (all seven frozen sup_* dialect shims
+# plus text_ngram_topk yield their slots to the new entries and keep
+# r8 evidence — still inside the original not-older-than-r8
+# criterion; they rotate r14). Rows-only entries stay OUT (they burn
+# a slot on no_oracle).
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "emb_pca_invariants",
     "profile_documents",
@@ -418,6 +420,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "dedup_url_canonical",
     "ts_asof_forward",
     "ts_asof_join",
+    "ts_interval_merge",
     "ts_range_join",
     "ts_resample_interp",
     "ts_resample_locf",
@@ -435,7 +438,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "text_bpe_merges",
     "text_clip_spans",
     "text_decontaminate",
-    "text_ngram_topk",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",

@@ -570,3 +570,77 @@ SELECT p_id, user_id, c_id, c_value, lead_us FROM (
 ) WHERE rn = 1
 ORDER BY p_id
 """
+
+
+def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: every event opens a
+    5-minute activity interval [ts, ts+300s); overlapping or touching
+    intervals per user merge into coverage spans (the downtime-window
+    / session-coverage primitive range_join doesn't give you). Pure
+    integer microseconds end to end. One shuffle for the two same-spec
+    windows (prev-running-max + island numbering), one for the island
+    aggregate — the canonical distributed islands shape; at 100 TB the
+    window partitions by user (bounded per-key state, external sort
+    spill) and never sees a corpus-wide partition. Oracle: the
+    identical two-window SQL."""
+    from easydb_server_spark.operators.rangejoin import merge_intervals
+
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + 300 * 1_000_000).alias("hi"),
+    )
+    return (
+        merge_intervals(iv, "user_id", "lo", "hi", "event_id")
+        .select(
+            "user_id",
+            "island",
+            F.col("span_start").alias("span_start_us"),
+            F.col("span_end").alias("span_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+ORACLE_TS_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS lo,
+         epoch_us(ts) + 300000000::BIGINT AS hi
+  FROM events
+),
+marked AS (
+  SELECT user_id, lo, hi,
+         CASE
+           WHEN MAX(hi) OVER (
+                  PARTITION BY user_id ORDER BY lo, hi, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+             OR lo > MAX(hi) OVER (
+                  PARTITION BY user_id ORDER BY lo, hi, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                )
+           THEN 1 ELSE 0
+         END AS new_island,
+         event_id
+  FROM iv
+),
+islands AS (
+  SELECT user_id, lo, hi,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY lo, hi, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM marked
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       CAST(MIN(lo) AS BIGINT) AS span_start_us,
+       CAST(MAX(hi) AS BIGINT) AS span_end_us,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, island
+ORDER BY user_id, island
+"""

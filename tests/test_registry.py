@@ -6,16 +6,17 @@ is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
 Round-13 window (new/changed first, then least driver evidence):
-the 15 new/changed entries (emb_pca_invariants, the three rows-only
+the 16 new/changed entries (emb_pca_invariants, the three rows-only
 bound companions, and the late-r13 operators emb_kmeans_assign /
-dedup_url_canonical / ts_asof_forward are new; ts_asof_join
-re-verifies because its shared operator grew direction/tiebreak
-dials; the profile family's single-scan + Column-built null_rate;
-every quality-composite consumer of the native-div
-scaled_round_half), then the pre-declared 7-entry r7-evidence ts_*
-fill, then 28 of the 35-entry r8-evidence cohort (all seven frozen
-sup_* shims yielded slots and rotate r14). Rows-only entries stay
-out of the window (they burn a slot on `no_oracle`).
+dedup_url_canonical / ts_asof_forward / ts_interval_merge are new;
+ts_asof_join re-verifies because its shared operator grew
+direction/tiebreak dials; the profile family's single-scan +
+Column-built null_rate; every quality-composite consumer of the
+native-div scaled_round_half), then the pre-declared 7-entry
+r7-evidence ts_* fill, then 27 of the 35-entry r8-evidence cohort
+(all seven frozen sup_* shims plus text_ngram_topk yielded slots and
+rotate r14). Rows-only entries stay out of the window (they burn a
+slot on `no_oracle`).
 """
 
 PRIORITY_WINDOW = 50
@@ -56,14 +57,15 @@ def test_window_holds_the_r13_rotation():
         "agg_approx_distinct_bound", "sketch_distinct_bound",
         "audio_spectrogram_tone",
         # the late-r13 operators (clustering, canonical-URL dedup,
-        # forward as-of) + ts_asof_join whose shared operator changed
+        # forward as-of, interval coalescing) + ts_asof_join whose
+        # shared operator changed
         "emb_kmeans_assign", "dedup_url_canonical",
-        "ts_asof_forward", "ts_asof_join",
+        "ts_asof_forward", "ts_asof_join", "ts_interval_merge",
     }
-    assert set(window[:15]) == changed
-    # slots 16-22: the pre-declared r13 fill — the last 7 r7-evidence
+    assert set(window[:16]) == changed
+    # slots 17-23: the pre-declared r13 fill — the last 7 r7-evidence
     # entries (the ts_* block)
-    assert window[15:22] == [
+    assert window[16:23] == [
         "ts_range_join", "ts_resample_interp", "ts_resample_locf",
         "ts_session_window", "ts_sliding", "ts_tumbling", "ts_zorder_key",
     ]
@@ -80,14 +82,14 @@ def test_window_holds_the_r13_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r8_cohort = sorted(n for n, r in newest.items() if r == 8)
     assert len(r8_cohort) == 35
-    # all seven frozen sup_* dialect shims yielded their slots to the
-    # new entries; they keep r8 evidence (inside the original
-    # not-older-than-r8 criterion) and rotate r14
+    # all seven frozen sup_* dialect shims plus text_ngram_topk
+    # yielded their slots to the new entries; they keep r8 evidence
+    # (inside the original not-older-than-r8 criterion) and rotate r14
     yielded = {
         "sup_mode", "sup_pivot", "sup_unpivot", "sup_higher_order",
-        "sup_json", "sup_lateral", "sup_variant",
+        "sup_json", "sup_lateral", "sup_variant", "text_ngram_topk",
     }
-    assert sorted(window[22:]) == sorted(set(r8_cohort) - yielded)
+    assert sorted(window[23:]) == sorted(set(r8_cohort) - yielded)
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
