@@ -110,3 +110,30 @@ def test_plan_is_single_aggregate_no_window(spark):
     plan = dedup_url_canonical(df, "url", "doc_id", "n_chars")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_illformed_urls_are_deterministic_not_fatal(spark):
+    """Garbage inputs must not throw and must be a pure function of the
+    input (the oracle REPLAYS the same regexps, so any Java-vs-RE2
+    divergence on degenerate shapes would show up as a conformance
+    flake — pin the behavior here instead): schemeless strings parse
+    to an empty scheme/host and survive."""
+    got = _canon(
+        spark,
+        [
+            "not a url at all",
+            "",
+            "ftp://weird.example.com:21/a",
+            "https://:443/",          # empty host
+            "https://example.com?#",  # empty query and fragment
+        ],
+    )
+    # schemeless: every component regexp fails -> empty canonical
+    assert got[0] == "://"
+    assert got[1] == "://"
+    # non-http scheme passes through; :21 is not a default port
+    assert got[2] == "ftp://weird.example.com:21/a"
+    # degenerate but deterministic: ':443' is all port, no host, and
+    # 443 is https' default, so both strip
+    assert got[3] == "https://"
+    assert got[4] == "https://example.com"
