@@ -163,8 +163,18 @@ def kmeans_assign(
     """
     spark = emb.sparkSession
     pts = quantize_points(emb, vec_col, id_col)
-    cents = seed_centroids(pts, k)
-    for _ in range(iters):
-        assigned = assign(spark, pts, cents)
-        cents = update_centroids(assigned, cents)
+    # the seed job + each iteration's update job re-reads the quantized
+    # corpus; persist across the loop (measured 2.26 -> 1.93 s at sf0.1,
+    # and at scale it swaps iters+1 parquet scans for one) but release
+    # BEFORE returning — the final assignment is lazy, and a cached
+    # corpus-sized dataset must not outlive the operator. The final
+    # pass pays one fresh scan, same as its uncached cost.
+    pts = pts.persist()
+    try:
+        cents = seed_centroids(pts, k)
+        for _ in range(iters):
+            assigned = assign(spark, pts, cents)
+            cents = update_centroids(assigned, cents)
+    finally:
+        pts.unpersist()
     return assign(spark, pts, cents).select("pid", "cluster", "dist2")
