@@ -151,6 +151,7 @@ HEADLINE = FIXED_CORE + [
     "dedup_url_canonical",
     "ts_asof_forward",
     "ts_interval_merge",
+    "ts_twap",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

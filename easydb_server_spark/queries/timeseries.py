@@ -644,3 +644,80 @@ FROM islands
 GROUP BY user_id, island
 ORDER BY user_id, island
 """
+
+
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular samples (the TSDB twin of
+    plain AVG, which over-weights bursty periods): per user, each
+    event's value holds (LOCF) until the next event; twap =
+    sum(value_i * dt_i) / sum(dt_i) over the observed span. Exact
+    cross-engine: values quantize once to floor(value*100) INT64
+    (fixture values carry 2 decimals; |qv| <= ~6e4), weights are
+    integer microseconds, and the final 6-decimal rounding is the
+    chunked integer round_div — headroom measured on the sf0.1
+    fixture: |num| <= 2.3e16, den*100 <= 2.6e14, both orders of
+    magnitude inside the INT64 contract. Ties at equal timestamps
+    order by event_id on both engines (a tie's segment has dt=0, but
+    WHICH value pairs with the following gap depends on the order).
+    Scale shape: one keyed window (lead) + one hash aggregate — the
+    same single-shuffle profile as resampling; users whose events all
+    share one instant (den=0) are excluded on both sides."""
+    from pyspark.sql import Window
+
+    from easydb_server_spark.functions.exactround import round_div
+
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value").cast("double") * F.lit(100.0)).cast("long").alias("qv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seg = b.withColumn("dt", F.lead("t_us").over(w) - F.col("t_us")).where(
+        F.col("dt").isNotNull()
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("qv") * F.col("dt")).alias("num"),
+        F.sum("dt").alias("den"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return (
+        agg.where(F.col("den") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            round_div("num", "den * 100", 6).alias("twap_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TS_TWAP = _TS_TWAP_TEMPLATE = """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(floor(value * 100.0) AS BIGINT) AS qv
+  FROM events
+),
+seg AS (
+  SELECT user_id, qv,
+         LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) - t_us AS dt
+  FROM b
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(qv * dt) AS BIGINT) AS num,
+         CAST(SUM(dt) AS BIGINT) AS den,
+         COUNT(*) AS n_segments
+  FROM seg WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_segments, {twap} AS twap_value
+FROM agg WHERE den > 0
+ORDER BY user_id
+"""
+
+from easydb_server_spark.functions.exactround import round_div_sql as _round_div_sql  # noqa: E402
+
+ORACLE_TS_TWAP = _TS_TWAP_TEMPLATE.format(
+    twap=_round_div_sql("num", "den * 100", 6, "duckdb")
+)
