@@ -82,8 +82,10 @@ HEADLINE = FIXED_CORE + [
     # composes it in the fixed core), and dedup_incremental (0.24 s —
     # dedup_incremental_fuzzy keeps the incremental-index family's
     # slot); all three stay oracle-verified in the conformance
-    # registry.
-    "ts_tumbling",
+    # registry. A late-r13 second trim for the same budget:
+    # ts_tumbling (0.16 s — the windowing family keeps
+    # ts_session_window / ts_range_join / ts_resample_interp /
+    # ts_twap slots).
     "ts_session_window",
     "ts_range_join",
     "ts_resample_interp",
@@ -152,6 +154,8 @@ HEADLINE = FIXED_CORE + [
     "ts_asof_forward",
     "ts_interval_merge",
     "ts_twap",
+    # r13 addition: exact re-rank over the IVFADC candidate slice
+    "ivfpq_rerank",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

@@ -377,6 +377,75 @@ def ivfpq_adc_topk(
     )
 
 
+def ivfpq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+    k_candidates: int = 32,
+    k_top: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval (the standard serving composition FAISS
+    deployments run on top of IVFPQ): the compressed index proposes
+    ``k_candidates`` per query via :func:`ivfpq_adc_topk`, then the
+    RAW vectors of just that bounded slice are fetched and re-ranked
+    by their exact inner product — ADC recall at (almost) exact-search
+    precision, paying full-vector reads for k_candidates rows per
+    query instead of the corpus.
+
+    Scale shape: stage 1 is the IVFADC plan (nothing corpus-width
+    moves); stage 2 joins the k_candidates×|queries| candidate rows to
+    the corpus vectors (hash join keyed on cid — the probed slice is
+    the DRIVER of the join, so the corpus side prunes to matching
+    keys) and broadcasts the query vectors; the re-rank window
+    partitions by qid over ≤ k_candidates rows. Scores are the same
+    INT64 micro-units the ADC stage uses, so the DuckDB oracle replays
+    stage 2 with two joins and a window over the stage-1 chain.
+
+    Output: (qid, cid, exact_score, adc_rank, rank) — adc_rank kept so
+    a recall audit can see how far the exact winner sat in the ADC
+    ordering.
+    """
+    cand = ivfpq_adc_topk(
+        corpus, queries, vec_col, id_col,
+        m=m, k=k, n_cells=n_cells, nprobe=nprobe, k_top=k_candidates,
+    ).select("qid", "cid", F.col("rank").alias("adc_rank"))
+    cvecs = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    exact_units = (
+        F.round(_dot(F.col("qvec"), F.col("cvec")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("exact_units")
+    )
+    scored = (
+        cand.join(cvecs, "cid")
+        .join(F.broadcast(qvecs), "qid")
+        .select("qid", "cid", "adc_rank", exact_units)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("exact_units").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select(
+            "qid",
+            "cid",
+            F.round(F.col("exact_units").cast("double") / F.lit(1000000.0), 6).alias(
+                "exact_score"
+            ),
+            F.col("adc_rank").cast("int").alias("adc_rank"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # --------------------------- PQ store lifecycle ---------------------------
 #
 # The persistent serving artifact for brute-ADC search — the PQ

@@ -6048,3 +6048,56 @@ SELECT canonical_url, keep_id, keep_quality, n_variants FROM (
 ) WHERE rn = 1
 ORDER BY canonical_url
 """
+
+
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/pq.py:ivfpq_rerank): the IVFADC
+    entry's identical index (m=4, k=8, 8 cells, nprobe=2) proposes 32
+    candidates per query, whose RAW vectors are then exactly re-ranked
+    by inner product — the serving composition that buys back ADC's
+    quantization error on a bounded slice. The oracle reuses the full
+    IVFADC derivation chain verbatim and replays stage 2 as two joins
+    plus a window."""
+    from easydb_server_spark.operators.pq import ivfpq_rerank
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return ivfpq_rerank(
+        e, q, "embedding", "vec_id",
+        m=4, k=8, n_cells=8, nprobe=2, k_candidates=32, k_top=5,
+    ).orderBy("qid", "rank")
+
+
+_IVFPQ_FINAL_SELECT = """SELECT qid, cid,
+       ROUND(CAST(adc_units AS DOUBLE) / 1000000.0, 6) AS adc_score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank"""
+
+assert _IVFPQ_FINAL_SELECT in ORACLE_IVFPQ_ADC_TOPK, "IVFADC oracle tail drifted"
+
+ORACLE_IVFPQ_RERANK = ORACLE_IVFPQ_ADC_TOPK.replace(
+    _IVFPQ_FINAL_SELECT,
+    """, rr AS (
+  SELECT r.qid, r.cid,
+         CAST(ROUND(list_dot_product(q.e, c.e) * 1000000.0, 0) AS BIGINT)
+           AS exact_units,
+         r.rank AS adc_rank
+  FROM ranked r
+       JOIN v q ON q.vec_id = r.qid
+       JOIN v c ON c.vec_id = r.cid
+  WHERE r.rank <= 32
+),
+rr2 AS (
+  SELECT qid, cid, exact_units, adc_rank,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY exact_units DESC, cid) AS rank
+  FROM rr
+)
+SELECT qid, cid,
+       ROUND(CAST(exact_units AS DOUBLE) / 1000000.0, 6) AS exact_score,
+       CAST(adc_rank AS INT) AS adc_rank,
+       CAST(rank AS INT) AS rank
+FROM rr2 WHERE rank <= 5
+ORDER BY qid, rank""",
+)
