@@ -85,7 +85,9 @@ HEADLINE = FIXED_CORE + [
     # registry. A late-r13 second trim for the same budget:
     # ts_tumbling (0.16 s — the windowing family keeps
     # ts_session_window / ts_range_join / ts_resample_interp /
-    # ts_twap slots).
+    # ts_twap slots), text_repetition (0.3 s — text_gopher_repetition
+    # carries the repetition family), and dedup_source_overlap
+    # (0.32 s — the dedup family keeps five other slots).
     "ts_session_window",
     "ts_range_join",
     "ts_resample_interp",
@@ -94,9 +96,7 @@ HEADLINE = FIXED_CORE + [
     "text_html_extract",
     "text_paragraph_dedup",
     "text_url_filter",
-    "text_repetition",
     "text_quality_prune",
-    "dedup_source_overlap",
     "dedup_incremental_fuzzy",
     "chunk_dedup",
     "text_bigram_logprob",

@@ -46,6 +46,7 @@ AUDITED: dict[tuple[str, str], str] = {
     ("operators/dedup.py", 'dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm")'): "irrational",  # cosine over sqrt norms
     ("operators/dedup.py", "n_agree / F.lit(float(MINHASH_N))"): "grid",  # n/16 is dyadic at <= 4 fraction bits
     ("operators/pq.py", 'F.col("adc_units").cast("double") / F.lit(1000000.0)'): "grid",  # int/1e6 rounded AT 6 decimals
+    ("operators/pq.py", 'F.col("exact_units").cast("double") / F.lit(1000000.0)'): "grid",  # rerank: same int/1e6 grid
     ("operators/profile.py", 'F.abs( F.col("_dc") / F.col("_nc").cast("double")'): "huge-den",  # dr=0 fallback: values ~1e12x density
     ("operators/profile.py", '(F.col("n") - mu) / sd'): "irrational",  # z-score over sqrt
     ("operators/similarity.py", '_dot(F.col("vec"), F.col("centroid")) / (nv * nc)'): "irrational",  # cosine over sqrt norms
@@ -84,6 +85,7 @@ AUDITED: dict[tuple[str, str], str] = {
     ("queries/llmops.py", "CAST(COALESCE(h.n, 0) AS DOUBLE) / 3"): "no-half",  # thirds are never halves
     ("queries/llmops.py", "(c.n - CAST(s.sum_n AS DOUBLE) / s.k) / SQRT("): "irrational",  # z-score
     ("queries/llmops.py", "CAST(adc_units AS DOUBLE) / 1000000.0"): "grid",
+    ("queries/llmops.py", "CAST(exact_units AS DOUBLE) / 1000000.0"): "grid",
     ("queries/timeseries.py", "CASE WHEN t0 = epoch_us(gts) THEN v0 ELSE v0 + (v1 - v0)"): "huge-den",  # microsecond-gap denominator >= ~1e9
 }
 
