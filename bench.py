@@ -156,6 +156,8 @@ HEADLINE = FIXED_CORE + [
     "ts_twap",
     # r13 addition: exact re-rank over the IVFADC candidate slice
     "ivfpq_rerank",
+    # r13 addition: OHLC bars via single-aggregate struct-argmin
+    "ts_ohlc",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

@@ -177,6 +177,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "ts_interval_merge": (timeseries.q_ts_interval_merge, timeseries.ORACLE_TS_INTERVAL_MERGE),
     "ts_twap": (timeseries.q_ts_twap, timeseries.ORACLE_TS_TWAP),
     "ivfpq_rerank": (llmops.q_ivfpq_rerank, llmops.ORACLE_IVFPQ_RERANK),
+    "ts_ohlc": (timeseries.q_ts_ohlc, timeseries.ORACLE_TS_OHLC),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -387,21 +388,22 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # count into the single aggregate and null_rate moved to the
 # Column-built rounding; scaled_round_half became native div/% (the
 # r12 bench-regression fix), touching every quality-composite
-# consumer; TEN entries are NEW — emb_pca_invariants plus the
+# consumer; ELEVEN entries are NEW — emb_pca_invariants plus the
 # three rows-only companions (agg_approx_distinct_bound,
 # sketch_distinct_bound, audio_spectrogram_tone) that grade the
 # HLL/FFT paths via closed-form bounds, plus the late-r13 operators
 # emb_kmeans_assign / dedup_url_canonical / ts_asof_forward /
-# ts_interval_merge / ts_twap / ivfpq_rerank; and ts_asof_join
-# re-verifies because its shared operator grew the direction/tiebreak
-# dials — 18 slots. The next 32 close the evidence floor the r11
-# verdict asked for: the 7 r7-evidence ts_* entries (the pre-declared
-# fill) and 25 of the 35-entry r8-evidence cohort (the seven frozen
-# sup_* dialect shims, text_ngram_topk, skew_salted_agg, and
-# dedup_minhash — the two with siblings in-window — yield their slots
-# to the new entries and keep r8 evidence, still inside the original
-# not-older-than-r8 criterion; they rotate r14). Rows-only entries
-# stay OUT (they burn a slot on no_oracle).
+# ts_interval_merge / ts_twap / ivfpq_rerank / ts_ohlc; and
+# ts_asof_join re-verifies because its shared operator grew the
+# direction/tiebreak dials — 19 slots. The next 31 close the evidence
+# floor the r11 verdict asked for: the 7 r7-evidence ts_* entries
+# (the pre-declared fill) and 24 of the 35-entry r8-evidence cohort
+# (the seven frozen sup_* dialect shims, text_ngram_topk,
+# skew_salted_agg, dedup_minhash, and ts_rolling_1h — those with
+# siblings in-window — yield their slots to the new entries and keep
+# r8 evidence, still inside the original not-older-than-r8 criterion;
+# they rotate r14). Rows-only entries stay OUT (they burn a slot on
+# no_oracle).
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "emb_pca_invariants",
     "profile_documents",
@@ -426,6 +428,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "ts_interval_merge",
     "ts_twap",
     "ivfpq_rerank",
+    "ts_ohlc",
     "ts_range_join",
     "ts_resample_interp",
     "ts_resample_locf",
@@ -457,7 +460,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q22",
     "ts_multi_rollup",
-    "ts_rolling_1h",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

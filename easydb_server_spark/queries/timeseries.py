@@ -721,3 +721,69 @@ from easydb_server_spark.functions.exactround import round_div_sql as _round_div
 ORACLE_TS_TWAP = _TS_TWAP_TEMPLATE.format(
     twap=_round_div_sql("num", "den * 100", 6, "duckdb")
 )
+
+
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the finance/metrics bar primitive): per
+    (1-hour bucket, event_type) the opening value, high, low, closing
+    value, and event count. open/close ride the SAME hash aggregate as
+    min/max via min(struct(t_us, event_id, value)) — lexicographic
+    struct ordering makes the earliest/latest ROW's value an aggregate,
+    so the plan is ONE two-phase shuffle with map-side combine and no
+    window (at 100 TB a per-bucket window would sort every bucket;
+    the struct-argmin folds instead). Values are raw doubles passed
+    through untouched (no arithmetic -> no rounding discipline
+    needed); ties at equal timestamps break on event_id identically in
+    both engines (DuckDB compares structs field-by-field like Spark)."""
+    e = load(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    bucket = F.timestamp_micros(
+        (t_us - ((t_us % 3600000000) + 3600000000) % 3600000000)
+    )
+    b = e.select(
+        bucket.cast("string").alias("bucket_start"),
+        "event_type",
+        t_us.alias("t_us"),
+        "event_id",
+        "value",
+    )
+    first_row = F.min(F.struct("t_us", "event_id", "value")).alias("fr")
+    last_row = F.max(F.struct("t_us", "event_id", "value")).alias("lr")
+    return (
+        b.groupBy("bucket_start", "event_type")
+        .agg(
+            first_row,
+            last_row,
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "bucket_start",
+            "event_type",
+            F.col("fr.value").alias("open"),
+            "high",
+            "low",
+            F.col("lr.value").alias("close"),
+            "n",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+ORACLE_TS_OHLC = """
+WITH b AS (
+  SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS bucket_start,
+         event_type, epoch_us(ts) AS t_us, event_id, value
+  FROM events
+)
+SELECT bucket_start, event_type,
+       (MIN(struct_pack(t := t_us, e := event_id, v := value))).v AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (MAX(struct_pack(t := t_us, e := event_id, v := value))).v AS close,
+       COUNT(*) AS n
+FROM b
+GROUP BY bucket_start, event_type
+ORDER BY bucket_start, event_type
+"""

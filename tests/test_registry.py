@@ -9,14 +9,14 @@ Round-13 window (new/changed first, then least driver evidence):
 the 16 new/changed entries (emb_pca_invariants, the three rows-only
 bound companions, and the late-r13 operators emb_kmeans_assign /
 dedup_url_canonical / ts_asof_forward / ts_interval_merge /
-ts_twap / ivfpq_rerank are new;
+ts_twap / ivfpq_rerank / ts_ohlc are new;
 ts_asof_join re-verifies because its shared operator grew
 direction/tiebreak dials; the profile family's single-scan +
 Column-built null_rate; every quality-composite consumer of the
 native-div scaled_round_half), then the pre-declared 7-entry
-r7-evidence ts_* fill, then 25 of the 35-entry r8-evidence cohort
-(the seven frozen sup_* shims, text_ngram_topk, skew_salted_agg, and
-dedup_minhash yielded slots and rotate r14). Rows-only entries stay out of the window (they burn a
+r7-evidence ts_* fill, then 24 of the 35-entry r8-evidence cohort
+(the seven frozen sup_* shims, text_ngram_topk, skew_salted_agg,
+dedup_minhash, and ts_rolling_1h yielded slots and rotate r14). Rows-only entries stay out of the window (they burn a
 slot on `no_oracle`).
 """
 
@@ -62,12 +62,12 @@ def test_window_holds_the_r13_rotation():
         # shared operator changed
         "emb_kmeans_assign", "dedup_url_canonical",
         "ts_asof_forward", "ts_asof_join", "ts_interval_merge",
-        "ts_twap", "ivfpq_rerank",
+        "ts_twap", "ivfpq_rerank", "ts_ohlc",
     }
-    assert set(window[:18]) == changed
-    # slots 19-25: the pre-declared r13 fill — the last 7 r7-evidence
+    assert set(window[:19]) == changed
+    # slots 20-26: the pre-declared r13 fill — the last 7 r7-evidence
     # entries (the ts_* block)
-    assert window[18:25] == [
+    assert window[19:26] == [
         "ts_range_join", "ts_resample_interp", "ts_resample_locf",
         "ts_session_window", "ts_sliding", "ts_tumbling", "ts_zorder_key",
     ]
@@ -90,9 +90,9 @@ def test_window_holds_the_r13_rotation():
     yielded = {
         "sup_mode", "sup_pivot", "sup_unpivot", "sup_higher_order",
         "sup_json", "sup_lateral", "sup_variant", "text_ngram_topk",
-        "skew_salted_agg", "dedup_minhash",
+        "skew_salted_agg", "dedup_minhash", "ts_rolling_1h",
     }
-    assert sorted(window[25:]) == sorted(set(r8_cohort) - yielded)
+    assert sorted(window[26:]) == sorted(set(r8_cohort) - yielded)
     # rows-only entries never occupy a window slot
     from easydb_server_spark.queries import oracle_queries
 
