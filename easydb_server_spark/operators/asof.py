@@ -7,8 +7,11 @@ the union + ordered-window trick:
 
 1. tag probe rows (side=1) and quote rows (side=0) into one frame;
 2. one shuffle on the join key; within each key, sort by (ts, side)
-   and carry quote attributes forward with ``last(..., ignorenulls)``
-   over an unbounded-preceding running frame;
+   and carry the quote row forward as ONE struct through a single
+   ``last(..., ignorenulls)`` over an unbounded-preceding running
+   frame — row-atomic by construction: all attached attributes come
+   from the SAME quote row even when some of its attributes are NULL
+   (independent per-column last() would mix rows there);
 3. keep probe rows — each now holds the most recent quote at-or-before
    its timestamp.
 
@@ -64,29 +67,49 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    from pyspark.sql.types import StructField, StructType
+
     probe_out = [c for c in probe.columns]
+    p_type = StructType([probe.schema[c] for c in probe_out])
+    # The whole matching quote row travels as ONE struct (__qts + the
+    # requested attribute columns), so a single last(ignorenulls) is
+    # row-atomic: every asof_<c> comes from the same quote row even
+    # when some of that row's attributes are NULL. (A struct built
+    # from columns is non-null even if all its fields are, so probe
+    # rows — a literal NULL struct — are the only rows ignorenulls
+    # skips.)
+    q_type = StructType(
+        [StructField("__qts", quote.schema[quote_ts].dataType)]
+        + [StructField(f"__q_{c}", quote.schema[c].dataType) for c in quote_cols]
+    )
     tagged_p = probe.select(
         F.col(on).alias("__k"),
         F.col(probe_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*probe_out).alias("__p"),
-        *[F.lit(None).cast(dict(quote.dtypes)[c]).alias(f"__q_{c}") for c in quote_cols],
+        F.lit(None).cast(q_type).alias("__q"),
     )
     tagged_q = quote.select(
         F.col(on).alias("__k"),
         F.col(quote_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(tagged_p.schema["__p"].dataType).alias("__p"),
-        *[F.col(c).alias(f"__q_{c}") for c in quote_cols],
+        F.lit(None).cast(p_type).alias("__p"),
+        F.struct(
+            F.col(quote_ts).alias("__qts"),
+            *[F.col(c).alias(f"__q_{c}") for c in quote_cols],
+        ).alias("__q"),
     )
 
     ts_key = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     order_keys = [ts_key, F.col("__side").asc()]
     if quote_tiebreak is not None:
         # among equal-(ts, side) quote rows the running last() wins, so
-        # descending tiebreak makes the SMALLEST value the winner;
-        # probe rows carry NULL here and are separated by __side anyway
-        order_keys.append(F.col(f"__q_{quote_tiebreak}").desc())
+        # descending tiebreak makes the SMALLEST value the winner —
+        # NULLS FIRST so a NULL tiebreak LOSES to every non-null one
+        # (Spark's desc default is NULLS LAST, which would let a NULL
+        # tiebreak silently beat them all); probe rows carry a NULL
+        # struct here and are separated by __side anyway
+        order_keys.append(F.col("__q").getField(f"__q_{quote_tiebreak}").desc_nulls_first())
     w = (
         Window.partitionBy("__k")
         .orderBy(*order_keys)
@@ -98,29 +121,25 @@ def asof_join(
         "__ts",
         "__side",
         "__p",
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w).alias("__q_ts"),
-        *[F.last(f"__q_{c}", ignorenulls=True).over(w).alias(f"__qf_{c}") for c in quote_cols],
+        F.last("__q", ignorenulls=True).over(w).alias("__qf"),
     ).where(F.col("__side") == 1)
 
     if tolerance_seconds is not None:
         gap = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__q_ts"))
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__qf.__qts"))
             if direction == "backward"
-            else F.unix_micros(F.col("__q_ts")) - F.unix_micros(F.col("__ts"))
+            else F.unix_micros(F.col("__qf.__qts")) - F.unix_micros(F.col("__ts"))
         )
-        in_tol = F.col("__q_ts").isNotNull() & (
-            gap <= int(tolerance_seconds * 1_000_000)
-        )
+        in_tol = F.col("__qf").isNotNull() & (gap <= int(tolerance_seconds * 1_000_000))
         filled = filled.select(
             "__k",
             "__ts",
             "__p",
-            F.when(in_tol, F.col("__q_ts")).alias("__q_ts"),
-            *[F.when(in_tol, F.col(f"__qf_{c}")).alias(f"__qf_{c}") for c in quote_cols],
+            F.when(in_tol, F.col("__qf")).alias("__qf"),
         )
 
     return filled.select(
         *[F.col(f"__p.{c}").alias(c) for c in probe_out],
-        F.col("__q_ts").alias("asof_ts"),
-        *[F.col(f"__qf_{c}").alias(f"asof_{c}") for c in quote_cols],
+        F.col("__qf.__qts").alias("asof_ts"),
+        *[F.col(f"__qf.__q_{c}").alias(f"asof_{c}") for c in quote_cols],
     )

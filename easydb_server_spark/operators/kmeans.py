@@ -26,29 +26,38 @@ So every quantity here is a BIGINT:
 Headroom (embedding coords |x| < 1e3): |q| < 1e9, per-dim squared
 diff < 4e18/d ... for the fixture's |x| < 1 geometry |q| <= ~1.2e6,
 dist2 <= d * (2.4e6)^2 ~ 4e14 at d=64, and a per-(cluster,dim) sum
-overflows INT64 only past ~7e12 members per cluster.
+overflows INT64 only past ~7e12 members per cluster. NOTE the
+failure mode past that bound is ASYMMETRIC, not merely wrong-both-
+sides: Spark's SUM(long) wraps silently while DuckDB's SUM promotes
+to HUGEINT and the CAST back to BIGINT raises — the engines diverge
+rather than fail together, so the conformance harness WOULD catch an
+overflow (as a hash mismatch or oracle error), never mask one.
 
 Scale shape (the 100 TB reading):
 
 * seeding is a deterministic md5-order top-k
   (TakeOrderedAndProject — no full sort, no extra shuffle);
-* each assignment is a BROADCAST join of the k x d centroid table
-  against the corpus — map-only, no shuffle of the points;
+* each assignment is a PURE PROJECTION: the k centroids enter the
+  plan as a literal array<struct<dist2-expr, cluster>> and the
+  argmin is F.array_min over that array, per row — genuinely
+  map-only, ZERO exchange of the points (r13 used
+  crossJoin(broadcast)+groupBy(pid), which re-shuffled the full
+  n x d corpus once per iteration just to reduce the k candidate
+  rows; the literal-argmin form computes the same min(struct)
+  without ever multiplying the rows);
 * each update shuffles only partial aggregates: posexplode to
   (cluster, dim) rows is map-side combined before the exchange, so
   the shuffle volume is bounded by partitions x k x d, NOT n x d;
 * per-iteration driver traffic is the k x d centroid table itself
   (the same bounded collect Spark MLlib's KMeans does) — centroids
-  re-enter the plan as a literal broadcast frame, keeping lineage
-  flat across iterations.
+  re-enter the plan as literals, keeping lineage flat across
+  iterations.
 
 Ties (equal squared distance) break toward the SMALLER cluster id on
 both engines; empty clusters keep their previous centroid.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -78,43 +87,58 @@ def seed_centroids(pts: DataFrame, k: int) -> list[tuple[int, list[int]]]:
         .limit(k)
         .collect()
     )
-    # Re-assert the order driver-side (collect preserves limit order,
-    # but the contract is the md5 order, so compute it explicitly).
-    rows.sort(key=lambda r: hashlib.md5(str(r["pid"]).encode()).hexdigest())
+    # Re-assert the order driver-side on the SPARK-computed hash column
+    # (collect preserves limit order, but the contract is the md5
+    # order; re-deriving it via Python str(pid) would silently diverge
+    # for float/decimal id columns where str() != CAST AS STRING).
+    rows.sort(key=lambda r: r["__h"])
     return [(i, list(r["q"])) for i, r in enumerate(rows)]
 
 
-def _centroid_frame(spark: SparkSession, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    return spark.createDataFrame(
-        [(c, q) for c, q in cents], "cluster INT, cq ARRAY<BIGINT>"
+def _centroid_literal(cents: list[tuple[int, list[int]]]):
+    """The k centroids as one literal array<struct<cluster:int,
+    cq:array<bigint>>> column — constant-folded into the task binary,
+    so 'broadcasting' the centroids costs nothing and joins nothing."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("int").alias("cluster"),
+                F.array(*[F.lit(v).cast("long") for v in q]).alias("cq"),
+            )
+            for c, q in cents
+        ]
     )
 
 
 def assign(spark: SparkSession, pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """(pid, q, cluster, dist2): each point's argmin-distance centroid,
-    ties to the smaller cluster id. Broadcast join + min(struct) —
-    map-only over the corpus, one partial-aggregated shuffle keyed on
-    pid... actually keyed on pid only to reduce the k candidate rows;
-    with min(struct(dist2, cluster)) the combine is associative and
-    map-side, so the exchange carries one row per point."""
-    c = F.broadcast(_centroid_frame(spark, cents))
-    j = pts.crossJoin(c).withColumn(
-        "dist2",
-        F.aggregate(
-            F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    ties to the smaller cluster id. A pure projection: per row, map
+    the literal centroid array to struct(dist2, cluster) candidates
+    and take array_min — struct ordering compares dist2 first then
+    cluster, so ties break to the smaller id. ZERO exchange: the r13
+    crossJoin(broadcast)+groupBy(pid) form shuffled one n x d row per
+    point per iteration; this form shuffles nothing."""
+    del spark  # kept for call-site compatibility; no frame is built
+    cands = F.transform(
+        _centroid_literal(cents),
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), s["cq"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            s["cluster"].alias("cluster"),
         ),
     )
-    best = (
-        j.groupBy("pid")
-        .agg(
-            F.min(F.struct(F.col("dist2"), F.col("cluster"))).alias("m"),
-            F.first("q").alias("q"),
-        )
-        .select("pid", "q", F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
+    # Two-step projection so the argmin struct is evaluated ONCE
+    # (CollapseProject refuses to inline non-cheap aliases referenced
+    # twice, SPARK-36718), then unpacked.
+    return pts.select("pid", "q", F.array_min(cands).alias("__best")).select(
+        "pid",
+        "q",
+        F.col("__best.cluster").alias("cluster"),
+        F.col("__best.dist2").alias("dist2"),
     )
-    return best
 
 
 def update_centroids(

@@ -105,3 +105,22 @@ def test_seeds_are_md5_order_deterministic(spark):
     )
     assert s1 == s2
     assert [c for c, _ in s1] == [0, 1, 2, 3, 4]
+
+def test_assignment_plan_is_exchange_free(spark):
+    """The r13→r14 fix: assignment is a pure projection over a literal
+    centroid array. The physical plan of ONE assignment pass over a
+    plain in-memory corpus must contain no Exchange and no Join —
+    the r13 crossJoin(broadcast)+groupBy(pid) shape shuffled the full
+    n x d corpus once per iteration."""
+    from easydb_server_spark.operators.kmeans import (
+        assign,
+        quantize_points,
+        seed_centroids,
+    )
+
+    rows = [(i, [float(i % 3), float(i % 5)]) for i in range(1, 21)]
+    pts = quantize_points(_frame(spark, rows, d=2), "embedding", "vec_id")
+    cents = seed_centroids(pts, 4)
+    plan = assign(spark, pts, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

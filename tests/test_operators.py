@@ -1741,3 +1741,50 @@ class TestAsofForward:
         with _pytest.raises(ValueError, match="direction"):
             asof_join(p, q, on="user_id", probe_ts="ts", quote_ts="q_ts",
                       quote_cols=["q_id"], direction="sideways")
+
+
+class TestAsofRowAtomicity:
+    """The r14 ADVICE fixes: quote attributes travel as ONE struct
+    (row-atomic even with NULL attributes), and a NULL tiebreak value
+    LOSES to every non-null one."""
+
+    def test_null_attribute_on_winning_quote_stays_atomic(self, spark):
+        """The tie-winning quote (smallest tiebreak) has v=NULL; the
+        output must carry THAT row's NULL, not an older quote's v."""
+        from easydb_server_spark.operators.asof import asof_join
+
+        p = spark.createDataFrame(
+            [(1, 100, "2024-01-01 11:00:00")], "p_id BIGINT, user_id BIGINT, ts_s STRING"
+        ).select("p_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+        q = spark.createDataFrame(
+            [(21, 100, "2024-01-01 09:00:00", 9.0),   # older quote, non-null v
+             (22, 100, "2024-01-01 10:00:00", None),  # tie-winner at 10:00, NULL v
+             (23, 100, "2024-01-01 10:00:00", 7.0)],  # tie-loser at 10:00
+            "q_id BIGINT, user_id BIGINT, ts_s STRING, v DOUBLE",
+        ).select("q_id", "user_id", F.to_timestamp("ts_s").alias("q_ts"), "v")
+        row = asof_join(
+            p, q, on="user_id", probe_ts="ts", quote_ts="q_ts",
+            quote_cols=["q_id", "v"], quote_tiebreak="q_id",
+        ).collect()[0]
+        assert row["asof_q_id"] == 22
+        assert row["asof_v"] is None  # NOT 9.0 from q_id 21, NOT 7.0 from q_id 23
+
+    def test_null_tiebreak_loses_to_non_null(self, spark):
+        """Two quotes at the same ts, one with a NULL tiebreak: the
+        non-null (smallest) tiebreak must win."""
+        from easydb_server_spark.operators.asof import asof_join
+
+        p = spark.createDataFrame(
+            [(1, 100, "2024-01-01 11:00:00")], "p_id BIGINT, user_id BIGINT, ts_s STRING"
+        ).select("p_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+        q = spark.createDataFrame(
+            [(100, "2024-01-01 10:00:00", None, 1.0),
+             (100, "2024-01-01 10:00:00", 5, 2.0)],
+            "user_id BIGINT, ts_s STRING, rank BIGINT, v DOUBLE",
+        ).select("user_id", F.to_timestamp("ts_s").alias("q_ts"), "rank", "v")
+        row = asof_join(
+            p, q, on="user_id", probe_ts="ts", quote_ts="q_ts",
+            quote_cols=["rank", "v"], quote_tiebreak="rank",
+        ).collect()[0]
+        assert row["asof_rank"] == 5
+        assert row["asof_v"] == 2.0
