@@ -88,24 +88,31 @@ HEADLINE = FIXED_CORE + [
     # ts_twap slots), text_repetition (0.3 s — text_gopher_repetition
     # carries the repetition family), and dedup_source_overlap
     # (0.32 s — the dedup family keeps five other slots).
+    # r14 tail ROTATION (the r13 verdict's ask #8): instead of
+    # permanently dropping sub-second entries for the line budget,
+    # the sub-second tail now rotates per round (like the conformance
+    # window) so every entry gets periodic driver-side timing
+    # evidence. Out this round (all sub-second, each family keeps
+    # other slots, all stay oracle-verified): dedup_simhash,
+    # text_html_extract, text_url_filter, chunk_dedup, text_bm25,
+    # text_c4_rules. Back in from the r12/r13 trims:
+    # text_stratified_sample, curate_source_cap, ts_tumbling.
     "ts_session_window",
     "ts_range_join",
     "ts_resample_interp",
     "profile_documents",
-    "dedup_simhash",
-    "text_html_extract",
+    "text_stratified_sample",
+    "curate_source_cap",
+    "ts_tumbling",
     "text_paragraph_dedup",
-    "text_url_filter",
     "text_quality_prune",
     "dedup_incremental_fuzzy",
-    "chunk_dedup",
     "text_bigram_logprob",
     "dedup_ngram_spans",
     "text_ccnet_buckets",
     "text_tfidf_keywords",
     "text_contamination_spans",
     "text_bpe_merges",
-    "text_bm25",
     "sim_hybrid_rrf",
     "crawl_pipeline",
     # r8 additions: DSIR importance resampling, span clipping
@@ -121,7 +128,6 @@ HEADLINE = FIXED_CORE + [
     # distributed embedding-covariance reduction
     "multimodal_audio_depths",
     "text_url_blocklist",
-    "text_c4_rules",
     "text_nb_quality",
     "text_match_any",
     "text_sentence_span_dedup",
@@ -158,6 +164,11 @@ HEADLINE = FIXED_CORE + [
     "ivfpq_rerank",
     # r13 addition: OHLC bars via single-aggregate struct-argmin
     "ts_ohlc",
+    # r14 additions: perceptual-hash image dedup — signatures through
+    # the real GIF codec, then banded Hamming LSH + connected
+    # components to keepers
+    "dedup_image_phash",
+    "dedup_image_neardup",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

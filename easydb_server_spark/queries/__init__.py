@@ -178,6 +178,14 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "ts_twap": (timeseries.q_ts_twap, timeseries.ORACLE_TS_TWAP),
     "ivfpq_rerank": (llmops.q_ivfpq_rerank, llmops.ORACLE_IVFPQ_RERANK),
     "ts_ohlc": (timeseries.q_ts_ohlc, timeseries.ORACLE_TS_OHLC),
+    # r14: perceptual-hash image near-dup dedup (operators/imagehash.py)
+    # through the REAL GIF codec; oracles replay the sampled-pixel
+    # arithmetic in closed form
+    "dedup_image_phash": (llmops.q_dedup_image_phash, llmops.ORACLE_DEDUP_IMAGE_PHASH),
+    "dedup_image_neardup": (
+        llmops.q_dedup_image_neardup,
+        llmops.ORACLE_DEDUP_IMAGE_NEARDUP,
+    ),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -380,86 +388,82 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
 }
 
-# --- ROUND-13 PRIORITY WINDOW (the 50-entry prefix the driver
+# --- ROUND-14 PRIORITY WINDOW (the 50-entry prefix the driver
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 13's changed/new set: profile_table folded its row
-# count into the single aggregate and null_rate moved to the
-# Column-built rounding; scaled_round_half became native div/% (the
-# r12 bench-regression fix), touching every quality-composite
-# consumer; ELEVEN entries are NEW — emb_pca_invariants plus the
-# three rows-only companions (agg_approx_distinct_bound,
-# sketch_distinct_bound, audio_spectrogram_tone) that grade the
-# HLL/FFT paths via closed-form bounds, plus the late-r13 operators
-# emb_kmeans_assign / dedup_url_canonical / ts_asof_forward /
-# ts_interval_merge / ts_twap / ivfpq_rerank / ts_ohlc; and
-# ts_asof_join re-verifies because its shared operator grew the
-# direction/tiebreak dials — 19 slots. The next 31 close the evidence
-# floor the r11 verdict asked for: the 7 r7-evidence ts_* entries
-# (the pre-declared fill) and 24 of the 35-entry r8-evidence cohort
-# (the seven frozen sup_* dialect shims, text_ngram_topk,
-# skew_salted_agg, dedup_minhash, and ts_rolling_1h — those with
-# siblings in-window — yield their slots to the new entries and keep
-# r8 evidence, still inside the original not-older-than-r8 criterion;
-# they rotate r14). Rows-only entries stay OUT (they burn a slot on
-# no_oracle).
+# cohort. Round 14's changed/new set (5): the two NEW perceptual-hash
+# image dedup entries (operators/imagehash.py), emb_kmeans_assign
+# (assignment became a zero-exchange literal-argmin projection), and
+# ts_asof_forward + ts_asof_join (operators/asof.py became row-atomic
+# via a single quote struct, tiebreak NULLS FIRST). Slots 6-17 are the
+# pre-declared r13->r14 rotation: the 11 r8-evidence yielders (7
+# frozen sup_* shims, text_ngram_topk, skew_salted_agg, dedup_minhash,
+# ts_rolling_1h) plus text_compression_invariants, the one oracled
+# entry the driver had never executed. Slots 18-48 take 31 of the 46
+# r9-evidence entries in _DEFS order (the remaining 15 — subq_in
+# through window_running — rotate r15). Slots 49-50 break the
+# rows-only-stay-out rule BY DESIGN this round (the r13 verdict's ask
+# #6): emb_pca and sketch_distinct take tail slots so the driver
+# demonstrably EXECUTES them (recording no_oracle is the point —
+# execution evidence for never-run registered queries); the other
+# four rows-only entries get their tail slots over r15-r16.
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
-    "emb_pca_invariants",
-    "profile_documents",
-    "profile_drift",
-    "text_quality",
-    "text_quality_prune",
-    "curation_pipeline",
-    "text_curriculum",
-    "dedup_keepers_quality",
-    "agg_approx_distinct_bound",
-    "sketch_distinct_bound",
-    "audio_spectrogram_tone",
-    # late-r13 new operators (clustering, canonical-URL dedup, forward
-    # as-of) + ts_asof_join, whose shared operator (operators/asof.py)
-    # grew the direction/tiebreak dials — behaviorally identical for
-    # the frozen backward call, re-verified under the
-    # changed-code-first rule
+    # r14 changed/new code
+    "dedup_image_phash",
+    "dedup_image_neardup",
     "emb_kmeans_assign",
-    "dedup_url_canonical",
-    "ts_asof_forward",
     "ts_asof_join",
-    "ts_interval_merge",
-    "ts_twap",
-    "ivfpq_rerank",
-    "ts_ohlc",
-    "ts_range_join",
-    "ts_resample_interp",
-    "ts_resample_locf",
-    "ts_session_window",
-    "ts_sliding",
-    "ts_tumbling",
-    "ts_zorder_key",
-    "dedup_incremental_fuzzy",
-    "join_inner_revenue",
-    "sim_semdedup",
-    "sim_topk_ivf",
-    "skew_salted_join",
-    "text_bpe_merges",
-    "text_clip_spans",
-    "text_decontaminate",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    "ts_multi_rollup",
+    "ts_asof_forward",
+    # pre-declared rotation: the r8-evidence yielders + the one
+    # never-driver-run oracled entry
+    "sup_json",
+    "sup_pivot",
+    "sup_mode",
+    "sup_unpivot",
+    "sup_higher_order",
+    "sup_lateral",
+    "sup_variant",
+    "text_ngram_topk",
+    "skew_salted_agg",
+    "dedup_minhash",
+    "ts_rolling_1h",
+    "text_compression_invariants",
+    # 31 of the 46 r9-evidence entries, _DEFS order
+    "curate_dsir",
+    "text_line_dedup",
+    "core_cast",
+    "core_conditionals",
+    "core_distinct",
+    "core_distinct_on",
+    "core_filter_predicates",
+    "core_limit_offset",
+    "core_nvl",
+    "core_projection",
+    "core_sort_nulls",
+    "core_star_projection",
+    "corpus_shuffle",
+    "fn_datetime",
+    "fn_math",
+    "fn_math_extended",
+    "fn_regex",
+    "fn_string",
+    "recursive_cte",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union",
+    "setop_union_all",
+    "stream_dedup",
+    "stream_join",
+    "subq_correlated_scalar",
+    "subq_cte",
+    "subq_derived",
+    "subq_exists_correlated",
+    # rows-only execution-evidence tail (r13 verdict ask #6)
+    "emb_pca",
+    "sketch_distinct",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

@@ -6101,3 +6101,188 @@ SELECT qid, cid,
 FROM rr2 WHERE rank <= 5
 ORDER BY qid, rank""",
 )
+
+
+# ---------- image perceptual-hash near-dup dedup (operators/imagehash.py) ----------
+
+
+def _image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> deterministic GIF blob with PLANTED near-dup groups.
+
+    Each doc_id < 400 renders a palettized image whose content depends
+    only on ``base = doc_id % 40`` — so every base group's ~10 members
+    are near-identical — except that odd doc_ids get ONE source pixel
+    (0, 0) recolored (+8 palette steps). Geometry (w = 12 + base%5,
+    h = 10 + base%4) exceeds the 9x8 dHash grid, so sampling is
+    injective and the single-pixel edit can flip at most dHash bit 0:
+    within a base group, hamming(even, even) = 0 and
+    hamming(even, odd) <= 1 — real near-dups, not byte dups. Encoded
+    to genuine GIF89a/LZW bytes (operators/gif.py) so the hash path
+    exercises the REAL codec; the oracle replays the palette/sampling
+    arithmetic in closed form and never sees bytes."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                base = did % 40
+                w, h = 12 + base % 5, 10 + base % 4
+                y, x = np.mgrid[0:h, 0:w]
+                idx = (base * 3 + y * 5 + x * 7) % 16
+                if did % 2 == 1:
+                    idx[0, 0] = (idx[0, 0] + 8) % 16
+                ids.append(did)
+                blobs.append(encode_gif(pal[idx]))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return d.mapInPandas(build, "doc_id bigint, payload binary")
+
+
+# Closed-form replay of the sampled-pixel dHash: only the 9x8 SAMPLED
+# grid positions matter (nearest-neighbor point sampling), so the
+# oracle evaluates the palette recipe at sx=(u*w)//9, sy=(v*h)//8 and
+# never materializes whole images.
+_IMG_SIG_CTES = """
+imgdocs AS (
+  SELECT doc_id, doc_id % 40 AS base, doc_id % 2 AS var,
+         12 + (doc_id % 40) % 5 AS w, 10 + (doc_id % 40) % 4 AS h
+  FROM documents WHERE doc_id < 400
+),
+samp AS (
+  SELECT d.doc_id, vv.v, uu.u,
+         (uu.u * d.w) // 9 AS sx, (vv.v * d.h) // 8 AS sy, d.base, d.var
+  FROM imgdocs d,
+       UNNEST(generate_series(0, 7)) vv(v),
+       UNNEST(generate_series(0, 8)) uu(u)
+),
+gry AS (
+  SELECT doc_id, v, u,
+         (299 * ((idx * 16) % 256) + 587 * ((idx * 37) % 256)
+          + 114 * ((idx * 73) % 256)) // 1000 AS gr
+  FROM (
+    SELECT doc_id, v, u,
+           (base * 3 + sy * 5 + sx * 7
+            + CASE WHEN var = 1 AND sy = 0 AND sx = 0 THEN 8 ELSE 0 END) % 16 AS idx
+    FROM samp
+  )
+),
+dbits AS (
+  SELECT l.doc_id, l.v * 8 + l.u AS i,
+         CASE WHEN l.gr < r.gr THEN 1 ELSE 0 END AS bit
+  FROM gry l JOIN gry r ON r.doc_id = l.doc_id AND r.v = l.v AND r.u = l.u + 1
+  WHERE l.u < 8
+),
+bnd AS (
+  SELECT doc_id, i // 16 AS b,
+         CAST(SUM(CAST(bit AS BIGINT) << (i % 16)) AS BIGINT) AS bv
+  FROM dbits GROUP BY doc_id, i // 16
+),
+sig AS (
+  SELECT doc_id AS item_id,
+         MAX(CASE WHEN b = 0 THEN bv END) AS band0,
+         MAX(CASE WHEN b = 1 THEN bv END) AS band1,
+         MAX(CASE WHEN b = 2 THEN bv END) AS band2,
+         MAX(CASE WHEN b = 3 THEN bv END) AS band3
+  FROM bnd GROUP BY doc_id
+)
+"""
+
+
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image dHash signatures through the REAL GIF codec: encode
+    the deterministic fixture images to genuine GIF89a bytes, decode
+    them back, grayscale + 9x8 nearest-neighbor sample + gradient
+    bits — all inside ONE Arrow-batched decoder stage
+    (operators/imagehash.py image_dhash). A hash match against the
+    closed-form pixel-arithmetic oracle proves the full
+    encode->decode->grayscale->sample->bit path is bit-exact."""
+    from easydb_server_spark.operators.imagehash import image_dhash
+
+    return image_dhash(_image_blobs(spark, sf_dir), "payload", "doc_id").orderBy("item_id")
+
+
+ORACLE_DEDUP_IMAGE_PHASH = f"""
+WITH {_IMG_SIG_CTES}
+SELECT item_id, band0, band1, band2, band3,
+       printf('%04x%04x%04x%04x', band3, band2, band1, band0) AS phash
+FROM sig ORDER BY item_id
+"""
+
+
+def q_dedup_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup resolution end to end: dHash signatures ->
+    banded Hamming LSH candidate pairs (4x16-bit bands, pigeonhole-
+    complete at max_hamming=3, NEVER all-pairs) -> XOR-popcount
+    verification -> connected components (operators/clusters.py) ->
+    min-id keeper per cluster. Output: every fixture image with its
+    cluster label and whether it is the cluster's keeper."""
+    from easydb_server_spark.operators.clusters import connected_components
+    from easydb_server_spark.operators.imagehash import dhash_pairs, image_dhash
+
+    blobs = _image_blobs(spark, sf_dir)
+    sigs = image_dhash(blobs, "payload", "doc_id")
+    pairs = dhash_pairs(sigs, max_hamming=3).select(
+        F.col("item_a").alias("doc_a"), F.col("item_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    base = load(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+    return (
+        base.join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component"))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_IMAGE_NEARDUP = f"""
+WITH RECURSIVE {_IMG_SIG_CTES},
+imgband AS (
+  SELECT item_id, band0, band1, band2, band3, b.b,
+         CASE b.b WHEN 0 THEN band0 WHEN 1 THEN band1
+                  WHEN 2 THEN band2 ELSE band3 END AS bv
+  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT x.item_id AS doc_a, y.item_id AS doc_b,
+         x.band0 AS a0, x.band1 AS a1, x.band2 AS a2, x.band3 AS a3,
+         y.band0 AS b0, y.band1 AS b1, y.band2 AS b2, y.band3 AS b3
+  FROM imgband x JOIN imgband y ON x.b = y.b AND x.bv = y.bv
+  WHERE x.item_id < y.item_id
+),
+ipairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ipairs
+  UNION SELECT doc_b, doc_a FROM ipairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(l.component, d.doc_id) AS component,
+       COALESCE(l.component, d.doc_id) = d.doc_id AS is_keeper
+FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

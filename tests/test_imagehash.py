@@ -1,0 +1,125 @@
+"""Perceptual-hash image dedup (operators/imagehash.py).
+
+The conformance entries (dedup_image_phash / dedup_image_neardup) pin
+the fixture pipeline against the DuckDB replay; these tests pin the
+dHash properties the fixture can't demonstrate — brightness/scale
+invariance, locality of single-pixel edits — and the LSH pair stage's
+pigeonhole recall and plan shape on synthetic signatures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def _img(w, h, seed=7):
+    y, x = np.mgrid[0:h, 0:w]
+    r = ((seed * 3 + y * 5 + x * 7) * 16 % 256).astype(np.uint8)
+    g = ((seed * 5 + y * 11 + x * 3) * 37 % 256).astype(np.uint8)
+    b = ((seed * 7 + y * 2 + x * 13) * 73 % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def test_dhash_brightness_invariant():
+    """dHash compares adjacent cells, so a uniform brightness shift
+    (no channel clipping) must not change a single bit."""
+    from easydb_server_spark.operators.imagehash import dhash_bands
+
+    px = _img(20, 15) // 2  # headroom so +40 can't clip
+    assert dhash_bands(px) == dhash_bands(px + 40)
+
+
+def test_dhash_exact_2x_upscale_invariant():
+    """A 9x8 image and its pixel-doubled 18x16 version sample to the
+    same source pixels (sx = (u*18)//9 = 2u, sy = (v*16)//8 = 2v), so
+    the hash is bit-identical — the scale invariance dHash is for."""
+    from easydb_server_spark.operators.imagehash import dhash_bands
+
+    px = _img(9, 8)
+    doubled = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert dhash_bands(px) == dhash_bands(doubled)
+
+
+def test_dhash_single_pixel_edit_is_local():
+    """Recoloring one pixel changes at most the two gradient bits that
+    read its cell — near-dup edits stay within LSH reach."""
+    from easydb_server_spark.operators.imagehash import dhash_bands
+
+    px = _img(9, 8)
+    edited = px.copy()
+    edited[3, 4] = [255, 255, 255]
+    a, b = dhash_bands(px), dhash_bands(edited)
+    hamming = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert hamming <= 2
+
+
+def test_dhash_pairs_pigeonhole_and_pruning(spark):
+    """Synthetic signatures: an identical pair (hamming 0), a pair 3
+    bits apart ALL in one band (found — the other 3 bands still
+    collide: the pigeonhole guarantee), and a signature different in
+    every band (pruned — no shared band, correctly so since its
+    hamming is far above max_hamming)."""
+    from easydb_server_spark.operators.imagehash import dhash_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 100, 200, 300, 400),
+            (2, 100, 200, 300, 400),          # == 1
+            (3, 100 ^ 0b111, 200, 300, 400),  # 3 flips, all in band0
+            (4, 101, 201, 301, 401),          # differs in every band
+        ],
+        "item_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): r["hamming"]
+        for r in dhash_pairs(sigs, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 3
+    assert got[(2, 3)] == 3
+    assert not any(4 in k for k in got)
+
+
+def test_dhash_pairs_rejects_unguaranteed_threshold(spark):
+    import pytest
+
+    from easydb_server_spark.operators.imagehash import dhash_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)], "item_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT"
+    )
+    with pytest.raises(ValueError, match="max_hamming"):
+        dhash_pairs(sigs, max_hamming=4)
+
+
+def test_dhash_pairs_plan_is_banded_not_all_pairs(spark):
+    """The candidate stage must be an equi-join on (band, value) —
+    no cartesian / broadcast-nested-loop anywhere in the plan."""
+    from easydb_server_spark.operators.imagehash import dhash_pairs
+
+    sigs = spark.createDataFrame(
+        [(i, i % 7, i % 5, i % 3, i % 2) for i in range(40)],
+        "item_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT",
+    )
+    plan = dhash_pairs(sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_dhash_matches_pure_function(spark):
+    """The Arrow-batched stage and the pure function agree through a
+    REAL GIF encode/decode round trip."""
+    from easydb_server_spark.operators.gif import encode_gif
+    from easydb_server_spark.operators.imagehash import dhash_bands, image_dhash
+
+    imgs = {i: _img(10 + i, 9 + i, seed=i) for i in range(1, 4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_gif(px))) for i, px in imgs.items()],
+        "item_id BIGINT, payload BINARY",
+    )
+    got = {r["item_id"]: (r["band0"], r["band1"], r["band2"], r["band3"], r["phash"])
+           for r in image_dhash(df, "payload", "item_id").collect()}
+    for i, px in imgs.items():
+        b0, b1, b2, b3 = dhash_bands(px)
+        assert got[i] == (b0, b1, b2, b3, f"{b3:04x}{b2:04x}{b1:04x}{b0:04x}")
