@@ -95,10 +95,9 @@ HEADLINE = FIXED_CORE + [
     # evidence. Out this round (all sub-second, each family keeps
     # other slots, all stay oracle-verified): dedup_simhash,
     # text_html_extract, text_url_filter, chunk_dedup, text_bm25,
-    # text_c4_rules. Back in from the r12/r13 trims:
+    # text_c4_rules, ts_range_join. Back in from the r12/r13 trims:
     # text_stratified_sample, curate_source_cap, ts_tumbling.
     "ts_session_window",
-    "ts_range_join",
     "ts_resample_interp",
     "profile_documents",
     "text_stratified_sample",
@@ -169,6 +168,9 @@ HEADLINE = FIXED_CORE + [
     # components to keepers
     "dedup_image_phash",
     "dedup_image_neardup",
+    # r14 addition: shot-boundary detection (per-frame dHash + one
+    # keyed lag window over the animated-GIF codec path)
+    "video_scene_cuts",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

@@ -145,3 +145,74 @@ def dhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("item_a", "item_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+FRAME_DHASH_SCHEMA = (
+    "item_id bigint, frame_idx int, band0 bigint, band1 bigint, band2 bigint, band3 bigint"
+)
+
+
+def frame_dhash(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    decoder: Callable | None = None,
+) -> DataFrame:
+    """(item_id, frame_idx, band0..band3): dHash EVERY frame of every
+    animated blob inside one Arrow-batched stage — the video-side
+    analogue of :func:`image_dhash`. ``decoder`` maps bytes -> list of
+    (h, w, 3) uint8 composited frames (defaults to the repo's animated
+    GIF codec, which replays transparency/disposal compositing).
+    Map-only: blobs never leave their executor; each blob fans out to
+    its frame count, bounded by the media itself."""
+    if decoder is None:
+        from easydb_server_spark.operators.gif import decode_gif_frames as decoder
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                for f, px in enumerate(decoder(bytes(blob))):
+                    b0, b1, b2, b3 = dhash_bands(px)
+                    out.append((int(item_id), f, b0, b1, b2, b3))
+            yield pd.DataFrame(
+                out,
+                columns=["item_id", "frame_idx", "band0", "band1", "band2", "band3"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(extract, FRAME_DHASH_SCHEMA)
+
+
+def scene_cuts(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(item_id, frame_idx, hamming_prev, is_scene_start): shot-
+    boundary detection over per-frame dHash signatures — the standard
+    video-curation primitive (sample one keyframe per scene instead of
+    per wall-clock tick; drop near-static spans). A frame starts a
+    scene when it is the item's first frame or its perceptual distance
+    to the PREVIOUS frame exceeds ``max_hamming``.
+
+    Scale shape: ONE keyed shuffle (window partitioned by item_id,
+    ordered by frame_idx — per-item groups are bounded by the media's
+    frame count), lag() per band, then an in-row XOR popcount. No
+    joins, no corpus-wide window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_id").orderBy("frame_idx")
+    bandcols = ["band0", "band1", "band2", "band3"]
+    lagged = sigs.select(
+        "item_id",
+        "frame_idx",
+        *bandcols,
+        *[F.lag(c).over(w).alias(f"prev_{c}") for c in bandcols],
+    )
+    hamming = None
+    for c in bandcols:
+        term = F.bit_count(F.col(c).bitwiseXOR(F.col(f"prev_{c}")))
+        hamming = term if hamming is None else hamming + term
+    return lagged.select(
+        "item_id",
+        "frame_idx",
+        hamming.cast("int").alias("hamming_prev"),
+        (F.col("prev_band0").isNull() | (hamming > max_hamming)).alias("is_scene_start"),
+    )

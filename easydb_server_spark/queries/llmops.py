@@ -6286,3 +6286,113 @@ FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
 LEFT JOIN labels l ON l.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection end-to-end through the REAL animated
+    GIF codec: each doc_id < 300 becomes a T-frame animation
+    (T = 6 + doc_id%4) built in scenes of 3 — within a scene,
+    consecutive frames differ by ONE source pixel (a (0,0) palette
+    jitter of f%3 steps: hamming <= 1 by the same injective-sampling
+    argument as the dedup_image_phash fixture); at a scene boundary
+    the whole palette recipe shifts (s*6), scrambling the gradient
+    bits. frame_dhash decodes + composites every frame and hashes it
+    in one Arrow-batched stage; scene_cuts lags the signatures over
+    ONE keyed window and thresholds the XOR popcount. The oracle
+    replays the per-frame sampled-pixel arithmetic and the f-1
+    self-join in closed form — both engines flag the SAME frames,
+    whatever hamming each boundary happens to produce."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.imagehash import frame_dhash, scene_cuts
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif_animated
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h, t = 12 + did % 5, 10 + did % 4, 6 + did % 4
+                y, x = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(t):
+                    idx = (did * 3 + (f // 3) * 6 + y * 5 + x * 7) % 16
+                    idx[0, 0] = (idx[0, 0] + f % 3) % 16
+                    frames.append(pal[idx])
+                out.append((did, encode_gif_animated(frames)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    return scene_cuts(frame_dhash(blobs, "payload", "item_id"), max_hamming=3).orderBy(
+        "item_id", "frame_idx"
+    )
+
+
+ORACLE_VIDEO_SCENE_CUTS = """
+WITH vdocs AS (
+  SELECT doc_id, 12 + doc_id % 5 AS w, 10 + doc_id % 4 AS h,
+         6 + doc_id % 4 AS t
+  FROM documents WHERE doc_id < 300
+),
+vframes AS (
+  SELECT d.doc_id, d.w, d.h, ff.f FROM vdocs d,
+         UNNEST(generate_series(0, d.t - 1)) ff(f)
+),
+vsamp AS (
+  SELECT fr.doc_id, fr.f, vv.v, uu.u,
+         (uu.u * fr.w) // 9 AS sx, (vv.v * fr.h) // 8 AS sy
+  FROM vframes fr,
+       UNNEST(generate_series(0, 7)) vv(v),
+       UNNEST(generate_series(0, 8)) uu(u)
+),
+vgry AS (
+  SELECT doc_id, f, v, u,
+         (299 * ((idx * 16) % 256) + 587 * ((idx * 37) % 256)
+          + 114 * ((idx * 73) % 256)) // 1000 AS gr
+  FROM (
+    SELECT doc_id, f, v, u,
+           ((doc_id * 3 + (f // 3) * 6 + sy * 5 + sx * 7) % 16
+            + CASE WHEN sy = 0 AND sx = 0 THEN f % 3 ELSE 0 END) % 16 AS idx
+    FROM vsamp
+  )
+),
+vbits AS (
+  SELECT l.doc_id, l.f, l.v * 8 + l.u AS i,
+         CASE WHEN l.gr < r.gr THEN 1 ELSE 0 END AS bit
+  FROM vgry l JOIN vgry r ON r.doc_id = l.doc_id AND r.f = l.f
+                         AND r.v = l.v AND r.u = l.u + 1
+  WHERE l.u < 8
+),
+vbnd AS (
+  SELECT doc_id, f, i // 16 AS b,
+         CAST(SUM(CAST(bit AS BIGINT) << (i % 16)) AS BIGINT) AS bv
+  FROM vbits GROUP BY doc_id, f, i // 16
+),
+vsig AS (
+  SELECT doc_id, f,
+         MAX(CASE WHEN b = 0 THEN bv END) AS band0,
+         MAX(CASE WHEN b = 1 THEN bv END) AS band1,
+         MAX(CASE WHEN b = 2 THEN bv END) AS band2,
+         MAX(CASE WHEN b = 3 THEN bv END) AS band3
+  FROM vbnd GROUP BY doc_id, f
+)
+SELECT c.doc_id AS item_id, CAST(c.f AS INT) AS frame_idx,
+       CAST(bit_count(xor(c.band0, p.band0)) + bit_count(xor(c.band1, p.band1))
+            + bit_count(xor(c.band2, p.band2)) + bit_count(xor(c.band3, p.band3))
+            AS INT) AS hamming_prev,
+       (p.band0 IS NULL
+        OR bit_count(xor(c.band0, p.band0)) + bit_count(xor(c.band1, p.band1))
+           + bit_count(xor(c.band2, p.band2)) + bit_count(xor(c.band3, p.band3)) > 3)
+         AS is_scene_start
+FROM vsig c LEFT JOIN vsig p ON p.doc_id = c.doc_id AND p.f = c.f - 1
+ORDER BY item_id, frame_idx
+"""

@@ -123,3 +123,40 @@ def test_image_dhash_matches_pure_function(spark):
     for i, px in imgs.items():
         b0, b1, b2, b3 = dhash_bands(px)
         assert got[i] == (b0, b1, b2, b3, f"{b3:04x}{b2:04x}{b1:04x}{b0:04x}")
+
+
+def test_frame_dhash_and_scene_cuts(spark):
+    """Animated round trip: two static scenes of 3 frames each (scene
+    B inverts the image); scene_cuts must flag exactly frames 0 and 3,
+    with hamming 0 inside scenes and the first-frame hamming NULL."""
+    from easydb_server_spark.operators.gif import encode_gif_animated
+    from easydb_server_spark.operators.imagehash import frame_dhash, scene_cuts
+
+    a = _img(12, 10)
+    b = 255 - a
+    blob = encode_gif_animated([a, a, a, b, b, b])
+    df = spark.createDataFrame([(1, bytearray(blob))], "item_id BIGINT, payload BINARY")
+    rows = {
+        r["frame_idx"]: (r["hamming_prev"], r["is_scene_start"])
+        for r in scene_cuts(frame_dhash(df, "payload", "item_id")).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    assert rows[0] == (None, True)
+    assert rows[1] == (0, False) and rows[2] == (0, False)
+    assert rows[3][1] is True and rows[3][0] > 3  # inversion flips gradients
+    assert rows[4] == (0, False) and rows[5] == (0, False)
+
+
+def test_scene_cuts_plan_is_one_keyed_window(spark):
+    """scene_cuts is ONE keyed shuffle: a window partitioned by
+    item_id — never an unpartitioned (corpus-wide) window, never a
+    join."""
+    from easydb_server_spark.operators.imagehash import scene_cuts
+
+    sigs = spark.createDataFrame(
+        [(i % 3, i // 3, i, i + 1, i + 2, i + 3) for i in range(12)],
+        "item_id BIGINT, frame_idx INT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT",
+    )
+    plan = scene_cuts(sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
