@@ -6232,7 +6232,14 @@ def q_dedup_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easydb_server_spark.operators.imagehash import dhash_pairs, image_dhash
 
     blobs = _image_blobs(spark, sf_dir)
-    sigs = image_dhash(blobs, "payload", "doc_id")
+    # materialize the tiny signature table ONCE (localCheckpoint, same
+    # device connected_components uses): the banded self-join reads
+    # sigs on BOTH sides and the CC edge union reads pairs twice more,
+    # so without this the Arrow codec stage (encode+decode every
+    # image) re-executes ~4x per run — measured 4.64 s -> the codec
+    # cost once. At 100 TB the same rule holds: persist signatures
+    # (k bytes/image) before any self-join; never re-decode blobs.
+    sigs = image_dhash(blobs, "payload", "doc_id").localCheckpoint(eager=True)
     pairs = dhash_pairs(sigs, max_hamming=3).select(
         F.col("item_a").alias("doc_a"), F.col("item_b").alias("doc_b")
     )
