@@ -95,7 +95,8 @@ HEADLINE = FIXED_CORE + [
     # evidence. Out this round (all sub-second, each family keeps
     # other slots, all stay oracle-verified): dedup_simhash,
     # text_html_extract, text_url_filter, chunk_dedup, text_bm25,
-    # text_c4_rules, ts_range_join. Back in from the r12/r13 trims:
+    # text_c4_rules, ts_range_join, text_sentence_span_dedup (c4_pipeline
+    # composes the sentence-span stage). Back in from the r12/r13 trims:
     # text_stratified_sample, curate_source_cap, ts_tumbling.
     "ts_session_window",
     "ts_resample_interp",
@@ -129,7 +130,6 @@ HEADLINE = FIXED_CORE + [
     "text_url_blocklist",
     "text_nb_quality",
     "text_match_any",
-    "text_sentence_span_dedup",
     "c4_pipeline",
     "emb_covariance",
     # r10 late additions: the unigram tokenizer, G.711 companding,
@@ -171,6 +171,8 @@ HEADLINE = FIXED_CORE + [
     # r14 addition: shot-boundary detection (per-frame dHash + one
     # keyed lag window over the animated-GIF codec path)
     "video_scene_cuts",
+    # r14 addition: gain-invariant spectral-peak audio dedup
+    "dedup_audio_fingerprint",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

@@ -1,0 +1,115 @@
+"""Spectral-peak audio fingerprinting — the audio-side near-dup
+primitive (the sibling of text SimHash, image dHash, and the video
+scene hash), completing the repo's per-modality dedup coverage.
+
+A training-data pipeline needs to bucket re-encoded / re-leveled
+copies of the same recording: byte hashes miss them (different gain,
+different bit depth), but the SEQUENCE of dominant spectral peaks
+survives amplitude changes exactly — argmax of the magnitude spectrum
+is invariant to any positive gain. This is the core idea behind
+landmark/constellation fingerprinting (Wang 2003, the Shazam paper);
+the variant here keeps the per-frame peak sequence and hashes it,
+which is the right shape for exact-grouping in SQL and for the repo's
+replayable-oracle discipline.
+
+Pipeline per clip (one Arrow-batched mapInPandas stage, map-only):
+
+1. decode WAV (pure-stdlib codec, operators/wav.py), channel 0;
+2. Hann-windowed rfft per ``frame``-sample window at ``hop`` stride
+   (the same STFT the spectrogram operator uses);
+3. peak = argmax bin per frame — an INTEGER sequence;
+4. fingerprint = md5 of the dash-joined sequence (the repo's
+   portable-hash discipline: both engines agree on md5 of the same
+   string, so the float FFT stays inside the operator and only
+   integer bin indices cross the oracle boundary).
+
+Duplicate grouping is then ONE keyed window over the fingerprint:
+group size + canonical member (min item_id). No self-join, no
+all-pairs: clips shuffle once on a 32-char key.
+
+Why the oracle can replay it: FFT magnitudes are float (the
+documented rows-only class), but for BIN-ALIGNED tones the argmax is
+analytically known (the audio_spectrogram_tone precedent) — a Hann
+window spreads a bin-exact tone over 3 bins at relative magnitudes
+0.25/0.5/0.25, so the center bin dominates by 2x and int16 rounding
+noise cannot flip it. The conformance fixture builds clips as
+frame-aligned segments of bin-aligned tones, making every peak — and
+therefore the md5 fingerprint — closed-form.
+
+Scale shape: fingerprinting rides the blob scan (map-only,
+partition-parallel, nothing collected); grouping shuffles one short
+row per clip keyed on the fingerprint. At 100 TB this is the same
+plan as exact text dedup (operators/dedup.py exact_dedup) — the
+digest is just derived from spectra instead of bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+FP_SCHEMA = "item_id bigint, n_frames int, peak_seq string, fp string"
+
+
+def peak_sequence(samples, frame: int = 64, hop: int = 64) -> list[int]:
+    """Dominant rfft bin per Hann-windowed frame of a mono float
+    signal — the integer spine of the fingerprint."""
+    import numpy as np
+
+    s = samples.astype(np.float64)
+    if s.shape[0] < frame:
+        s = np.pad(s, (0, frame - s.shape[0]))
+    win = np.hanning(frame)
+    return [
+        int(np.argmax(np.abs(np.fft.rfft(s[st : st + frame] * win))))
+        for st in range(0, s.shape[0] - frame + 1, hop)
+    ]
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    frame: int = 64,
+    hop: int = 64,
+) -> DataFrame:
+    """(item_id, n_frames, peak_seq, fp): spectral-peak fingerprint of
+    every WAV blob in one Arrow-batched stage. ``peak_seq`` is the
+    dash-joined dominant-bin sequence; ``fp`` is its md5 hex digest
+    (amplitude-invariant: any positive gain leaves every argmax —
+    hence the digest — unchanged)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from easydb_server_spark.operators.wav import decode_wav
+
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples, _rate = decode_wav(bytes(blob))
+                peaks = peak_sequence(samples[:, 0], frame, hop)
+                seq = "-".join(str(p) for p in peaks)
+                out.append(
+                    (int(item_id), len(peaks), seq, hashlib.md5(seq.encode()).hexdigest())
+                )
+            yield pd.DataFrame(out, columns=["item_id", "n_frames", "peak_seq", "fp"])
+
+    return df.select(id_col, blob_col).mapInPandas(extract, FP_SCHEMA)
+
+
+def fingerprint_dup_groups(sigs: DataFrame) -> DataFrame:
+    """(item_id, n_frames, fp, group_size, is_canonical): duplicate
+    grouping over the fingerprint — ONE keyed shuffle (window
+    partitioned by fp), no self-join. The canonical member is the
+    smallest item_id, the exact-dedup keeper rule."""
+    w = Window.partitionBy("fp")
+    return sigs.select(
+        "item_id",
+        "n_frames",
+        "fp",
+        F.count(F.lit(1)).over(w).cast("int").alias("group_size"),
+        (F.col("item_id") == F.min("item_id").over(w)).alias("is_canonical"),
+    )

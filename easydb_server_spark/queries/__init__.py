@@ -189,6 +189,13 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # r14: shot-boundary detection over animated GIFs (per-frame dHash
     # + one keyed lag window); oracle replays frames closed-form
     "video_scene_cuts": (llmops.q_video_scene_cuts, llmops.ORACLE_VIDEO_SCENE_CUTS),
+    # r14: spectral-peak audio fingerprinting (gain-invariant near-dup
+    # grouping through the real WAV codec; bin-aligned-tone fixture
+    # makes the md5 fingerprint closed-form)
+    "dedup_audio_fingerprint": (
+        llmops.q_dedup_audio_fingerprint,
+        llmops.ORACLE_DEDUP_AUDIO_FINGERPRINT,
+    ),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -395,18 +402,19 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 14's changed/new set (6): the three NEW perceptual-hash
-# image/video entries (operators/imagehash.py — dHash dedup pair +
-# shot-boundary detection), emb_kmeans_assign
+# cohort. Round 14's changed/new set (7): the four NEW perceptual-fingerprint
+# entries (operators/imagehash.py — dHash dedup pair + shot-boundary
+# detection — and operators/audiofp.py — gain-invariant spectral-peak
+# audio dedup), emb_kmeans_assign
 # (assignment became a zero-exchange literal-argmin projection), and
 # ts_asof_forward + ts_asof_join (operators/asof.py became row-atomic
-# via a single quote struct, tiebreak NULLS FIRST). Slots 7-18 are the
+# via a single quote struct, tiebreak NULLS FIRST). Slots 8-19 are the
 # pre-declared r13->r14 rotation: the 11 r8-evidence yielders (7
 # frozen sup_* shims, text_ngram_topk, skew_salted_agg, dedup_minhash,
 # ts_rolling_1h) plus text_compression_invariants, the one oracled
-# entry the driver had never executed. Slots 19-48 take 30 of the 46
-# r9-evidence entries in _DEFS order (the remaining 16 —
-# subq_exists_correlated through window_running — rotate r15). Slots 49-50 break the
+# entry the driver had never executed. Slots 20-48 take 29 of the 46
+# r9-evidence entries in _DEFS order (the remaining 17 —
+# subq_derived through window_running — rotate r15). Slots 49-50 break the
 # rows-only-stay-out rule BY DESIGN this round (the r13 verdict's ask
 # #6): emb_pca and sketch_distinct take tail slots so the driver
 # demonstrably EXECUTES them (recording no_oracle is the point —
@@ -417,6 +425,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "dedup_image_phash",
     "dedup_image_neardup",
     "video_scene_cuts",
+    "dedup_audio_fingerprint",
     "emb_kmeans_assign",
     "ts_asof_join",
     "ts_asof_forward",
@@ -464,7 +473,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "stream_join",
     "subq_correlated_scalar",
     "subq_cte",
-    "subq_derived",
     # rows-only execution-evidence tail (r13 verdict ask #6)
     "emb_pca",
     "sketch_distinct",

@@ -6403,3 +6403,76 @@ SELECT c.doc_id AS item_id, CAST(c.f AS INT) AS frame_idx,
 FROM vsig c LEFT JOIN vsig p ON p.doc_id = c.doc_id AND p.f = c.f - 1
 ORDER BY item_id, frame_idx
 """
+
+
+def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup grouping end-to-end through the REAL WAV codec
+    (operators/audiofp.py): each doc_id < 400 becomes a 4-segment
+    clip of frame-aligned pure tones — segment k carries bin
+    b_k = 1 + ((doc_id%30)*7 + k*11) % 30 of the 64-point frame — at a
+    doc-VARYING amplitude (8000 + (doc_id%5)*3000), so clips sharing
+    ``base = doc_id % 30`` are true near-dups (same recording, ~13
+    different gains) with DIFFERENT bytes. frame=hop=64 makes each
+    STFT frame exactly one segment; a Hann-windowed bin-exact tone
+    dominates its own bin 2x over the sidelobes, so every peak — and
+    the md5 fingerprint — is closed-form. The oracle replays the bin
+    arithmetic, the dash-joined sequence, its md5, and the keyed
+    dup-group window; a hash match proves encode -> decode -> STFT ->
+    argmax -> digest is exact AND gain-invariant."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.audiofp import (
+        audio_fingerprint,
+        fingerprint_dup_groups,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        j = np.arange(64, dtype=np.float64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                base, amp = did % 30, float(8000 + (did % 5) * 3000)
+                segs = [
+                    np.round(
+                        amp * np.sin(2.0 * np.pi * (1 + (base * 7 + k * 11) % 30) * j / 64.0)
+                    )
+                    for k in range(4)
+                ]
+                s = np.concatenate(segs).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    return fingerprint_dup_groups(sigs).orderBy("item_id")
+
+
+ORACLE_DEDUP_AUDIO_FINGERPRINT = """
+WITH adocs AS (
+  SELECT doc_id, doc_id % 30 AS base FROM documents WHERE doc_id < 400
+),
+seq AS (
+  SELECT doc_id,
+         concat_ws('-',
+           CAST(1 + (base * 7) % 30 AS VARCHAR),
+           CAST(1 + (base * 7 + 11) % 30 AS VARCHAR),
+           CAST(1 + (base * 7 + 22) % 30 AS VARCHAR),
+           CAST(1 + (base * 7 + 33) % 30 AS VARCHAR)) AS peak_seq
+  FROM adocs
+),
+sig AS (SELECT doc_id, peak_seq, md5(peak_seq) AS fp FROM seq)
+SELECT doc_id AS item_id,
+       CAST(4 AS INT) AS n_frames,
+       fp,
+       CAST(COUNT(*) OVER (PARTITION BY fp) AS INT) AS group_size,
+       doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+FROM sig
+ORDER BY item_id
+"""
