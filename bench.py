@@ -96,7 +96,8 @@ HEADLINE = FIXED_CORE + [
     # other slots, all stay oracle-verified): dedup_simhash,
     # text_html_extract, text_url_filter, chunk_dedup, text_bm25,
     # text_c4_rules, ts_range_join, text_sentence_span_dedup (c4_pipeline
-    # composes the sentence-span stage). Back in from the r12/r13 trims:
+    # composes the sentence-span stage), text_ccnet_buckets (the
+    # bigram-LM family keeps text_bigram_logprob). Back in from the r12/r13 trims:
     # text_stratified_sample, curate_source_cap, ts_tumbling.
     "ts_session_window",
     "ts_resample_interp",
@@ -109,7 +110,6 @@ HEADLINE = FIXED_CORE + [
     "dedup_incremental_fuzzy",
     "text_bigram_logprob",
     "dedup_ngram_spans",
-    "text_ccnet_buckets",
     "text_tfidf_keywords",
     "text_contamination_spans",
     "text_bpe_merges",
@@ -173,6 +173,8 @@ HEADLINE = FIXED_CORE + [
     "video_scene_cuts",
     # r14 addition: gain-invariant spectral-peak audio dedup
     "dedup_audio_fingerprint",
+    # r14 addition: fused zero-shuffle keyframe extraction
+    "video_keyframes",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

@@ -216,3 +216,69 @@ def scene_cuts(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         hamming.cast("int").alias("hamming_prev"),
         (F.col("prev_band0").isNull() | (hamming > max_hamming)).alias("is_scene_start"),
     )
+
+
+KEYFRAME_SCHEMA = (
+    "item_id bigint, frame_idx int, scene_idx int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def keyframes(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    decoder: Callable | None = None,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """One representative frame per SCENE: the frame-sampling rule a
+    video training pipeline actually wants (multimodal.sample_frames
+    picks every (i*T)//k-th frame by wall-clock position; this picks
+    the first frame of each perceptual scene, so near-static spans
+    contribute once however long they run).
+
+    ZERO-shuffle form of frame_dhash + scene_cuts: an item's frames
+    are already local to the decode call, so hashing, the
+    previous-frame Hamming comparison, AND the scene counter all run
+    in-row inside the one Arrow-batched stage — no window, no
+    exchange at all (scene_cuts stays the right form when signatures
+    arrive from elsewhere; this is the fused form for when you hold
+    the blob). Emits the keyframe's features (dims + channel means,
+    4 dp — the gif_decoder feature contract) rather than re-encoded
+    bytes, since features are what downstream curation filters on.
+    """
+    if decoder is None:
+        from easydb_server_spark.operators.gif import decode_gif_frames as decoder
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = [
+            "item_id", "frame_idx", "scene_idx", "width", "height",
+            "mean_r", "mean_g", "mean_b",
+        ]
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                prev = None
+                scene = 0
+                for f, px in enumerate(decoder(bytes(blob))):
+                    cur = dhash_bands(px)
+                    is_start = prev is None or (
+                        sum(bin(a ^ b).count("1") for a, b in zip(cur, prev))
+                        > max_hamming
+                    )
+                    prev = cur
+                    if not is_start:
+                        continue
+                    scene += 1
+                    h, w = px.shape[0], px.shape[1]
+                    out.append(
+                        (
+                            int(item_id), f, scene, w, h,
+                            round(float(px[..., 0].mean()), 4),
+                            round(float(px[..., 1].mean()), 4),
+                            round(float(px[..., 2].mean()), 4),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return df.select(id_col, blob_col).mapInPandas(extract, KEYFRAME_SCHEMA)

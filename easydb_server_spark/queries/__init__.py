@@ -196,6 +196,9 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_dedup_audio_fingerprint,
         llmops.ORACLE_DEDUP_AUDIO_FINGERPRINT,
     ),
+    # r14: fused zero-shuffle keyframe extraction (one frame per
+    # perceptual scene, features in-row)
+    "video_keyframes": (llmops.q_video_keyframes, llmops.ORACLE_VIDEO_KEYFRAMES),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -402,19 +405,20 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 14's changed/new set (7): the four NEW perceptual-fingerprint
-# entries (operators/imagehash.py — dHash dedup pair + shot-boundary
-# detection — and operators/audiofp.py — gain-invariant spectral-peak
-# audio dedup), emb_kmeans_assign
+# cohort. Round 14's changed/new set (8): the five NEW perceptual-fingerprint
+# entries (operators/imagehash.py — dHash dedup pair, shot-boundary
+# detection, fused zero-shuffle keyframe extraction — and
+# operators/audiofp.py — gain-invariant spectral-peak audio dedup),
+# emb_kmeans_assign
 # (assignment became a zero-exchange literal-argmin projection), and
 # ts_asof_forward + ts_asof_join (operators/asof.py became row-atomic
-# via a single quote struct, tiebreak NULLS FIRST). Slots 8-19 are the
+# via a single quote struct, tiebreak NULLS FIRST). Slots 9-20 are the
 # pre-declared r13->r14 rotation: the 11 r8-evidence yielders (7
 # frozen sup_* shims, text_ngram_topk, skew_salted_agg, dedup_minhash,
 # ts_rolling_1h) plus text_compression_invariants, the one oracled
-# entry the driver had never executed. Slots 20-48 take 29 of the 46
-# r9-evidence entries in _DEFS order (the remaining 17 —
-# subq_derived through window_running — rotate r15). Slots 49-50 break the
+# entry the driver had never executed. Slots 21-48 take 28 of the 46
+# r9-evidence entries in _DEFS order (the remaining 18 —
+# subq_cte, subq_derived through window_running — rotate r15). Slots 49-50 break the
 # rows-only-stay-out rule BY DESIGN this round (the r13 verdict's ask
 # #6): emb_pca and sketch_distinct take tail slots so the driver
 # demonstrably EXECUTES them (recording no_oracle is the point —
@@ -425,6 +429,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "dedup_image_phash",
     "dedup_image_neardup",
     "video_scene_cuts",
+    "video_keyframes",
     "dedup_audio_fingerprint",
     "emb_kmeans_assign",
     "ts_asof_join",
@@ -472,7 +477,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "stream_dedup",
     "stream_join",
     "subq_correlated_scalar",
-    "subq_cte",
     # rows-only execution-evidence tail (r13 verdict ask #6)
     "emb_pca",
     "sketch_distinct",

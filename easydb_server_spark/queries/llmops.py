@@ -6344,8 +6344,10 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_VIDEO_SCENE_CUTS = """
-WITH vdocs AS (
+# Shared closed-form replay of the per-frame sampled-pixel dHash
+# (video_scene_cuts + video_keyframes): the 9x8 sampled grid only.
+_VIDEO_SIG_CTES = """
+vdocs AS (
   SELECT doc_id, 12 + doc_id % 5 AS w, 10 + doc_id % 4 AS h,
          6 + doc_id % 4 AS t
   FROM documents WHERE doc_id < 300
@@ -6392,6 +6394,10 @@ vsig AS (
          MAX(CASE WHEN b = 3 THEN bv END) AS band3
   FROM vbnd GROUP BY doc_id, f
 )
+"""
+
+ORACLE_VIDEO_SCENE_CUTS = f"""
+WITH {_VIDEO_SIG_CTES}
 SELECT c.doc_id AS item_id, CAST(c.f AS INT) AS frame_idx,
        CAST(bit_count(xor(c.band0, p.band0)) + bit_count(xor(c.band1, p.band1))
             + bit_count(xor(c.band2, p.band2)) + bit_count(xor(c.band3, p.band3))
@@ -6475,4 +6481,87 @@ SELECT doc_id AS item_id,
        doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
 FROM sig
 ORDER BY item_id
+"""
+
+
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction end-to-end: the SAME animated fixture as
+    video_scene_cuts, but through the fused zero-shuffle operator
+    (operators/imagehash.keyframes) — per item, decode + hash +
+    scene-detect + featurize entirely in-row inside one Arrow stage,
+    emitting ONE representative frame per perceptual scene with its
+    dims and channel means. The oracle replays scene detection on the
+    9x8 sampled grid and the channel means over the FULL pixel grid
+    in closed form; a hash match proves the fused path agrees with
+    the windowed scene_cuts semantics AND the codec's pixel
+    fidelity."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.imagehash import keyframes
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif_animated
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h, t = 12 + did % 5, 10 + did % 4, 6 + did % 4
+                y, x = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(t):
+                    idx = (did * 3 + (f // 3) * 6 + y * 5 + x * 7) % 16
+                    idx[0, 0] = (idx[0, 0] + f % 3) % 16
+                    frames.append(pal[idx])
+                out.append((did, encode_gif_animated(frames)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    return keyframes(blobs, "payload", "item_id", max_hamming=3).orderBy(
+        "item_id", "frame_idx"
+    )
+
+
+ORACLE_VIDEO_KEYFRAMES = f"""
+WITH {_VIDEO_SIG_CTES},
+ham AS (
+  SELECT c.doc_id, c.f,
+         (p.band0 IS NULL
+          OR bit_count(xor(c.band0, p.band0)) + bit_count(xor(c.band1, p.band1))
+             + bit_count(xor(c.band2, p.band2)) + bit_count(xor(c.band3, p.band3)) > 3)
+           AS is_start
+  FROM vsig c LEFT JOIN vsig p ON p.doc_id = c.doc_id AND p.f = c.f - 1
+),
+keyf AS (
+  SELECT doc_id, f,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS scene_idx
+  FROM ham WHERE is_start
+),
+fullpx AS (
+  SELECT k.doc_id, k.f, k.scene_idx, d.w, d.h,
+         ((d.doc_id * 3 + (k.f // 3) * 6 + yy.y * 5 + xx.x * 7) % 16
+          + CASE WHEN yy.y = 0 AND xx.x = 0 THEN k.f % 3 ELSE 0 END) % 16 AS i
+  FROM keyf k
+  JOIN vdocs d ON d.doc_id = k.doc_id,
+       UNNEST(generate_series(0, d.h - 1)) yy(y),
+       UNNEST(generate_series(0, d.w - 1)) xx(x)
+)
+SELECT doc_id                       AS item_id,
+       CAST(f AS INT)               AS frame_idx,
+       CAST(MAX(scene_idx) AS INT)  AS scene_idx,
+       CAST(MAX(w) AS INT)          AS width,
+       CAST(MAX(h) AS INT)          AS height,
+       ROUND(AVG((i * 16) % 256), 4)  AS mean_r,
+       ROUND(AVG((i * 37) % 256), 4)  AS mean_g,
+       ROUND(AVG((i * 73) % 256), 4)  AS mean_b
+FROM fullpx GROUP BY doc_id, f
+ORDER BY item_id, frame_idx
 """

@@ -160,3 +160,47 @@ def test_scene_cuts_plan_is_one_keyed_window(spark):
     plan = scene_cuts(sigs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_keyframes_agree_with_scene_cuts_and_are_exchange_free(spark):
+    """The fused in-row keyframes operator must select EXACTLY the
+    frames the windowed scene_cuts flags, with a running scene index —
+    and its plan must contain no Exchange at all (frames are
+    item-local, so nothing ever shuffles)."""
+    from easydb_server_spark.operators.gif import encode_gif_animated
+    from easydb_server_spark.operators.imagehash import (
+        frame_dhash,
+        keyframes,
+        scene_cuts,
+    )
+
+    pal = np.array(
+        [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+        dtype=np.uint8,
+    )
+    y, x = np.mgrid[0:10, 0:12]
+    a = pal[(y * 5 + x * 7) % 16]
+    b = pal[(6 + y * 5 + x * 7) % 16]   # scene shift, same palette
+    c = pal[(3 + y * 2 + x * 11) % 16]  # different gradient structure
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_gif_animated([a, a, b, b, c]))),
+            (2, bytearray(encode_gif_animated([c, c, c]))),
+        ],
+        "item_id BIGINT, payload BINARY",
+    )
+    kf = keyframes(df, "payload", "item_id")
+    plan = kf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    got = {(r["item_id"], r["frame_idx"]): r["scene_idx"] for r in kf.collect()}
+    want = {
+        (r["item_id"], r["frame_idx"])
+        for r in scene_cuts(frame_dhash(df, "payload", "item_id")).collect()
+        if r["is_scene_start"]
+    }
+    assert set(got) == want
+    assert got[(1, 0)] == 1 and got[(2, 0)] == 1
+    # scene indices are consecutive per item
+    assert sorted(v for (i, _f), v in got.items() if i == 1) == list(
+        range(1, 1 + sum(1 for k in got if k[0] == 1))
+    )

@@ -50,19 +50,19 @@ def test_window_holds_the_r14_rotation():
     # (an r14 fact, not an evidence computation)
     changed = {
         "dedup_image_phash", "dedup_image_neardup", "video_scene_cuts",
-        "dedup_audio_fingerprint",
+        "video_keyframes", "dedup_audio_fingerprint",
         "emb_kmeans_assign", "ts_asof_join", "ts_asof_forward",
     }
-    assert set(window[:7]) == changed
-    # slots 8-19: the pre-declared r13->r14 rotation — the 11
+    assert set(window[:8]) == changed
+    # slots 9-20: the pre-declared r13->r14 rotation — the 11
     # r8-evidence yielders plus the one never-driver-run oracled entry
-    assert window[7:19] == [
+    assert window[8:20] == [
         "sup_json", "sup_pivot", "sup_mode", "sup_unpivot",
         "sup_higher_order", "sup_lateral", "sup_variant",
         "text_ngram_topk", "skew_salted_agg", "dedup_minhash",
         "ts_rolling_1h", "text_compression_invariants",
     ]
-    # slots 20-48: 29 of the r9-evidence cohort (newest driver
+    # slots 21-48: 28 of the r9-evidence cohort (newest driver
     # evidence across CORRECTNESS_r*.json up to r13 — the goalpost is
     # fixed at rotation time)
     newest = {}
@@ -75,8 +75,8 @@ def test_window_holds_the_r14_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r9_cohort = {n for n, r in newest.items() if r == 9}
     assert len(r9_cohort) == 46
-    assert set(window[19:48]) <= r9_cohort
-    assert len(window[19:48]) == 29
+    assert set(window[20:48]) <= r9_cohort
+    assert len(window[20:48]) == 28
     # slots 49-50: rows-only execution-evidence tail (r13 verdict ask
     # #6) — the ONLY rows-only entries allowed in the window, and only
     # to demonstrate the driver can execute them
