@@ -118,30 +118,48 @@ def dhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     banded Hamming LSH over dHash band columns. Candidates share at
     least one full 16-bit band (pigeonhole-complete for
     max_hamming <= 3); verification is an in-row XOR popcount summed
-    across the four bands."""
+    across the four bands.
+
+    The candidate dedup is deliberately NARROW (r14 verdict ask): the
+    banded self-join emits only (item_a, item_b), so the distinct's
+    exchange carries two BIGINTs — not the eight band columns — and
+    the bands re-attach afterwards from ``sigs``, which the caller has
+    already persisted (the dedup_image_neardup rule: signatures are
+    k bytes/image and materialized once before any self-join). At
+    100 TB the distinct is the widest shuffle in this operator; 2
+    columns vs 10 is a 5x shuffle-volume cut on it."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("max_hamming must be in [0, 3]: 4 bands pigeonhole-cover <= 3 flips")
     bandcols = ["band0", "band1", "band2", "band3"]
     banded = sigs.select(
         "item_id",
-        *bandcols,
         F.posexplode(F.array(*[F.col(c) for c in bandcols])).alias("b", "bv"),
     )
-    hamming = None
-    for i in range(4):
-        term = F.bit_count(F.col(f"xa{i}").bitwiseXOR(F.col(f"ya{i}")))
-        hamming = term if hamming is None else hamming + term
-    return (
+    cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["b", "bv"])
         .where(F.col("x.item_id") < F.col("y.item_id"))
         .select(
             F.col("x.item_id").alias("item_a"),
             F.col("y.item_id").alias("item_b"),
-            *[F.col(f"x.{c}").alias(f"xa{i}") for i, c in enumerate(bandcols)],
-            *[F.col(f"y.{c}").alias(f"ya{i}") for i, c in enumerate(bandcols)],
         )
         .distinct()
+    )
+    left = sigs.select(
+        F.col("item_id").alias("item_a"),
+        *[F.col(c).alias(f"xa{i}") for i, c in enumerate(bandcols)],
+    )
+    right = sigs.select(
+        F.col("item_id").alias("item_b"),
+        *[F.col(c).alias(f"ya{i}") for i, c in enumerate(bandcols)],
+    )
+    hamming = None
+    for i in range(4):
+        term = F.bit_count(F.col(f"xa{i}").bitwiseXOR(F.col(f"ya{i}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(left, "item_a")
+        .join(right, "item_b")
         .select("item_a", "item_b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
@@ -220,7 +238,7 @@ def scene_cuts(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 KEYFRAME_SCHEMA = (
     "item_id bigint, frame_idx int, scene_idx int, width int, height int, "
-    "mean_r double, mean_g double, mean_b double"
+    "mean_r_q4 bigint, mean_g_q4 bigint, mean_b_q4 bigint"
 )
 
 
@@ -243,17 +261,23 @@ def keyframes(
     in-row inside the one Arrow-batched stage — no window, no
     exchange at all (scene_cuts stays the right form when signatures
     arrive from elsewhere; this is the fused form for when you hold
-    the blob). Emits the keyframe's features (dims + channel means,
-    4 dp — the gif_decoder feature contract) rather than re-encoded
-    bytes, since features are what downstream curation filters on.
-    """
+    the blob). Emits the keyframe's features (dims + channel means)
+    rather than re-encoded bytes, since features are what downstream
+    curation filters on. Channel means cross the oracle boundary, so
+    per the repo's integer discipline they are EXACT scaled integers:
+    mean_c_q4 = (sum_c * 10^4) // (w*h), pure INT64 floor division —
+    never a decimal-rounded double (Python round() is half-to-even on
+    the binary value, SQL ROUND is half-away-from-zero; a mean landing
+    on a 4th-decimal tie would diverge the engines)."""
     if decoder is None:
         from easydb_server_spark.operators.gif import decode_gif_frames as decoder
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         out_cols = [
             "item_id", "frame_idx", "scene_idx", "width", "height",
-            "mean_r", "mean_g", "mean_b",
+            "mean_r_q4", "mean_g_q4", "mean_b_q4",
         ]
         for pdf in batches:
             out = []
@@ -271,12 +295,13 @@ def keyframes(
                         continue
                     scene += 1
                     h, w = px.shape[0], px.shape[1]
+                    sums = px.astype(np.int64).sum(axis=(0, 1))
                     out.append(
                         (
                             int(item_id), f, scene, w, h,
-                            round(float(px[..., 0].mean()), 4),
-                            round(float(px[..., 1].mean()), 4),
-                            round(float(px[..., 2].mean()), 4),
+                            int(sums[0]) * 10_000 // (w * h),
+                            int(sums[1]) * 10_000 // (w * h),
+                            int(sums[2]) * 10_000 // (w * h),
                         )
                     )
             yield pd.DataFrame(out, columns=out_cols)

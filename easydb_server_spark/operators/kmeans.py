@@ -37,14 +37,16 @@ Scale shape (the 100 TB reading):
 
 * seeding is a deterministic md5-order top-k
   (TakeOrderedAndProject — no full sort, no extra shuffle);
-* each assignment is a PURE PROJECTION: the k centroids enter the
-  plan as a literal array<struct<dist2-expr, cluster>> and the
-  argmin is F.array_min over that array, per row — genuinely
-  map-only, ZERO exchange of the points (r13 used
-  crossJoin(broadcast)+groupBy(pid), which re-shuffled the full
+* each assignment is map-only, ZERO exchange of the points (r13
+  used crossJoin(broadcast)+groupBy(pid), which re-shuffled the full
   n x d corpus once per iteration just to reduce the k candidate
-  rows; the literal-argmin form computes the same min(struct)
-  without ever multiplying the rows);
+  rows). For k*d <= LITERAL_ARGMIN_MAX_KD the k centroids enter the
+  plan as a literal array<struct<dist2-expr, cluster>> and the
+  argmin is F.array_min over that array per row; past that bound the
+  literal form's plan-size cost (64KB codegen method limit,
+  per-iteration constant folding) outweighs its JVM-side win, so
+  assign() switches to an Arrow-batched closure argmin — same exact
+  INT64 result, centroids in the task closure instead of the plan;
 * each update shuffles only partial aggregates: posexplode to
   (cluster, dim) rows is map-side combined before the exchange, so
   the shuffle volume is bounded by partitions x k x d, NOT n x d;
@@ -110,15 +112,42 @@ def _centroid_literal(cents: list[tuple[int, list[int]]]):
     )
 
 
+# Plan-size bound for the literal-argmin form: the k centroids embed
+# k*d INT64 literals into the Catalyst plan EVERY iteration, so past
+# some k*d the plan itself becomes the cost — whole-stage codegen can
+# hit the JVM's 64KB method limit and fall back to interpreted
+# evaluation, and analysis/constant-folding time grows with the
+# literal count. Below the bound (e.g. IVF coarse quantizers:
+# k=256, d=16 -> 4096) the zero-exchange projection wins outright;
+# above it, assign() switches to an Arrow-batched closure form that
+# is STILL zero-exchange (centroids ride the serialized task closure,
+# ~16 bytes per value, never the plan tree) and computes the same
+# exact-INT64 argmin vectorized in numpy.
+LITERAL_ARGMIN_MAX_KD = 4096
+
+
 def assign(spark: SparkSession, pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """(pid, q, cluster, dist2): each point's argmin-distance centroid,
-    ties to the smaller cluster id. A pure projection: per row, map
-    the literal centroid array to struct(dist2, cluster) candidates
-    and take array_min — struct ordering compares dist2 first then
-    cluster, so ties break to the smaller id. ZERO exchange: the r13
+    ties to the smaller cluster id. ZERO exchange either way — the r13
     crossJoin(broadcast)+groupBy(pid) form shuffled one n x d row per
-    point per iteration; this form shuffles nothing."""
+    point per iteration; both forms here shuffle nothing:
+
+    * k*d <= LITERAL_ARGMIN_MAX_KD: a pure projection — per row, map
+      the literal centroid array to struct(dist2, cluster) candidates
+      and take array_min (struct ordering compares dist2 first then
+      cluster, so ties break to the smaller id);
+    * k*d > the bound: the same argmin as an Arrow-batched
+      mapInPandas over a (batch x k) int64 distance matrix, with the
+      centroids in the task closure instead of the plan tree — keeps
+      the plan O(1) whatever k*d, at the cost of one Python stage.
+
+    Both paths are exact INT64 and bit-identical to each other (a
+    pytest locks the agreement on a shared fixture)."""
     del spark  # kept for call-site compatibility; no frame is built
+    k = len(cents)
+    d = len(cents[0][1]) if cents else 0
+    if k * d > LITERAL_ARGMIN_MAX_KD:
+        return _assign_closure(pts, cents)
     cands = F.transform(
         _centroid_literal(cents),
         lambda s: F.struct(
@@ -139,6 +168,44 @@ def assign(spark: SparkSession, pts: DataFrame, cents: list[tuple[int, list[int]
         F.col("__best.cluster").alias("cluster"),
         F.col("__best.dist2").alias("dist2"),
     )
+
+
+def _assign_closure(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Large-k*d assignment: exact-INT64 argmin in one Arrow-batched
+    map-only stage, centroids shipped via the task closure. Cluster
+    ids in ``cents`` are contiguous 0..k-1 in order (seed_centroids'
+    contract), so numpy argmin's first-min-wins IS the
+    smaller-cluster-id tiebreak."""
+    cent_rows = [q for _c, q in cents]
+    assert [c for c, _q in cents] == list(range(len(cents)))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = np.asarray(cent_rows, dtype=np.int64)  # (k, d)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"pid": pdf["pid"], "q": pdf["q"], "cluster": [], "dist2": []}
+                )
+                continue
+            q = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["q"]])  # (n, d)
+            # (n, k) exact int64 squared distances; diff values are
+            # bounded by the same headroom analysis as the literal form
+            diff = q[:, None, :] - c[None, :, :]
+            dist = (diff * diff).sum(axis=2)
+            best = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "pid": pdf["pid"],
+                    "q": pdf["q"],
+                    "cluster": best.astype("int32"),
+                    "dist2": dist[np.arange(len(best)), best],
+                }
+            )
+
+    return pts.mapInPandas(score, "pid bigint, q array<bigint>, cluster int, dist2 bigint")
 
 
 def update_centroids(

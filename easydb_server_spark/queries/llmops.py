@@ -6559,9 +6559,9 @@ SELECT doc_id                       AS item_id,
        CAST(MAX(scene_idx) AS INT)  AS scene_idx,
        CAST(MAX(w) AS INT)          AS width,
        CAST(MAX(h) AS INT)          AS height,
-       ROUND(AVG((i * 16) % 256), 4)  AS mean_r,
-       ROUND(AVG((i * 37) % 256), 4)  AS mean_g,
-       ROUND(AVG((i * 73) % 256), 4)  AS mean_b
+       CAST(SUM((i * 16) % 256) * 10000 // COUNT(*) AS BIGINT) AS mean_r_q4,
+       CAST(SUM((i * 37) % 256) * 10000 // COUNT(*) AS BIGINT) AS mean_g_q4,
+       CAST(SUM((i * 73) % 256) * 10000 // COUNT(*) AS BIGINT) AS mean_b_q4
 FROM fullpx GROUP BY doc_id, f
 ORDER BY item_id, frame_idx
 """

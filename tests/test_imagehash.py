@@ -204,3 +204,23 @@ def test_keyframes_agree_with_scene_cuts_and_are_exchange_free(spark):
     assert sorted(v for (i, _f), v in got.items() if i == 1) == list(
         range(1, 1 + sum(1 for k in got if k[0] == 1))
     )
+
+
+def test_dhash_pairs_distinct_is_narrow(spark):
+    """The r14 verdict ask: the candidate dedup must be a distinct on
+    (item_a, item_b) ONLY — the widest shuffle in the operator carries
+    two BIGINTs, with the band columns re-attached afterwards from the
+    signature table. Locked via the aggregate keys: no HashAggregate
+    in the plan may group on a band or attached-band column."""
+    from easydb_server_spark.operators.imagehash import dhash_pairs
+
+    sigs = spark.createDataFrame(
+        [(i, i % 7, i % 5, i % 3, i % 2) for i in range(40)],
+        "item_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT",
+    )
+    plan = dhash_pairs(sigs)._jdf.queryExecution().executedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines, "the candidate distinct must still be present"
+    for ln in agg_lines:
+        assert "band0" not in ln and "xa0" not in ln and "ya0" not in ln, ln
+        assert "item_a" in ln and "item_b" in ln, ln

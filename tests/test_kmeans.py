@@ -124,3 +124,63 @@ def test_assignment_plan_is_exchange_free(spark):
     plan = assign(spark, pts, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_closure_assignment_matches_literal_and_is_exchange_free(spark):
+    """The r15 large-k*d fallback (ADVICE: the literal-argmin form
+    embeds k*d constants into the plan every iteration — 64KB codegen
+    method limit risk): the Arrow-batched closure argmin must produce
+    BIT-IDENTICAL (cluster, dist2) to the literal projection on a
+    shared corpus, and its plan must also be exchange- and join-free
+    (the centroids ride the task closure, not the plan tree)."""
+    from easydb_server_spark.operators import kmeans
+
+    rows = [
+        (i, [float(i % 3) - 0.5, float(i % 5) * 0.25, float(i % 7) - 2.0])
+        for i in range(1, 41)
+    ]
+    pts = kmeans.quantize_points(_frame(spark, rows, d=3), "embedding", "vec_id")
+    cents = kmeans.seed_centroids(pts, 4)
+    lit = {
+        r["pid"]: (r["cluster"], r["dist2"])
+        for r in kmeans.assign(spark, pts, cents).collect()
+    }
+    clo_df = kmeans._assign_closure(pts, cents)
+    plan = clo_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    clo = {r["pid"]: (r["cluster"], r["dist2"]) for r in clo_df.collect()}
+    assert lit == clo
+
+
+def test_closure_tiebreak_is_smaller_cluster_id(spark):
+    """numpy argmin's first-min-wins must implement the same
+    smaller-cluster-id tiebreak as the literal struct-min form: a
+    point exactly equidistant from clusters 0 and 1 lands in 0."""
+    from easydb_server_spark.operators.kmeans import _assign_closure
+
+    pts = spark.createDataFrame([(7, [1, 0])], "pid BIGINT, q ARRAY<BIGINT>")
+    cents = [(0, [0, 0]), (1, [2, 0])]
+    [row] = _assign_closure(pts, cents).collect()
+    assert (row["cluster"], row["dist2"]) == (0, 1)
+
+
+def test_assign_dispatches_on_kd_bound(spark, monkeypatch):
+    """assign() must route to the closure form past
+    LITERAL_ARGMIN_MAX_KD — detectable because the literal form's plan
+    carries an array_min projection while the closure form's carries a
+    Python stage (ArrowEvalPython/MapInPandas) — and both routes must
+    agree on the assignment."""
+    from easydb_server_spark.operators import kmeans
+
+    rows = [(i, [float(i % 3), float(i % 5)]) for i in range(1, 21)]
+    pts = kmeans.quantize_points(_frame(spark, rows, d=2), "embedding", "vec_id")
+    cents = kmeans.seed_centroids(pts, 4)
+    big = kmeans.assign(spark, pts, cents)
+    assert "MapInPandas" not in big._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(kmeans, "LITERAL_ARGMIN_MAX_KD", 4)  # k*d = 8 > 4
+    small = kmeans.assign(spark, pts, cents)
+    assert "MapInPandas" in small._jdf.queryExecution().executedPlan().toString()
+    a = {r["pid"]: (r["cluster"], r["dist2"]) for r in big.collect()}
+    b = {r["pid"]: (r["cluster"], r["dist2"]) for r in small.collect()}
+    assert a == b

@@ -17,8 +17,14 @@ The 100 TB claims under test:
   discipline).
 
 Corpora are synthesized from doc_id arithmetic exactly like the
-conformance fixtures, with ``base = doc_id % (n // GROUP)`` so groups
-stay ~GROUP members at every scale.
+conformance fixtures. The IMAGE corpus uses ``base = doc_id %
+(n // GROUP)`` so its groups stay ~GROUP members at every scale. The
+AUDIO fixture reuses the conformance recipe, whose bin recipe depends
+only on ``base % 30`` — 30 distinct recordings total — so past n=300
+its groups FATTEN with n (13 members at n=400 -> 133 at n=4000)
+instead of multiplying; SCALE.md's sweep table reports exactly that,
+and the audio linearity claim rests on the one-keyed-shuffle plan
+shape, not on fixed group size.
 
 Usage: python tools/scale_sweep_modality_dedup.py [sf_dir]  # one JSON line
 """
