@@ -113,3 +113,87 @@ def fingerprint_dup_groups(sigs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("int").alias("group_size"),
         (F.col("item_id") == F.min("item_id").over(w)).alias("is_canonical"),
     )
+
+
+def audio_landmarks(sigs: DataFrame, fanout: int = 3) -> DataFrame:
+    """(item_id, lm): each clip's DISTINCT landmark set — Wang-2003
+    constellation pairs (anchor peak, target peak, frame delta) for
+    every anchor frame and each of the next ``fanout`` frames, encoded
+    as one INT64: ``anchor * 2^20 + target * 2^10 + delta`` (rfft bin
+    indices are < 1024 for any frame size this operator meets — 2^20
+    would need a >2048-point frame — and delta <= fanout < 1024).
+
+    This is the SHIFT-robust layer on top of the exact-sequence
+    fingerprint: ``fp`` (md5 of the whole peak sequence) catches
+    re-encodes/re-levelings, but a copy trimmed or padded by whole
+    frames shifts every absolute position and breaks the digest.
+    Landmarks carry NO absolute time — only the delta between two
+    peaks — so every landmark fully inside the surviving audio is
+    preserved verbatim by trims and pads.
+
+    Scale shape: one keyed window per clip (lead(p, d) over frames,
+    per-item groups bounded by the media), then a 2-column distinct —
+    the corpus shuffles short (item_id, INT64) rows only, exactly the
+    image-signature discipline."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_id").orderBy("t")
+    peaks = sigs.select(
+        "item_id",
+        F.posexplode(
+            F.transform(F.split("peak_seq", "-"), lambda x: x.cast("long"))
+        ).alias("t", "p"),
+    )
+    # window leads first, generator second: Spark rejects window
+    # expressions inside explode()'s argument in one operator
+    leads = peaks.select(
+        "item_id",
+        "p",
+        *[F.lead("p", d).over(w).alias(f"__l{d}") for d in range(1, fanout + 1)],
+    )
+    lms = [
+        F.col("p") * F.lit(1 << 20) + F.col(f"__l{d}") * F.lit(1 << 10) + F.lit(d)
+        for d in range(1, fanout + 1)
+    ]
+    return (
+        leads.select("item_id", F.explode(F.array(*lms)).alias("lm"))
+        .where(F.col("lm").isNotNull())
+        .distinct()
+    )
+
+
+def landmark_matches(
+    lms: DataFrame, min_shared: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """(item_a, item_b, shared): clip pairs sharing at least
+    ``min_shared`` distinct landmarks — the Shazam-style match score.
+    ``lms`` is distinct per item (audio_landmarks' contract), so the
+    count IS the intersection size.
+
+    ``max_bucket`` is the stop-landmark guard, and at scale it is NOT
+    optional: landmark frequency is Zipf (silence/DC landmarks appear
+    in a large fraction of any real corpus) and the candidate join is
+    quadratic INSIDE each landmark bucket, so one hot landmark turns
+    the join all-pairs. Dropping landmarks present in more than
+    ``max_bucket`` clips BEFORE the self-join bounds every bucket —
+    the same collision-confinement contract as the dHash LSH bands —
+    at the classic recall cost: near-dups sharing ONLY stopped
+    landmarks are missed, which is the accepted trade of every
+    production fingerprint index."""
+    if max_bucket is not None:
+        keep = (
+            lms.groupBy("lm")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("lm")
+        )
+        lms = lms.join(keep, "lm")
+    a = lms.select(F.col("item_id").alias("item_a"), "lm")
+    b = lms.select(F.col("item_id").alias("item_b"), "lm")
+    return (
+        a.join(b, "lm")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared"))
+        .where(F.col("shared") >= F.lit(min_shared))
+    )

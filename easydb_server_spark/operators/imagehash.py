@@ -51,6 +51,7 @@ Scale shape (the 100 TB reading):
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -307,3 +308,119 @@ def keyframes(
             yield pd.DataFrame(out, columns=out_cols)
 
     return df.select(id_col, blob_col).mapInPandas(extract, KEYFRAME_SCHEMA)
+
+
+VIDEO_SIG_SCHEMA = "item_id bigint, n_scenes int, sig_seq string, sig string"
+
+
+def video_signature(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    decoder: Callable | None = None,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(item_id, n_scenes, sig_seq, sig): CLIP-level perceptual
+    signature — the ordered sequence of scene-start (keyframe) dHashes,
+    dash-joined as 16-hex-char words (``sig_seq``), plus its md5 digest
+    (``sig``). This is the video near-dup key: two re-encodes of the
+    same clip produce different bytes and different wall-clock frame
+    timings, but the SEQUENCE of perceptual scenes survives — the
+    video-side analogue of the audio peak-sequence fingerprint
+    (operators/audiofp.py).
+
+    Same fused zero-shuffle shape as :func:`keyframes`: a clip's
+    frames are local to the decode call, so decoding, per-frame
+    hashing, the previous-frame Hamming gate, and the digest all run
+    in-row inside ONE Arrow-batched stage — no window, no exchange;
+    the corpus never shuffles until the (short) signatures group."""
+    if decoder is None:
+        from easydb_server_spark.operators.gif import decode_gif_frames as decoder
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                prev = None
+                seq = []
+                for px in decoder(bytes(blob)):
+                    cur = dhash_bands(px)
+                    is_start = prev is None or (
+                        sum(bin(a ^ b).count("1") for a, b in zip(cur, prev))
+                        > max_hamming
+                    )
+                    prev = cur
+                    if is_start:
+                        seq.append(f"{cur[3]:04x}{cur[2]:04x}{cur[1]:04x}{cur[0]:04x}")
+                s = "-".join(seq)
+                out.append(
+                    (int(item_id), len(seq), s, hashlib.md5(s.encode()).hexdigest())
+                )
+            yield pd.DataFrame(out, columns=["item_id", "n_scenes", "sig_seq", "sig"])
+
+    return df.select(id_col, blob_col).mapInPandas(extract, VIDEO_SIG_SCHEMA)
+
+
+def video_neardup_pairs(sigs: DataFrame, max_diff: int = 1) -> DataFrame:
+    """(item_a, item_b, mismatches): clip pairs whose ordered
+    scene-hash sequences have the same length and differ in at most
+    ``max_diff`` scene positions — one-scene-differs tolerance on top
+    of the exact digest grouping (a re-encode that changes a single
+    scene, e.g. a replaced intro card, still buckets with its source).
+
+    Banded LSH, same pigeonhole as :func:`dhash_pairs`: the scene
+    sequence splits into ``max_diff + 1`` CONTIGUOUS chunks (chunk b
+    of n scenes covers positions [ceil(b*n/B), ceil((b+1)*n/B)),
+    0-based); <= max_diff differing positions leave at least one
+    chunk untouched, so candidates agreeing on (n_scenes, chunk_idx,
+    chunk_digest) are complete, never all-pairs. The candidate
+    distinct carries only (item_a, item_b) — the dhash_pairs rule —
+    and sequences re-attach from ``sigs`` (which the caller persists)
+    for the positional-mismatch verification, an in-row
+    zip_with/aggregate fold."""
+    B = max_diff + 1
+    n = F.col("n_scenes")
+    chunks = []
+    for b in range(B):
+        start = F.expr(f"CAST(({b} * n_scenes + {B - 1}) DIV {B} AS INT)")
+        end = F.expr(f"CAST(({b + 1} * n_scenes + {B - 1}) DIV {B} AS INT)")
+        chunks.append(
+            F.struct(
+                F.lit(b).alias("b"),
+                F.md5(
+                    F.array_join(F.slice(F.col("hs"), start + 1, end - start), "-")
+                ).alias("bdig"),
+            )
+        )
+    banded = (
+        sigs.select("item_id", "n_scenes", F.split("sig_seq", "-").alias("hs"))
+        .select("item_id", "n_scenes", F.explode(F.array(*chunks)).alias("c"))
+        .select("item_id", "n_scenes", F.col("c.b").alias("b"), F.col("c.bdig").alias("bdig"))
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["n_scenes", "b", "bdig"])
+        .where(F.col("x.item_id") < F.col("y.item_id"))
+        .select(
+            F.col("x.item_id").alias("item_a"),
+            F.col("y.item_id").alias("item_b"),
+        )
+        .distinct()
+    )
+    left = sigs.select(F.col("item_id").alias("item_a"), F.col("sig_seq").alias("a_seq"))
+    right = sigs.select(F.col("item_id").alias("item_b"), F.col("sig_seq").alias("b_seq"))
+    mismatches = F.aggregate(
+        F.zip_with(
+            F.split("a_seq", "-"),
+            F.split("b_seq", "-"),
+            lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(left, "item_a")
+        .join(right, "item_b")
+        .select("item_a", "item_b", mismatches.cast("int").alias("mismatches"))
+        .where(F.col("mismatches") <= max_diff)
+    )

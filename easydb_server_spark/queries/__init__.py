@@ -199,6 +199,21 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # r14: fused zero-shuffle keyframe extraction (one frame per
     # perceptual scene, features in-row)
     "video_keyframes": (llmops.q_video_keyframes, llmops.ORACLE_VIDEO_KEYFRAMES),
+    # r15: clip-level video near-dup dedup (ordered scene-hash
+    # sequence digest + chunked one-scene-differs tolerance; oracle
+    # replays scene detection AND the pair spec all-pairs, proving
+    # the chunked candidates pigeonhole-complete)
+    "dedup_video_neardup": (
+        llmops.q_dedup_video_neardup,
+        llmops.ORACLE_DEDUP_VIDEO_NEARDUP,
+    ),
+    # r15: shift-robust landmark audio fingerprinting (Wang 2003:
+    # (anchor, target, delta) triples survive whole-frame trims/pads;
+    # stop-landmark cap bounds the candidate buckets)
+    "dedup_audio_landmark": (
+        llmops.q_dedup_audio_landmark,
+        llmops.ORACLE_DEDUP_AUDIO_LANDMARK,
+    ),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -401,85 +416,84 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
 }
 
-# --- ROUND-14 PRIORITY WINDOW (the 50-entry prefix the driver
+# --- ROUND-15 PRIORITY WINDOW (the 50-entry prefix the driver
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 14's changed/new set (8): the five NEW perceptual-fingerprint
-# entries (operators/imagehash.py — dHash dedup pair, shot-boundary
-# detection, fused zero-shuffle keyframe extraction — and
-# operators/audiofp.py — gain-invariant spectral-peak audio dedup),
-# emb_kmeans_assign
-# (assignment became a zero-exchange literal-argmin projection), and
-# ts_asof_forward + ts_asof_join (operators/asof.py became row-atomic
-# via a single quote struct, tiebreak NULLS FIRST). Slots 9-20 are the
-# pre-declared r13->r14 rotation: the 11 r8-evidence yielders (7
-# frozen sup_* shims, text_ngram_topk, skew_salted_agg, dedup_minhash,
-# ts_rolling_1h) plus text_compression_invariants, the one oracled
-# entry the driver had never executed. Slots 21-48 take 28 of the 46
-# r9-evidence entries in _DEFS order (the remaining 18 —
-# subq_cte, subq_derived through window_running — rotate r15). Slots 49-50 break the
-# rows-only-stay-out rule BY DESIGN this round (the r13 verdict's ask
-# #6): emb_pca and sketch_distinct take tail slots so the driver
-# demonstrably EXECUTES them (recording no_oracle is the point —
-# execution evidence for never-run registered queries); the other
-# four rows-only entries get their tail slots over r15-r16.
+# cohort. Round 15's changed/new set (5): dedup_video_neardup (NEW —
+# clip-level scene-sequence near-dup, imagehash.video_signature /
+# video_neardup_pairs), dedup_audio_landmark (NEW — shift-robust
+# Wang-2003 landmark matching, audiofp.audio_landmarks /
+# landmark_matches), dedup_image_neardup (dhash_pairs' candidate
+# distinct narrowed to (item_a, item_b) — the r14 verdict's ask #7),
+# video_keyframes (channel means became exact scaled integers,
+# mean_*_q4 — the r14 ADVICE rounding-divergence fix), and
+# emb_kmeans_assign (assign() gained the large-k*d closure-argmin
+# dispatch). Slots 6-23 are the pre-declared r14->r15 rotation: ALL
+# 18 remaining r9-evidence entries (pre-validated on r14 round-final
+# code, SCALE.md "r15 rotation pre-validated"). Slots 24-48 take the
+# first 25 of the 42-entry r10-evidence cohort in _DEFS order (the
+# remaining 17 — edge_introspection through dedup_embedding_cosine —
+# rotate r16). Slots 49-50 are the rows-only execution-evidence tail
+# (r13 verdict ask #6, continued): audio_spectrogram and
+# text_compression_ratio record their first driver executions;
+# text_unigram_train + stream_funnel_stateful take the r16 tail,
+# after which every registered query has driver execution evidence.
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
-    # r14 changed/new code
-    "dedup_image_phash",
+    # r15 changed/new code
+    "dedup_video_neardup",
+    "dedup_audio_landmark",
     "dedup_image_neardup",
-    "video_scene_cuts",
     "video_keyframes",
-    "dedup_audio_fingerprint",
     "emb_kmeans_assign",
-    "ts_asof_join",
-    "ts_asof_forward",
-    # pre-declared rotation: the r8-evidence yielders + the one
-    # never-driver-run oracled entry
-    "sup_json",
-    "sup_pivot",
-    "sup_mode",
-    "sup_unpivot",
-    "sup_higher_order",
-    "sup_lateral",
-    "sup_variant",
-    "text_ngram_topk",
-    "skew_salted_agg",
-    "dedup_minhash",
-    "ts_rolling_1h",
-    "text_compression_invariants",
-    # 31 of the 46 r9-evidence entries, _DEFS order
-    "curate_dsir",
-    "text_line_dedup",
-    "core_cast",
-    "core_conditionals",
-    "core_distinct",
-    "core_distinct_on",
-    "core_filter_predicates",
-    "core_limit_offset",
-    "core_nvl",
-    "core_projection",
-    "core_sort_nulls",
-    "core_star_projection",
-    "corpus_shuffle",
-    "fn_datetime",
-    "fn_math",
-    "fn_math_extended",
-    "fn_regex",
-    "fn_string",
-    "recursive_cte",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union",
-    "setop_union_all",
-    "stream_dedup",
-    "stream_join",
-    "subq_correlated_scalar",
-    # rows-only execution-evidence tail (r13 verdict ask #6)
-    "emb_pca",
-    "sketch_distinct",
+    # pre-declared rotation: all 18 remaining r9-evidence entries
+    "subq_cte",
+    "subq_derived",
+    "subq_exists_correlated",
+    "subq_in",
+    "subq_not_in_nulls",
+    "subq_not_in_plain",
+    "subq_scalar",
+    "subq_unnest",
+    "subq_values",
+    "tpch_q11",
+    "tpch_q21",
+    "window_first_last_nth",
+    "window_ignore_nulls",
+    "window_lag_lead",
+    "window_ntile_dist",
+    "window_range_frame",
+    "window_rank",
+    "window_running",
+    # 25 of the 42 r10-evidence entries, _DEFS order
+    "multimodal_audio",
+    "sim_incremental_neardup",
+    "multimodal_audio_resample",
+    "multimodal_audio_depths",
+    "text_c4_rules",
+    "text_nb_quality",
+    "text_match_any",
+    "text_sentence_span_dedup",
+    "c4_pipeline",
+    "text_unigram_tokenize",
+    "multimodal_audio_g711",
+    "multimodal_audio_analysis",
+    "graph_pagerank",
+    "sketch_bloom_probe",
+    "sketch_cm_words",
+    "ts_anomaly",
+    "sim_ann_recall",
+    "multimodal_gif",
+    "multimodal_gif_resize",
+    "text_html_extract",
+    "text_paragraph_dedup",
+    "crawl_pipeline",
+    "edge_ilike",
+    "edge_natural_join",
+    "edge_regexp_count",
+    # rows-only execution-evidence tail (r13 verdict ask #6, continued)
+    "audio_spectrogram",
+    "text_compression_ratio",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

@@ -6565,3 +6565,290 @@ SELECT doc_id                       AS item_id,
 FROM fullpx GROUP BY doc_id, f
 ORDER BY item_id, frame_idx
 """
+
+
+def q_dedup_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level video near-dup dedup end-to-end (the r14 verdict's
+    ask #3): each doc_id < 360 becomes a 6-frame animated GIF of 3
+    two-frame scenes whose content depends on ``base = doc_id % 30``
+    — so each base has 12 members: the 8 variants with vr%3 != 2
+    share IDENTICAL scene content (re-encode dups: same recording,
+    different bytes), while the 4 variants with vr%3 == 2 shift scene
+    1's palette recipe (+9), a one-scene-differs near-dup. Within a
+    scene the second frame jitters source pixel (0,0) by one palette
+    step (hamming <= 1 — no false boundary); scene boundaries shift
+    the whole recipe (s*6), scrambling the gradient bits.
+
+    operators/imagehash.video_signature computes the ordered
+    scene-start dHash sequence + md5 digest fused in ONE zero-shuffle
+    Arrow stage; video_neardup_pairs groups by (n_scenes, chunk,
+    chunk-digest) — digest/banded, NEVER all-pairs — and verifies
+    positional mismatches <= 1 in-row; connected components label the
+    near-dup clusters. Output: every clip with its scene count, exact
+    digest, exact-dup group size, near-dup component, and keeper flag.
+    The oracle replays scene detection on the 9x8 sampled grid, the
+    dash-joined hex sequence + md5, the <=1-mismatch pair spec
+    DIRECTLY (all-pairs over 360 clips — which also proves the banded
+    candidates are pigeonhole-complete), and the reachability closure."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from easydb_server_spark.operators.clusters import connected_components
+    from easydb_server_spark.operators.imagehash import (
+        video_neardup_pairs,
+        video_signature,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 360).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif_animated
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                base, vr = did % 30, did // 30
+                w, h = 12 + base % 5, 10 + base % 4
+                y, x = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(6):
+                    s, j = f // 2, f % 2
+                    shift9 = 9 if (s == 1 and vr % 3 == 2) else 0
+                    idx = (base * 5 + s * 6 + shift9 + y * 5 + x * 7) % 16
+                    idx[0, 0] = (idx[0, 0] + j) % 16
+                    frames.append(pal[idx])
+                out.append((did, encode_gif_animated(frames)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    # persist the tiny signature table before any self-join (the
+    # dedup_image_neardup rule): the banded join reads sigs on both
+    # sides, the verify stage re-attaches sequences twice more, and
+    # the final projection reads it again — without this the Arrow
+    # codec stage re-decodes every clip per consumer.
+    sigs = video_signature(blobs, "payload", "item_id").localCheckpoint(eager=True)
+    pairs = video_neardup_pairs(sigs, max_diff=1).select(
+        F.col("item_a").alias("doc_a"), F.col("item_b").alias("doc_b")
+    )
+    cc = connected_components(pairs).withColumnRenamed("doc_id", "item_id")
+    w = Window.partitionBy("sig")
+    return (
+        sigs.join(cc, "item_id", "left")
+        .select(
+            "item_id",
+            "n_scenes",
+            "sig",
+            F.count(F.lit(1)).over(w).cast("int").alias("exact_group_size"),
+            F.coalesce(F.col("component"), F.col("item_id")).alias("component"),
+        )
+        .withColumn("is_keeper", F.col("item_id") == F.col("component"))
+        .orderBy("item_id")
+    )
+
+
+ORACLE_DEDUP_VIDEO_NEARDUP = """
+WITH RECURSIVE
+nvdocs AS (
+  SELECT doc_id, doc_id % 30 AS base, doc_id // 30 AS vr,
+         12 + (doc_id % 30) % 5 AS w, 10 + (doc_id % 30) % 4 AS h
+  FROM documents WHERE doc_id < 360
+),
+nvsamp AS (
+  SELECT d.doc_id, d.base, d.vr, ff.f, vv.v, uu.u,
+         (uu.u * d.w) // 9 AS sx, (vv.v * d.h) // 8 AS sy
+  FROM nvdocs d,
+       UNNEST(generate_series(0, 5)) ff(f),
+       UNNEST(generate_series(0, 7)) vv(v),
+       UNNEST(generate_series(0, 8)) uu(u)
+),
+nvgry AS (
+  SELECT doc_id, f, v, u,
+         (299 * ((idx * 16) % 256) + 587 * ((idx * 37) % 256)
+          + 114 * ((idx * 73) % 256)) // 1000 AS gr
+  FROM (
+    SELECT doc_id, f, v, u,
+           ((base * 5 + (f // 2) * 6
+             + CASE WHEN f // 2 = 1 AND vr % 3 = 2 THEN 9 ELSE 0 END
+             + sy * 5 + sx * 7) % 16
+            + CASE WHEN sy = 0 AND sx = 0 THEN f % 2 ELSE 0 END) % 16 AS idx
+    FROM nvsamp
+  )
+),
+nvbits AS (
+  SELECT l.doc_id, l.f, l.v * 8 + l.u AS i,
+         CASE WHEN l.gr < r.gr THEN 1 ELSE 0 END AS bit
+  FROM nvgry l JOIN nvgry r ON r.doc_id = l.doc_id AND r.f = l.f
+                           AND r.v = l.v AND r.u = l.u + 1
+  WHERE l.u < 8
+),
+nvbnd AS (
+  SELECT doc_id, f, i // 16 AS b,
+         CAST(SUM(CAST(bit AS BIGINT) << (i % 16)) AS BIGINT) AS bv
+  FROM nvbits GROUP BY doc_id, f, i // 16
+),
+nvsig AS (
+  SELECT doc_id, f,
+         MAX(CASE WHEN b = 0 THEN bv END) AS band0,
+         MAX(CASE WHEN b = 1 THEN bv END) AS band1,
+         MAX(CASE WHEN b = 2 THEN bv END) AS band2,
+         MAX(CASE WHEN b = 3 THEN bv END) AS band3
+  FROM nvbnd GROUP BY doc_id, f
+),
+nvham AS (
+  SELECT c.doc_id, c.f,
+         printf('%04x%04x%04x%04x', c.band3, c.band2, c.band1, c.band0) AS ph,
+         (p.band0 IS NULL
+          OR bit_count(xor(c.band0, p.band0)) + bit_count(xor(c.band1, p.band1))
+             + bit_count(xor(c.band2, p.band2)) + bit_count(xor(c.band3, p.band3)) > 3)
+           AS is_start
+  FROM nvsig c LEFT JOIN nvsig p ON p.doc_id = c.doc_id AND p.f = c.f - 1
+),
+nvs AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scenes,
+         string_agg(ph, '-' ORDER BY f) AS sig_seq,
+         md5(string_agg(ph, '-' ORDER BY f)) AS sig
+  FROM nvham WHERE is_start GROUP BY doc_id
+),
+nvpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM nvs a JOIN nvs b ON b.n_scenes = a.n_scenes AND a.doc_id < b.doc_id
+  WHERE len(list_filter(generate_series(1, a.n_scenes),
+        i -> string_split(a.sig_seq, '-')[i] <> string_split(b.sig_seq, '-')[i])) <= 1
+),
+nvedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nvpairs
+  UNION SELECT doc_b, doc_a FROM nvpairs
+),
+nvreach AS (
+  SELECT src, dst FROM nvedges
+  UNION
+  SELECT r.src, e.dst FROM nvreach r JOIN nvedges e ON r.dst = e.src
+),
+nvlabels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM nvreach GROUP BY src
+)
+SELECT s.doc_id AS item_id, s.n_scenes, s.sig,
+       CAST(COUNT(*) OVER (PARTITION BY s.sig) AS INT) AS exact_group_size,
+       COALESCE(l.component, s.doc_id) AS component,
+       COALESCE(l.component, s.doc_id) = s.doc_id AS is_keeper
+FROM nvs s LEFT JOIN nvlabels l ON l.doc_id = s.doc_id
+ORDER BY item_id
+"""
+
+
+def q_dedup_audio_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-robust audio near-dup matching (the r14 verdict's ask
+    #4): landmark/constellation pairs per Wang 2003 — the exact-
+    sequence fingerprint (dedup_audio_fingerprint) catches re-encodes
+    but NOT trimmed or padded copies, because any frame offset shifts
+    the whole peak sequence; landmarks carry no absolute time, only
+    (anchor peak, target peak, frame delta), so they survive whole-
+    frame trims and pads.
+
+    Fixture: doc_id < 400 are 4-segment clips of frame-aligned
+    bin-exact tones, segment k at bin 1 + (base*7 + k*11 + base*k*5)
+    % 31 with base = doc_id % 30 (the base*k cross term makes peak
+    DELTAS base-dependent — a plain linear-in-k recipe gives every
+    base the same delta and floods the corpus with colliding
+    landmarks); doc_id in [400, 500) is a COPY of clip doc_id - 400
+    at a different gain, padded with 1 + doc_id%3 silence frames and,
+    for odd doc_id, trimmed to 3 segments. Every peak is closed-form
+    (Hann-windowed bin-exact tone: center bin dominates 2x; silence
+    frames argmax to bin 0), so the landmark sets replay exactly.
+
+    Matching: distinct landmarks per clip (one keyed window + a
+    2-column distinct), stop-landmark cap at 48 clips per landmark —
+    load-bearing here: it drops the (0,0,delta) silence landmarks
+    ~66 copies share, the Zipf head every real corpus has — then an
+    equi-join on the landmark key (quadratic only inside surviving
+    buckets) counting shared landmarks, threshold >= 3 (a trimmed
+    copy shares exactly its 3 surviving tone landmarks with its
+    source). 12 deterministic cross-base coincidences sit exactly at
+    the threshold — the honest false-positive floor of landmark
+    fingerprinting at min_shared=3, replayed identically by the
+    oracle."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.audiofp import (
+        audio_fingerprint,
+        audio_landmarks,
+        landmark_matches,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        j = np.arange(64, dtype=np.float64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did < 400:
+                    base, off, nseg = did % 30, 0, 4
+                else:
+                    base = (did - 400) % 30
+                    off = 1 + did % 3
+                    nseg = 3 if did % 2 == 1 else 4
+                amp = float(8000 + (did % 5) * 3000)
+                segs = [np.zeros(64 * off, dtype=np.float64)] if off else []
+                for k in range(nseg):
+                    b = 1 + (base * 7 + k * 11 + base * k * 5) % 31
+                    segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
+                s = np.concatenate(segs).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    # persist the landmark table before the self-join (the
+    # dedup_image_neardup rule — never re-decode blobs per consumer)
+    lms = audio_landmarks(sigs, fanout=3).localCheckpoint(eager=True)
+    return landmark_matches(lms, min_shared=3, max_bucket=48).orderBy(
+        "item_a", "item_b"
+    )
+
+
+ORACLE_DEDUP_AUDIO_LANDMARK = """
+WITH aldocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 400 THEN doc_id % 30 ELSE (doc_id - 400) % 30 END AS base,
+         CASE WHEN doc_id < 400 THEN 0 ELSE 1 + doc_id % 3 END AS off,
+         CASE WHEN doc_id >= 400 AND doc_id % 2 = 1 THEN 3 ELSE 4 END AS nseg
+  FROM documents WHERE doc_id < 500
+),
+alframes AS (
+  SELECT d.doc_id, tt.t,
+         CASE WHEN tt.t < d.off THEN 0
+              ELSE 1 + (d.base * 7 + (tt.t - d.off) * 11
+                        + d.base * (tt.t - d.off) * 5) % 31
+         END AS p
+  FROM aldocs d, UNNEST(generate_series(0, d.off + d.nseg - 1)) tt(t)
+),
+allm AS (
+  SELECT DISTINCT a.doc_id, a.p * 1048576 + b.p * 1024 + (b.t - a.t) AS lm
+  FROM alframes a JOIN alframes b
+    ON b.doc_id = a.doc_id AND b.t - a.t BETWEEN 1 AND 3
+),
+alkeep AS (
+  SELECT doc_id, lm FROM allm
+  WHERE lm IN (SELECT lm FROM allm GROUP BY lm HAVING COUNT(*) <= 48)
+)
+SELECT x.doc_id AS item_a, y.doc_id AS item_b,
+       CAST(COUNT(*) AS INT) AS shared
+FROM alkeep x JOIN alkeep y ON y.lm = x.lm AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING COUNT(*) >= 3
+ORDER BY item_a, item_b
+"""

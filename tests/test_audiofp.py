@@ -89,3 +89,83 @@ def test_dup_groups_plan_is_one_keyed_window(spark):
     assert plan.count("Exchange") == 1
     rows = {r["item_id"]: (r["group_size"], r["is_canonical"]) for r in out.collect()}
     assert rows[0] == (3, True) and rows[3] == (3, False)
+
+
+def _sig_frame(spark, rows):
+    """rows: (item_id, peak_seq string) -> the audio_fingerprint shape
+    the landmark operators consume."""
+    return spark.createDataFrame(
+        [(i, len(s.split("-")), s, "") for i, s in rows],
+        "item_id BIGINT, n_frames INT, peak_seq STRING, fp STRING",
+    )
+
+
+def test_audio_landmarks_encoding_and_fanout(spark):
+    """Known 4-peak sequence: fanout=3 yields the 6 (anchor, target,
+    delta) triples, each encoded a*2^20 + t*2^10 + d."""
+    from easydb_server_spark.operators.audiofp import audio_landmarks
+
+    sigs = _sig_frame(spark, [(1, "5-9-2-7")])
+    got = {r["lm"] for r in audio_landmarks(sigs, fanout=3).collect()}
+    enc = lambda a, t, d: a * (1 << 20) + t * (1 << 10) + d  # noqa: E731
+    want = {
+        enc(5, 9, 1), enc(5, 2, 2), enc(5, 7, 3),
+        enc(9, 2, 1), enc(9, 7, 2), enc(2, 7, 1),
+    }
+    assert got == want
+
+
+def test_audio_landmarks_are_shift_robust(spark):
+    """THE property the exact-sequence fp lacks: a copy padded with
+    leading silence frames (peak 0) keeps every original landmark —
+    its landmark set is a superset of the source's — while the md5
+    fingerprint of the shifted sequence differs."""
+    from easydb_server_spark.operators.audiofp import audio_landmarks
+
+    sigs = _sig_frame(spark, [(1, "5-9-2-7"), (2, "0-0-5-9-2-7")])
+    by_item = {}
+    for r in audio_landmarks(sigs, fanout=3).collect():
+        by_item.setdefault(r["item_id"], set()).add(r["lm"])
+    assert by_item[1] <= by_item[2]
+
+
+def test_landmark_matches_threshold_and_stop_cap(spark):
+    """Three clips: 1 and 2 share 3 landmarks (match at min_shared=3);
+    3 shares only the hot landmark every clip has — with max_bucket=2
+    the hot landmark is stopped, so 3 matches nothing and 1-2 still
+    match on their clean triples."""
+    from easydb_server_spark.operators.audiofp import landmark_matches
+
+    rows = [
+        (1, 100), (1, 200), (1, 300), (1, 999),
+        (2, 100), (2, 200), (2, 300), (2, 999),
+        (3, 999), (3, 400), (3, 500),
+    ]
+    lms = spark.createDataFrame(rows, "item_id BIGINT, lm BIGINT")
+    got = {
+        (r["item_a"], r["item_b"]): r["shared"]
+        for r in landmark_matches(lms, min_shared=3, max_bucket=2).collect()
+    }
+    assert got == {(1, 2): 3}
+    # without the cap, the hot landmark counts and 1-2 share 4
+    uncapped = {
+        (r["item_a"], r["item_b"]): r["shared"]
+        for r in landmark_matches(lms, min_shared=3, max_bucket=None).collect()
+    }
+    assert uncapped == {(1, 2): 4}
+
+
+def test_audio_landmarks_plan_is_one_keyed_window(spark):
+    """Landmark extraction shuffles once (the per-item window) plus
+    the distinct's exchange over (item_id, lm) — never a join."""
+    from easydb_server_spark.operators.audiofp import audio_landmarks
+
+    sigs = _sig_frame(spark, [(1, "5-9-2-7"), (2, "1-2-3")])
+    plan = (
+        audio_landmarks(sigs, fanout=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2

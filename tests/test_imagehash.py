@@ -224,3 +224,106 @@ def test_dhash_pairs_distinct_is_narrow(spark):
     for ln in agg_lines:
         assert "band0" not in ln and "xa0" not in ln and "ya0" not in ln, ln
         assert "item_a" in ln and "item_b" in ln, ln
+
+
+def test_video_signature_is_zero_exchange_and_matches_keyframes(spark):
+    """video_signature's scene sequence must list exactly the frames
+    keyframes() selects (same fused detection), as 16-hex dHash words,
+    with a zero-exchange plan."""
+    from easydb_server_spark.operators.gif import encode_gif_animated
+    from easydb_server_spark.operators.imagehash import (
+        frame_dhash,
+        keyframes,
+        video_signature,
+    )
+
+    pal = np.array(
+        [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+        dtype=np.uint8,
+    )
+    y, x = np.mgrid[0:10, 0:12]
+    a = pal[(y * 5 + x * 7) % 16]
+    b = pal[(6 + y * 5 + x * 7) % 16]
+    c = pal[(3 + y * 2 + x * 11) % 16]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_gif_animated([a, a, b, b, c]))),
+            (2, bytearray(encode_gif_animated([c, c, c]))),
+        ],
+        "item_id BIGINT, payload BINARY",
+    )
+    vs = video_signature(df, "payload", "item_id")
+    plan = vs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    got = {r["item_id"]: r for r in vs.collect()}
+    kf_count = {}
+    for r in keyframes(df, "payload", "item_id").collect():
+        kf_count[r["item_id"]] = kf_count.get(r["item_id"], 0) + 1
+    assert {i: r["n_scenes"] for i, r in got.items()} == kf_count
+    # each word is the scene-start frame's phash (check item 2: one
+    # static scene -> one word == frame 0's hash)
+    fd = {
+        (r["item_id"], r["frame_idx"]): (r["band0"], r["band1"], r["band2"], r["band3"])
+        for r in frame_dhash(df, "payload", "item_id").collect()
+    }
+    b0, b1, b2, b3 = fd[(2, 0)]
+    assert got[2]["sig_seq"] == f"{b3:04x}{b2:04x}{b1:04x}{b0:04x}"
+    import hashlib
+
+    assert got[2]["sig"] == hashlib.md5(got[2]["sig_seq"].encode()).hexdigest()
+
+
+def test_video_neardup_pairs_tolerance_and_pruning(spark):
+    """Synthetic signatures: exact dup (0 mismatches), one-scene-
+    differs (1 — found via the untouched chunk: pigeonhole), two-
+    scene-differs (pruned by verification), different scene COUNTS
+    never candidate."""
+    from easydb_server_spark.operators.imagehash import video_neardup_pairs
+
+    def row(i, words):
+        return (i, len(words), "-".join(words))
+
+    sigs = spark.createDataFrame(
+        [
+            row(1, ["aaaa", "bbbb", "cccc"]),
+            row(2, ["aaaa", "bbbb", "cccc"]),  # exact dup of 1
+            row(3, ["aaaa", "ffff", "cccc"]),  # scene 1 differs
+            row(4, ["eeee", "ffff", "cccc"]),  # 2 scenes differ from 1
+            row(5, ["aaaa", "bbbb", "cccc", "dddd"]),  # length 4: never pairs
+        ],
+        "item_id BIGINT, n_scenes INT, sig_seq STRING",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): r["mismatches"]
+        for r in video_neardup_pairs(sigs, max_diff=1).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(3, 4)] == 1  # differ at position 0 only; share the tail chunk
+    assert (1, 4) not in got and (2, 4) not in got
+    assert not any(5 in k for k in got)
+
+
+def test_video_neardup_distinct_is_narrow(spark):
+    """Same rule as dhash_pairs: the candidate distinct groups on
+    (item_a, item_b) only — sequences re-attach from the signature
+    table for verification."""
+    from easydb_server_spark.operators.imagehash import video_neardup_pairs
+
+    sigs = spark.createDataFrame(
+        [(i, 3, f"{i % 4:04x}-{i % 3:04x}-{i % 2:04x}") for i in range(20)],
+        "item_id BIGINT, n_scenes INT, sig_seq STRING",
+    )
+    plan = (
+        video_neardup_pairs(sigs, max_diff=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines
+    for ln in agg_lines:
+        assert "sig_seq" not in ln and "bdig" not in ln, ln
+        assert "item_a" in ln and "item_b" in ln, ln

@@ -5,19 +5,15 @@ verification with no failure anywhere else. Since round 10 the window
 is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
-Round-13 window (new/changed first, then least driver evidence):
-the 16 new/changed entries (emb_pca_invariants, the three rows-only
-bound companions, and the late-r13 operators emb_kmeans_assign /
-dedup_url_canonical / ts_asof_forward / ts_interval_merge /
-ts_twap / ivfpq_rerank / ts_ohlc are new;
-ts_asof_join re-verifies because its shared operator grew
-direction/tiebreak dials; the profile family's single-scan +
-Column-built null_rate; every quality-composite consumer of the
-native-div scaled_round_half), then the pre-declared 7-entry
-r7-evidence ts_* fill, then 24 of the 35-entry r8-evidence cohort
-(the seven frozen sup_* shims, text_ngram_topk, skew_salted_agg,
-dedup_minhash, and ts_rolling_1h yielded slots and rotate r14). Rows-only entries stay out of the window (they burn a
-slot on `no_oracle`).
+Round-15 window (new/changed first, then least driver evidence):
+the 5 changed/new entries (dedup_video_neardup and
+dedup_audio_landmark are NEW; dedup_image_neardup re-verifies for the
+narrowed candidate distinct, video_keyframes for the integer means,
+emb_kmeans_assign for the large-k*d dispatch), then the pre-declared
+18-entry r9-evidence fill (the cohort's last members), then 25 of the
+42-entry r10-evidence cohort (the remaining 17 rotate r16). Slots
+49-50 continue the rows-only execution-evidence tail
+(audio_spectrogram, text_compression_ratio; r16 takes the final two).
 """
 
 PRIORITY_WINDOW = 50
@@ -35,7 +31,7 @@ def test_priority_window_prefix_is_stable():
     assert len(set(names)) == len(names)
 
 
-def test_window_holds_the_r14_rotation():
+def test_window_holds_the_r15_rotation():
     import glob
     import json
     import os
@@ -44,43 +40,41 @@ def test_window_holds_the_r14_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # slots 1-5: r14 changed/new code — the two NEW image-phash
-    # entries, the kmeans zero-exchange assignment rewrite, and the
-    # two consumers of the row-atomic asof operator; locked as a SET
-    # (an r14 fact, not an evidence computation)
+    # slots 1-5: r15 changed/new code — the two NEW entries (clip-level
+    # video near-dup, shift-robust audio landmark matching) and the
+    # three consumers of r15-changed operator code (narrowed dhash
+    # candidate distinct, integer keyframe means, kmeans large-k*d
+    # dispatch); locked as a SET (an r15 fact, not an evidence
+    # computation)
     changed = {
-        "dedup_image_phash", "dedup_image_neardup", "video_scene_cuts",
-        "video_keyframes", "dedup_audio_fingerprint",
-        "emb_kmeans_assign", "ts_asof_join", "ts_asof_forward",
+        "dedup_video_neardup", "dedup_audio_landmark",
+        "dedup_image_neardup", "video_keyframes", "emb_kmeans_assign",
     }
-    assert set(window[:8]) == changed
-    # slots 9-20: the pre-declared r13->r14 rotation — the 11
-    # r8-evidence yielders plus the one never-driver-run oracled entry
-    assert window[8:20] == [
-        "sup_json", "sup_pivot", "sup_mode", "sup_unpivot",
-        "sup_higher_order", "sup_lateral", "sup_variant",
-        "text_ngram_topk", "skew_salted_agg", "dedup_minhash",
-        "ts_rolling_1h", "text_compression_invariants",
-    ]
-    # slots 21-48: 28 of the r9-evidence cohort (newest driver
-    # evidence across CORRECTNESS_r*.json up to r13 — the goalpost is
-    # fixed at rotation time)
+    assert set(window[:5]) == changed
+    # slots 6-23: the pre-declared r14->r15 rotation — ALL 18
+    # remaining r9-evidence entries (newest driver evidence across
+    # CORRECTNESS_r*.json up to r14 — the goalpost is fixed at
+    # rotation time)
     newest = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 13:
+        if rnd > 14:
             continue
         with open(f) as fh:
             for name in json.load(fh):
                 newest[name] = max(newest.get(name, 0), rnd)
     r9_cohort = {n for n, r in newest.items() if r == 9}
-    assert len(r9_cohort) == 46
-    assert set(window[20:48]) <= r9_cohort
-    assert len(window[20:48]) == 28
+    assert len(r9_cohort) == 18
+    assert set(window[5:23]) == r9_cohort
+    # slots 24-48: 25 of the 42-entry r10-evidence cohort
+    r10_cohort = {n for n, r in newest.items() if r == 10}
+    assert len(r10_cohort) == 42
+    assert set(window[23:48]) <= r10_cohort
+    assert len(window[23:48]) == 25
     # slots 49-50: rows-only execution-evidence tail (r13 verdict ask
-    # #6) — the ONLY rows-only entries allowed in the window, and only
-    # to demonstrate the driver can execute them
-    assert window[48:] == ["emb_pca", "sketch_distinct"]
+    # #6, continued over r14-r16) — the ONLY rows-only entries allowed
+    # in the window, and only to demonstrate the driver executes them
+    assert window[48:] == ["audio_spectrogram", "text_compression_ratio"]
     from easydb_server_spark.queries import oracle_queries
 
     assert set(window[:48]) <= set(oracle_queries())
