@@ -101,10 +101,6 @@ HEADLINE = FIXED_CORE + [
     # text_stratified_sample, curate_source_cap, ts_tumbling.
     "ts_session_window",
     "ts_resample_interp",
-    "profile_documents",
-    "text_stratified_sample",
-    "curate_source_cap",
-    "ts_tumbling",
     "text_paragraph_dedup",
     "text_quality_prune",
     "dedup_incremental_fuzzy",
@@ -138,7 +134,6 @@ HEADLINE = FIXED_CORE + [
     "multimodal_audio_g711",
     "multimodal_audio_analysis",
     "dedup_bloom_admits",
-    "ts_scd2_history",
     # r11 additions: PQ asymmetric-distance search, the IVFADC
     # composition (coarse cells + residual PQ), and the animated-GIF
     # multi-frame sampler
@@ -151,18 +146,11 @@ HEADLINE = FIXED_CORE + [
     # warm repeats should not be timing)
     "sim_ivfpq_recall",
     # r13 additions: exact-INT64 Lloyd k-means (clustering family),
-    # canonical-URL dedup (the pre-fetch crawl dedup), the
-    # forward-direction as-of join, and gaps-and-islands interval
-    # coalescing
+    # the forward-direction as-of join
     "emb_kmeans_assign",
-    "dedup_url_canonical",
     "ts_asof_forward",
-    "ts_interval_merge",
-    "ts_twap",
     # r13 addition: exact re-rank over the IVFADC candidate slice
     "ivfpq_rerank",
-    # r13 addition: OHLC bars via single-aggregate struct-argmin
-    "ts_ohlc",
     # r14 additions: perceptual-hash image dedup — signatures through
     # the real GIF codec, then banded Hamming LSH + connected
     # components to keepers
@@ -175,6 +163,28 @@ HEADLINE = FIXED_CORE + [
     "dedup_audio_fingerprint",
     # r14 addition: fused zero-shuffle keyframe extraction
     "video_keyframes",
+    # r15 tail rotation (line-budget swap; every rotated-out entry
+    # stays oracle-verified in the conformance registry). Out this
+    # round — all sub-0.5 s with fresh r13/r14 timing evidence:
+    # text_stratified_sample, curate_source_cap, ts_tumbling (the r14
+    # returners), ts_ohlc, dedup_url_canonical, ts_twap,
+    # ts_interval_merge, ts_scd2_history, profile_documents (the last
+    # for the probe_sec budget). Back in from the r14-out
+    # set: dedup_simhash, text_url_filter, chunk_dedup, text_bm25,
+    # ts_range_join, text_ccnet_buckets (text_html_extract,
+    # text_c4_rules, text_sentence_span_dedup wait one more round —
+    # crawl_pipeline / c4_pipeline time their stages every round).
+    "dedup_simhash",
+    "text_url_filter",
+    "chunk_dedup",
+    "text_bm25",
+    "ts_range_join",
+    "text_ccnet_buckets",
+    # r15 additions: clip-level video near-dup dedup (scene-sequence
+    # digest + chunked tolerance) and shift-robust audio landmark
+    # matching (Wang-2003 constellation pairs, stop-landmark cap)
+    "dedup_video_neardup",
+    "dedup_audio_landmark",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries
@@ -182,6 +192,49 @@ HEADLINE = FIXED_CORE + [
 # runs and the JSON also records each query's spread (max-min) so a
 # real plan win is distinguishable from noise
 RUNS = 5
+
+# HOST-CALIBRATION PROBE (r14 verdict ask #2, productizing the r13/r14
+# host-drift attribution studies): a fixed, fixture-independent JVM
+# workload timed exactly like the suite (one untimed warm pass, then
+# median of RUNS). Its cross-round ratio IS the host-share yardstick:
+# if probe_rN / probe_rN-1 moved the same way as a query's delta, the
+# delta is the HOST, not the code — r13's "regression cluster" (gif
+# x1.45, g711 x1.38, pq_adc x1.35) needed a git-worktree A/B study
+# (tools/attribute_r13_codecs.py) to refute; with the probe in every
+# BENCH_rN it is one division. NEVER resize PROBE_ROWS or change the
+# expression — cross-round comparability is the whole point; if the
+# host class ever changes, add a NEW probe key instead of editing this
+# one. Sized to ~1.1 s on the r15 reference host (32 threads; medians
+# 0.45 / 0.66 / 1.14 s at 1.2 / 2.4 / 4.8 G rows — linear past the
+# ~0.25 s scheduling floor, spread 0.04 s at this size).
+PROBE_ROWS = 4_800_000_000
+
+
+def _probe(spark) -> tuple[float, float]:
+    """(median_sec, spread_sec) of the fixed calibration workload: a
+    32-partition range scan with a mod/multiply/mod reduction — pure
+    whole-stage-codegen CPU across all executor threads, no shuffle,
+    no Python workers, no disk; deliberately the simplest shape that
+    still scales with available host CPU share. The inner ``id %
+    1000003`` keeps the ANSI-checked multiply inside INT64 at any row
+    count, and bounds every summand below 1e9 so the sum stays exact."""
+    from pyspark.sql import functions as PF
+
+    agg = PF.sum(
+        ((PF.col("id") % PF.lit(1000003)) * PF.lit(2654435761)) % PF.lit(1000000007)
+    ).alias("s")
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, PROBE_ROWS, 1, 32).select(agg).collect()
+        return time.perf_counter() - t0
+
+    run()  # warm (codegen compile + scheduler paths)
+    samples = [run() for _ in range(RUNS)]
+    return (
+        round(statistics.median(samples), 3),
+        round(max(samples) - min(samples), 3),
+    )
 
 
 def _drain(df) -> int:
@@ -234,6 +287,10 @@ def main() -> None:
 
     spark.range(64).select(_noop_udf(_col("id").cast("double"))).count()
 
+    # calibration probe FIRST (suite position is part of its contract,
+    # like the fixed core's)
+    probe_sec, probe_spread = _probe(spark)
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
@@ -275,6 +332,16 @@ def main() -> None:
         "unit": "sec",
         "fixed_core_sec": fixed_core_sec,
         "fixed_core": FIXED_CORE,
+        # host-calibration probe + per-query probe-normalized ratios
+        # (query_sec / probe_sec, 3 dp): compare THESE across rounds —
+        # a per-query delta whose ratio is flat is host drift, not a
+        # code change (the r13 lesson, productized)
+        "probe_sec": probe_sec,
+        "probe_spread": probe_spread,
+        "probe_rows": PROBE_ROWS,
+        "queries_per_probe": {
+            k: round(v / probe_sec, 3) for k, v in timings.items()
+        },
         "queries": timings,
         "spread": spread,
         "sf": sf_val,
@@ -296,6 +363,9 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "fixed_core_sec": fixed_core_sec,
+            # host-calibration yardstick (see _probe): divide a query's
+            # cross-round delta by the probe's before reading it as code
+            "probe_sec": probe_sec,
             "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf_val,
             # compact layout marker so the per-round BENCH record shows
@@ -319,6 +389,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "fixed_core_sec": fixed_core_sec,
+                "probe_sec": probe_sec,
                 "unit_queries": "centisec",
                 "queries": {k: int(round(v * 100)) for k, v in timings.items()},
                 "sf": sf_val,
@@ -332,6 +403,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "fixed_core_sec": fixed_core_sec,
+                "probe_sec": probe_sec,
                 "sf": sf_val,
             },
             separators=(",", ":"),

@@ -198,8 +198,10 @@ def test_bench_stdout_line_fits_driver_tail_capture():
             "value": 99999.999,
             "unit": "sec",
             "fixed_core_sec": 99999.999,
+            "probe_sec": 99.999,
             "queries": {n: 99.99 for n in bench.HEADLINE},
             "sf": 0.001,
+            "layout": "mrg",
         },
         separators=(",", ":"),
     )
