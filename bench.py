@@ -102,7 +102,6 @@ HEADLINE = FIXED_CORE + [
     "ts_session_window",
     "ts_resample_interp",
     "text_paragraph_dedup",
-    "text_quality_prune",
     "dedup_incremental_fuzzy",
     "text_bigram_logprob",
     "dedup_ngram_spans",
@@ -181,10 +180,13 @@ HEADLINE = FIXED_CORE + [
     "ts_range_join",
     "text_ccnet_buckets",
     # r15 additions: clip-level video near-dup dedup (scene-sequence
-    # digest + chunked tolerance) and shift-robust audio landmark
-    # matching (Wang-2003 constellation pairs, stop-landmark cap)
+    # digest + chunked tolerance), shift-robust audio landmark
+    # matching (Wang-2003 constellation pairs, stop-landmark cap),
+    # and landmark retrieval by offset voting (the Shazam matcher;
+    # text_quality_prune yields its tail slot for the line budget)
     "dedup_video_neardup",
     "dedup_audio_landmark",
+    "audio_landmark_search",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

@@ -197,3 +197,97 @@ def landmark_matches(
         .agg(F.count(F.lit(1)).cast("int").alias("shared"))
         .where(F.col("shared") >= F.lit(min_shared))
     )
+
+
+def audio_landmarks_timed(sigs: DataFrame, fanout: int = 3) -> DataFrame:
+    """(item_id, t, lm): like :func:`audio_landmarks` but KEEPS the
+    anchor frame index — the retrieval-side shape. Matching by shared
+    landmarks alone (landmark_matches) answers "same recording?";
+    offset VOTING (landmark_search) needs each landmark's anchor time
+    so shared landmarks can vote for their implied alignment. No
+    distinct: for a fixed anchor t each delta contributes one row, so
+    rows are unique by construction; one keyed window, map-side."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_id").orderBy("t")
+    peaks = sigs.select(
+        "item_id",
+        F.posexplode(
+            F.transform(F.split("peak_seq", "-"), lambda x: x.cast("long"))
+        ).alias("t", "p"),
+    )
+    leads = peaks.select(
+        "item_id",
+        "t",
+        "p",
+        *[F.lead("p", d).over(w).alias(f"__l{d}") for d in range(1, fanout + 1)],
+    )
+    lms = [
+        F.col("p") * F.lit(1 << 20) + F.col(f"__l{d}") * F.lit(1 << 10) + F.lit(d)
+        for d in range(1, fanout + 1)
+    ]
+    return (
+        leads.select("item_id", "t", F.explode(F.array(*lms)).alias("lm"))
+        .where(F.col("lm").isNotNull())
+    )
+
+
+def landmark_search(
+    index_lms: DataFrame,
+    query_lms: DataFrame,
+    min_votes: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(query_id, match_id, offset, votes): the best-matching index
+    clip per query by landmark OFFSET VOTING (Wang 2003 §3, the
+    Shazam matcher): every landmark shared between a query and an
+    index clip votes for its implied alignment
+    ``offset = t_index - t_query``; a true match concentrates votes on
+    ONE offset (the trim/pad amount), while coincidental shared
+    landmarks scatter across offsets. The winner per query is the
+    (match, offset) cell with the most votes, >= ``min_votes``; ties
+    break to the smaller (match_id, offset) — deterministic on both
+    engines.
+
+    ``max_bucket`` drops index landmarks present in more than that
+    many index clips before the join (the stop-landmark guard of
+    landmark_matches — without it one hot landmark makes the
+    candidate join all-pairs).
+
+    Scale shape: the join is an equi-join on the landmark key
+    (broadcast the query side when it is a probe batch); votes
+    aggregate on (query, match, offset) — collision-bounded like
+    every banded-dedup plan in this repo; the final top-1 is a
+    per-query window over the surviving vote cells."""
+    from pyspark.sql import Window
+
+    if max_bucket is not None:
+        keep = (
+            index_lms.select("item_id", "lm")
+            .distinct()
+            .groupBy("lm")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("lm")
+        )
+        index_lms = index_lms.join(keep, "lm")
+    q = query_lms.select(
+        F.col("item_id").alias("query_id"), F.col("t").alias("tq"), "lm"
+    )
+    x = index_lms.select(
+        F.col("item_id").alias("match_id"), F.col("t").alias("tx"), "lm"
+    )
+    votes = (
+        q.join(x, "lm")
+        .groupBy("query_id", "match_id", (F.col("tx") - F.col("tq")).alias("offset"))
+        .agg(F.count(F.lit(1)).cast("int").alias("votes"))
+        .where(F.col("votes") >= F.lit(min_votes))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("match_id"), F.col("offset")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("query_id", "match_id", "offset", "votes")
+    )

@@ -6852,3 +6852,115 @@ GROUP BY x.doc_id, y.doc_id
 HAVING COUNT(*) >= 3
 ORDER BY item_a, item_b
 """
+
+
+def q_audio_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio retrieval by landmark OFFSET VOTING (Wang 2003 §3 — the
+    Shazam matcher, completing the landmark stack: extract ->
+    pairwise match -> SEARCH): the 400 source clips are the INDEX,
+    the 100 gain-shifted padded/trimmed copies are the QUERIES, and
+    each shared timed landmark votes for its implied alignment
+    offset = t_index - t_query. A true match concentrates votes on
+    one offset (minus the pad amount); coincidental shared landmarks
+    scatter. Same fixture arithmetic as dedup_audio_landmark, so
+    every vote is closed-form: a padded 4-segment copy lands 6 votes
+    on offset -pad, a trimmed 3-segment copy exactly 3 (= min_votes),
+    and cross-base cells never reach 3 (simulated and
+    oracle-replayed). The winner per query is pinned deterministic:
+    votes DESC, then smallest (match_id, offset) — so among a base's
+    ~13 identical index clips the smallest doc_id wins on both
+    engines."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.audiofp import (
+        audio_fingerprint,
+        audio_landmarks_timed,
+        landmark_search,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        j = np.arange(64, dtype=np.float64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did < 400:
+                    base, off, nseg = did % 30, 0, 4
+                else:
+                    base = (did - 400) % 30
+                    off = 1 + did % 3
+                    nseg = 3 if did % 2 == 1 else 4
+                amp = float(8000 + (did % 5) * 3000)
+                segs = [np.zeros(64 * off, dtype=np.float64)] if off else []
+                for k in range(nseg):
+                    b = 1 + (base * 7 + k * 11 + base * k * 5) % 31
+                    segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
+                s = np.concatenate(segs).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    # persist once; both the index and the query side slice from it
+    lms = audio_landmarks_timed(sigs, fanout=3).localCheckpoint(eager=True)
+    return landmark_search(
+        lms.where(F.col("item_id") < 400),
+        lms.where(F.col("item_id") >= 400),
+        min_votes=3,
+        max_bucket=48,
+    ).orderBy("query_id")
+
+
+ORACLE_AUDIO_LANDMARK_SEARCH = """
+WITH aldocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 400 THEN doc_id % 30 ELSE (doc_id - 400) % 30 END AS base,
+         CASE WHEN doc_id < 400 THEN 0 ELSE 1 + doc_id % 3 END AS off,
+         CASE WHEN doc_id >= 400 AND doc_id % 2 = 1 THEN 3 ELSE 4 END AS nseg
+  FROM documents WHERE doc_id < 500
+),
+alframes AS (
+  SELECT d.doc_id, tt.t,
+         CASE WHEN tt.t < d.off THEN 0
+              ELSE 1 + (d.base * 7 + (tt.t - d.off) * 11
+                        + d.base * (tt.t - d.off) * 5) % 31
+         END AS p
+  FROM aldocs d, UNNEST(generate_series(0, d.off + d.nseg - 1)) tt(t)
+),
+allmt AS (
+  SELECT a.doc_id, a.t, a.p * 1048576 + b.p * 1024 + (b.t - a.t) AS lm
+  FROM alframes a JOIN alframes b
+    ON b.doc_id = a.doc_id AND b.t - a.t BETWEEN 1 AND 3
+),
+idx AS (SELECT doc_id, t, lm FROM allmt WHERE doc_id < 400),
+idxkeep AS (
+  SELECT doc_id, t, lm FROM idx
+  WHERE lm IN (
+    SELECT lm FROM (SELECT DISTINCT doc_id, lm FROM idx)
+    GROUP BY lm HAVING COUNT(*) <= 48
+  )
+),
+cells AS (
+  SELECT q.doc_id AS query_id, x.doc_id AS match_id,
+         CAST(x.t - q.t AS INT) AS "offset",
+         CAST(COUNT(*) AS INT) AS votes
+  FROM (SELECT doc_id, t, lm FROM allmt WHERE doc_id >= 400) q
+  JOIN idxkeep x ON x.lm = q.lm
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+),
+ranked AS (
+  SELECT query_id, match_id, "offset", votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, match_id, "offset"
+         ) AS rn
+  FROM cells
+)
+SELECT query_id, match_id, "offset", votes FROM ranked WHERE rn = 1
+ORDER BY query_id
+"""

@@ -169,3 +169,70 @@ def test_audio_landmarks_plan_is_one_keyed_window(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_landmark_search_votes_and_offset(spark):
+    """Offset voting: a query that is the index clip shifted by 2
+    frames lands all its landmark votes on offset -2 and wins; a
+    query sharing landmarks at INCONSISTENT offsets never concentrates
+    min_votes on one cell."""
+    from easydb_server_spark.operators.audiofp import (
+        audio_landmarks_timed,
+        landmark_search,
+    )
+
+    sigs = _sig_frame(
+        spark,
+        [
+            (1, "5-9-2-7"),        # index clip
+            (10, "0-0-5-9-2-7"),   # query: same clip padded 2 frames
+            (11, "9-5-2-30-7"),    # query: shares peaks, scrambled order
+        ],
+    )
+    lms = audio_landmarks_timed(sigs, fanout=3)
+    got = {
+        r["query_id"]: (r["match_id"], r["offset"], r["votes"])
+        for r in landmark_search(
+            lms.where("item_id < 10"), lms.where("item_id >= 10"), min_votes=3
+        ).collect()
+    }
+    assert got[10] == (1, -2, 6)
+    assert 11 not in got
+
+
+def test_landmark_search_tiebreak_smallest_match_then_offset(spark):
+    """Two identical index clips tie on votes; the winner is the
+    smaller match_id (then smaller offset) — deterministic on both
+    engines."""
+    from easydb_server_spark.operators.audiofp import (
+        audio_landmarks_timed,
+        landmark_search,
+    )
+
+    sigs = _sig_frame(spark, [(3, "5-9-2-7"), (2, "5-9-2-7"), (10, "5-9-2-7")])
+    lms = audio_landmarks_timed(sigs, fanout=3)
+    [row] = landmark_search(
+        lms.where("item_id < 10"), lms.where("item_id >= 10"), min_votes=3
+    ).collect()
+    assert (row["match_id"], row["offset"], row["votes"]) == (2, 0, 6)
+
+
+def test_landmark_search_stop_cap_filters_index_side(spark):
+    """max_bucket counts DISTINCT INDEX CLIPS per landmark: a landmark
+    in 3 index clips is dropped at cap 2, so a query matching only
+    through it finds nothing."""
+    from easydb_server_spark.operators.audiofp import landmark_search
+
+    idx = spark.createDataFrame(
+        [(1, 0, 777), (2, 0, 777), (3, 0, 777),
+         (1, 1, 111), (1, 2, 112), (1, 3, 113)],
+        "item_id BIGINT, t INT, lm BIGINT",
+    )
+    qry = spark.createDataFrame(
+        [(10, 0, 777), (10, 1, 777), (10, 2, 777)],
+        "item_id BIGINT, t INT, lm BIGINT",
+    )
+    capped = landmark_search(idx, qry, min_votes=1, max_bucket=2).collect()
+    assert capped == []
+    uncapped = landmark_search(idx, qry, min_votes=1, max_bucket=None).collect()
+    assert len(uncapped) == 1
