@@ -99,7 +99,6 @@ HEADLINE = FIXED_CORE + [
     # composes the sentence-span stage), text_ccnet_buckets (the
     # bigram-LM family keeps text_bigram_logprob). Back in from the r12/r13 trims:
     # text_stratified_sample, curate_source_cap, ts_tumbling.
-    "ts_session_window",
     "ts_resample_interp",
     "text_paragraph_dedup",
     "dedup_incremental_fuzzy",
@@ -182,11 +181,15 @@ HEADLINE = FIXED_CORE + [
     # r15 additions: clip-level video near-dup dedup (scene-sequence
     # digest + chunked tolerance), shift-robust audio landmark
     # matching (Wang-2003 constellation pairs, stop-landmark cap),
-    # and landmark retrieval by offset voting (the Shazam matcher;
-    # text_quality_prune yields its tail slot for the line budget)
+    # and landmark retrieval by offset voting in BOTH modalities (the
+    # Shazam matcher over timed audio landmarks / scene-hash
+    # landmarks; text_quality_prune and ts_session_window yield their
+    # tail slots for the line budget — both sub-0.6 s with r13-r15
+    # timing evidence, both stay oracle-verified)
     "dedup_video_neardup",
     "dedup_audio_landmark",
     "audio_landmark_search",
+    "video_landmark_search",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

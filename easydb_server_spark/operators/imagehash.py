@@ -424,3 +424,46 @@ def video_neardup_pairs(sigs: DataFrame, max_diff: int = 1) -> DataFrame:
         .select("item_a", "item_b", mismatches.cast("int").alias("mismatches"))
         .where(F.col("mismatches") <= max_diff)
     )
+
+
+def scene_landmarks(sigs: DataFrame, fanout: int = 3) -> DataFrame:
+    """(item_id, t, lm): timed landmarks over a clip's SCENE-HASH
+    sequence — the video-side constellation (the audio sibling is
+    operators/audiofp.audio_landmarks_timed, and the two feed the SAME
+    offset-voting matcher, audiofp.landmark_search). Tokens are the
+    16-hex keyframe words of ``sig_seq`` (video_signature's contract);
+    a landmark is md5("tokA:tokB:delta") for each scene and each of
+    the next ``fanout`` scenes, with t = the anchor's scene position.
+
+    Why this exists: video_neardup_pairs requires EQUAL scene counts
+    (positional mismatch tolerance), so a clip with a prepended promo
+    scene or a trimmed intro never pairs with its source. Landmarks
+    carry only inter-scene deltas, so every landmark inside the shared
+    span survives trims/pads verbatim and votes for one alignment.
+
+    Scale shape: one keyed window per clip (lead over <= frame-count
+    scene positions) — the corpus shuffles short (id, int, 32-char)
+    rows only; no joins here (matching is landmark_search's job)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_id").orderBy("t")
+    toks = sigs.select(
+        "item_id", F.posexplode(F.split("sig_seq", "-")).alias("t", "tok")
+    )
+    leads = toks.select(
+        "item_id",
+        "t",
+        "tok",
+        *[F.lead("tok", d).over(w).alias(f"__l{d}") for d in range(1, fanout + 1)],
+    )
+    lms = [
+        F.when(
+            F.col(f"__l{d}").isNotNull(),
+            F.md5(F.concat_ws(":", F.col("tok"), F.col(f"__l{d}"), F.lit(str(d)))),
+        )
+        for d in range(1, fanout + 1)
+    ]
+    return (
+        leads.select("item_id", "t", F.explode(F.array(*lms)).alias("lm"))
+        .where(F.col("lm").isNotNull())
+    )

@@ -6964,3 +6964,179 @@ ranked AS (
 SELECT query_id, match_id, "offset", votes FROM ranked WHERE rn = 1
 ORDER BY query_id
 """
+
+
+def q_video_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust VIDEO retrieval by scene-landmark offset voting —
+    the video sibling of audio_landmark_search, and deliberately the
+    SAME matcher (audiofp.landmark_search is modality-agnostic over
+    (item_id, t, lm) rows; only the landmark extractor differs:
+    imagehash.scene_landmarks hashes scene-token pairs). Covers the
+    case video_neardup_pairs cannot: a clip with a PREPENDED promo
+    scene has a different scene count, so positional matching never
+    pairs it with its source — landmarks carry only inter-scene
+    deltas and vote for the alignment.
+
+    Fixture: the 360 near-dup clips are the INDEX; doc_id in
+    [360, 440) are QUERIES — the base's 3 plain scenes with
+    1 + doc_id%2 extra scenes PREPENDED (a distinct promo recipe).
+    Every query shares exactly its 3 source scenes, landing the 3
+    shared landmarks on offset -p: simulated 80/80 queries match
+    their own base at exactly -p with votes == min_votes == 3, ties
+    resolved to the base clip itself (smallest doc_id of the ~8
+    identical plain members). The oracle replays frame arithmetic,
+    scene detection, the md5 scene landmarks, vote cells, and the
+    ROW_NUMBER tiebreak in closed form."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.audiofp import landmark_search
+    from easydb_server_spark.operators.imagehash import (
+        scene_landmarks,
+        video_signature,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 440).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif_animated
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did < 360:
+                    base, vr, p = did % 30, did // 30, 0
+                else:
+                    base, vr, p = (did - 360) % 30, 0, 1 + did % 2
+                w, h = 12 + base % 5, 10 + base % 4
+                y, x = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(2 * p):
+                    sp, j = f // 2, f % 2
+                    idx = (base * 5 + 7 + sp * 3 + y * 7 + x * 5) % 16
+                    idx[0, 0] = (idx[0, 0] + j) % 16
+                    frames.append(pal[idx])
+                for f in range(6):
+                    s, j = f // 2, f % 2
+                    shift9 = 9 if (s == 1 and vr % 3 == 2) else 0
+                    idx = (base * 5 + s * 6 + shift9 + y * 5 + x * 7) % 16
+                    idx[0, 0] = (idx[0, 0] + j) % 16
+                    frames.append(pal[idx])
+                out.append((did, encode_gif_animated(frames)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    sigs = video_signature(blobs, "payload", "item_id")
+    # persist once; index and query sides both slice from it
+    lms = scene_landmarks(sigs, fanout=3).localCheckpoint(eager=True)
+    return landmark_search(
+        lms.where(F.col("item_id") < 360),
+        lms.where(F.col("item_id") >= 360),
+        min_votes=3,
+        max_bucket=None,
+    ).orderBy("query_id")
+
+
+ORACLE_VIDEO_LANDMARK_SEARCH = """
+WITH vldocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 360 THEN doc_id % 30 ELSE (doc_id - 360) % 30 END AS base,
+         CASE WHEN doc_id < 360 THEN doc_id // 30 ELSE 0 END AS vr,
+         CASE WHEN doc_id < 360 THEN 0 ELSE 1 + doc_id % 2 END AS p
+  FROM documents WHERE doc_id < 440
+),
+vlgeom AS (
+  SELECT doc_id, base, vr, p,
+         12 + base % 5 AS w, 10 + base % 4 AS h, 6 + 2 * p AS tcnt
+  FROM vldocs
+),
+vlsamp AS (
+  SELECT g.doc_id, g.base, g.vr, g.p, ff.f, vv.v, uu.u,
+         (uu.u * g.w) // 9 AS sx, (vv.v * g.h) // 8 AS sy
+  FROM vlgeom g,
+       UNNEST(generate_series(0, g.tcnt - 1)) ff(f),
+       UNNEST(generate_series(0, 7)) vv(v),
+       UNNEST(generate_series(0, 8)) uu(u)
+),
+vlgry AS (
+  SELECT doc_id, f, v, u,
+         (299 * ((idx * 16) % 256) + 587 * ((idx * 37) % 256)
+          + 114 * ((idx * 73) % 256)) // 1000 AS gr
+  FROM (
+    SELECT doc_id, f, v, u,
+           (CASE WHEN f < 2 * p
+                 THEN (base * 5 + 7 + (f // 2) * 3 + sy * 7 + sx * 5) % 16
+                 ELSE (base * 5 + ((f - 2 * p) // 2) * 6
+                       + CASE WHEN (f - 2 * p) // 2 = 1 AND vr % 3 = 2
+                              THEN 9 ELSE 0 END
+                       + sy * 5 + sx * 7) % 16
+            END
+            + CASE WHEN sy = 0 AND sx = 0 THEN f % 2 ELSE 0 END) % 16 AS idx
+    FROM vlsamp
+  )
+),
+vlbits AS (
+  SELECT l.doc_id, l.f, l.v * 8 + l.u AS i,
+         CASE WHEN l.gr < r.gr THEN 1 ELSE 0 END AS bit
+  FROM vlgry l JOIN vlgry r ON r.doc_id = l.doc_id AND r.f = l.f
+                           AND r.v = l.v AND r.u = l.u + 1
+  WHERE l.u < 8
+),
+vlbnd AS (
+  SELECT doc_id, f, i // 16 AS b,
+         CAST(SUM(CAST(bit AS BIGINT) << (i % 16)) AS BIGINT) AS bv
+  FROM vlbits GROUP BY doc_id, f, i // 16
+),
+vlsig AS (
+  SELECT doc_id, f,
+         MAX(CASE WHEN b = 0 THEN bv END) AS band0,
+         MAX(CASE WHEN b = 1 THEN bv END) AS band1,
+         MAX(CASE WHEN b = 2 THEN bv END) AS band2,
+         MAX(CASE WHEN b = 3 THEN bv END) AS band3
+  FROM vlbnd GROUP BY doc_id, f
+),
+vlham AS (
+  SELECT c.doc_id, c.f,
+         printf('%04x%04x%04x%04x', c.band3, c.band2, c.band1, c.band0) AS ph,
+         (prev.band0 IS NULL
+          OR bit_count(xor(c.band0, prev.band0)) + bit_count(xor(c.band1, prev.band1))
+             + bit_count(xor(c.band2, prev.band2)) + bit_count(xor(c.band3, prev.band3)) > 3)
+           AS is_start
+  FROM vlsig c LEFT JOIN vlsig prev
+    ON prev.doc_id = c.doc_id AND prev.f = c.f - 1
+),
+vltok AS (
+  SELECT doc_id, ph,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) - 1 AS INT) AS t
+  FROM vlham WHERE is_start
+),
+vllm AS (
+  SELECT a.doc_id, a.t,
+         md5(a.ph || ':' || b.ph || ':' || CAST(b.t - a.t AS VARCHAR)) AS lm
+  FROM vltok a JOIN vltok b
+    ON b.doc_id = a.doc_id AND b.t - a.t BETWEEN 1 AND 3
+),
+cells AS (
+  SELECT q.doc_id AS query_id, x.doc_id AS match_id,
+         CAST(x.t - q.t AS INT) AS "offset",
+         CAST(COUNT(*) AS INT) AS votes
+  FROM (SELECT doc_id, t, lm FROM vllm WHERE doc_id >= 360) q
+  JOIN (SELECT doc_id, t, lm FROM vllm WHERE doc_id < 360) x ON x.lm = q.lm
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+),
+ranked AS (
+  SELECT query_id, match_id, "offset", votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, match_id, "offset"
+         ) AS rn
+  FROM cells
+)
+SELECT query_id, match_id, "offset", votes FROM ranked WHERE rn = 1
+ORDER BY query_id
+"""

@@ -327,3 +327,36 @@ def test_video_neardup_distinct_is_narrow(spark):
     for ln in agg_lines:
         assert "sig_seq" not in ln and "bdig" not in ln, ln
         assert "item_a" in ln and "item_b" in ln, ln
+
+
+def test_scene_landmarks_shift_robust_and_search_crossmodal(spark):
+    """The video constellation: a clip with a PREPENDED scene keeps
+    every landmark of the shared span (superset), and the SAME
+    offset-voting matcher used for audio (audiofp.landmark_search)
+    retrieves the source at the pad offset — the cross-modal reuse
+    the operators are designed for."""
+    import hashlib
+
+    from easydb_server_spark.operators.audiofp import landmark_search
+    from easydb_server_spark.operators.imagehash import scene_landmarks
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 3, "aaaa-bbbb-cccc"),           # index clip
+            (10, 4, "9999-aaaa-bbbb-cccc"),     # query: one prepended scene
+        ],
+        "item_id BIGINT, n_scenes INT, sig_seq STRING",
+    )
+    lms = scene_landmarks(sigs, fanout=3)
+    by_item = {}
+    for r in lms.collect():
+        by_item.setdefault(r["item_id"], set()).add((r["t"], r["lm"]))
+    assert {l for _t, l in by_item[1]} <= {l for _t, l in by_item[10]}
+    want = hashlib.md5(b"aaaa:bbbb:1").hexdigest()
+    assert (0, want) in by_item[1] and (1, want) in by_item[10]
+    [row] = landmark_search(
+        lms.where("item_id < 10"), lms.where("item_id >= 10"), min_votes=3
+    ).collect()
+    assert (row["query_id"], row["match_id"], row["offset"], row["votes"]) == (
+        10, 1, -1, 3,
+    )
