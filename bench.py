@@ -107,7 +107,6 @@ HEADLINE = FIXED_CORE + [
     "text_tfidf_keywords",
     "text_contamination_spans",
     "text_bpe_merges",
-    "sim_hybrid_rrf",
     "crawl_pipeline",
     # r8 additions: DSIR importance resampling, span clipping
     "curate_dsir",
@@ -190,6 +189,10 @@ HEADLINE = FIXED_CORE + [
     "dedup_audio_landmark",
     "audio_landmark_search",
     "video_landmark_search",
+    # r15 addition: image retrieval by banded perceptual hash
+    # (sim_hybrid_rrf yields its tail slot for the line budget —
+    # 0.49 s with r13-r15 timing evidence, stays oracle-verified)
+    "image_phash_search",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

@@ -467,3 +467,65 @@ def scene_landmarks(sigs: DataFrame, fanout: int = 3) -> DataFrame:
         leads.select("item_id", "t", F.explode(F.array(*lms)).alias("lm"))
         .where(F.col("lm").isNotNull())
     )
+
+
+def phash_search(
+    index_sigs: DataFrame, query_sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(query_id, match_id, hamming): the nearest index image per
+    query by dHash Hamming distance — image retrieval through the
+    same banded machinery as :func:`dhash_pairs` (completing the
+    per-modality search matrix next to audio/video landmark_search
+    and the embedding sim_topk family). Candidates share at least one
+    16-bit band with the query (pigeonhole-complete for
+    max_hamming <= 3, so the true nearest within the radius is NEVER
+    missed); the winner per query is min hamming, ties to the smaller
+    match_id — deterministic on both engines. Queries beyond
+    ``max_hamming`` of every index image return no row (the honest
+    "not found").
+
+    Scale shape: the probe join is an equi-join on (band, value) —
+    index-side quadratic work confined to band buckets; the candidate
+    distinct carries only the id pair (the dhash_pairs rule); bands
+    re-attach from the two persisted signature tables; top-1 is a
+    per-query window over the bounded candidate set."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("max_hamming must be in [0, 3]: 4 bands pigeonhole-cover <= 3 flips")
+    from pyspark.sql import Window
+
+    bandcols = ["band0", "band1", "band2", "band3"]
+
+    def banded(sigs, out):
+        return sigs.select(
+            F.col("item_id").alias(out),
+            F.posexplode(F.array(*[F.col(c) for c in bandcols])).alias("b", "bv"),
+        )
+
+    cand = (
+        banded(query_sigs, "query_id")
+        .join(banded(index_sigs, "match_id"), ["b", "bv"])
+        .select("query_id", "match_id")
+        .distinct()
+    )
+    q = query_sigs.select(
+        F.col("item_id").alias("query_id"),
+        *[F.col(c).alias(f"qa{i}") for i, c in enumerate(bandcols)],
+    )
+    x = index_sigs.select(
+        F.col("item_id").alias("match_id"),
+        *[F.col(c).alias(f"xa{i}") for i, c in enumerate(bandcols)],
+    )
+    hamming = None
+    for i in range(4):
+        term = F.bit_count(F.col(f"qa{i}").bitwiseXOR(F.col(f"xa{i}")))
+        hamming = term if hamming is None else hamming + term
+    w = Window.partitionBy("query_id").orderBy(F.col("hamming"), F.col("match_id"))
+    return (
+        cand.join(q, "query_id")
+        .join(x, "match_id")
+        .select("query_id", "match_id", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("query_id", "match_id", "hamming")
+    )

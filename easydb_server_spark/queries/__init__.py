@@ -228,6 +228,12 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_video_landmark_search,
         llmops.ORACLE_VIDEO_LANDMARK_SEARCH,
     ),
+    # r15: image retrieval by perceptual hash (nearest index image
+    # within Hamming 3 via pigeonhole-complete banded candidates)
+    "image_phash_search": (
+        llmops.q_image_phash_search,
+        llmops.ORACLE_IMAGE_PHASH_SEARCH,
+    ),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -434,22 +440,23 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 15's changed/new set (7): dedup_video_neardup (NEW —
+# cohort. Round 15's changed/new set (8): dedup_video_neardup (NEW —
 # clip-level scene-sequence near-dup, imagehash.video_signature /
 # video_neardup_pairs), dedup_audio_landmark (NEW — shift-robust
 # Wang-2003 landmark matching, audiofp.audio_landmarks /
 # landmark_matches), audio_landmark_search + video_landmark_search
 # (NEW — offset-voting retrieval over timed audio/scene landmarks,
-# one modality-agnostic matcher), dedup_image_neardup (dhash_pairs' candidate
+# one modality-agnostic matcher), image_phash_search (NEW — nearest
+# index image by banded Hamming), dedup_image_neardup (dhash_pairs' candidate
 # distinct narrowed to (item_a, item_b) — the r14 verdict's ask #7),
 # video_keyframes (channel means became exact scaled integers,
 # mean_*_q4 — the r14 ADVICE rounding-divergence fix), and
 # emb_kmeans_assign (assign() gained the large-k*d closure-argmin
-# dispatch). Slots 8-25 are the pre-declared r14->r15 rotation: ALL
+# dispatch). Slots 9-26 are the pre-declared r14->r15 rotation: ALL
 # 18 remaining r9-evidence entries (pre-validated on r14 round-final
-# code, SCALE.md "r15 rotation pre-validated"). Slots 26-48 take the
-# first 23 of the 42-entry r10-evidence cohort in _DEFS order (the
-# remaining 19 — edge_natural_join, edge_regexp_count,
+# code, SCALE.md "r15 rotation pre-validated"). Slots 27-48 take the
+# first 22 of the 42-entry r10-evidence cohort in _DEFS order (the
+# remaining 20 — edge_ilike, edge_natural_join, edge_regexp_count,
 # edge_introspection through dedup_embedding_cosine — rotate r16).
 # Slots 49-50 are the rows-only execution-evidence tail
 # (r13 verdict ask #6, continued): audio_spectrogram and
@@ -462,6 +469,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "dedup_audio_landmark",
     "audio_landmark_search",
     "video_landmark_search",
+    "image_phash_search",
     "dedup_image_neardup",
     "video_keyframes",
     "emb_kmeans_assign",
@@ -484,7 +492,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "window_range_frame",
     "window_rank",
     "window_running",
-    # 23 of the 42 r10-evidence entries, _DEFS order
+    # 22 of the 42 r10-evidence entries, _DEFS order
     "multimodal_audio",
     "sim_incremental_neardup",
     "multimodal_audio_resample",
@@ -507,7 +515,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "text_html_extract",
     "text_paragraph_dedup",
     "crawl_pipeline",
-    "edge_ilike",
     # rows-only execution-evidence tail (r13 verdict ask #6, continued)
     "audio_spectrogram",
     "text_compression_ratio",

@@ -7140,3 +7140,141 @@ ranked AS (
 SELECT query_id, match_id, "offset", votes FROM ranked WHERE rn = 1
 ORDER BY query_id
 """
+
+
+def q_image_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image retrieval by perceptual hash — the image slot of the
+    per-modality search matrix (audio/video: landmark offset voting;
+    embeddings: the sim_topk family). Index = the 400 dedup_image
+    fixture images (base = doc_id % 40, odd ids carry the (0,0)+8
+    single-pixel edit); queries (doc_id in [400, 480)) re-render the
+    base recipe with a DIFFERENT single-pixel edit — (1,1)+4 palette
+    steps, a position sampled by the 9x8 grid for every fixture
+    geometry, so the edit flips at most the two gradient bits reading
+    that cell. Every query's nearest index image within Hamming 3 is
+    a member of its own base group (simulated 80/80, then
+    oracle-replayed); banded candidates make missing it impossible
+    (pigeonhole), and the (hamming, match_id) tiebreak is
+    deterministic on both engines."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.imagehash import image_dhash, phash_search
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 480).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                base = did % 40 if did < 400 else (did - 400) % 40
+                w, h = 12 + base % 5, 10 + base % 4
+                y, x = np.mgrid[0:h, 0:w]
+                idx = (base * 3 + y * 5 + x * 7) % 16
+                if did < 400 and did % 2 == 1:
+                    idx[0, 0] = (idx[0, 0] + 8) % 16
+                elif did >= 400:
+                    idx[1, 1] = (idx[1, 1] + 4) % 16
+                out.append((did, encode_gif(pal[idx])))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    blobs = d.mapInPandas(build, "doc_id bigint, payload binary")
+    # persist once; index and query sides slice from it (the
+    # signatures-before-self-join rule)
+    sigs = image_dhash(blobs, "payload", "doc_id").localCheckpoint(eager=True)
+    return phash_search(
+        sigs.where(F.col("item_id") < 400),
+        sigs.where(F.col("item_id") >= 400),
+        max_hamming=3,
+    ).orderBy("query_id")
+
+
+ORACLE_IMAGE_PHASH_SEARCH = """
+WITH isdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 400 THEN doc_id % 40 ELSE (doc_id - 400) % 40 END AS base,
+         CASE WHEN doc_id < 400 THEN doc_id % 2 ELSE 0 END AS var,
+         CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END AS isq
+  FROM documents WHERE doc_id < 480
+),
+isgeom AS (
+  SELECT doc_id, base, var, isq, 12 + base % 5 AS w, 10 + base % 4 AS h
+  FROM isdocs
+),
+issamp AS (
+  SELECT g.doc_id, g.base, g.var, g.isq, vv.v, uu.u,
+         (uu.u * g.w) // 9 AS sx, (vv.v * g.h) // 8 AS sy
+  FROM isgeom g,
+       UNNEST(generate_series(0, 7)) vv(v),
+       UNNEST(generate_series(0, 8)) uu(u)
+),
+isgry AS (
+  SELECT doc_id, v, u,
+         (299 * ((idx * 16) % 256) + 587 * ((idx * 37) % 256)
+          + 114 * ((idx * 73) % 256)) // 1000 AS gr
+  FROM (
+    SELECT doc_id, v, u,
+           ((base * 3 + sy * 5 + sx * 7) % 16
+            + CASE WHEN isq = 0 AND var = 1 AND sy = 0 AND sx = 0 THEN 8
+                   WHEN isq = 1 AND sy = 1 AND sx = 1 THEN 4
+                   ELSE 0 END) % 16 AS idx
+    FROM issamp
+  )
+),
+isbits AS (
+  SELECT l.doc_id, l.v * 8 + l.u AS i,
+         CASE WHEN l.gr < r.gr THEN 1 ELSE 0 END AS bit
+  FROM isgry l JOIN isgry r ON r.doc_id = l.doc_id AND r.v = l.v AND r.u = l.u + 1
+  WHERE l.u < 8
+),
+isbnd AS (
+  SELECT doc_id, i // 16 AS b,
+         CAST(SUM(CAST(bit AS BIGINT) << (i % 16)) AS BIGINT) AS bv
+  FROM isbits GROUP BY doc_id, i // 16
+),
+issig AS (
+  SELECT doc_id,
+         MAX(CASE WHEN b = 0 THEN bv END) AS band0,
+         MAX(CASE WHEN b = 1 THEN bv END) AS band1,
+         MAX(CASE WHEN b = 2 THEN bv END) AS band2,
+         MAX(CASE WHEN b = 3 THEN bv END) AS band3
+  FROM isbnd GROUP BY doc_id
+),
+isband AS (
+  SELECT doc_id, b.b,
+         CASE b.b WHEN 0 THEN band0 WHEN 1 THEN band1
+                  WHEN 2 THEN band2 ELSE band3 END AS bv
+  FROM issig CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) b
+),
+iscand AS (
+  SELECT DISTINCT q.doc_id AS query_id, x.doc_id AS match_id
+  FROM isband q JOIN isband x ON x.b = q.b AND x.bv = q.bv
+  WHERE q.doc_id >= 400 AND x.doc_id < 400
+),
+isham AS (
+  SELECT c.query_id, c.match_id,
+         CAST(bit_count(xor(qs.band0, xs.band0)) + bit_count(xor(qs.band1, xs.band1))
+              + bit_count(xor(qs.band2, xs.band2)) + bit_count(xor(qs.band3, xs.band3))
+           AS INT) AS hamming
+  FROM iscand c
+  JOIN issig qs ON qs.doc_id = c.query_id
+  JOIN issig xs ON xs.doc_id = c.match_id
+),
+isrank AS (
+  SELECT query_id, match_id, hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY hamming, match_id
+         ) AS rn
+  FROM isham WHERE hamming <= 3
+)
+SELECT query_id, match_id, hamming FROM isrank WHERE rn = 1
+ORDER BY query_id
+"""

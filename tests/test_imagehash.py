@@ -360,3 +360,52 @@ def test_scene_landmarks_shift_robust_and_search_crossmodal(spark):
     assert (row["query_id"], row["match_id"], row["offset"], row["votes"]) == (
         10, 1, -1, 3,
     )
+
+
+def test_phash_search_nearest_tiebreak_and_radius(spark):
+    """Retrieval semantics: exact hash match wins at hamming 0 with
+    ties to the smaller index id; a 3-bit-away query is still found
+    (pigeonhole: some band must match); a query beyond the radius of
+    every index image returns NO row."""
+    from easydb_server_spark.operators.imagehash import phash_search
+
+    schema = "item_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT"
+    index = spark.createDataFrame(
+        [(5, 100, 200, 300, 400), (2, 100, 200, 300, 400), (7, 900, 901, 902, 903)],
+        schema,
+    )
+    queries = spark.createDataFrame(
+        [
+            (10, 100, 200, 300, 400),          # exact: ties 2 vs 5 -> 2
+            (11, 100 ^ 0b111, 200, 300, 400),  # 3 flips in band0
+            (12, 1, 2, 3, 4),                  # nothing within hamming 3
+        ],
+        schema,
+    )
+    got = {
+        r["query_id"]: (r["match_id"], r["hamming"])
+        for r in phash_search(index, queries, max_hamming=3).collect()
+    }
+    assert got == {10: (2, 0), 11: (2, 3)}
+
+
+def test_phash_search_distinct_is_narrow(spark):
+    """The probe-side candidate distinct groups on the id pair only,
+    same as dhash_pairs."""
+    from easydb_server_spark.operators.imagehash import phash_search
+
+    schema = "item_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT"
+    index = spark.createDataFrame([(i, i % 7, i % 5, i % 3, i % 2) for i in range(20)], schema)
+    queries = spark.createDataFrame(
+        [(100 + i, i % 7, i % 5, i % 3, i % 2) for i in range(5)], schema
+    )
+    plan = (
+        phash_search(index, queries)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines
+    for ln in agg_lines:
+        assert "band0" not in ln and "qa0" not in ln and "xa0" not in ln, ln
+        assert "query_id" in ln and "match_id" in ln, ln

@@ -6,13 +6,13 @@ is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
 Round-15 window (new/changed first, then least driver evidence):
-the 7 changed/new entries (dedup_video_neardup, dedup_audio_landmark,
-audio_landmark_search and video_landmark_search are NEW;
-dedup_image_neardup re-verifies for the narrowed candidate distinct,
-video_keyframes for the integer means, emb_kmeans_assign for the
-large-k*d dispatch), then the pre-declared 18-entry r9-evidence fill
-(the cohort's last members), then 23 of the 42-entry r10-evidence
-cohort (the remaining 19 rotate r16). Slots
+the 8 changed/new entries (dedup_video_neardup, dedup_audio_landmark,
+audio_landmark_search, video_landmark_search and image_phash_search
+are NEW; dedup_image_neardup re-verifies for the narrowed candidate
+distinct, video_keyframes for the integer means, emb_kmeans_assign
+for the large-k*d dispatch), then the pre-declared 18-entry
+r9-evidence fill (the cohort's last members), then 22 of the 42-entry
+r10-evidence cohort (the remaining 20 rotate r16). Slots
 49-50 continue the rows-only execution-evidence tail
 (audio_spectrogram, text_compression_ratio; r16 takes the final two).
 """
@@ -50,9 +50,10 @@ def test_window_holds_the_r15_rotation():
     changed = {
         "dedup_video_neardup", "dedup_audio_landmark",
         "audio_landmark_search", "video_landmark_search",
+        "image_phash_search",
         "dedup_image_neardup", "video_keyframes", "emb_kmeans_assign",
     }
-    assert set(window[:7]) == changed
+    assert set(window[:8]) == changed
     # slots 6-23: the pre-declared r14->r15 rotation — ALL 18
     # remaining r9-evidence entries (newest driver evidence across
     # CORRECTNESS_r*.json up to r14 — the goalpost is fixed at
@@ -67,12 +68,12 @@ def test_window_holds_the_r15_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r9_cohort = {n for n, r in newest.items() if r == 9}
     assert len(r9_cohort) == 18
-    assert set(window[7:25]) == r9_cohort
-    # slots 26-48: 23 of the 42-entry r10-evidence cohort
+    assert set(window[8:26]) == r9_cohort
+    # slots 27-48: 22 of the 42-entry r10-evidence cohort
     r10_cohort = {n for n, r in newest.items() if r == 10}
     assert len(r10_cohort) == 42
-    assert set(window[25:48]) <= r10_cohort
-    assert len(window[25:48]) == 23
+    assert set(window[26:48]) <= r10_cohort
+    assert len(window[26:48]) == 22
     # slots 49-50: rows-only execution-evidence tail (r13 verdict ask
     # #6, continued over r14-r16) — the ONLY rows-only entries allowed
     # in the window, and only to demonstrate the driver executes them
