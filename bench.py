@@ -362,7 +362,22 @@ def main() -> None:
         "compact 2-dp medians (driver tail capture is 2000 chars —\n"
         "BENCH_r07.json lesson); the full record, including per-query\n"
         "spread (max−min of the timed runs) and the fixture layout used,\n"
-        "lives here.\n\n```json\n" + json.dumps(detail, indent=1) + "\n```\n"
+        "lives here.\n\n"
+        "## Cross-round attribution rule (r15, productizing the r13/r14\n"
+        "host-drift studies)\n\n"
+        "`probe_sec` times a FROZEN fixture-independent JVM workload;\n"
+        "`queries_per_probe` is each query's median divided by it. To\n"
+        "read a cross-round per-query delta: compare the two rounds'\n"
+        "`queries_per_probe` values, not raw seconds. A delta is\n"
+        "auto-attributed to the HOST (no worktree A/B needed) when the\n"
+        "probe-normalized ratio moved less than the probe's own drift\n"
+        "band — measured same-day spread is ±5% on the probe and ±10%\n"
+        "on suite totals (SCALE.md 'r15 final validation state'), so\n"
+        "treat probe-normalized ratios within ×0.85–1.15 as host/noise\n"
+        "and only investigate beyond that. Caveat: the probe is pure\n"
+        "CPU — it deliberately does NOT absorb IO/scheduler-share\n"
+        "drift, which is why the band is wider than the probe's own\n"
+        "spread.\n\n```json\n" + json.dumps(detail, indent=1) + "\n```\n"
     )
 
     line = json.dumps(
