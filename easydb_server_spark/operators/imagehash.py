@@ -377,8 +377,18 @@ def video_neardup_pairs(sigs: DataFrame, max_diff: int = 1) -> DataFrame:
     distinct carries only (item_a, item_b) — the dhash_pairs rule —
     and sequences re-attach from ``sigs`` (which the caller persists)
     for the positional-mismatch verification, an in-row
-    zip_with/aggregate fold."""
+    zip_with/aggregate fold.
+
+    Clips with ``n_scenes <= max_diff`` are EXCLUDED (r15 hardening):
+    tolerance is meaningless there — a 1-scene clip "within 1
+    mismatch" of another is 100% different content — and mechanically
+    the ceil-split would hand them an EMPTY chunk whose md5("")
+    digest is a UNIVERSAL join key: every short clip in the corpus
+    would land in one bucket (the hot-bucket hazard every banded plan
+    in this repo is designed to avoid). Short clips still dedup
+    exactly via the full-sequence digest (``sig``)."""
     B = max_diff + 1
+    sigs = sigs.where(F.col("n_scenes") > max_diff)
     n = F.col("n_scenes")
     chunks = []
     for b in range(B):

@@ -6719,7 +6719,8 @@ nvs AS (
 nvpairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM nvs a JOIN nvs b ON b.n_scenes = a.n_scenes AND a.doc_id < b.doc_id
-  WHERE len(list_filter(generate_series(1, a.n_scenes),
+  WHERE a.n_scenes > 1
+    AND len(list_filter(generate_series(1, a.n_scenes),
         i -> string_split(a.sig_seq, '-')[i] <> string_split(b.sig_seq, '-')[i])) <= 1
 ),
 nvedges AS (

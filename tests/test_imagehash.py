@@ -409,3 +409,29 @@ def test_phash_search_distinct_is_narrow(spark):
     for ln in agg_lines:
         assert "band0" not in ln and "qa0" not in ln and "xa0" not in ln, ln
         assert "query_id" in ln and "match_id" in ln, ln
+
+
+def test_video_neardup_excludes_degenerate_short_clips(spark):
+    """r15 hardening: clips with n_scenes <= max_diff never pair —
+    semantically (a 1-scene clip "within 1 mismatch" of another is
+    100% different) and mechanically (the ceil-split would give them
+    an EMPTY chunk whose md5('') digest is a universal join key —
+    every short clip in the corpus would collide into one bucket)."""
+    from easydb_server_spark.operators.imagehash import video_neardup_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 1, "aaaa"),
+            (2, 1, "bbbb"),            # different single scene: NOT a near-dup
+            (3, 1, "aaaa"),            # identical single scene: exact dedup's
+                                       # job (the full digest), not tolerance's
+            (4, 2, "aaaa-cccc"),
+            (5, 2, "aaaa-dddd"),       # 2 scenes, 1 mismatch: still pairs
+        ],
+        "item_id BIGINT, n_scenes INT, sig_seq STRING",
+    )
+    got = {
+        (r["item_a"], r["item_b"])
+        for r in video_neardup_pairs(sigs, max_diff=1).collect()
+    }
+    assert got == {(4, 5)}
