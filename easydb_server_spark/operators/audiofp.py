@@ -54,6 +54,37 @@ from pyspark.sql import DataFrame, Window
 
 FP_SCHEMA = "item_id bigint, n_frames int, peak_seq string, fp string"
 
+DELTA_BITS = 10  # low landmark field: frame delta, 1..fanout
+
+
+def _checked_peak(peak_bits: int):
+    """Peak-bin column with the packing contract enforced at runtime:
+    a bin >= 2^peak_bits would silently overflow the target field into
+    the anchor field (colliding landmarks, false matches), so the
+    check rides the data path as assert_true — JVM-side, per row, and
+    un-prunable because the landmark expression consumes its result.
+    NULL peaks (absent leads) stay NULL and are filtered downstream."""
+    lim = 1 << peak_bits
+    ok = F.col("p").isNull() | (F.col("p") < F.lit(lim))
+    return F.when(
+        F.assert_true(
+            ok,
+            F.lit(
+                f"peak bin >= {lim} overflows the landmark target field: "
+                f"raise peak_bits to cover rfft bins of this frame size"
+            ),
+        ).isNull(),
+        F.col("p"),
+    ).alias("p")
+
+
+def _check_fanout(fanout: int) -> None:
+    if not 1 <= fanout < (1 << DELTA_BITS):
+        raise ValueError(
+            f"fanout must be in [1, {(1 << DELTA_BITS) - 1}]: the delta "
+            f"field is {DELTA_BITS} bits"
+        )
+
 
 def peak_sequence(samples, frame: int = 64, hop: int = 64) -> list[int]:
     """Dominant rfft bin per Hann-windowed frame of a mono float
@@ -115,13 +146,18 @@ def fingerprint_dup_groups(sigs: DataFrame) -> DataFrame:
     )
 
 
-def audio_landmarks(sigs: DataFrame, fanout: int = 3) -> DataFrame:
+def audio_landmarks(sigs: DataFrame, fanout: int = 3, peak_bits: int = 10) -> DataFrame:
     """(item_id, lm): each clip's DISTINCT landmark set — Wang-2003
     constellation pairs (anchor peak, target peak, frame delta) for
     every anchor frame and each of the next ``fanout`` frames, encoded
-    as one INT64: ``anchor * 2^20 + target * 2^10 + delta`` (rfft bin
-    indices are < 1024 for any frame size this operator meets — 2^20
-    would need a >2048-point frame — and delta <= fanout < 1024).
+    as one INT64: ``anchor * 2^(peak_bits+10) + target * 2^10 + delta``.
+    The default ``peak_bits=10`` covers rfft bins of frames up to 2046
+    points; larger frames (or a larger landmark cell space for a
+    bigger corpus — the r15 sweep's ~48k-cell ceiling at frame=256)
+    raise ``peak_bits``, and any peak that would overflow its field
+    raises at runtime instead of silently colliding
+    (:func:`_checked_peak`). peak_bits <= 26 keeps the packed value
+    inside INT64 with sign headroom.
 
     This is the SHIFT-robust layer on top of the exact-sequence
     fingerprint: ``fp`` (md5 of the whole peak sequence) catches
@@ -137,13 +173,16 @@ def audio_landmarks(sigs: DataFrame, fanout: int = 3) -> DataFrame:
     image-signature discipline."""
     from pyspark.sql import Window
 
+    _check_fanout(fanout)
+    if not 1 <= peak_bits <= 26:
+        raise ValueError("peak_bits must be in [1, 26] (INT64 headroom)")
     w = Window.partitionBy("item_id").orderBy("t")
     peaks = sigs.select(
         "item_id",
         F.posexplode(
             F.transform(F.split("peak_seq", "-"), lambda x: x.cast("long"))
         ).alias("t", "p"),
-    )
+    ).select("item_id", "t", _checked_peak(peak_bits))
     # window leads first, generator second: Spark rejects window
     # expressions inside explode()'s argument in one operator
     leads = peaks.select(
@@ -151,8 +190,11 @@ def audio_landmarks(sigs: DataFrame, fanout: int = 3) -> DataFrame:
         "p",
         *[F.lead("p", d).over(w).alias(f"__l{d}") for d in range(1, fanout + 1)],
     )
+    anchor_shift = 1 << (peak_bits + DELTA_BITS)
     lms = [
-        F.col("p") * F.lit(1 << 20) + F.col(f"__l{d}") * F.lit(1 << 10) + F.lit(d)
+        F.col("p") * F.lit(anchor_shift)
+        + F.col(f"__l{d}") * F.lit(1 << DELTA_BITS)
+        + F.lit(d)
         for d in range(1, fanout + 1)
     ]
     return (
@@ -199,31 +241,41 @@ def landmark_matches(
     )
 
 
-def audio_landmarks_timed(sigs: DataFrame, fanout: int = 3) -> DataFrame:
+def audio_landmarks_timed(
+    sigs: DataFrame, fanout: int = 3, peak_bits: int = 10
+) -> DataFrame:
     """(item_id, t, lm): like :func:`audio_landmarks` but KEEPS the
     anchor frame index — the retrieval-side shape. Matching by shared
     landmarks alone (landmark_matches) answers "same recording?";
     offset VOTING (landmark_search) needs each landmark's anchor time
     so shared landmarks can vote for their implied alignment. No
     distinct: for a fixed anchor t each delta contributes one row, so
-    rows are unique by construction; one keyed window, map-side."""
+    rows are unique by construction; one keyed window, map-side.
+    ``peak_bits`` widens the packed fields exactly as in
+    :func:`audio_landmarks` (same runtime overflow guard)."""
     from pyspark.sql import Window
 
+    _check_fanout(fanout)
+    if not 1 <= peak_bits <= 26:
+        raise ValueError("peak_bits must be in [1, 26] (INT64 headroom)")
     w = Window.partitionBy("item_id").orderBy("t")
     peaks = sigs.select(
         "item_id",
         F.posexplode(
             F.transform(F.split("peak_seq", "-"), lambda x: x.cast("long"))
         ).alias("t", "p"),
-    )
+    ).select("item_id", "t", _checked_peak(peak_bits))
     leads = peaks.select(
         "item_id",
         "t",
         "p",
         *[F.lead("p", d).over(w).alias(f"__l{d}") for d in range(1, fanout + 1)],
     )
+    anchor_shift = 1 << (peak_bits + DELTA_BITS)
     lms = [
-        F.col("p") * F.lit(1 << 20) + F.col(f"__l{d}") * F.lit(1 << 10) + F.lit(d)
+        F.col("p") * F.lit(anchor_shift)
+        + F.col(f"__l{d}") * F.lit(1 << DELTA_BITS)
+        + F.lit(d)
         for d in range(1, fanout + 1)
     ]
     return (

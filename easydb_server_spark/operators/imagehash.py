@@ -479,26 +479,25 @@ def scene_landmarks(sigs: DataFrame, fanout: int = 3) -> DataFrame:
     )
 
 
-def phash_search(
-    index_sigs: DataFrame, query_sigs: DataFrame, max_hamming: int = 3
+def _phash_ranked(
+    index_sigs: DataFrame,
+    query_sigs: DataFrame,
+    max_hamming: int,
+    max_bucket: int | None,
 ) -> DataFrame:
-    """(query_id, match_id, hamming): the nearest index image per
-    query by dHash Hamming distance — image retrieval through the
-    same banded machinery as :func:`dhash_pairs` (completing the
-    per-modality search matrix next to audio/video landmark_search
-    and the embedding sim_topk family). Candidates share at least one
-    16-bit band with the query (pigeonhole-complete for
-    max_hamming <= 3, so the true nearest within the radius is NEVER
-    missed); the winner per query is min hamming, ties to the smaller
-    match_id — deterministic on both engines. Queries beyond
-    ``max_hamming`` of every index image return no row (the honest
-    "not found").
+    """(query_id, match_id, hamming, rank): every index image within
+    ``max_hamming`` of each query, ranked per query by (hamming,
+    match_id) — the shared core of :func:`phash_search` (rank == 1)
+    and :func:`phash_topk` (rank <= k).
 
-    Scale shape: the probe join is an equi-join on (band, value) —
-    index-side quadratic work confined to band buckets; the candidate
-    distinct carries only the id pair (the dhash_pairs rule); bands
-    re-attach from the two persisted signature tables; top-1 is a
-    per-query window over the bounded candidate set."""
+    ``max_bucket`` is the stop-bucket guard (the landmark_search
+    contract brought to the image index): a hot (band, value) cell —
+    e.g. many solid-color images sharing a band — makes the probe-side
+    candidate join fan out with the cell's population, unbounded by
+    the radius. Dropping index band values present in more than
+    ``max_bucket`` index images BEFORE the join bounds every bucket,
+    at the standard recall cost: a query whose every shared band is
+    stopped finds nothing through that cell."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("max_hamming must be in [0, 3]: 4 bands pigeonhole-cover <= 3 flips")
     from pyspark.sql import Window
@@ -511,9 +510,18 @@ def phash_search(
             F.posexplode(F.array(*[F.col(c) for c in bandcols])).alias("b", "bv"),
         )
 
+    bx = banded(index_sigs, "match_id")
+    if max_bucket is not None:
+        keep = (
+            bx.groupBy("b", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("b", "bv")
+        )
+        bx = bx.join(keep, ["b", "bv"])
     cand = (
         banded(query_sigs, "query_id")
-        .join(banded(index_sigs, "match_id"), ["b", "bv"])
+        .join(bx, ["b", "bv"])
         .select("query_id", "match_id")
         .distinct()
     )
@@ -535,7 +543,60 @@ def phash_search(
         .join(x, "match_id")
         .select("query_id", "match_id", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def phash_search(
+    index_sigs: DataFrame,
+    query_sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(query_id, match_id, hamming): the nearest index image per
+    query by dHash Hamming distance — image retrieval through the
+    same banded machinery as :func:`dhash_pairs` (completing the
+    per-modality search matrix next to audio/video landmark_search
+    and the embedding sim_topk family). Candidates share at least one
+    16-bit band with the query (pigeonhole-complete for
+    max_hamming <= 3, so the true nearest within the radius is NEVER
+    missed — unless ``max_bucket`` stops a hot cell, the documented
+    trade); the winner per query is min hamming, ties to the smaller
+    match_id — deterministic on both engines. Queries beyond
+    ``max_hamming`` of every index image return no row (the honest
+    "not found").
+
+    Scale shape: the probe join is an equi-join on (band, value) —
+    index-side quadratic work confined to band buckets, hot buckets
+    dropped by ``max_bucket`` BEFORE the join; the candidate distinct
+    carries only the id pair (the dhash_pairs rule); bands re-attach
+    from the two persisted signature tables; top-1 is a per-query
+    window over the bounded candidate set."""
+    return (
+        _phash_ranked(index_sigs, query_sigs, max_hamming, max_bucket)
+        .where(F.col("rank") == 1)
         .select("query_id", "match_id", "hamming")
+    )
+
+
+def phash_topk(
+    index_sigs: DataFrame,
+    query_sigs: DataFrame,
+    k: int = 5,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(query_id, match_id, hamming, rank): the k nearest index images
+    within ``max_hamming`` per query — :func:`phash_search`
+    generalized to the ``sim_topk_*`` surface (r15 verdict ask #7).
+    Same banded candidates, same (hamming, match_id) ranking, same
+    pigeonhole completeness; queries with fewer than k index images in
+    radius return that many rows. Plan shape is identical to top-1 —
+    the row_number window already computes every rank."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        _phash_ranked(index_sigs, query_sigs, max_hamming, max_bucket)
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "hamming", "rank")
     )

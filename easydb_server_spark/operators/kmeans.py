@@ -177,7 +177,15 @@ def _assign_closure(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataF
     contract), so numpy argmin's first-min-wins IS the
     smaller-cluster-id tiebreak."""
     cent_rows = [q for _c, q in cents]
-    assert [c for c, _q in cents] == list(range(len(cents)))
+    if [c for c, _q in cents] != list(range(len(cents))):
+        # ValueError, not assert: the numpy first-min-wins argmin IS
+        # the smaller-cluster-id tiebreak only under this ordering,
+        # and `python -O` strips asserts — a violating caller would
+        # get silently wrong labels on distance ties.
+        raise ValueError(
+            "centroid cluster ids must be contiguous 0..k-1 in order "
+            "(seed_centroids' contract)"
+        )
 
     def score(batches):
         import numpy as np

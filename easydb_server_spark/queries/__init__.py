@@ -234,6 +234,12 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_image_phash_search,
         llmops.ORACLE_IMAGE_PHASH_SEARCH,
     ),
+    # r16: top-k-within-radius generalization (r15 verdict ask #7) —
+    # same banded candidates and fixture, rank <= 3 exposed
+    "image_phash_topk": (
+        llmops.q_image_phash_topk,
+        llmops.ORACLE_IMAGE_PHASH_TOPK,
+    ),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,

@@ -236,3 +236,52 @@ def test_landmark_search_stop_cap_filters_index_side(spark):
     assert capped == []
     uncapped = landmark_search(idx, qry, min_votes=1, max_bucket=None).collect()
     assert len(uncapped) == 1
+
+
+def test_audio_landmarks_peak_overflow_raises(spark):
+    """r15 ADVICE: a peak bin >= 2^peak_bits would silently overflow
+    the target field into the anchor field (colliding landmarks) —
+    the packing contract is now enforced at runtime on the data path."""
+    import pytest
+
+    from easydb_server_spark.operators.audiofp import (
+        audio_landmarks,
+        audio_landmarks_timed,
+    )
+
+    sigs = _sig_frame(spark, [(1, "5-1024-2")])
+    with pytest.raises(Exception, match="overflows the landmark target field"):
+        audio_landmarks(sigs, fanout=2).collect()
+    with pytest.raises(Exception, match="overflows the landmark target field"):
+        audio_landmarks_timed(sigs, fanout=2).collect()
+    # one bit wider and the same sequence encodes cleanly
+    assert audio_landmarks(sigs, fanout=2, peak_bits=11).count() == 3
+
+
+def test_audio_landmarks_peak_bits_widens_fields(spark):
+    """peak_bits=12 packs a*2^22 + t*2^10 + d: bins past 1023 (frame
+    >= 2048, or a hashed-cell layout) stay collision-free, and the
+    default layout is bit-identical to the r15 encoding."""
+    from easydb_server_spark.operators.audiofp import audio_landmarks
+
+    sigs = _sig_frame(spark, [(1, "1500-2000")])
+    got = {r["lm"] for r in audio_landmarks(sigs, fanout=1, peak_bits=12).collect()}
+    assert got == {1500 * (1 << 22) + 2000 * (1 << 10) + 1}
+
+
+def test_audio_landmarks_parameter_validation(spark):
+    """fanout is bounded by the 10-bit delta field; peak_bits by INT64
+    headroom — both rejected eagerly, not at job time."""
+    import pytest
+
+    from easydb_server_spark.operators.audiofp import (
+        audio_landmarks,
+        audio_landmarks_timed,
+    )
+
+    sigs = _sig_frame(spark, [(1, "5-9")])
+    for bad in ({"fanout": 0}, {"fanout": 1024}, {"peak_bits": 0}, {"peak_bits": 27}):
+        with pytest.raises(ValueError):
+            audio_landmarks(sigs, **bad)
+        with pytest.raises(ValueError):
+            audio_landmarks_timed(sigs, **bad)

@@ -435,3 +435,76 @@ def test_video_neardup_excludes_degenerate_short_clips(spark):
         for r in video_neardup_pairs(sigs, max_diff=1).collect()
     }
     assert got == {(4, 5)}
+
+
+def test_phash_topk_ranked_and_bounded(spark):
+    """Top-k generalization: every index image within the radius
+    appears ranked by (hamming, match_id); k truncates; top-1 equals
+    phash_search row-for-row."""
+    from easydb_server_spark.operators.imagehash import phash_search, phash_topk
+
+    schema = "item_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT"
+    index = spark.createDataFrame(
+        [(5, 100, 200, 300, 400), (2, 100, 200, 300, 400),
+         (9, 100 ^ 1, 200, 300, 400), (7, 900, 901, 902, 903)],
+        schema,
+    )
+    queries = spark.createDataFrame([(10, 100, 200, 300, 400)], schema)
+    got = [
+        (r["match_id"], r["hamming"], r["rank"])
+        for r in phash_topk(index, queries, k=3).orderBy("rank").collect()
+    ]
+    assert got == [(2, 0, 1), (5, 0, 2), (9, 1, 3)]
+    top2 = phash_topk(index, queries, k=2).count()
+    assert top2 == 2
+    top1 = {
+        (r["query_id"], r["match_id"], r["hamming"])
+        for r in phash_search(index, queries).collect()
+    }
+    ranked1 = {
+        (r["query_id"], r["match_id"], r["hamming"])
+        for r in phash_topk(index, queries, k=1).collect()
+    }
+    assert top1 == ranked1
+    import pytest
+
+    with pytest.raises(ValueError):
+        phash_topk(index, queries, k=0)
+
+
+def test_phash_search_stop_bucket_guard(spark):
+    """r15 ADVICE: a hot (band, value) cell (many index images sharing
+    a band) fans the candidate join out with the cell population;
+    max_bucket drops such cells BEFORE the join. Queries reaching the
+    index ONLY through the hot band find nothing (the documented
+    trade); queries with a clean band are unaffected."""
+    from easydb_server_spark.operators.imagehash import phash_search
+
+    schema = "item_id BIGINT, band0 BIGINT, band1 BIGINT, band2 BIGINT, band3 BIGINT"
+    # band0=777 is hot (all 11 index images share it). Item 20 is
+    # hamming-3 from query 100 with bands 1-3 each differing by one
+    # bit, so the HOT band is its only candidate path. Item 3 shares
+    # band1=55 with query 101 — a clean path the cap must not touch.
+    index = spark.createDataFrame(
+        [(i, 777, 1000 + i if i != 3 else 55, 2000 + i, 3000 + i) for i in range(10)]
+        + [(20, 777, 5 ^ 1, 6 ^ 1, 7 ^ 1)],
+        schema,
+    )
+    queries = spark.createDataFrame(
+        [(100, 777, 5, 6, 7),    # reaches item 20 only through band0
+         (101, 777, 55, 6, 7)],  # band1 also matches item 3
+        schema,
+    )
+    uncapped = {
+        r["query_id"]: (r["match_id"], r["hamming"])
+        for r in phash_search(index, queries, max_hamming=3, max_bucket=None).collect()
+    }
+    assert uncapped[100] == (20, 3)
+    capped = {
+        r["query_id"]: (r["match_id"], r["hamming"])
+        for r in phash_search(index, queries, max_hamming=3, max_bucket=5).collect()
+    }
+    # query 100's sole candidate path was the hot band: stopped
+    assert 100 not in capped
+    # query 101's clean band1 path survives, same winner as uncapped
+    assert capped.get(101) == uncapped.get(101)

@@ -184,3 +184,16 @@ def test_assign_dispatches_on_kd_bound(spark, monkeypatch):
     a = {r["pid"]: (r["cluster"], r["dist2"]) for r in big.collect()}
     b = {r["pid"]: (r["cluster"], r["dist2"]) for r in small.collect()}
     assert a == b
+
+
+def test_assign_closure_rejects_noncontiguous_cluster_ids():
+    """r15 ADVICE: the numpy first-min-wins argmin IS the
+    smaller-cluster-id tiebreak only when ids are contiguous 0..k-1 in
+    order; a bare assert vanished under -O, so the contract is now a
+    ValueError."""
+    import pytest
+
+    from easydb_server_spark.operators.kmeans import _assign_closure
+
+    with pytest.raises(ValueError, match="contiguous 0..k-1"):
+        _assign_closure(None, [(1, [0, 0]), (0, [1, 1])])
