@@ -171,11 +171,14 @@ HEADLINE = FIXED_CORE + [
     # ts_range_join, text_ccnet_buckets (text_html_extract,
     # text_c4_rules, text_sentence_span_dedup wait one more round —
     # crawl_pipeline / c4_pipeline time their stages every round).
+    # r16 tail rotation (line-budget swap for the two r16 entries plus
+    # the probe2_sec key; every rotated-out entry stays oracle-verified
+    # in the conformance registry). Out this round — all sub-0.3 s
+    # with fresh r15 timing evidence: text_url_filter, chunk_dedup,
+    # text_bm25, ts_range_join. dedup_simhash and text_ccnet_buckets
+    # keep their slots (the SimHash family's and the bigram-LM
+    # bucketing's only headline representation).
     "dedup_simhash",
-    "text_url_filter",
-    "chunk_dedup",
-    "text_bm25",
-    "ts_range_join",
     "text_ccnet_buckets",
     # r15 additions: clip-level video near-dup dedup (scene-sequence
     # digest + chunked tolerance), shift-robust audio landmark
@@ -193,6 +196,11 @@ HEADLINE = FIXED_CORE + [
     # (sim_hybrid_rrf yields its tail slot for the line budget —
     # 0.49 s with r13-r15 timing evidence, stays oracle-verified)
     "image_phash_search",
+    # r16 additions: top-k-within-radius image retrieval and the
+    # multimodal curation pipeline (decode -> video+audio dedup graph
+    # -> quality gates -> keepers)
+    "image_phash_topk",
+    "curation_pipeline_mm",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries
@@ -200,6 +208,22 @@ HEADLINE = FIXED_CORE + [
 # runs and the JSON also records each query's spread (max-min) so a
 # real plan win is distinguishable from noise
 RUNS = 5
+
+# r15 verdict ask #4: the stage-heavy cluster's spreads exploded
+# exactly where medians-of-5 are weakest (dedup_bloom_admits: 1.88 s
+# spread on a 1.63 s median in BENCH_r15) — these entries run
+# median-of-9 instead; per-entry run counts are recorded in
+# BENCHDETAIL.md. Membership rule (frozen): any headline entry whose
+# spread exceeded 0.3x its median in either of the two preceding
+# rounds joins; entries leave after two consecutive rounds back under.
+RUNS_OVERRIDE = {
+    "pq_adc_topk": 9,
+    "ivfpq_adc_topk": 9,
+    "dedup_bloom_admits": 9,
+    "graph_pagerank": 9,
+    "emb_kmeans_assign": 9,
+    "sim_ivfpq_recall": 9,
+}
 
 # HOST-CALIBRATION PROBE (r14 verdict ask #2, productizing the r13/r14
 # host-drift attribution studies): a fixed, fixture-independent JVM
@@ -238,6 +262,45 @@ def _probe(spark) -> tuple[float, float]:
         return time.perf_counter() - t0
 
     run()  # warm (codegen compile + scheduler paths)
+    samples = [run() for _ in range(RUNS)]
+    return (
+        round(statistics.median(samples), 3),
+        round(max(samples) - min(samples), 3),
+    )
+
+
+# STAGE-HEAVY SCHEDULER PROBE (r15 verdict ask #3): the CPU probe is
+# one 32-task stage of pure codegen arithmetic — by its own documented
+# caveat it CANNOT feel scheduler/stage-launch drift, which is exactly
+# where the r15 regression cluster sat (pq_adc_topk /
+# emb_kmeans_assign / dedup_bloom_admits: iterative multi-stage plans,
+# hundreds of short tasks). probe2 is the complementary yardstick: an
+# ITERATIVE sequence of shuffling jobs whose per-task work is trivial,
+# so its wall time is dominated by task-launch + stage-scheduling +
+# shuffle-setup cost — the shape of the stage-heavy cluster. Same
+# freeze rule as PROBE_ROWS: never resize PROBE2_* or the expression;
+# if the host class changes, add a NEW key.
+PROBE2_PARTS = 512   # map tasks per iteration
+PROBE2_ROWS = 2_000_000
+PROBE2_ITERS = 6     # sequential jobs -> 6 x (512 map + shuffle agg)
+
+
+def _probe2(spark) -> tuple[float, float]:
+    """(median_sec, spread_sec) of the frozen scheduler workload: 6
+    sequential groupBy jobs over a 512-partition range, each task
+    touching ~4k rows — >3k task launches per run with negligible
+    compute, so the time measures the scheduler/stage path, not CPU."""
+    from pyspark.sql import functions as PF
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        for i in range(PROBE2_ITERS):
+            spark.range(0, PROBE2_ROWS, 1, PROBE2_PARTS).groupBy(
+                ((PF.col("id") + PF.lit(i)) % PF.lit(997)).alias("k")
+            ).agg(PF.count(PF.lit(1)).alias("n")).collect()
+        return time.perf_counter() - t0
+
+    run()  # warm
     samples = [run() for _ in range(RUNS)]
     return (
         round(statistics.median(samples), 3),
@@ -295,9 +358,11 @@ def main() -> None:
 
     spark.range(64).select(_noop_udf(_col("id").cast("double"))).count()
 
-    # calibration probe FIRST (suite position is part of its contract,
-    # like the fixed core's)
+    # calibration probes FIRST (suite position is part of their
+    # contract, like the fixed core's): CPU probe, then the
+    # stage-heavy scheduler probe (r15 verdict ask #3)
     probe_sec, probe_spread = _probe(spark)
+    probe2_sec, probe2_spread = _probe2(spark)
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -313,7 +378,7 @@ def main() -> None:
         _drain(fn(spark, sf_dir))
         spark.sparkContext.setJobDescription(f"bench:{name}")
         samples = []
-        for _ in range(RUNS):
+        for _ in range(RUNS_OVERRIDE.get(name, RUNS)):
             t0 = time.perf_counter()
             _drain(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
@@ -347,8 +412,17 @@ def main() -> None:
         "probe_sec": probe_sec,
         "probe_spread": probe_spread,
         "probe_rows": PROBE_ROWS,
+        # scheduler probe (r15 verdict ask #3): normalize STAGE-HEAVY
+        # queries against THIS one — see the attribution rule below
+        "probe2_sec": probe2_sec,
+        "probe2_spread": probe2_spread,
+        "probe2_shape": f"{PROBE2_ITERS} sequential groupBy jobs x {PROBE2_PARTS} map tasks over {PROBE2_ROWS} rows",
+        "runs_per_query": {"default": RUNS, **RUNS_OVERRIDE},
         "queries_per_probe": {
             k: round(v / probe_sec, 3) for k, v in timings.items()
+        },
+        "queries_per_probe2": {
+            k: round(v / probe2_sec, 3) for k, v in timings.items()
         },
         "queries": timings,
         "spread": spread,
@@ -377,7 +451,20 @@ def main() -> None:
         "and only investigate beyond that. Caveat: the probe is pure\n"
         "CPU — it deliberately does NOT absorb IO/scheduler-share\n"
         "drift, which is why the band is wider than the probe's own\n"
-        "spread.\n\n```json\n" + json.dumps(detail, indent=1) + "\n```\n"
+        "spread.\n\n"
+        "## Which probe arbitrates which query (r16, verdict ask #3)\n\n"
+        "`probe2_sec` times a FROZEN iterative scheduler workload\n"
+        "(>3k trivial task launches per run) — the shape the CPU probe\n"
+        "cannot feel. Rule: SCAN/CPU-BOUND queries (TPC-H, text/codec\n"
+        "map stages — plans dominated by a few long stages) normalize\n"
+        "against `probe_sec`; STAGE-HEAVY ITERATIVE queries (the\n"
+        "`runs_per_query` override cluster: pq_adc_topk,\n"
+        "ivfpq_adc_topk, emb_kmeans_assign, dedup_bloom_admits,\n"
+        "graph_pagerank, sim_ivfpq_recall — plans of many short\n"
+        "stages) normalize against `probe2_sec` via\n"
+        "`queries_per_probe2`. The same ×0.85–1.15 noise band applies;\n"
+        "a stage-heavy delta is host-attributed only when probe2 moved\n"
+        "with it.\n\n```json\n" + json.dumps(detail, indent=1) + "\n```\n"
     )
 
     line = json.dumps(
@@ -389,6 +476,7 @@ def main() -> None:
             # host-calibration yardstick (see _probe): divide a query's
             # cross-round delta by the probe's before reading it as code
             "probe_sec": probe_sec,
+            "probe2_sec": probe2_sec,
             "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf_val,
             # compact layout marker so the per-round BENCH record shows

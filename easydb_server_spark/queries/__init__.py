@@ -240,6 +240,13 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_image_phash_topk,
         llmops.ORACLE_IMAGE_PHASH_TOPK,
     ),
+    # r16: multimodal curation pipeline (decode -> video + audio
+    # near-dup graph union -> quality gates -> keeper selection; the
+    # c4_pipeline composition pattern for binary modalities)
+    "curation_pipeline_mm": (
+        llmops.q_curation_pipeline_mm,
+        llmops.ORACLE_CURATION_PIPELINE_MM,
+    ),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -446,84 +453,80 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 15's changed/new set (8): dedup_video_neardup (NEW —
-# clip-level scene-sequence near-dup, imagehash.video_signature /
-# video_neardup_pairs), dedup_audio_landmark (NEW — shift-robust
-# Wang-2003 landmark matching, audiofp.audio_landmarks /
-# landmark_matches), audio_landmark_search + video_landmark_search
-# (NEW — offset-voting retrieval over timed audio/scene landmarks,
-# one modality-agnostic matcher), image_phash_search (NEW — nearest
-# index image by banded Hamming), dedup_image_neardup (dhash_pairs' candidate
-# distinct narrowed to (item_a, item_b) — the r14 verdict's ask #7),
-# video_keyframes (channel means became exact scaled integers,
-# mean_*_q4 — the r14 ADVICE rounding-divergence fix), and
-# emb_kmeans_assign (assign() gained the large-k*d closure-argmin
-# dispatch). Slots 9-26 are the pre-declared r14->r15 rotation: ALL
-# 18 remaining r9-evidence entries (pre-validated on r14 round-final
-# code, SCALE.md "r15 rotation pre-validated"). Slots 27-48 take the
-# first 22 of the 42-entry r10-evidence cohort in _DEFS order (the
-# remaining 20 — edge_ilike, edge_natural_join, edge_regexp_count,
-# edge_introspection through dedup_embedding_cosine — rotate r16).
-# Slots 49-50 are the rows-only execution-evidence tail
-# (r13 verdict ask #6, continued): audio_spectrogram and
-# text_compression_ratio record their first driver executions;
-# text_unigram_train + stream_funnel_stateful take the r16 tail,
-# after which every registered query has driver execution evidence.
+# cohort. Round 16's changed/new set (6): image_phash_topk (NEW —
+# top-k-within-radius image retrieval, the r15 verdict's ask #7) and
+# curation_pipeline_mm (NEW — the multimodal decode -> dedup-graph ->
+# gates -> keeper composition, ask #8); image_phash_search re-verifies
+# for the _phash_ranked refactor + max_bucket stop-bucket guard (r15
+# ADVICE), dedup_audio_landmark + audio_landmark_search for the
+# landmark peak_bits parameterization + runtime overflow guard (r15
+# ADVICE), and emb_kmeans_assign for the closure-contract ValueError.
+# Slots 7-26 are the pre-declared r15->r16 rotation: ALL 20 remaining
+# r10-evidence entries (pre-validated on r15 round-final code,
+# SCALE.md "r16 rotation pre-validated"). Slots 27-48 take the first
+# 22 of the 41-entry r11-evidence cohort in _DEFS order —
+# deliberately including ivfpq_adc_topk and dedup_bloom_admits, two
+# of the r15 perf-weak cluster, so their correctness evidence
+# refreshes alongside the bench attribution. Slots 49-50 close the
+# rows-only execution-evidence tail (r13 verdict ask #6, completed):
+# text_unigram_train + stream_funnel_stateful record their first
+# driver executions — after this round EVERY registered query has
+# driver execution evidence.
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
-    # r15 changed/new code
-    "dedup_video_neardup",
+    # r16 changed/new code
+    "image_phash_topk",
+    "curation_pipeline_mm",
+    "image_phash_search",
     "dedup_audio_landmark",
     "audio_landmark_search",
-    "video_landmark_search",
-    "image_phash_search",
-    "dedup_image_neardup",
-    "video_keyframes",
     "emb_kmeans_assign",
-    # pre-declared rotation: all 18 remaining r9-evidence entries
-    "subq_cte",
-    "subq_derived",
-    "subq_exists_correlated",
-    "subq_in",
-    "subq_not_in_nulls",
-    "subq_not_in_plain",
-    "subq_scalar",
-    "subq_unnest",
-    "subq_values",
-    "tpch_q11",
-    "tpch_q21",
-    "window_first_last_nth",
-    "window_ignore_nulls",
-    "window_lag_lead",
-    "window_ntile_dist",
-    "window_range_frame",
-    "window_rank",
-    "window_running",
-    # 22 of the 42 r10-evidence entries, _DEFS order
-    "multimodal_audio",
-    "sim_incremental_neardup",
-    "multimodal_audio_resample",
-    "multimodal_audio_depths",
-    "text_c4_rules",
-    "text_nb_quality",
-    "text_match_any",
-    "text_sentence_span_dedup",
-    "c4_pipeline",
-    "text_unigram_tokenize",
-    "multimodal_audio_g711",
-    "multimodal_audio_analysis",
-    "graph_pagerank",
-    "sketch_bloom_probe",
-    "sketch_cm_words",
-    "ts_anomaly",
-    "sim_ann_recall",
-    "multimodal_gif",
-    "multimodal_gif_resize",
-    "text_html_extract",
-    "text_paragraph_dedup",
-    "crawl_pipeline",
-    # rows-only execution-evidence tail (r13 verdict ask #6, continued)
-    "audio_spectrogram",
-    "text_compression_ratio",
+    # pre-declared rotation: all 20 remaining r10-evidence entries
+    "edge_ilike",
+    "edge_natural_join",
+    "edge_regexp_count",
+    "edge_introspection",
+    "edge_null_safe_misc",
+    "edge_groups_frame",
+    "agg_count_distinct",
+    "agg_stats",
+    "agg_regr",
+    "agg_minmax_by",
+    "agg_string_agg",
+    "agg_filter_clause",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_bool_bit",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    # 22 of the 41 r11-evidence entries, _DEFS order
+    "pq_codes",
+    "ivfpq_adc_topk",
+    "dedup_bloom_admits",
+    "ts_scd2_history",
+    "dedup_incremental",
+    "chunk_dedup",
+    "curate_source_cap",
+    "emb_quantize",
+    "chunk_pack",
+    "fn_array",
+    "fn_hash",
+    "fn_struct_map",
+    "fn_datetime_convert",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_lsh",
+    "emb_label_centroids",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "emb_label_outliers",
+    "sim_topk_lsh",
+    # rows-only execution-evidence tail (r13 verdict ask #6, COMPLETED)
+    "text_unigram_train",
+    "stream_funnel_stateful",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

@@ -7319,3 +7319,296 @@ ORACLE_IMAGE_PHASH_TOPK = (
     'FROM isrank WHERE rn <= 3\n'
     'ORDER BY query_id, "rank"\n'
 )
+
+
+def q_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation pipeline end-to-end (r15 verdict ask #8 —
+    the c4_pipeline / crawl_pipeline composition pattern for BINARY
+    modalities): decode -> per-modality near-dup signatures -> union
+    dedup graph -> quality gates -> keeper selection, one oracled
+    query over items that carry BOTH a video track and an audio track
+    (the shape of a real video corpus).
+
+    Fixture (simulated in numpy before committing, playbook rule):
+    120 items. Video track = the dedup_video_neardup GIF recipe
+    (vbase = item % 30, 4 variants each; variant vr=2 is the
+    one-scene-differs near-dup), except items with item % 8 == 7
+    render a FLAT clip (every frame scene 0, no jitter -> n_scenes=1,
+    the degenerate shape the r15 short-clip guard excludes from
+    pairing). Audio track = frame-256 bin-exact tones on the sweep's
+    127-bin recipe keyed by abase = item % 45 (45 < 127 so tone bins
+    never collide across abases — verified: 0 cross-abase pairs),
+    except items with item % 10 == 9 append 6 silence frames after 2
+    tone frames (the low-quality shape). The two keys are
+    deliberately incommensurate: audio bridges x ~ x+45 ~ x+90 join
+    pairs of DISTINCT video families into 8-member components — the
+    re-used-soundtrack case neither modality finds alone (12 such
+    bridged components, plus smaller ones and 2 singletons).
+
+    Stages (all bucketed, nothing driver-side): video_signature /
+    audio_fingerprint decode each blob ONCE into persisted signature
+    tables; video_neardup_pairs (banded chunk digests, max_diff=1)
+    UNION landmark_matches (min_shared=3, max_bucket=8 — the cap
+    stops the (0,0,d) silence landmarks all 12 low-quality items
+    share, a 12-member hot bucket) feed connected components; quality
+    gates are n_scenes >= 2 (video) and silence_frames*2 < n_frames
+    (audio); the keeper is each component's smallest gate-passing
+    item (5 components have none). The oracle replays the sampled
+    9x8 scene dHashes, the landmark arithmetic, the <=1-mismatch
+    pair spec all-pairs, and the reachability closure — reusing the
+    ORACLE_DEDUP_VIDEO_NEARDUP / ORACLE_DEDUP_AUDIO_LANDMARK CTE
+    specs verbatim where the recipes coincide."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from easydb_server_spark.operators.audiofp import (
+        audio_fingerprint,
+        audio_landmarks,
+        landmark_matches,
+    )
+    from easydb_server_spark.operators.clusters import connected_components
+    from easydb_server_spark.operators.imagehash import (
+        video_neardup_pairs,
+        video_signature,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.gif import encode_gif_animated
+        from easydb_server_spark.operators.wav import encode_wav
+
+        pal = np.array(
+            [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
+            dtype=np.uint8,
+        )
+        j = np.arange(256, dtype=np.float64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                # video track (dedup_video_neardup recipe, vr 0..3;
+                # item % 8 == 7 -> flat single-scene clip)
+                base, vr = did % 30, did // 30
+                w, h = 12 + base % 5, 10 + base % 4
+                y, x = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(6):
+                    s, jj = (0, 0) if did % 8 == 7 else (f // 2, f % 2)
+                    shift9 = 9 if (s == 1 and vr % 3 == 2) else 0
+                    idx = (base * 5 + s * 6 + shift9 + y * 5 + x * 7) % 16
+                    idx[0, 0] = (idx[0, 0] + jj) % 16
+                    frames.append(pal[idx])
+                video = encode_gif_animated(frames)
+                # audio track (127-bin sweep recipe on abase = item %
+                # 45; item % 10 == 9 -> 2 tone + 6 silence frames)
+                abase = did % 45
+                amp = float(8000 + (did % 5) * 3000)
+                ntone = 2 if did % 10 == 9 else 4
+                segs = []
+                for k in range(ntone):
+                    b = 1 + (abase * 7 + 11 * k + 5 * abase * k) % 127
+                    segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 256.0)))
+                if did % 10 == 9:
+                    segs.append(np.zeros(256 * 6, dtype=np.float64))
+                audio = encode_wav(np.concatenate(segs).astype(np.int16), 8000)
+                out.append((did, video, audio))
+            yield pd.DataFrame(out, columns=["item_id", "video", "audio"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, video binary, audio binary")
+    # decode each blob exactly once: both signature tables persist
+    # before any self-join / multi-consumer stage (the
+    # dedup_image_neardup rule)
+    vsigs = video_signature(
+        blobs.select("item_id", "video"), "video", "item_id"
+    ).localCheckpoint(eager=True)
+    asigs = audio_fingerprint(
+        blobs.select("item_id", "audio"), "audio", "item_id", frame=256, hop=256
+    ).localCheckpoint(eager=True)
+    lms = audio_landmarks(asigs, fanout=3).localCheckpoint(eager=True)
+
+    vpairs = video_neardup_pairs(vsigs, max_diff=1).select("item_a", "item_b")
+    apairs = landmark_matches(lms, min_shared=3, max_bucket=8).select(
+        "item_a", "item_b"
+    )
+    edges = vpairs.unionAll(apairs).distinct().select(
+        F.col("item_a").alias("doc_a"), F.col("item_b").alias("doc_b")
+    )
+    cc = connected_components(edges).withColumnRenamed("doc_id", "item_id")
+
+    quality = asigs.select(
+        "item_id",
+        "n_frames",
+        F.size(
+            F.filter(F.split("peak_seq", "-"), lambda p: p == F.lit("0"))
+        ).alias("silence_frames"),
+    )
+    w = Window.partitionBy("component")
+    return (
+        vsigs.select("item_id", "n_scenes")
+        .join(quality, "item_id")
+        .join(cc, "item_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("item_id")))
+        .withColumn("passes_video", F.col("n_scenes") >= 2)
+        .withColumn(
+            "passes_audio", F.col("silence_frames") * 2 < F.col("n_frames")
+        )
+        .withColumn(
+            "is_keeper",
+            F.col("passes_video")
+            & F.col("passes_audio")
+            & (
+                F.col("item_id")
+                == F.min(
+                    F.when(
+                        F.col("passes_video") & F.col("passes_audio"),
+                        F.col("item_id"),
+                    )
+                ).over(w)
+            ),
+        )
+        .select(
+            "item_id", "n_scenes", "n_frames", "silence_frames",
+            "passes_video", "passes_audio", "component", "is_keeper",
+        )
+        .orderBy("item_id")
+    )
+
+
+ORACLE_CURATION_PIPELINE_MM = """
+WITH RECURSIVE
+mmdocs AS (
+  SELECT doc_id, doc_id % 30 AS base, doc_id // 30 AS vr,
+         doc_id % 45 AS abase,
+         doc_id % 8 = 7 AS vfail, doc_id % 10 = 9 AS afail,
+         12 + (doc_id % 30) % 5 AS w, 10 + (doc_id % 30) % 4 AS h
+  FROM documents WHERE doc_id < 120
+),
+mmsamp AS (
+  SELECT d.doc_id, d.base, d.vr, d.vfail, ff.f, vv.v, uu.u,
+         (uu.u * d.w) // 9 AS sx, (vv.v * d.h) // 8 AS sy
+  FROM mmdocs d,
+       UNNEST(generate_series(0, 5)) ff(f),
+       UNNEST(generate_series(0, 7)) vv(v),
+       UNNEST(generate_series(0, 8)) uu(u)
+),
+mmgry AS (
+  SELECT doc_id, f, v, u,
+         (299 * ((idx * 16) % 256) + 587 * ((idx * 37) % 256)
+          + 114 * ((idx * 73) % 256)) // 1000 AS gr
+  FROM (
+    SELECT doc_id, f, v, u,
+           ((base * 5 + (CASE WHEN vfail THEN 0 ELSE f // 2 END) * 6
+             + CASE WHEN NOT vfail AND f // 2 = 1 AND vr % 3 = 2 THEN 9 ELSE 0 END
+             + sy * 5 + sx * 7) % 16
+            + CASE WHEN sy = 0 AND sx = 0
+                   THEN (CASE WHEN vfail THEN 0 ELSE f % 2 END) ELSE 0 END) % 16 AS idx
+    FROM mmsamp
+  )
+),
+mmbits AS (
+  SELECT l.doc_id, l.f, l.v * 8 + l.u AS i,
+         CASE WHEN l.gr < r.gr THEN 1 ELSE 0 END AS bit
+  FROM mmgry l JOIN mmgry r ON r.doc_id = l.doc_id AND r.f = l.f
+                           AND r.v = l.v AND r.u = l.u + 1
+  WHERE l.u < 8
+),
+mmbnd AS (
+  SELECT doc_id, f, i // 16 AS b,
+         CAST(SUM(CAST(bit AS BIGINT) << (i % 16)) AS BIGINT) AS bv
+  FROM mmbits GROUP BY doc_id, f, i // 16
+),
+mmsig AS (
+  SELECT doc_id, f,
+         MAX(CASE WHEN b = 0 THEN bv END) AS band0,
+         MAX(CASE WHEN b = 1 THEN bv END) AS band1,
+         MAX(CASE WHEN b = 2 THEN bv END) AS band2,
+         MAX(CASE WHEN b = 3 THEN bv END) AS band3
+  FROM mmbnd GROUP BY doc_id, f
+),
+mmham AS (
+  SELECT c.doc_id, c.f,
+         printf('%04x%04x%04x%04x', c.band3, c.band2, c.band1, c.band0) AS ph,
+         (p.band0 IS NULL
+          OR bit_count(xor(c.band0, p.band0)) + bit_count(xor(c.band1, p.band1))
+             + bit_count(xor(c.band2, p.band2)) + bit_count(xor(c.band3, p.band3)) > 3)
+           AS is_start
+  FROM mmsig c LEFT JOIN mmsig p ON p.doc_id = c.doc_id AND p.f = c.f - 1
+),
+mmscenes AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_scenes,
+         string_agg(ph, '-' ORDER BY f) AS sig_seq
+  FROM mmham WHERE is_start GROUP BY doc_id
+),
+mmvpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mmscenes a JOIN mmscenes b ON b.n_scenes = a.n_scenes AND a.doc_id < b.doc_id
+  WHERE a.n_scenes > 1
+    AND len(list_filter(generate_series(1, a.n_scenes),
+        i -> string_split(a.sig_seq, '-')[i] <> string_split(b.sig_seq, '-')[i])) <= 1
+),
+mmaframes AS (
+  SELECT d.doc_id, tt.t,
+         CASE WHEN d.afail AND tt.t >= 2 THEN 0
+              ELSE 1 + (d.abase * 7 + 11 * tt.t + 5 * d.abase * tt.t) % 127
+         END AS p
+  FROM mmdocs d,
+       UNNEST(generate_series(0, CASE WHEN d.afail THEN 7 ELSE 3 END)) tt(t)
+),
+mmlm AS (
+  SELECT DISTINCT a.doc_id, a.p * 1048576 + b.p * 1024 + (b.t - a.t) AS lm
+  FROM mmaframes a JOIN mmaframes b
+    ON b.doc_id = a.doc_id AND b.t - a.t BETWEEN 1 AND 3
+),
+mmkeep AS (
+  SELECT doc_id, lm FROM mmlm
+  WHERE lm IN (SELECT lm FROM mmlm GROUP BY lm HAVING COUNT(*) <= 8)
+),
+mmapairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM mmkeep x JOIN mmkeep y ON y.lm = x.lm AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+  HAVING COUNT(*) >= 3
+),
+mmedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mmvpairs
+  UNION SELECT doc_b, doc_a FROM mmvpairs
+  UNION SELECT doc_a, doc_b FROM mmapairs
+  UNION SELECT doc_b, doc_a FROM mmapairs
+),
+mmreach AS (
+  SELECT src, dst FROM mmedges
+  UNION
+  SELECT r.src, e.dst FROM mmreach r JOIN mmedges e ON r.dst = e.src
+),
+mmlabels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM mmreach GROUP BY src
+),
+mmquality AS (
+  SELECT d.doc_id,
+         CASE WHEN d.afail THEN 8 ELSE 4 END AS n_frames,
+         CASE WHEN d.afail THEN 6 ELSE 0 END AS silence_frames
+  FROM mmdocs d
+),
+mmrows AS (
+  SELECT s.doc_id AS item_id, s.n_scenes,
+         CAST(q.n_frames AS INT) AS n_frames,
+         CAST(q.silence_frames AS INT) AS silence_frames,
+         s.n_scenes >= 2 AS passes_video,
+         q.silence_frames * 2 < q.n_frames AS passes_audio,
+         COALESCE(l.component, s.doc_id) AS component
+  FROM mmscenes s
+  JOIN mmquality q ON q.doc_id = s.doc_id
+  LEFT JOIN mmlabels l ON l.doc_id = s.doc_id
+)
+SELECT item_id, n_scenes, n_frames, silence_frames,
+       passes_video, passes_audio, component,
+       passes_video AND passes_audio AND item_id = MIN(
+         CASE WHEN passes_video AND passes_audio THEN item_id END
+       ) OVER (PARTITION BY component) AS is_keeper
+FROM mmrows
+ORDER BY item_id
+"""

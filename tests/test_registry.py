@@ -5,16 +5,17 @@ verification with no failure anywhere else. Since round 10 the window
 is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
-Round-15 window (new/changed first, then least driver evidence):
-the 8 changed/new entries (dedup_video_neardup, dedup_audio_landmark,
-audio_landmark_search, video_landmark_search and image_phash_search
-are NEW; dedup_image_neardup re-verifies for the narrowed candidate
-distinct, video_keyframes for the integer means, emb_kmeans_assign
-for the large-k*d dispatch), then the pre-declared 18-entry
-r9-evidence fill (the cohort's last members), then 22 of the 42-entry
-r10-evidence cohort (the remaining 20 rotate r16). Slots
-49-50 continue the rows-only execution-evidence tail
-(audio_spectrogram, text_compression_ratio; r16 takes the final two).
+Round-16 window (new/changed first, then least driver evidence):
+the 6 changed/new entries (image_phash_topk and curation_pipeline_mm
+are NEW; image_phash_search re-verifies for the _phash_ranked
+refactor + max_bucket guard, dedup_audio_landmark and
+audio_landmark_search for the landmark peak_bits/overflow guard,
+emb_kmeans_assign for the closure-contract ValueError), then the
+pre-declared 20-entry r10-evidence fill (the cohort's last members),
+then 22 of the 41-entry r11-evidence cohort (including perf-weak
+ivfpq_adc_topk and dedup_bloom_admits). Slots 49-50 COMPLETE the
+rows-only execution-evidence tail (text_unigram_train,
+stream_funnel_stateful) — after r16 every entry has driver evidence.
 """
 
 PRIORITY_WINDOW = 50
@@ -32,7 +33,7 @@ def test_priority_window_prefix_is_stable():
     assert len(set(names)) == len(names)
 
 
-def test_window_holds_the_r15_rotation():
+def test_window_holds_the_r16_rotation():
     import glob
     import json
     import os
@@ -41,43 +42,44 @@ def test_window_holds_the_r15_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # slots 1-5: r15 changed/new code — the two NEW entries (clip-level
-    # video near-dup, shift-robust audio landmark matching) and the
-    # three consumers of r15-changed operator code (narrowed dhash
-    # candidate distinct, integer keyframe means, kmeans large-k*d
-    # dispatch); locked as a SET (an r15 fact, not an evidence
-    # computation)
+    # slots 1-6: r16 changed/new code — the two NEW entries (top-k
+    # image retrieval, the multimodal curation pipeline) and the four
+    # consumers of r16-changed operator code (_phash_ranked refactor +
+    # max_bucket, landmark peak_bits/overflow guard x2, kmeans
+    # closure-contract ValueError); locked as a SET (an r16 fact, not
+    # an evidence computation)
     changed = {
-        "dedup_video_neardup", "dedup_audio_landmark",
-        "audio_landmark_search", "video_landmark_search",
+        "image_phash_topk", "curation_pipeline_mm",
         "image_phash_search",
-        "dedup_image_neardup", "video_keyframes", "emb_kmeans_assign",
+        "dedup_audio_landmark", "audio_landmark_search",
+        "emb_kmeans_assign",
     }
-    assert set(window[:8]) == changed
-    # slots 6-23: the pre-declared r14->r15 rotation — ALL 18
-    # remaining r9-evidence entries (newest driver evidence across
-    # CORRECTNESS_r*.json up to r14 — the goalpost is fixed at
+    assert set(window[:6]) == changed
+    # slots 7-26: the pre-declared r15->r16 rotation — ALL 20
+    # remaining r10-evidence entries (newest driver evidence across
+    # CORRECTNESS_r*.json up to r15 — the goalpost is fixed at
     # rotation time)
     newest = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 14:
+        if rnd > 15:
             continue
         with open(f) as fh:
             for name in json.load(fh):
                 newest[name] = max(newest.get(name, 0), rnd)
-    r9_cohort = {n for n, r in newest.items() if r == 9}
-    assert len(r9_cohort) == 18
-    assert set(window[8:26]) == r9_cohort
-    # slots 27-48: 22 of the 42-entry r10-evidence cohort
     r10_cohort = {n for n, r in newest.items() if r == 10}
-    assert len(r10_cohort) == 42
-    assert set(window[26:48]) <= r10_cohort
+    assert len(r10_cohort) == 20
+    assert set(window[6:26]) == r10_cohort
+    # slots 27-48: 22 of the 41-entry r11-evidence cohort
+    r11_cohort = {n for n, r in newest.items() if r == 11}
+    assert len(r11_cohort) == 41
+    assert set(window[26:48]) <= r11_cohort
     assert len(window[26:48]) == 22
-    # slots 49-50: rows-only execution-evidence tail (r13 verdict ask
-    # #6, continued over r14-r16) — the ONLY rows-only entries allowed
-    # in the window, and only to demonstrate the driver executes them
-    assert window[48:] == ["audio_spectrogram", "text_compression_ratio"]
+    # slots 49-50: the FINAL rows-only execution-evidence tail (r13
+    # verdict ask #6, completed this round) — the ONLY rows-only
+    # entries allowed in the window, and only to demonstrate the
+    # driver executes them
+    assert window[48:] == ["text_unigram_train", "stream_funnel_stateful"]
     from easydb_server_spark.queries import oracle_queries
 
     assert set(window[:48]) <= set(oracle_queries())
@@ -202,6 +204,7 @@ def test_bench_stdout_line_fits_driver_tail_capture():
             "unit": "sec",
             "fixed_core_sec": 99999.999,
             "probe_sec": 99.999,
+            "probe2_sec": 99.999,
             "queries": {n: 99.99 for n in bench.HEADLINE},
             "sf": 0.001,
             "layout": "mrg",
@@ -294,3 +297,27 @@ def test_parity_counts_match_registry():
     assert m, "PARITY.md no longer states the registry counts sentence"
     assert int(m.group(1)) == len(REGISTRY)
     assert int(m.group(2)) == len(oracle_queries())
+
+
+def test_plans_md_rows_match_bench_headline():
+    """r15 verdict finding #1: PLANS.md went one bench-tail rotation
+    stale (image_phash_search benched with no plan row while rotated-
+    out sim_hybrid_rrf kept one) because nothing tied the plan audit
+    to the headline list. The lock: PLANS.md's table rows must be
+    exactly bench.HEADLINE, in order — regenerate with
+    `python tools/plan_audit.py` after any headline rotation."""
+    import os
+    import re
+
+    import bench
+    from tests.conftest import REPO
+
+    with open(os.path.join(REPO, "PLANS.md")) as fh:
+        plans = fh.read()
+    rows = re.findall(r"^\| (\S+) \|", plans, re.M)
+    rows = [r for r in rows if r not in ("query", "---")]
+    assert rows == list(bench.HEADLINE), (
+        "PLANS.md is stale vs bench.HEADLINE — run tools/plan_audit.py "
+        f"(missing: {sorted(set(bench.HEADLINE) - set(rows))}; "
+        f"extra: {sorted(set(rows) - set(bench.HEADLINE))})"
+    )

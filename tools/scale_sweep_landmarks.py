@@ -27,7 +27,19 @@ landmark, the Zipf guard) would start dropping healthy landmarks —
 the tool reports the stopped-landmark count so that boundary is
 visible, not hidden.
 
-Usage: python tools/scale_sweep_landmarks.py  # one JSON line
+Usage: python tools/scale_sweep_landmarks.py         # r15 points
+       python tools/scale_sweep_landmarks.py --big   # r16 extension
+
+--big (r15 verdict ask #6) runs the sweep ONE DECADE past the r15
+ceiling: frame=1024 (rfft bins <= 513, still inside the default
+10-bit landmark fields — the packing guard added this round raises if
+that ever stops being true) with the same tier structure at mod 509,
+at 160k and 640k clips. The 509-bin recipe was verified exhaustively
+in numpy before this mode landed: 64,000 groups -> 64,000 distinct
+landmark SETS, max 3 groups per landmark cell (vs ~2/cell being the
+127-bin ceiling at only 16k groups), ZERO landmarks over the 48-clip
+stop cap, and 124 cross-group >=3-shared coincidence pairs (the
+honest FP floor, reported by the tool as pairs - within_group).
 """
 
 from __future__ import annotations
@@ -43,9 +55,11 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 SIZES = (4000, 40000, 160000)
+SIZES_BIG = (160000, 640000)
 GROUP = 10
 QUERIES = 200
-FRAME = 256
+FRAME = 256        # --big: 1024
+MOD = 127          # --big: 509 (prime < 513 = rfft bins of 1024)
 CAP = 48
 
 
@@ -75,9 +89,9 @@ def _blobs(spark, n: int, queries: int):
                 for k in range(4):
                     b = 1 + (
                         base * 7 + 11 * k + base * k * 5
-                        + (base // 127) * (23 * k * k + 3)
-                        + (base // 16129) * (41 * k * k * k + 13 * k + 7)
-                    ) % 127
+                        + (base // MOD) * (23 * k * k + 3)
+                        + (base // (MOD * MOD)) * (41 * k * k * k + 13 * k + 7)
+                    ) % MOD
                     segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / FRAME)))
                 out.append((did, encode_wav(np.concatenate(segs).astype(np.int16), 8000)))
             yield pd.DataFrame(out, columns=["item_id", "payload"])
@@ -100,7 +114,13 @@ def _median3(fn):
 
 
 def main() -> int:
+    global FRAME, MOD
     import pyspark.sql.functions as F
+
+    big = "--big" in sys.argv[1:]
+    sizes = SIZES
+    if big:
+        FRAME, MOD, sizes = 1024, 509, SIZES_BIG
 
     from easydb_server_spark import get_spark
     from easydb_server_spark.operators.audiofp import (
@@ -111,8 +131,9 @@ def main() -> int:
     )
 
     spark = get_spark("landmark-sweep")
-    out = {"sweep": "landmarks", "group_size": GROUP, "queries": QUERIES,
-           "frame": FRAME, "cap": CAP, "points": []}
+    out = {"sweep": "landmarks-big" if big else "landmarks",
+           "group_size": GROUP, "queries": QUERIES,
+           "frame": FRAME, "mod": MOD, "cap": CAP, "points": []}
 
     # warm pass (session/codegen/Python-worker startup)
     warm = audio_fingerprint(_blobs(spark, 100, 10), "payload", "item_id", FRAME, FRAME)
@@ -120,7 +141,7 @@ def main() -> int:
         audio_landmarks_timed(warm).select("item_id", "lm").distinct(), 3, CAP
     ).count()
 
-    for n in SIZES:
+    for n in sizes:
         groups = n // GROUP
         blobs = _blobs(spark, n, QUERIES)
         t0 = time.perf_counter()
