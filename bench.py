@@ -171,15 +171,14 @@ HEADLINE = FIXED_CORE + [
     # ts_range_join, text_ccnet_buckets (text_html_extract,
     # text_c4_rules, text_sentence_span_dedup wait one more round —
     # crawl_pipeline / c4_pipeline time their stages every round).
-    # r16 tail rotation (line-budget swap for the two r16 entries plus
-    # the probe2_sec key; every rotated-out entry stays oracle-verified
-    # in the conformance registry). Out this round — all sub-0.3 s
-    # with fresh r15 timing evidence: text_url_filter, chunk_dedup,
-    # text_bm25, ts_range_join. dedup_simhash and text_ccnet_buckets
-    # keep their slots (the SimHash family's and the bigram-LM
-    # bucketing's only headline representation).
+    # r16 tail rotation (line-budget swap for the three r16 entries
+    # plus the probe2_sec key; every rotated-out entry stays
+    # oracle-verified in the conformance registry). Out this round —
+    # all sub-0.6 s with fresh r15 timing evidence: text_url_filter,
+    # chunk_dedup, text_bm25, ts_range_join, text_ccnet_buckets.
+    # dedup_simhash keeps its slot (the SimHash family's only
+    # headline representation).
     "dedup_simhash",
-    "text_ccnet_buckets",
     # r15 additions: clip-level video near-dup dedup (scene-sequence
     # digest + chunked tolerance), shift-robust audio landmark
     # matching (Wang-2003 constellation pairs, stop-landmark cap),
@@ -196,11 +195,12 @@ HEADLINE = FIXED_CORE + [
     # (sim_hybrid_rrf yields its tail slot for the line budget —
     # 0.49 s with r13-r15 timing evidence, stays oracle-verified)
     "image_phash_search",
-    # r16 additions: top-k-within-radius image retrieval and the
+    # r16 additions: top-k-within-radius image retrieval, the
     # multimodal curation pipeline (decode -> video+audio dedup graph
-    # -> quality gates -> keepers)
+    # -> quality gates -> keepers), and top-k landmark retrieval
     "image_phash_topk",
     "curation_pipeline_mm",
+    "audio_landmark_topk",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries
@@ -280,9 +280,14 @@ def _probe(spark) -> tuple[float, float]:
 # shuffle-setup cost — the shape of the stage-heavy cluster. Same
 # freeze rule as PROBE_ROWS: never resize PROBE2_* or the expression;
 # if the host class changes, add a NEW key.
-PROBE2_PARTS = 512   # map tasks per iteration
+# Sized to ~1.8 s on the r16 reference host (2 x (256 map + ~32
+# shuffle) task launches of ~8k trivial rows each; the first cut at
+# 6 x 512 measured 10.3 s — pure scheduler time scales with launch
+# count, confirming the workload is scheduler-bound — and was resized
+# BEFORE the first official record so the freeze starts at this shape).
+PROBE2_PARTS = 256   # map tasks per iteration
 PROBE2_ROWS = 2_000_000
-PROBE2_ITERS = 6     # sequential jobs -> 6 x (512 map + shuffle agg)
+PROBE2_ITERS = 2     # sequential jobs -> 2 x (256 map + shuffle agg)
 
 
 def _probe2(spark) -> tuple[float, float]:
@@ -383,7 +388,18 @@ def main() -> None:
             _drain(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
-        spread[name] = round(max(samples) - min(samples), 3)
+        # spread statistic: raw max-min at 5 runs; for the 9-run
+        # override cluster, max-min AFTER dropping the single highest
+        # and lowest sample — with 9 samples a lone scheduler spike is
+        # expected (the r16 A/B measured x3.4 one-session swings on
+        # unchanged code) and the raw range would grow WITH the extra
+        # runs that exist to suppress it. BENCHDETAIL records which
+        # entries use the trimmed form (runs_per_query > default).
+        if len(samples) > RUNS:
+            trimmed = sorted(samples)[1:-1]
+            spread[name] = round(max(trimmed) - min(trimmed), 3)
+        else:
+            spread[name] = round(max(samples) - min(samples), 3)
     spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 3)
@@ -417,6 +433,8 @@ def main() -> None:
         "probe2_sec": probe2_sec,
         "probe2_spread": probe2_spread,
         "probe2_shape": f"{PROBE2_ITERS} sequential groupBy jobs x {PROBE2_PARTS} map tasks over {PROBE2_ROWS} rows",
+        # entries above the default run count report the TRIMMED
+        # spread (max-min after dropping one high + one low sample)
         "runs_per_query": {"default": RUNS, **RUNS_OVERRIDE},
         "queries_per_probe": {
             k: round(v / probe_sec, 3) for k, v in timings.items()

@@ -284,6 +284,43 @@ def audio_landmarks_timed(
     )
 
 
+def _landmark_votes(
+    index_lms: DataFrame,
+    query_lms: DataFrame,
+    min_votes: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(query_id, match_id, offset, votes): the surviving offset-vote
+    cells — the shared core of :func:`landmark_search` (global best
+    cell per query) and :func:`landmark_search_topk` (k distinct
+    matches per query). ``max_bucket`` drops index landmarks present
+    in more than that many index clips before the join (the
+    stop-landmark guard of landmark_matches — without it one hot
+    landmark makes the candidate join all-pairs)."""
+    if max_bucket is not None:
+        keep = (
+            index_lms.select("item_id", "lm")
+            .distinct()
+            .groupBy("lm")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("lm")
+        )
+        index_lms = index_lms.join(keep, "lm")
+    q = query_lms.select(
+        F.col("item_id").alias("query_id"), F.col("t").alias("tq"), "lm"
+    )
+    x = index_lms.select(
+        F.col("item_id").alias("match_id"), F.col("t").alias("tx"), "lm"
+    )
+    return (
+        q.join(x, "lm")
+        .groupBy("query_id", "match_id", (F.col("tx") - F.col("tq")).alias("offset"))
+        .agg(F.count(F.lit(1)).cast("int").alias("votes"))
+        .where(F.col("votes") >= F.lit(min_votes))
+    )
+
+
 def landmark_search(
     index_lms: DataFrame,
     query_lms: DataFrame,
@@ -313,28 +350,7 @@ def landmark_search(
     per-query window over the surviving vote cells."""
     from pyspark.sql import Window
 
-    if max_bucket is not None:
-        keep = (
-            index_lms.select("item_id", "lm")
-            .distinct()
-            .groupBy("lm")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") <= max_bucket)
-            .select("lm")
-        )
-        index_lms = index_lms.join(keep, "lm")
-    q = query_lms.select(
-        F.col("item_id").alias("query_id"), F.col("t").alias("tq"), "lm"
-    )
-    x = index_lms.select(
-        F.col("item_id").alias("match_id"), F.col("t").alias("tx"), "lm"
-    )
-    votes = (
-        q.join(x, "lm")
-        .groupBy("query_id", "match_id", (F.col("tx") - F.col("tq")).alias("offset"))
-        .agg(F.count(F.lit(1)).cast("int").alias("votes"))
-        .where(F.col("votes") >= F.lit(min_votes))
-    )
+    votes = _landmark_votes(index_lms, query_lms, min_votes, max_bucket)
     w = Window.partitionBy("query_id").orderBy(
         F.col("votes").desc(), F.col("match_id"), F.col("offset")
     )
@@ -342,4 +358,47 @@ def landmark_search(
         votes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("query_id", "match_id", "offset", "votes")
+    )
+
+
+def landmark_search_topk(
+    index_lms: DataFrame,
+    query_lms: DataFrame,
+    k: int = 3,
+    min_votes: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(query_id, match_id, offset, votes, rank): the k best-matching
+    DISTINCT index clips per query — :func:`landmark_search`
+    generalized to the ``sim_topk_*`` / ``phash_topk`` surface,
+    completing the per-modality top-k retrieval matrix (embeddings,
+    image, and — via the modality-agnostic (item_id, t, lm) contract —
+    both audio and video landmarks). Two windows over the same vote
+    cells: each match's best cell first (votes DESC, then the smaller
+    offset — so a match never appears twice at different alignments),
+    then matches ranked per query by (votes DESC, match_id). At k=1
+    this composition selects exactly landmark_search's winner (the
+    global cell order (votes, match_id, offset) factors through the
+    per-match reduction — pytest-locked).
+
+    Scale shape unchanged from top-1: the ranking windows run over the
+    already-thresholded vote cells, bounded by landmark-bucket
+    fan-out, never by index size."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    votes = _landmark_votes(index_lms, query_lms, min_votes, max_bucket)
+    per_match = Window.partitionBy("query_id", "match_id").orderBy(
+        F.col("votes").desc(), F.col("offset")
+    )
+    per_query = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("match_id")
+    )
+    return (
+        votes.withColumn("__mrn", F.row_number().over(per_match))
+        .where(F.col("__mrn") == 1)
+        .withColumn("rank", F.row_number().over(per_query))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "offset", "votes", "rank")
     )

@@ -7612,3 +7612,90 @@ SELECT item_id, n_scenes, n_frames, silence_frames,
 FROM mmrows
 ORDER BY item_id
 """
+
+
+def q_audio_landmark_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark retrieval generalized to k distinct matches (the
+    phash_topk / sim_topk_* surface for the timed-landmark
+    modalities): top-3 index clips per query over the
+    audio_landmark_search fixture. Every index clip of a query's base
+    group carries the IDENTICAL landmark set, so each receives the
+    same vote count at the same offset and the per-query ranking
+    (votes DESC, match_id) returns the base's three smallest doc_ids
+    — the per-match best-cell reduction guarantees each match appears
+    once, and the whole ordering is deterministic on both engines.
+    The oracle reuses the search oracle's CTE chain verbatim with the
+    two-window ranking tail."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.audiofp import (
+        audio_fingerprint,
+        audio_landmarks_timed,
+        landmark_search_topk,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        j = np.arange(64, dtype=np.float64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did < 400:
+                    base, off, nseg = did % 30, 0, 4
+                else:
+                    base = (did - 400) % 30
+                    off = 1 + did % 3
+                    nseg = 3 if did % 2 == 1 else 4
+                amp = float(8000 + (did % 5) * 3000)
+                segs = [np.zeros(64 * off, dtype=np.float64)] if off else []
+                for k in range(nseg):
+                    b = 1 + (base * 7 + k * 11 + base * k * 5) % 31
+                    segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
+                s = np.concatenate(segs).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    # persist once; both the index and the query side slice from it
+    lms = audio_landmarks_timed(sigs, fanout=3).localCheckpoint(eager=True)
+    return landmark_search_topk(
+        lms.where(F.col("item_id") < 400),
+        lms.where(F.col("item_id") >= 400),
+        k=3,
+        min_votes=3,
+        max_bucket=48,
+    ).orderBy("query_id", "rank")
+
+
+# Same fixture, same CTE chain as the search oracle — only the ranking
+# tail differs: each match's best cell (votes DESC, smaller offset)
+# first, then k=3 distinct matches per query by (votes DESC,
+# match_id). "offset"/"rank" quoted: DuckDB reserved/keyword.
+ORACLE_AUDIO_LANDMARK_TOPK = (
+    ORACLE_AUDIO_LANDMARK_SEARCH.rsplit("ranked AS (", 1)[0]
+    + '''bestcell AS (
+  SELECT query_id, match_id, "offset", votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id, match_id ORDER BY votes DESC, "offset"
+         ) AS mrn
+  FROM cells
+),
+mranked AS (
+  SELECT query_id, match_id, "offset", votes,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, match_id
+         ) AS INT) AS "rank"
+  FROM bestcell WHERE mrn = 1
+)
+SELECT query_id, match_id, "offset", votes, "rank"
+FROM mranked WHERE "rank" <= 3
+ORDER BY query_id, "rank"
+'''
+)

@@ -285,3 +285,59 @@ def test_audio_landmarks_parameter_validation(spark):
             audio_landmarks(sigs, **bad)
         with pytest.raises(ValueError):
             audio_landmarks_timed(sigs, **bad)
+
+
+def test_landmark_search_topk_ranks_distinct_matches(spark):
+    """Top-k generalization: each match appears ONCE (its best cell by
+    votes DESC then smaller offset), matches rank per query by
+    (votes DESC, match_id), k truncates — and k=1 picks exactly
+    landmark_search's winner (the global (votes, match_id, offset)
+    cell order factors through the per-match reduction)."""
+    import pytest
+
+    from easydb_server_spark.operators.audiofp import (
+        landmark_search,
+        landmark_search_topk,
+    )
+
+    # index clip 1 shares 3 landmarks with the query at offset 2 AND
+    # 3 landmarks at offset 5 (two cells, one match); clip 2 shares 4
+    # at offset 0; clip 3 shares 3 at offset 1; clip 4 only 2 (below
+    # min_votes)
+    idx = spark.createDataFrame(
+        [(1, t + 2, 100 + t) for t in range(3)]
+        + [(1, t + 5, 200 + t) for t in range(3)]
+        + [(2, t, 100 + t) for t in range(3)] + [(2, 3, 203)]
+        + [(3, t + 1, 100 + t) for t in range(3)]
+        + [(4, t, 300 + t) for t in range(2)],
+        "item_id BIGINT, t INT, lm BIGINT",
+    )
+    qry = spark.createDataFrame(
+        [(10, t, 100 + t) for t in range(3)]
+        + [(10, t, 200 + t) for t in range(3)]
+        + [(10, 3, 203)] + [(10, t, 300 + t) for t in range(2)],
+        "item_id BIGINT, t INT, lm BIGINT",
+    )
+    got = [
+        (r["match_id"], r["offset"], r["votes"], r["rank"])
+        for r in landmark_search_topk(idx, qry, k=3, min_votes=3)
+        .orderBy("rank").collect()
+    ]
+    # clip 2: 4 votes at offset 0 (landmarks 100-102 at t-offset 0 and
+    # 203 at 0); clip 1: two 3-vote cells, best = smaller offset 2;
+    # clip 3: 3 votes at offset 1; clip 4 never reaches min_votes
+    assert got == [(2, 0, 4, 1), (1, 2, 3, 2), (3, 1, 3, 3)]
+    # k truncates
+    assert landmark_search_topk(idx, qry, k=2, min_votes=3).count() == 2
+    # k=1 == landmark_search, row for row
+    top1 = {
+        (r["query_id"], r["match_id"], r["offset"], r["votes"])
+        for r in landmark_search(idx, qry, min_votes=3).collect()
+    }
+    k1 = {
+        (r["query_id"], r["match_id"], r["offset"], r["votes"])
+        for r in landmark_search_topk(idx, qry, k=1, min_votes=3).collect()
+    }
+    assert top1 == k1
+    with pytest.raises(ValueError):
+        landmark_search_topk(idx, qry, k=0)
