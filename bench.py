@@ -113,7 +113,6 @@ HEADLINE = FIXED_CORE + [
     "text_gopher_repetition",
     "text_ngram_novelty",
     "sim_incremental_neardup",
-    "emb_label_outliers",
     "multimodal_features",
     # r10 additions: audio bit-depth/remix path, the table-blocklist
     # URL gate, the C4 rule set + composed pipeline, NB quality
@@ -201,6 +200,11 @@ HEADLINE = FIXED_CORE + [
     "image_phash_topk",
     "curation_pipeline_mm",
     "audio_landmark_topk",
+    # r16 addition: incremental landmark-index admit (probe + batch
+    # self-match; emb_label_outliers yields its tail slot for the
+    # line budget — 0.46 s with r15 evidence, stays oracle-verified,
+    # the embedding family keeps emb_covariance/emb_quantize/kmeans)
+    "audio_landmark_incremental",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

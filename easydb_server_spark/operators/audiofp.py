@@ -402,3 +402,119 @@ def landmark_search_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "offset", "votes", "rank")
     )
+
+
+def write_landmark_index(lms: DataFrame, table: str, n_buckets: int = 16) -> None:
+    """Persist a timed-landmark index bucketed+sorted on ``lm`` — the
+    durable corpus-side half of incremental landmark dedup/retrieval,
+    completing the per-modality index-lifecycle matrix (text digests:
+    dedup.write_digest_index; MinHash bands: write_minhash_index;
+    PQ/IVF: write_pq_store/write_ivf_store). ``lms`` is any
+    (item_id, t, lm) frame — audio_landmarks_timed or the video
+    scene_landmarks; the matcher downstream is modality-agnostic.
+
+    Bucketing on ``lm`` is the 100 TB shape: one shuffle when the
+    index lands buys every later batch probe an exchange-free index
+    side — the landmark equi-join and the stop-bucket count both key
+    on ``lm``, so the corpus audio is decoded exactly once, at ingest,
+    and never touched again per batch."""
+    (
+        lms.write.bucketBy(n_buckets, "lm")
+        .sortBy("lm")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def append_landmark_index(lms: DataFrame, table: str, n_buckets: int = 16) -> None:
+    """Append a new batch's landmarks to the persisted index (same
+    bucketing spec — Spark keeps per-file bucket hashing consistent,
+    so probes stay exchange-free; file count grows per append until
+    :func:`compact_landmark_index`)."""
+    (
+        lms.write.bucketBy(n_buckets, "lm")
+        .sortBy("lm")
+        .mode("append")
+        .saveAsTable(table)
+    )
+
+
+def compact_landmark_index(spark, table: str, n_buckets: int = 16) -> int:
+    """Compact an append-grown landmark index: drop replay-duplicated
+    (item_id, t, lm) rows, rewrite as one file per bucket. Matching
+    and voting count DISTINCT landmarks per item (audio_landmarks'
+    contract) and votes per (item, t) cell, so duplicated rows are the
+    only thing compaction removes; results are unchanged by
+    construction. Crash-safe via the dedup staged swap. Returns the
+    kept row count."""
+    from easydb_server_spark.operators.dedup import (
+        _recover_staged,
+        _staged_swap_write,
+    )
+
+    _recover_staged(spark, table)
+    keep = (
+        spark.table(table)
+        .dropDuplicates(["item_id", "t", "lm"])
+        .localCheckpoint(eager=True)
+    )
+    _staged_swap_write(spark, keep.repartition(n_buckets, "lm"), table, "lm", n_buckets)
+    return keep.count()
+
+
+def incremental_landmark_admit(
+    index_lms: DataFrame,
+    batch_lms: DataFrame,
+    min_votes: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(item_id, corpus_match, corpus_votes, batch_match, admitted):
+    the per-batch admit/reject decision of incremental NEAR-dup audio
+    (or video) ingest — the landmark family's analogue of
+    dedup.incremental_dedup, but shift/gain-robust instead of exact:
+
+    - ``corpus_match``: the batch item's best corpus clip by offset
+      voting (landmark_search top-1; NULL when no cell reaches
+      ``min_votes``) — a re-encoded, re-leveled, trimmed or padded
+      copy of ingested content is caught here;
+    - ``batch_match``: the smallest SMALLER batch item sharing >=
+      ``min_votes`` distinct landmarks (landmark_matches over the
+      batch) — first-of-duplicates admission within one batch;
+    - ``admitted``: both NULL. Append exactly the admitted items'
+      landmarks to the index (append_landmark_index) and the batch
+      is ingested.
+
+    Scale shape: the corpus side of both the vote join and the
+    stop-bucket count keys on ``lm`` — against a bucketed index table
+    the probe is exchange-free on the index side (pytest plan-lock);
+    the batch self-match is quadratic only inside the batch's own
+    landmark buckets. min_votes is the documented FP dial: distinct
+    recordings sharing ``min_votes`` landmarks AT ONE ALIGNMENT are
+    falsely rejected — the conformance fixture plants two such
+    coincidences and the oracle replays them."""
+    from pyspark.sql import Window
+
+    hits = landmark_search(index_lms, batch_lms, min_votes, max_bucket).select(
+        F.col("query_id").alias("item_id"),
+        F.col("match_id").alias("corpus_match"),
+        F.col("votes").alias("corpus_votes"),
+    )
+    blms = batch_lms.select("item_id", "lm").distinct()
+    pairs = landmark_matches(blms, min_shared=min_votes, max_bucket=max_bucket)
+    batch_first = pairs.groupBy(F.col("item_b").alias("item_id")).agg(
+        F.min("item_a").alias("batch_match")
+    )
+    items = batch_lms.select("item_id").distinct()
+    return (
+        items.join(hits, "item_id", "left")
+        .join(batch_first, "item_id", "left")
+        .select(
+            "item_id",
+            "corpus_match",
+            "corpus_votes",
+            "batch_match",
+            (F.col("corpus_match").isNull() & F.col("batch_match").isNull()).alias(
+                "admitted"
+            ),
+        )
+    )

@@ -253,6 +253,13 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_audio_landmark_topk,
         llmops.ORACLE_AUDIO_LANDMARK_TOPK,
     ),
+    # r16: incremental near-dup ingest against a landmark index (the
+    # landmark family's incremental_dedup; durable bucketed-table
+    # lifecycle pytest-locked)
+    "audio_landmark_incremental": (
+        llmops.q_audio_landmark_incremental,
+        llmops.ORACLE_AUDIO_LANDMARK_INCREMENTAL,
+    ),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -459,21 +466,23 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 16's changed/new set (8): image_phash_topk (NEW —
+# cohort. Round 16's changed/new set (9): image_phash_topk (NEW —
 # top-k-within-radius image retrieval, the r15 verdict's ask #7) and
 # curation_pipeline_mm (NEW — the multimodal decode -> dedup-graph ->
 # gates -> keeper composition, ask #8); audio_landmark_topk (NEW — k
 # distinct matches by offset voting, completing the per-modality topk
-# matrix); image_phash_search re-verifies for the _phash_ranked
+# matrix); audio_landmark_incremental (NEW — write/append/compact
+# landmark index + per-batch admit, the landmark family's
+# incremental_dedup); image_phash_search re-verifies for the _phash_ranked
 # refactor + max_bucket stop-bucket guard (r15 ADVICE),
 # dedup_audio_landmark + audio_landmark_search for the landmark
 # peak_bits parameterization + runtime overflow guard (r15 ADVICE),
 # video_landmark_search for the _landmark_votes refactor, and
 # emb_kmeans_assign for the closure-contract ValueError.
-# Slots 9-28 are the pre-declared r15->r16 rotation: ALL 20 remaining
+# Slots 10-29 are the pre-declared r15->r16 rotation: ALL 20 remaining
 # r10-evidence entries (pre-validated on r15 round-final code,
-# SCALE.md "r16 rotation pre-validated"). Slots 29-48 take the first
-# 20 of the 41-entry r11-evidence cohort in _DEFS order —
+# SCALE.md "r16 rotation pre-validated"). Slots 30-48 take the first
+# 19 of the 41-entry r11-evidence cohort in _DEFS order —
 # deliberately including ivfpq_adc_topk and dedup_bloom_admits, two
 # of the r15 perf-weak cluster, so their correctness evidence
 # refreshes alongside the bench attribution. Slots 49-50 close the
@@ -486,6 +495,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "image_phash_topk",
     "curation_pipeline_mm",
     "audio_landmark_topk",
+    "audio_landmark_incremental",
     "image_phash_search",
     "dedup_audio_landmark",
     "audio_landmark_search",
@@ -532,7 +542,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "emb_label_centroids",
     "stream_tumbling",
     "stream_sliding",
-    "stream_session",
     # rows-only execution-evidence tail (r13 verdict ask #6, COMPLETED)
     "text_unigram_train",
     "stream_funnel_stateful",

@@ -7699,3 +7699,158 @@ FROM mranked WHERE "rank" <= 3
 ORDER BY query_id, "rank"
 '''
 )
+
+
+def q_audio_landmark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup audio ingest (the landmark family's
+    incremental_dedup, closing the per-modality index-lifecycle
+    matrix): corpus = 360 source clips (base = doc % 30, the
+    audio-landmark recipe, 12 identical recordings per base); the new
+    batch = 100 gain/pad/trim copies (doc_id 360-459 — must be
+    REJECTED against the corpus), 20 genuinely novel recordings
+    (doc_id 460-479, recipe 1+(j*13+17k+7jk)%31 — verified in numpy:
+    20 distinct landmark sets, no novel-novel pair shares >= 3), and
+    20 in-batch duplicates of those novels (doc_id 480-499, different
+    gain — caught by the batch self-match, keeper = the smaller id).
+    Everything fits inside doc_id < 500: the sf0.01/sf0.001 documents
+    tables stop there, and a fixture id past the table silently
+    shrinks the batch (caught when the first cut returned 100 rows
+    instead of 140).
+
+    Two planted coincidences are the documented FP floor, simulated
+    before committing and replayed by the oracle: novel recipes j=8
+    and j=18 share exactly 3 landmarks AT ONE ALIGNMENT with corpus
+    bases 0 and 14, so docs 468/478 (and their in-batch duplicates)
+    are falsely corpus-rejected at min_votes=3 — the classic
+    min-votes trade of landmark fingerprinting. Expected admits: the
+    18 other novel originals.
+
+    The conformance query builds the corpus landmarks inline; the
+    durable bucketed-table path (write/append/compact + the
+    exchange-free probe plan) is pytest-locked
+    (tests/test_audiofp.py::test_landmark_index_lifecycle*)."""
+    import pandas as pd
+
+    from easydb_server_spark.operators.audiofp import (
+        audio_fingerprint,
+        audio_landmarks_timed,
+        incremental_landmark_admit,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        j = np.arange(64, dtype=np.float64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did < 360:
+                    base, off, nseg, novel = did % 30, 0, 4, None
+                elif did < 460:
+                    base = (did - 360) % 30
+                    off = 1 + did % 3
+                    nseg = 3 if did % 2 == 1 else 4
+                    novel = None
+                else:
+                    base, off, nseg, novel = None, 0, 4, (did - 460) % 20
+                amp = float(8000 + (did % 5) * 3000)
+                segs = [np.zeros(64 * off, dtype=np.float64)] if off else []
+                for k in range(nseg):
+                    if novel is None:
+                        b = 1 + (base * 7 + k * 11 + base * k * 5) % 31
+                    else:
+                        b = 1 + (novel * 13 + 17 * k + 7 * novel * k) % 31
+                    segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
+                s = np.concatenate(segs).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    # persist once; corpus and batch sides slice from it
+    lms = audio_landmarks_timed(sigs, fanout=3).localCheckpoint(eager=True)
+    return incremental_landmark_admit(
+        lms.where(F.col("item_id") < 360),
+        lms.where(F.col("item_id") >= 360),
+        min_votes=3,
+        max_bucket=48,
+    ).orderBy("item_id")
+
+
+ORACLE_AUDIO_LANDMARK_INCREMENTAL = """
+WITH ildocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 360 THEN doc_id % 30
+              WHEN doc_id < 460 THEN (doc_id - 360) % 30
+              ELSE NULL END AS base,
+         CASE WHEN doc_id >= 460 THEN (doc_id - 460) % 20 ELSE NULL END AS nv,
+         CASE WHEN doc_id >= 360 AND doc_id < 460 THEN 1 + doc_id % 3 ELSE 0 END AS off,
+         CASE WHEN doc_id >= 360 AND doc_id < 460 AND doc_id % 2 = 1 THEN 3 ELSE 4 END AS nseg
+  FROM documents WHERE doc_id < 500
+),
+ilframes AS (
+  SELECT d.doc_id, tt.t,
+         CASE WHEN tt.t < d.off THEN 0
+              WHEN d.nv IS NULL THEN
+                1 + (d.base * 7 + (tt.t - d.off) * 11
+                     + d.base * (tt.t - d.off) * 5) % 31
+              ELSE 1 + (d.nv * 13 + 17 * tt.t + 7 * d.nv * tt.t) % 31
+         END AS p
+  FROM ildocs d, UNNEST(generate_series(0, d.off + d.nseg - 1)) tt(t)
+),
+illmt AS (
+  SELECT a.doc_id, a.t, a.p * 1048576 + b.p * 1024 + (b.t - a.t) AS lm
+  FROM ilframes a JOIN ilframes b
+    ON b.doc_id = a.doc_id AND b.t - a.t BETWEEN 1 AND 3
+),
+ilidx AS (SELECT doc_id, t, lm FROM illmt WHERE doc_id < 360),
+ilidxkeep AS (
+  SELECT doc_id, t, lm FROM ilidx
+  WHERE lm IN (
+    SELECT lm FROM (SELECT DISTINCT doc_id, lm FROM ilidx)
+    GROUP BY lm HAVING COUNT(*) <= 48
+  )
+),
+ilcells AS (
+  SELECT q.doc_id AS item_id, x.doc_id AS match_id,
+         x.t - q.t AS off_cell, CAST(COUNT(*) AS INT) AS votes
+  FROM (SELECT doc_id, t, lm FROM illmt WHERE doc_id >= 360) q
+  JOIN ilidxkeep x ON x.lm = q.lm
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+),
+ilbest AS (
+  SELECT item_id, match_id AS corpus_match, votes AS corpus_votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY item_id ORDER BY votes DESC, match_id, off_cell
+         ) AS rn
+  FROM ilcells
+),
+ilblm AS (
+  SELECT DISTINCT doc_id, lm FROM illmt WHERE doc_id >= 360
+),
+ilbkeep AS (
+  SELECT doc_id, lm FROM ilblm
+  WHERE lm IN (SELECT lm FROM ilblm GROUP BY lm HAVING COUNT(*) <= 48)
+),
+ilbpairs AS (
+  SELECT x.doc_id AS item_a, y.doc_id AS item_b
+  FROM ilbkeep x JOIN ilbkeep y ON y.lm = x.lm AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+ilbfirst AS (
+  SELECT item_b AS item_id, MIN(item_a) AS batch_match
+  FROM ilbpairs GROUP BY item_b
+)
+SELECT d.doc_id AS item_id,
+       b.corpus_match, b.corpus_votes, f.batch_match,
+       b.corpus_match IS NULL AND f.batch_match IS NULL AS admitted
+FROM (SELECT doc_id FROM ildocs WHERE doc_id >= 360) d
+LEFT JOIN (SELECT * FROM ilbest WHERE rn = 1) b ON b.item_id = d.doc_id
+LEFT JOIN ilbfirst f ON f.item_id = d.doc_id
+ORDER BY item_id
+"""

@@ -341,3 +341,141 @@ def test_landmark_search_topk_ranks_distinct_matches(spark):
     assert top1 == k1
     with pytest.raises(ValueError):
         landmark_search_topk(idx, qry, k=0)
+
+
+def _toy_lms(spark, rows):
+    return spark.createDataFrame(rows, "item_id BIGINT, t INT, lm BIGINT")
+
+
+def test_landmark_index_lifecycle_write_probe_append_compact(spark):
+    """The durable landmark-index path (write -> probe -> append ->
+    compact): results equal the inline-DataFrame path at every step,
+    the probe never rescans any blob source (only the bucketed table
+    and the batch appear in the plan), and compaction drops
+    replay-duplicated rows without changing results."""
+    import contextlib
+    import io
+    import shutil
+
+    from easydb_server_spark.operators.audiofp import (
+        append_landmark_index,
+        compact_landmark_index,
+        incremental_landmark_admit,
+        write_landmark_index,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS lm_index_t")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    shutil.rmtree(f"{wh}/lm_index_t", ignore_errors=True)
+    # corpus clip 1: landmarks at t 0..3; clip 2 disjoint
+    corpus = _toy_lms(
+        spark,
+        [(1, t, 100 + t) for t in range(4)] + [(2, t, 500 + t) for t in range(4)],
+    )
+    write_landmark_index(corpus, "lm_index_t", n_buckets=4)
+    # batch: 10 = clip 1 shifted (rejected), 11 = novel, 12 = in-batch
+    # duplicate of 11
+    batch = _toy_lms(
+        spark,
+        [(10, t + 2, 100 + t) for t in range(4)]
+        + [(11, t, 900 + t) for t in range(4)]
+        + [(12, t, 900 + t) for t in range(4)],
+    )
+    out = incremental_landmark_admit(spark.table("lm_index_t"), batch, min_votes=3)
+    got = {r["item_id"]: (r["corpus_match"], r["batch_match"], r["admitted"])
+           for r in out.collect()}
+    assert got == {10: (1, None, False), 11: (None, None, True), 12: (None, 11, False)}
+    # inline path agrees
+    inline = {
+        r["item_id"]: (r["corpus_match"], r["batch_match"], r["admitted"])
+        for r in incremental_landmark_admit(corpus, batch, min_votes=3).collect()
+    }
+    assert inline == got
+    # probe plan reads the bucketed table; no other parquet source
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        incremental_landmark_admit(spark.table("lm_index_t"), batch).explain("formatted")
+    plan = buf.getvalue()
+    assert "lm_index_t" in plan
+    assert "documents.parquet" not in plan and "Scan parquet  \n" not in plan
+    # append the admitted item's landmarks, then the same item probes
+    # as a corpus duplicate
+    append_landmark_index(batch.where("item_id = 11"), "lm_index_t", n_buckets=4)
+    reprobe = incremental_landmark_admit(
+        spark.table("lm_index_t"),
+        _toy_lms(spark, [(20, t + 1, 900 + t) for t in range(4)]),
+        min_votes=3,
+    ).collect()
+    assert [(r["item_id"], r["corpus_match"], r["admitted"]) for r in reprobe] == [
+        (20, 11, False)
+    ]
+    # replay the append (duplicated rows), compact, results unchanged
+    append_landmark_index(batch.where("item_id = 11"), "lm_index_t", n_buckets=4)
+    before = spark.table("lm_index_t").count()
+    kept = compact_landmark_index(spark, "lm_index_t", n_buckets=4)
+    assert kept == before - 4  # the 4 replayed rows dropped
+    reprobe2 = incremental_landmark_admit(
+        spark.table("lm_index_t"),
+        _toy_lms(spark, [(20, t + 1, 900 + t) for t in range(4)]),
+        min_votes=3,
+    ).collect()
+    assert [(r["item_id"], r["corpus_match"], r["admitted"]) for r in reprobe2] == [
+        (20, 11, False)
+    ]
+    spark.sql("DROP TABLE IF EXISTS lm_index_t")
+
+
+def test_landmark_index_probe_is_exchange_free_on_index_side(spark):
+    """The 100 TB probe claim: with broadcast/AQE off and shuffle
+    partitions matched to the bucket count, the vote join's index side
+    reads the bucketed table with NO Exchange feeding it — only batch-
+    side exchanges appear before the join."""
+    import contextlib
+    import io
+    import shutil
+
+    from easydb_server_spark.operators.audiofp import (
+        landmark_search,
+        write_landmark_index,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS lm_index_p")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    shutil.rmtree(f"{wh}/lm_index_p", ignore_errors=True)
+    corpus = _toy_lms(spark, [(i, t, i * 10 + t) for i in range(20) for t in range(4)])
+    write_landmark_index(corpus, "lm_index_p", n_buckets=8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        batch = _toy_lms(spark, [(99, t, 10 + t) for t in range(4)])
+        df = landmark_search(spark.table("lm_index_p"), batch, min_votes=3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan
+        assert "lm_index_p" in plan
+        # the lock: 3 exchanges (batch-side lm shuffle, the vote
+        # aggregate, the top-1 window) — the SAME probe against the
+        # index as an inline DataFrame plans 4, the extra one being
+        # the index-side lm shuffle that bucketing eliminates
+        assert plan.count(") Exchange") == 3, plan
+        import pyspark.sql.functions as F
+
+        inline = landmark_search(
+            spark.table("lm_index_p").select("item_id", "t", "lm")
+            .unionAll(spark.range(0).selectExpr(
+                "id as item_id", "cast(id as int) as t", "id as lm")),
+            batch, min_votes=3,
+        )
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            inline.explain("formatted")
+        assert buf2.getvalue().count(") Exchange") == 4
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.sql("DROP TABLE IF EXISTS lm_index_p")
