@@ -452,13 +452,31 @@ def compact_landmark_index(spark, table: str, n_buckets: int = 16) -> int:
         _staged_swap_write,
     )
 
+    from pyspark.sql import Window
+
     _recover_staged(spark, table)
-    keep = (
-        spark.table(table)
-        .dropDuplicates(["item_id", "t", "lm"])
-        .localCheckpoint(eager=True)
-    )
-    _staged_swap_write(spark, keep.repartition(n_buckets, "lm"), table, "lm", n_buckets)
+    t = spark.table(table)
+    if "batch_id" in t.columns:
+        # streaming-ingest form (batch_id partitions): keep the
+        # earliest admission of each landmark row, preserve the
+        # partitioning so replay exists-checks stay partition-pruned
+        w = Window.partitionBy("item_id", "t", "lm").orderBy(F.col("batch_id").asc())
+        keep = (
+            t.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .drop("_r")
+            .localCheckpoint(eager=True)
+        )
+        _staged_swap_write(
+            spark, keep.repartition(n_buckets, "lm"), table, "lm", n_buckets,
+            partition_col="batch_id",
+        )
+    else:
+        keep = (
+            t.dropDuplicates(["item_id", "t", "lm"])
+            .localCheckpoint(eager=True)
+        )
+        _staged_swap_write(spark, keep.repartition(n_buckets, "lm"), table, "lm", n_buckets)
     return keep.count()
 
 

@@ -260,6 +260,12 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.q_audio_landmark_incremental,
         llmops.ORACLE_AUDIO_LANDMARK_INCREMENTAL,
     ),
+    # r16: the streaming form — a real availableNow two-micro-batch
+    # run whose cross-batch state is the bucketed landmark table
+    "stream_landmark_ingest": (
+        llmops.q_stream_landmark_ingest,
+        llmops.ORACLE_STREAM_LANDMARK_INGEST,
+    ),
     "audio_spectrogram": (llmops.q_audio_spectrogram, None),
     "audio_spectrogram_tone": (
         llmops.q_audio_spectrogram_tone,
@@ -466,23 +472,25 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
 # operator code is NEW or changed this round, (2) the entries with the
 # LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 16's changed/new set (9): image_phash_topk (NEW —
+# cohort. Round 16's changed/new set (10): image_phash_topk (NEW —
 # top-k-within-radius image retrieval, the r15 verdict's ask #7) and
 # curation_pipeline_mm (NEW — the multimodal decode -> dedup-graph ->
 # gates -> keeper composition, ask #8); audio_landmark_topk (NEW — k
 # distinct matches by offset voting, completing the per-modality topk
 # matrix); audio_landmark_incremental (NEW — write/append/compact
 # landmark index + per-batch admit, the landmark family's
-# incremental_dedup); image_phash_search re-verifies for the _phash_ranked
+# incremental_dedup); stream_landmark_ingest (NEW — the streaming
+# form, real two-micro-batch run, replay-guarded vote-bearing index);
+# image_phash_search re-verifies for the _phash_ranked
 # refactor + max_bucket stop-bucket guard (r15 ADVICE),
 # dedup_audio_landmark + audio_landmark_search for the landmark
 # peak_bits parameterization + runtime overflow guard (r15 ADVICE),
 # video_landmark_search for the _landmark_votes refactor, and
 # emb_kmeans_assign for the closure-contract ValueError.
-# Slots 10-29 are the pre-declared r15->r16 rotation: ALL 20 remaining
+# Slots 11-30 are the pre-declared r15->r16 rotation: ALL 20 remaining
 # r10-evidence entries (pre-validated on r15 round-final code,
-# SCALE.md "r16 rotation pre-validated"). Slots 30-48 take the first
-# 19 of the 41-entry r11-evidence cohort in _DEFS order —
+# SCALE.md "r16 rotation pre-validated"). Slots 31-48 take the first
+# 18 of the 41-entry r11-evidence cohort in _DEFS order —
 # deliberately including ivfpq_adc_topk and dedup_bloom_admits, two
 # of the r15 perf-weak cluster, so their correctness evidence
 # refreshes alongside the bench attribution. Slots 49-50 close the
@@ -496,6 +504,7 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "curation_pipeline_mm",
     "audio_landmark_topk",
     "audio_landmark_incremental",
+    "stream_landmark_ingest",
     "image_phash_search",
     "dedup_audio_landmark",
     "audio_landmark_search",
@@ -541,7 +550,6 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "emb_label_centroids",
     "stream_tumbling",
-    "stream_sliding",
     # rows-only execution-evidence tail (r13 verdict ask #6, COMPLETED)
     "text_unigram_train",
     "stream_funnel_stateful",

@@ -7854,3 +7854,231 @@ LEFT JOIN (SELECT * FROM ilbest WHERE rn = 1) b ON b.item_id = d.doc_id
 LEFT JOIN ilbfirst f ON f.item_id = d.doc_id
 ORDER BY item_id
 """
+
+
+def q_stream_landmark_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup audio ingest run as a REAL streaming job
+    (streaming/ingest.stream_landmark_ingest, availableNow over two
+    mtime-ordered micro-batch files): batch 0 is 60 clips — bases
+    0..29 (the audio-landmark recipe) each appearing twice, so the 30
+    seconds (doc 30..59) are in-batch rejected and ONLY docs 0..29
+    enter the index; batch 1 is 40 pad/trim copies (doc 60..99, base
+    (doc-60) %% 30 — every one corpus-matched against the index that
+    batch 0 built, proving cross-batch state flows through the
+    TABLE, not streaming state) plus 20 novel recordings (doc
+    100..119, the incremental fixture's novel recipe, including its
+    two numpy-verified min_votes coincidences: novel j=8/j=18 share 3
+    aligned landmarks with bases 0/14, so docs 108/118 are falsely
+    corpus-rejected — and 108 also batch-matches the base-0 copy 60,
+    118 the base-14 copy 74, because landmark_matches needs no
+    alignment). The oracle replays both generations: batch-0
+    self-matching, the admitted set, batch-1 offset voting against
+    exactly that set, and batch-1 self-matching.
+
+    Side-effect entry (the pq_store_lifecycle class): drops/rebuilds
+    the fixed warehouse table and uses fresh temp dirs per run, so the
+    query is idempotent; stays conformance-only, never benched."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from easydb_server_spark.streaming.ingest import (
+        AUDIO_BLOB_SCHEMA,
+        stream_landmark_ingest,
+    )
+
+    table = "lm_ingest_conf"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    work = tempfile.mkdtemp(prefix="lm_ingest_conf_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from easydb_server_spark.operators.wav import encode_wav
+
+        j = np.arange(64, dtype=np.float64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did < 60:
+                    base, off, nseg, novel = did % 30, 0, 4, None
+                elif did < 100:
+                    base = (did - 60) % 30
+                    off = 1 + did % 3
+                    nseg = 3 if did % 2 == 1 else 4
+                    novel = None
+                else:
+                    base, off, nseg, novel = None, 0, 4, did - 100
+                amp = float(8000 + (did % 5) * 3000)
+                segs = [np.zeros(64 * off, dtype=np.float64)] if off else []
+                for k in range(nseg):
+                    if novel is None:
+                        b = 1 + (base * 7 + k * 11 + base * k * 5) % 31
+                    else:
+                        b = 1 + (novel * 13 + 17 * k + 7 * novel * k) % 31
+                    segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
+                s = np.concatenate(segs).astype(np.int16)
+                out.append((did, encode_wav(s, 8000)))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    blobs = d.mapInPandas(build, "item_id bigint, payload binary").collect()
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    for name, lo, hi, order in (("b0.parquet", 0, 60, 0), ("b1.parquet", 60, 120, 1)):
+        rows = [r for r in blobs if lo <= r["item_id"] < hi]
+        t = pa.table(
+            {
+                "item_id": pa.array([r["item_id"] for r in rows], pa.int64()),
+                "payload": pa.array([bytes(r["payload"]) for r in rows], pa.binary()),
+            }
+        )
+        path = os.path.join(in_dir, name)
+        papq.write_table(t, path)
+        mt = 1_700_000_000 + order * 60
+        os.utime(path, (mt, mt))
+
+    src = (
+        spark.readStream.schema(AUDIO_BLOB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_landmark_ingest(
+        src,
+        "payload",
+        "item_id",
+        table,
+        os.path.join(work, "decisions"),
+        os.path.join(work, "ckpt"),
+        min_votes=3,
+        max_bucket=48,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(work, "decisions"))
+        .select(
+            "item_id",
+            "corpus_match",
+            "corpus_votes",
+            "batch_match",
+            "admitted",
+            F.col("batch_id").cast("int").alias("bid"),
+        )
+        .orderBy("item_id")
+    )
+
+
+# Replays BOTH micro-batch generations of the streaming ingest: the
+# sl* CTE chain is the il* incremental chain with the index defined as
+# batch 0's ADMITTED clips instead of a static corpus.
+ORACLE_STREAM_LANDMARK_INGEST = """
+WITH sldocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 60 THEN doc_id % 30
+              WHEN doc_id < 100 THEN (doc_id - 60) % 30
+              ELSE NULL END AS base,
+         CASE WHEN doc_id >= 100 THEN doc_id - 100 ELSE NULL END AS nv,
+         CASE WHEN doc_id >= 60 AND doc_id < 100 THEN 1 + doc_id % 3 ELSE 0 END AS off,
+         CASE WHEN doc_id >= 60 AND doc_id < 100 AND doc_id % 2 = 1 THEN 3 ELSE 4 END AS nseg
+  FROM documents WHERE doc_id < 120
+),
+slframes AS (
+  SELECT d.doc_id, tt.t,
+         CASE WHEN tt.t < d.off THEN 0
+              WHEN d.nv IS NULL THEN
+                1 + (d.base * 7 + (tt.t - d.off) * 11
+                     + d.base * (tt.t - d.off) * 5) % 31
+              ELSE 1 + (d.nv * 13 + 17 * tt.t + 7 * d.nv * tt.t) % 31
+         END AS p
+  FROM sldocs d, UNNEST(generate_series(0, d.off + d.nseg - 1)) tt(t)
+),
+sllmt AS (
+  SELECT a.doc_id, a.t, a.p * 1048576 + b.p * 1024 + (b.t - a.t) AS lm
+  FROM slframes a JOIN slframes b
+    ON b.doc_id = a.doc_id AND b.t - a.t BETWEEN 1 AND 3
+),
+-- batch 0: empty corpus, in-batch matching only
+b0lm AS (SELECT DISTINCT doc_id, lm FROM sllmt WHERE doc_id < 60),
+b0keep AS (
+  SELECT doc_id, lm FROM b0lm
+  WHERE lm IN (SELECT lm FROM b0lm GROUP BY lm HAVING COUNT(*) <= 48)
+),
+b0pairs AS (
+  SELECT x.doc_id AS item_a, y.doc_id AS item_b
+  FROM b0keep x JOIN b0keep y ON y.lm = x.lm AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+b0first AS (
+  SELECT item_b AS item_id, MIN(item_a) AS batch_match
+  FROM b0pairs GROUP BY item_b
+),
+b0rows AS (
+  SELECT d.doc_id AS item_id,
+         CAST(NULL AS BIGINT) AS corpus_match,
+         CAST(NULL AS INT) AS corpus_votes,
+         f.batch_match,
+         f.batch_match IS NULL AS admitted,
+         0 AS bid
+  FROM (SELECT doc_id FROM sldocs WHERE doc_id < 60) d
+  LEFT JOIN b0first f ON f.item_id = d.doc_id
+),
+-- the index batch 1 probes = batch 0's admitted clips
+slidx AS (
+  SELECT l.doc_id, l.t, l.lm FROM sllmt l
+  JOIN b0rows r ON r.item_id = l.doc_id AND r.admitted
+),
+slidxkeep AS (
+  SELECT doc_id, t, lm FROM slidx
+  WHERE lm IN (
+    SELECT lm FROM (SELECT DISTINCT doc_id, lm FROM slidx)
+    GROUP BY lm HAVING COUNT(*) <= 48
+  )
+),
+b1cells AS (
+  SELECT q.doc_id AS item_id, x.doc_id AS match_id,
+         x.t - q.t AS off_cell, CAST(COUNT(*) AS INT) AS votes
+  FROM (SELECT doc_id, t, lm FROM sllmt WHERE doc_id >= 60) q
+  JOIN slidxkeep x ON x.lm = q.lm
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+),
+b1best AS (
+  SELECT item_id, match_id AS corpus_match, votes AS corpus_votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY item_id ORDER BY votes DESC, match_id, off_cell
+         ) AS rn
+  FROM b1cells
+),
+b1lm AS (SELECT DISTINCT doc_id, lm FROM sllmt WHERE doc_id >= 60),
+b1keep AS (
+  SELECT doc_id, lm FROM b1lm
+  WHERE lm IN (SELECT lm FROM b1lm GROUP BY lm HAVING COUNT(*) <= 48)
+),
+b1pairs AS (
+  SELECT x.doc_id AS item_a, y.doc_id AS item_b
+  FROM b1keep x JOIN b1keep y ON y.lm = x.lm AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+b1first AS (
+  SELECT item_b AS item_id, MIN(item_a) AS batch_match
+  FROM b1pairs GROUP BY item_b
+),
+b1rows AS (
+  SELECT d.doc_id AS item_id,
+         b.corpus_match, b.corpus_votes, f.batch_match,
+         b.corpus_match IS NULL AND f.batch_match IS NULL AS admitted,
+         1 AS bid
+  FROM (SELECT doc_id FROM sldocs WHERE doc_id >= 60) d
+  LEFT JOIN (SELECT * FROM b1best WHERE rn = 1) b ON b.item_id = d.doc_id
+  LEFT JOIN b1first f ON f.item_id = d.doc_id
+)
+SELECT item_id, corpus_match, corpus_votes, batch_match, admitted, CAST(bid AS INT) AS bid
+FROM (SELECT * FROM b0rows UNION ALL SELECT * FROM b1rows)
+ORDER BY item_id
+"""

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
 
 DOC_SCHEMA = StructType(
     [
@@ -744,3 +744,120 @@ def read_bucket_anomalies(
         z.alias("z"),
         (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
     )
+
+
+AUDIO_BLOB_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def stream_landmark_ingest(
+    blobs_stream: DataFrame,
+    blob_col: str,
+    id_col: str,
+    index_table: str,
+    decisions_path: str,
+    checkpoint_dir: str,
+    frame: int = 64,
+    hop: int = 64,
+    fanout: int = 3,
+    min_votes: int = 3,
+    max_bucket: int | None = 48,
+    n_buckets: int = 16,
+    available_now: bool = True,
+):
+    """Continuous NEAR-dup audio ingest — the streaming form of
+    :func:`easydb_server_spark.operators.audiofp.incremental_landmark_admit`,
+    completing the streaming-ingest matrix next to the exact-digest and
+    MinHash pipelines: each micro-batch of WAV blobs is fingerprinted,
+    its timed landmarks probed against every clip ever admitted before
+    it (corpus_match by offset voting) and against itself
+    (batch_match), and the admitted clips' landmarks are appended back
+    to the bucketed index so batch N+1 sees them.
+
+    ``index_table``: (item_id, t, lm, batch_id), PARTITIONED by
+    batch_id and bucketed on lm. ``decisions_path``: parquet of the
+    full admit/reject decision rows, one ``batch_id=N`` partition per
+    micro-batch (dynamic overwrite -> replay idempotent).
+
+    Replay safety differs from the digest pipeline in one load-bearing
+    way: digest anti-joins depend only on MEMBERSHIP, so re-appended
+    digests are harmless — but landmark VOTES count rows, so a
+    replayed append would double batch N's votes in every later probe.
+    The append is therefore guarded by a partition-pruned exists-check
+    on the ``batch_id=N`` partition: if the prior attempt committed
+    its append, the replay skips it (decisions themselves recompute
+    identically because the probe filters ``batch_id < N``); Spark's
+    file-commit protocol makes a half-committed append invisible, so
+    the check is exact. Landmark-row uniqueness per (item, t, lm) is
+    thereby preserved by construction; compaction additionally keeps
+    the earliest batch if an index is ever hand-merged.
+
+    Scale shape: per micro-batch, blob decode + landmark extraction is
+    map-only over the batch; the corpus-sized term is the probe of the
+    bucketed landmark table — no exchange on the index side (the plan
+    tests/test_audiofp.py locks for the batch operator) and measured
+    FLAT under x10 index growth (tools/scale_sweep_landmark_index.py:
+    x1.03). The streaming query itself is stateless; all state is the
+    index table, shared with the batch operators."""
+    from easydb_server_spark.operators.audiofp import (
+        audio_fingerprint,
+        audio_landmarks_timed,
+        incremental_landmark_admit,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sigs = audio_fingerprint(batch_df, blob_col, id_col, frame, hop)
+        lms = audio_landmarks_timed(sigs, fanout).localCheckpoint(eager=True)
+        if sess.catalog.tableExists(index_table):
+            prior = sess.table(index_table).where(
+                F.col("batch_id") < F.lit(batch_id)
+            ).select("item_id", "t", "lm")
+        else:
+            prior = sess.createDataFrame([], "item_id BIGINT, t INT, lm BIGINT")
+        decisions = incremental_landmark_admit(
+            prior, lms, min_votes=min_votes, max_bucket=max_bucket
+        ).localCheckpoint(eager=True)
+
+        # 1) decision rows: deterministic per-batch partition, replay
+        # overwrites
+        decisions.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+            "batch_id"
+        ).mode("overwrite").option("partitionOverwriteMode", "dynamic").parquet(
+            decisions_path
+        )
+        # 2) admitted clips' landmarks back to the index — guarded by
+        # the exists-check (see docstring: votes count rows, replayed
+        # appends must not double them)
+        if sess.catalog.tableExists(index_table):
+            already = (
+                sess.table(index_table)
+                .where(F.col("batch_id") == F.lit(batch_id))
+                .limit(1)
+                .count()
+            )
+            if already:
+                return
+        (
+            lms.join(decisions.where("admitted").select("item_id"), "item_id")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .bucketBy(n_buckets, "lm")
+            .sortBy("lm")
+            .mode("append")
+            .format("parquet")
+            .saveAsTable(index_table)
+        )
+
+    writer = (
+        blobs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"ingest_landmarks_{index_table}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -6,14 +6,15 @@ is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
 Round-16 window (new/changed first, then least driver evidence):
-the 9 changed/new entries (image_phash_topk, curation_pipeline_mm,
-audio_landmark_topk and audio_landmark_incremental are NEW; image_phash_search re-verifies for the
+the 10 changed/new entries (image_phash_topk, curation_pipeline_mm,
+audio_landmark_topk, audio_landmark_incremental and
+stream_landmark_ingest are NEW; image_phash_search re-verifies for the
 _phash_ranked refactor + max_bucket guard, dedup_audio_landmark and
 audio_landmark_search for the landmark peak_bits/overflow guard,
 video_landmark_search for the _landmark_votes refactor,
 emb_kmeans_assign for the closure-contract ValueError), then the
 pre-declared 20-entry r10-evidence fill (the cohort's last members),
-then 19 of the 41-entry r11-evidence cohort (including perf-weak
+then 18 of the 41-entry r11-evidence cohort (including perf-weak
 ivfpq_adc_topk and dedup_bloom_admits). Slots 49-50 COMPLETE the
 rows-only execution-evidence tail (text_unigram_train,
 stream_funnel_stateful) — after r16 every entry has driver evidence.
@@ -43,10 +44,10 @@ def test_window_holds_the_r16_rotation():
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # slots 1-9: r16 changed/new code — the four NEW entries (top-k
+    # slots 1-10: r16 changed/new code — the five NEW entries (top-k
     # image retrieval, the multimodal curation pipeline, top-k
-    # landmark retrieval, the incremental landmark index) and the
-    # five consumers of r16-changed
+    # landmark retrieval, the incremental landmark index, its
+    # streaming form) and the five consumers of r16-changed
     # operator code (_phash_ranked refactor + max_bucket, landmark
     # peak_bits/overflow guard x2, _landmark_votes refactor, kmeans
     # closure-contract ValueError); locked as a SET (an r16 fact, not
@@ -54,13 +55,14 @@ def test_window_holds_the_r16_rotation():
     changed = {
         "image_phash_topk", "curation_pipeline_mm", "audio_landmark_topk",
         "audio_landmark_incremental",
+        "stream_landmark_ingest",
         "image_phash_search",
         "dedup_audio_landmark", "audio_landmark_search",
         "video_landmark_search",
         "emb_kmeans_assign",
     }
-    assert set(window[:9]) == changed
-    # slots 10-29: the pre-declared r15->r16 rotation — ALL 20
+    assert set(window[:10]) == changed
+    # slots 11-30: the pre-declared r15->r16 rotation — ALL 20
     # remaining r10-evidence entries (newest driver evidence across
     # CORRECTNESS_r*.json up to r15 — the goalpost is fixed at
     # rotation time)
@@ -74,12 +76,12 @@ def test_window_holds_the_r16_rotation():
                 newest[name] = max(newest.get(name, 0), rnd)
     r10_cohort = {n for n, r in newest.items() if r == 10}
     assert len(r10_cohort) == 20
-    assert set(window[9:29]) == r10_cohort
-    # slots 30-48: 19 of the 41-entry r11-evidence cohort
+    assert set(window[10:30]) == r10_cohort
+    # slots 31-48: 18 of the 41-entry r11-evidence cohort
     r11_cohort = {n for n, r in newest.items() if r == 11}
     assert len(r11_cohort) == 41
-    assert set(window[29:48]) <= r11_cohort
-    assert len(window[29:48]) == 19
+    assert set(window[30:48]) <= r11_cohort
+    assert len(window[30:48]) == 18
     # slots 49-50: the FINAL rows-only execution-evidence tail (r13
     # verdict ask #6, completed this round) — the ONLY rows-only
     # entries allowed in the window, and only to demonstrate the
