@@ -39,6 +39,61 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from easydb_server_spark.operators.similarity import _as_double, _dot
 
+# Plan-size bound for the literal-codebook forms (the kmeans.py
+# LITERAL_ARGMIN_MAX_KD rationale applied to PQ): k codes x d dims of
+# double literals per codebook, and q x m x k LUT longs per query
+# batch. Below the bound, training/encoding/ADC run as zero-exchange
+# projections with bounded driver collects (codebooks and LUTs are
+# broadcast-sized by contract anyway); above it the broadcast-join +
+# window formulation runs unchanged and stays exact at any size.
+_LITERAL_PQ_MAX = 4096
+
+
+def _collect_codebook(codebook: DataFrame) -> list[list[list[float]]] | None:
+    """cb[sub][code] = centroid, validated contiguous (subs 0..m-1,
+    codes 0..k-1 per sub, uniform width); None when the layout is not
+    contiguous or the literal would exceed the plan-size bound."""
+    attached = getattr(codebook, "_pq_cb", None)
+    if attached is not None:
+        m = len(attached)
+        k = len(attached[0]) if m else 0
+        width = len(attached[0][0]) if k else 0
+        return attached if 0 < k * m * width <= _LITERAL_PQ_MAX else None
+    rows = codebook.select("sub", "code", "centroid").collect()
+    if not rows:
+        return None
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub"]), {})[int(r["code"])] = list(r["centroid"])
+    m = len(by_sub)
+    if sorted(by_sub) != list(range(m)):
+        return None
+    k = len(by_sub[0])
+    width = len(by_sub[0][0]) if k else 0
+    if k * m * width > _LITERAL_PQ_MAX:
+        return None
+    cb: list[list[list[float]]] = []
+    for sub in range(m):
+        codes = by_sub[sub]
+        if sorted(codes) != list(range(k)):
+            return None
+        if any(len(codes[c]) != width for c in range(k)):
+            return None
+        cb.append([codes[c] for c in range(k)])
+    return cb
+
+
+def _codes_expr(cb: list[list[list[float]]], width: int, vec_sql: str):
+    """array<int> of m nearest codes for the double-array vector named
+    by ``vec_sql`` — the `_nearest_code` argmax (rounded dot desc,
+    code asc) as one zero-exchange projection against the literal
+    codebook, rendered as SQL text and parsed in one JVM call
+    (operators/_litexpr.py: the Column-API construction of the same
+    tree was the measured bottleneck at ~0.9 s per call)."""
+    from easydb_server_spark.operators._litexpr import codes_sql
+
+    return F.expr(codes_sql(cb, width, vec_sql))
+
 
 def _subvecs(df: DataFrame, vec_col: str, id_col: str, m: int, width: int) -> DataFrame:
     """(id, sub, svec): m subspace rows per vector."""
@@ -89,8 +144,39 @@ def pq_train(
     0..k-1 per subspace. Deterministic: per-subspace init is the k
     subvectors whose parent ids have the smallest md5(id) (the
     ivf_centroids seeding, replayable by the SQL oracle), then
-    ``n_iters`` Lloyd rounds of rounded-mean updates."""
-    width = _dim_width(corpus, vec_col, m)
+    ``n_iters`` Lloyd rounds of rounded-mean updates.
+
+    r16: for k*d under the literal bound, training runs driver-merged
+    like kmeans.py — seed = one bounded TakeOrdered collect of the k
+    md5-first parent vectors (the per-sub seed RANK is the same k ids
+    for every sub, since md5(cid) does not depend on sub), each Lloyd
+    assignment is the literal-codebook argmax projection
+    (zero-exchange), and the update's rounded (sub, code, pos) means —
+    the SAME Spark aggregate as the join form, so values are
+    bit-identical — collect m*k*width rows and merge driver-side. The
+    returned codebook is a LocalRelation (no eager checkpoint job;
+    broadcasts build from local rows). Past the bound the original
+    window/join formulation runs unchanged."""
+    vecs = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    # the bounded seed collect doubles as the dimension probe (no
+    # separate first() job); k rows x d doubles, the MLlib driver shape
+    seed_rows = (
+        vecs.withColumn("hk", F.md5(F.col("cid").cast("string")))
+        .orderBy("hk", "cid")
+        .limit(k)
+        .select("hk", "cid", "vec")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("cannot train PQ on an empty corpus")
+    d = len(seed_rows[0]["vec"])
+    if d % m:
+        raise ValueError(f"vector dim {d} is not divisible by m={m} subspaces")
+    width = d // m
+    if k * m * width <= _LITERAL_PQ_MAX:
+        return _pq_train_local(vecs, seed_rows, m, k, width, n_iters)
     subs = _subvecs(corpus, vec_col, id_col, m, width)
     wseed = Window.partitionBy("sub").orderBy(
         F.md5(F.col("cid").cast("string")), F.col("cid")
@@ -120,13 +206,84 @@ def pq_train(
     return codebook.localCheckpoint(eager=True)
 
 
+def _pq_train_local(
+    vecs: DataFrame, seed_rows: list, m: int, k: int, width: int, n_iters: int
+) -> DataFrame:
+    """Driver-merged PQ training (see :func:`pq_train`). Seed, literal
+    assignment, Spark-aggregated rounded means, driver merge; returns
+    the codebook as a LocalRelation (sub int, code int, centroid).
+    ``vecs`` is the (cid, vec double-array) projection; ``seed_rows``
+    the collected (hk, cid, vec) md5-order seed."""
+    spark = vecs.sparkSession
+    # re-assert the order on the SPARK-computed hash (the
+    # seed_centroids discipline from kmeans.py)
+    seed_rows = sorted(seed_rows, key=lambda r: (r["hk"], r["cid"]))
+    cb = [
+        [list(r["vec"][sub * width : (sub + 1) * width]) for r in seed_rows]
+        for sub in range(m)
+    ]
+    for _ in range(n_iters):
+        enc = vecs.select(
+            "vec", _codes_expr(cb, width, "vec").alias("codes")
+        )
+        upd = (
+            enc.select(
+                "vec",
+                "codes",
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            )
+            .select(
+                "sub",
+                F.element_at("codes", F.col("sub") + 1).alias("code"),
+                F.posexplode(F.slice("vec", F.col("sub") * width + 1, width)).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("val"), 5).alias("mval"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            by_key.setdefault((int(r["sub"]), int(r["code"])), {})[int(r["pos"])] = r[
+                "mval"
+            ]
+        for sub in range(m):
+            for code in range(len(cb[sub])):
+                got = by_key.get((sub, code))
+                if got is not None:
+                    cb[sub][code] = [got[p] for p in range(width)]
+    out = spark.createDataFrame(
+        [(sub, code, cb[sub][code]) for sub in range(m) for code in range(len(cb[sub]))],
+        "sub int, code int, centroid array<double>",
+    )
+    # driver-known rows ride along so downstream literal paths
+    # (encode/ADC) skip the re-collect job; the DataFrame itself stays
+    # the source of truth for the join fallback and for persistence
+    out._pq_cb = cb  # type: ignore[attr-defined]
+    return out
+
+
 def pq_encode(
     df: DataFrame, vec_col: str, id_col: str, codebook: DataFrame, m: int
 ) -> DataFrame:
     """Encode vectors → (id, codes array<int>, m codes in subspace
-    order). Map-only after the subspace explode: broadcast argmax,
-    then per-id reassembly."""
-    width = _dim_width(df, vec_col, m)
+    order).
+
+    r16: with a bounded contiguous codebook (the trained layout), the
+    m argmaxes run as ONE zero-exchange projection against the literal
+    codebook — no subspace explode, no window shuffle, no per-id
+    reassembly aggregate (encoding is now genuinely map-only, as the
+    module docstring always claimed). Non-contiguous or oversized
+    codebooks take the original broadcast-argmax + reassembly path."""
+    cb = _collect_codebook(codebook)
+    width = len(cb[0][0]) if cb else _dim_width(df, vec_col, m)
+    if cb is not None and len(cb) == m:
+        return df.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__vec")
+        ).select(
+            F.col(id_col), _codes_expr(cb, width, "__vec").alias("codes")
+        )
     subs = _subvecs(df, vec_col, id_col, m, width)
     return (
         _nearest_code(subs, codebook)
@@ -190,30 +347,100 @@ def pq_adc_topk(
     per-(qid, cid) sum, so the m-way summation is exact integer
     arithmetic — order-free under any partitioning — and the score is
     one float division at the end. Quantization error ≤ m·5e-7,
-    identical to the previous per-part ROUND(…,6)."""
-    width = _dim_width(queries, vec_col, m)
-    lut = (
-        _subvecs(queries, vec_col, qid_col, m, width)
-        .withColumnRenamed("cid", "qid")
-        .join(F.broadcast(codebook), "sub")
-        .select(
-            "qid",
-            "sub",
-            "code",
-            F.round(_dot(F.col("svec"), F.col("centroid")) * F.lit(1000000.0), 0)
-            .cast("long")
-            .alias("part_units"),
+    identical to the previous per-part ROUND(…,6).
+
+    r16: for a bounded query batch (q·m·k LUT entries under the
+    literal bound — the same scale constraint the broadcast already
+    imposed), the LUT is computed by the SAME Spark expressions, then
+    collected and re-entered as one literal: scoring becomes a
+    zero-join projection — per encoded row, explode q (qid, Σ of m
+    in-row LUT lookups) structs — so the broadcast-hash join AND the
+    (qid, cid) partial-sum shuffle disappear (integer addition of the
+    m parts is order-free, so the in-row sum is the groupBy sum).
+    Larger batches take the original broadcast-join path unchanged."""
+    from easydb_server_spark.operators._litexpr import (
+        as_double_sql,
+        lut_units_sql,
+        sql_arr_l,
+        sql_scalar,
+        supported_id_type,
+    )
+
+    cb = _collect_codebook(codebook)
+    width = len(cb[0][0]) if cb else _dim_width(queries, vec_col, m)
+    k_codes = len(cb[0]) if cb else 0
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    lut_rows = None
+    if cb is not None and supported_id_type(qid_type) and m * k_codes:
+        # the LUT by ONE literal projection + bounded collect (what the
+        # join form broadcast anyway); limit-guarded so an oversized
+        # query batch falls back to the join path instead of a count job
+        max_q = _LITERAL_PQ_MAX // (m * k_codes)
+        lut_rows = (
+            queries.select(
+                F.col(qid_col).alias("qid"),
+                F.expr(lut_units_sql(cb, width, as_double_sql(vec_col))).alias(
+                    "__units"
+                ),
+            )
+            .limit(max_q + 1)
+            .collect()
         )
-    )
-    fan = encoded.select(
-        F.col(id_col).alias("cid"), F.posexplode("codes").alias("sub", "code")
-    )
-    scored = fan.join(F.broadcast(lut), ["sub", "code"])
-    if exclude_self:
-        scored = scored.where(F.col("cid") != F.col("qid"))
-    scored = scored.groupBy("qid", "cid").agg(
-        F.sum("part_units").alias("adc_units")
-    )
+        if len(lut_rows) > max_q or any(
+            r["qid"] is None or r["__units"] is None or None in r["__units"]
+            for r in lut_rows
+        ):
+            lut_rows = None  # too many queries / null vectors: join path
+    if lut_rows is not None:
+        lut_rows.sort(key=lambda r: r["qid"])
+        codes_ref = "__codes"
+        structs = []
+        for r in lut_rows:
+            flat = [int(u) for u in r["__units"]]
+            total = " + ".join(
+                f"element_at({sql_arr_l(flat)}, {sub * k_codes} + "
+                f"element_at({codes_ref}, {sub + 1}) + 1)"
+                for sub in range(m)
+            )
+            structs.append(
+                f"named_struct('qid', {sql_scalar(r['qid'], qid_type)}, "
+                f"'adc_units', {total})"
+            )
+        per_q = F.expr("explode(array(" + ",".join(structs) + "))")
+        scored = (
+            encoded.select(
+                F.col(id_col).alias("cid"), F.col("codes").alias("__codes")
+            )
+            .select("cid", per_q.alias("__s"))
+            .select(
+                F.col("__s.qid").alias("qid"), "cid", F.col("__s.adc_units").alias("adc_units")
+            )
+        )
+        if exclude_self:
+            scored = scored.where(F.col("cid") != F.col("qid"))
+    else:
+        lut = (
+            _subvecs(queries, vec_col, qid_col, m, width)
+            .withColumnRenamed("cid", "qid")
+            .join(F.broadcast(codebook), "sub")
+            .select(
+                "qid",
+                "sub",
+                "code",
+                F.round(_dot(F.col("svec"), F.col("centroid")) * F.lit(1000000.0), 0)
+                .cast("long")
+                .alias("part_units"),
+            )
+        )
+        fan = encoded.select(
+            F.col(id_col).alias("cid"), F.posexplode("codes").alias("sub", "code")
+        )
+        scored = fan.join(F.broadcast(lut), ["sub", "code"])
+        if exclude_self:
+            scored = scored.where(F.col("cid") != F.col("qid"))
+        scored = scored.groupBy("qid", "cid").agg(
+            F.sum("part_units").alias("adc_units")
+        )
     # k-bounded TWO-STAGE top-k (r11 verdict ask #6): a single
     # per-qid window holds a corpus-sized partition per query at
     # scale. Stage 1 ranks within (qid, salt) — each salt bucket sees
@@ -234,6 +461,170 @@ def pq_adc_topk(
     w = Window.partitionBy("qid").orderBy(F.col("adc_units").desc(), F.col("cid"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select(
+            "qid",
+            "cid",
+            F.round(F.col("adc_units").cast("double") / F.lit(1000000.0), 6).alias(
+                "adc_score"
+            ),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _ivfpq_adc_topk_literal(
+    vecs: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    cell_rows: list,
+    vec_col: str,
+    id_col: str,
+    *,
+    m: int,
+    k: int,
+    width: int,
+    nprobe: int,
+    k_top: int,
+    exclude_self: bool,
+) -> DataFrame | None:
+    """The bounded-geometry IVFADC plan (see :func:`ivfpq_adc_topk`
+    r16 note): coarse assignment + residual as ONE projection against
+    the literal centroids, residual PQ trained driver-merged
+    (:func:`_pq_train_local` via :func:`pq_train`), codes in-row
+    (:func:`_codes_expr`), and the query side reduced to ONE bounded
+    collect (per query: the nprobe probed cells with their coarse
+    units, sorted by the exact window order, plus the m*k LUT —
+    q*(nprobe + m*k) values, what the join form broadcast anyway)
+    re-entered as literals, so scoring is a zero-join projection and
+    the only exchanges left are the rank windows. Every value is
+    produced by the identical expression chain (same dots, same
+    round/CAST points), so results are bit-for-bit the join form's.
+    All literal expressions render as SQL text parsed in one JVM call
+    (operators/_litexpr.py — Column-API construction was the measured
+    bottleneck once executor work vanished)."""
+    from easydb_server_spark.operators._litexpr import (
+        argmax_sql,
+        as_double_sql,
+        dot_sql,
+        lut_units_sql,
+        sim_sql,
+        sql_arr_d,
+        sql_arr_l,
+        sql_scalar,
+    )
+
+    rows = sorted(cell_rows, key=lambda t: t[0])
+    nc = len(rows)
+    cell_type = cents.schema["cell"].dataType.simpleString()
+    # in-row nearest cell: candidates in cell-ascending order carry
+    # their INDEX; the fold keeps the accumulator on ties (= the
+    # window's cell-asc tie-break), then cell/residual unpack via CASE
+    cand = (
+        "array("
+        + ",".join(
+            f"named_struct('sim', {sim_sql('cvec', cent)}, 'idx', {i})"
+            for i, (_cell, cent) in enumerate(rows)
+        )
+        + ")"
+    )
+    best_i = argmax_sql(cand, "'idx', CAST(-1 AS INT)") + ".idx"
+    cell_case = (
+        "CASE __i "
+        + " ".join(
+            f"WHEN {i} THEN {sql_scalar(cell, cell_type)}"
+            for i, (cell, _cent) in enumerate(rows)
+        )
+        + " END"
+    )
+    rvec_case = (
+        "CASE __i "
+        + " ".join(
+            f"WHEN {i} THEN zip_with(cvec, {sql_arr_d(cent)}, (a, b) -> a - b)"
+            for i, (_cell, cent) in enumerate(rows)
+        )
+        + " END"
+    )
+    resid = vecs.select("cid", "cvec", F.expr(best_i).alias("__i")).select(
+        "cid", F.expr(cell_case).alias("cell"), F.expr(rvec_case).alias("rvec")
+    )
+    # feeds train (seed + update) and the final scoring pass
+    resid = resid.localCheckpoint(eager=True)
+    codebook = pq_train(resid, "rvec", "cid", m=m, k=k, n_iters=1)
+    cb = _collect_codebook(codebook)
+    enc = resid.select(
+        "cid", "cell", _codes_expr(cb, width, "rvec").alias("__codes")
+    )
+
+    # query side: ONE projection + bounded collect — probed cells in
+    # the exact (sim desc, cell asc) order with their coarse units,
+    # plus the flat LUT
+    probe_cand = (
+        "array("
+        + ",".join(
+            f"named_struct('sim', {sim_sql('__qvec', cent)}, "
+            f"'cell', {sql_scalar(cell, cell_type)}, "
+            f"'units', CAST(round({dot_sql('__qvec', cent)} * 1000000.0D, 0) AS BIGINT))"
+            for cell, cent in rows
+        )
+        + ")"
+    )
+    cmp = (
+        "(l, r) -> case when l.sim > r.sim then -1 when l.sim < r.sim then 1 "
+        "when l.cell < r.cell then -1 when l.cell > r.cell then 1 else 0 end"
+    )
+    # limit-guarded bounded collect: an oversized query batch returns
+    # None and the caller falls back to the broadcast-join form
+    max_q = max(1, _LITERAL_PQ_MAX // max(1, m * k))
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.expr(as_double_sql(vec_col)).alias("__qvec"),
+        )
+        .select(
+            "qid",
+            F.expr(f"slice(array_sort({probe_cand}, {cmp}), 1, {nprobe})").alias(
+                "__probes"
+            ),
+            F.expr(lut_units_sql(cb, width, "__qvec")).alias("__units"),
+        )
+        .limit(max_q + 1)
+        .collect()
+    )
+    if len(qrows) > max_q:
+        return None
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    structs = []
+    for r in sorted(qrows, key=lambda t: t["qid"]):
+        flat = [int(u) for u in r["__units"]]
+        lut_sum = " + ".join(
+            f"element_at({sql_arr_l(flat)}, {sub * k} + element_at(__codes, {sub + 1}) + 1)"
+            for sub in range(m)
+        )
+        branches = " ".join(
+            f"WHEN {sql_scalar(p['cell'], cell_type)} THEN {int(p['units'])}L"
+            for p in r["__probes"]
+        )
+        structs.append(
+            f"named_struct('qid', {sql_scalar(r['qid'], qid_type)}, "
+            f"'adc_units', (CASE cell {branches} ELSE CAST(NULL AS BIGINT) END)"
+            f" + ({lut_sum}))"
+        )
+    per_q = F.expr("explode(array(" + ",".join(structs) + "))")
+    scored = (
+        enc.select("cid", "cell", per_q.alias("__s"))
+        .where(F.col("__s.adc_units").isNotNull())
+        .select(
+            F.col("__s.qid").alias("qid"),
+            "cid",
+            F.col("__s.adc_units").alias("adc_units"),
+        )
+    )
+    if exclude_self:
+        scored = scored.where(F.col("cid") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("adc_units").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_top)
         .select(
             "qid",
@@ -283,6 +674,7 @@ def ivfpq_adc_topk(
     from easydb_server_spark.operators.similarity import (
         _as_double,
         _assign_cells,
+        _collect_cent_rows,
         ivf_centroids,
     )
 
@@ -290,6 +682,35 @@ def ivfpq_adc_topk(
     vecs = corpus.select(
         F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec")
     )
+    cell_rows = getattr(cents, "_cent_rows", None)
+    if cell_rows is not None and cell_rows:
+        d = len(cell_rows[0][1])
+        width = d // m
+    else:
+        width = _dim_width(queries, vec_col, m)
+        d = m * width
+        cell_rows = None
+        if (
+            k * d <= _LITERAL_PQ_MAX
+            and (n_cells or 0) * d
+            and (n_cells or 0) * d <= _LITERAL_PQ_MAX
+        ):
+            cell_rows = _collect_cent_rows(cents)
+    if cell_rows is not None and not (
+        d % m == 0
+        and k * d <= _LITERAL_PQ_MAX
+        and len(cell_rows) * d <= _LITERAL_PQ_MAX
+    ):
+        cell_rows = None
+        width = _dim_width(queries, vec_col, m)
+    if cell_rows is not None:
+        lit = _ivfpq_adc_topk_literal(
+            vecs, queries, cents, cell_rows, vec_col, id_col,
+            m=m, k=k, width=width, nprobe=nprobe, k_top=k_top,
+            exclude_self=exclude_self,
+        )
+        if lit is not None:
+            return lit
     assigned = _assign_cells(vecs, cents, id_col="cid", vec_col="cvec", top=1)
     resid = assigned.join(F.broadcast(cents), "cell").select(
         "cid",
@@ -308,7 +729,6 @@ def ivfpq_adc_topk(
     # oracle replays it identically) and no corpus-width join appears
     # in the plan (the plan audit flagged a SortMergeJoin on cid in
     # the assembled-codes formulation).
-    width = _dim_width(queries, vec_col, m)
     rsubs = resid.select(
         "cid",
         "cell",
@@ -524,6 +944,12 @@ def write_pq_store(
             F.lit(0).cast("bigint").alias("seq"),
             F.lit(0).cast("bigint").alias("cb_ver"),
         )
+        # r16: the literal encode is a pure projection, so the write no
+        # longer inherits a shuffle AQE could coalesce — cluster by
+        # bucket explicitly or every input partition writes a file into
+        # every bucket (guide-§6 small-files hazard; pytest-locked by
+        # test_compaction_rewrites_only_dirty_buckets)
+        .repartition("bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .format("parquet")
@@ -614,6 +1040,9 @@ def append_to_pq_store(
             F.lit(nxt).cast("bigint").alias("seq"),
             F.lit(ver).cast("bigint").alias("cb_ver"),
         )
+        # cluster by bucket: see write_pq_store — one file per touched
+        # bucket per append, not one per (input partition, bucket)
+        .repartition("bucket")
         .localCheckpoint(eager=True)
     )
     enc.write.partitionBy("bucket").mode("append").format("parquet").saveAsTable(table)
@@ -787,6 +1216,7 @@ def rebuild_pq_store(
             F.lit(0).cast("bigint").alias("seq"),
             F.lit(ver).cast("bigint").alias("cb_ver"),
         )
+        .repartition("bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .format("parquet")

@@ -250,12 +250,66 @@ def ivf_centroids(
     """
     n_cells = _resolve_n_cells(corpus, n_cells)
     c = corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cvec"))
-    cents = (
+    seed = (
         c.withColumn("hk", F.md5(F.col("cid").cast("string")))
         .orderBy("hk", "cid")
         .limit(n_cells)
         .select(F.col("cid").alias("cell"), F.col("cvec").alias("centroid"))
     )
+    # the bounded seed collect doubles as the dimension probe when
+    # n_cells is small enough that the collect is trivially bounded;
+    # only the rare large-n_cells case pays a separate first() probe
+    if n_cells <= 64:
+        seed_rows_probe = seed.collect()
+        d = len(seed_rows_probe[0]["centroid"]) if seed_rows_probe else 0
+    else:
+        seed_rows_probe = None
+        d_row = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()
+        d = int(d_row["d"]) if d_row is not None else 0
+    if n_cells * d <= LITERAL_ASSIGN_MAX_KD:
+        # r16 zero-exchange path: the seed is a bounded k x d collect
+        # (the Spark MLlib KMeans driver shape), each Lloyd assignment
+        # is a literal-centroid argmax projection (no crossJoin fan-out,
+        # no window shuffle of corpus-width rows), and the update's
+        # rounded (cell, pos) means — the SAME Spark aggregate as
+        # before, so values are bit-identical — collect k x d rows and
+        # merge with the previous centroids driver-side. The returned
+        # frame is a LocalRelation: downstream broadcasts build from
+        # local rows, and the eager localCheckpoint job disappears.
+        seed_collected = (
+            seed_rows_probe if seed_rows_probe is not None else seed.collect()
+        )
+        rows = [(r["cell"], list(r["centroid"])) for r in seed_collected]
+        cell_type = seed.schema["cell"].dataType.simpleString()
+        for _ in range(n_iters):
+            assigned = _assign_cells(
+                c, None, cent_rows=rows, cell_type=cell_type
+            ).select("cid", "cvec", "cell")
+            upd = (
+                assigned.select("cell", F.posexplode("cvec").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg("val"), 5).alias("m"))
+                .collect()
+            )
+            by_cell: dict = {}
+            for r in upd:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+            rows = [
+                (cell, [by_cell[cell][p] for p in range(len(prev))])
+                if cell in by_cell
+                else (cell, prev)
+                for cell, prev in rows
+            ]
+        spark = corpus.sparkSession
+        out = spark.createDataFrame(
+            [(cell, vec) for cell, vec in rows],
+            f"cell {cell_type}, centroid array<double>",
+        )
+        # driver-known rows ride along so _assign_cells skips the
+        # probe/count/collect jobs entirely
+        out._cent_rows = rows  # type: ignore[attr-defined]
+        return out
+    cents = seed
     for _ in range(n_iters):
         assigned = _assign_cells(c, cents).select("cid", "cvec", "cell")
         upd = (
@@ -277,16 +331,89 @@ def ivf_centroids(
     return cents.localCheckpoint(eager=True)
 
 
+# Plan-size bound for the literal-centroid assignment (the kmeans.py
+# LITERAL_ARGMIN_MAX_KD rationale): below it the centroids enter the
+# plan as ONE array<array<double>> literal and assignment is a pure
+# zero-exchange projection; above it _assign_cells falls back to the
+# broadcast-join + window formulation, which stays exact at any k*d.
+LITERAL_ASSIGN_MAX_KD = 4096
+
+
+def _collect_cent_rows(cents: DataFrame):
+    """(cell, [float]) rows of a bounded centroid frame, sorted by
+    cell id (the tie-break order every assignment uses)."""
+    return sorted(
+        ((r["cell"], list(r["centroid"])) for r in cents.select("cell", "centroid").collect()),
+        key=lambda t: t[0],
+    )
+
+
 def _assign_cells(
     vecs: DataFrame,
-    cents: DataFrame,
+    cents: DataFrame | None,
     id_col: str = "cid",
     vec_col: str = "cvec",
     top: int = 1,
+    cent_rows: list | None = None,
+    cell_type: str | None = None,
 ) -> DataFrame:
     """``top`` nearest cells per vector: rounded-dot ranking, ties by
     cell id. ``top=1`` = corpus assignment; ``top=nprobe`` = query
-    probing — one implementation for every call site."""
+    probing — one implementation for every call site.
+
+    r16: when the centroid table is driver-known (``cent_rows``, or a
+    bounded ``cents`` under ``LITERAL_ASSIGN_MAX_KD``), assignment is a
+    ZERO-EXCHANGE projection — the centroids enter the plan as one
+    literal, per-row candidates are folded to an argmax (ties to the
+    smaller cell id, exactly the window order) — instead of a
+    crossJoin fan-out times n_cells plus a window shuffle that carried
+    the full vector column. The rounded sim is normalized with +0.0 so
+    a -0.0/+0.0 pair ties exactly as the sort-based order ties it.
+    Past the bound the original broadcast-join + window form runs
+    unchanged."""
+    from easydb_server_spark.operators._litexpr import (
+        argmax_sql,
+        cell_cand_sql,
+        supported_id_type,
+        topn_cells_sql,
+    )
+
+    if cell_type is None and cents is not None:
+        cell_type = cents.schema["cell"].dataType.simpleString()
+    if cent_rows is None and cents is not None:
+        attached = getattr(cents, "_cent_rows", None)
+        if attached is not None:
+            d = len(attached[0][1]) if attached else 0
+            if 0 < len(attached) * d <= LITERAL_ASSIGN_MAX_KD:
+                cent_rows = attached
+    if (
+        cent_rows is None
+        and cents is not None
+        and cell_type is not None
+        and supported_id_type(cell_type)
+    ):
+        # literal dispatch needs k*d; probe one centroid row cheaply
+        first = cents.select("centroid").first()
+        if first is not None:
+            d = len(first["centroid"])
+            k_hint = cents.count()
+            if k_hint * d <= LITERAL_ASSIGN_MAX_KD:
+                cent_rows = _collect_cent_rows(cents)
+    if cent_rows is not None and cell_type is not None and supported_id_type(cell_type):
+        rows = sorted(cent_rows, key=lambda t: t[0])
+        cand = cell_cand_sql("__vec", rows, cell_type)
+        base = vecs.select(id_col, vec_col, F.col(vec_col).alias("__vec"))
+        if top == 1:
+            # fold argmax over cell-ascending candidates: keeping the
+            # accumulator on ties IS the smaller-cell tie-break
+            best = F.expr(argmax_sql(cand, f"'cell', CAST(NULL AS {cell_type})"))
+            return base.select(id_col, vec_col, best.alias("__best")).select(
+                id_col, vec_col, F.col("__best.cell").alias("cell")
+            )
+        ranked = F.expr(topn_cells_sql(cand, top))
+        return base.select(
+            id_col, vec_col, F.explode(ranked).alias("__c")
+        ).select(id_col, vec_col, F.col("__c.cell").alias("cell"))
     from pyspark.sql import Window
 
     sim = _dot(F.col(vec_col), F.col("centroid"))

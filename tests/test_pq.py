@@ -120,7 +120,11 @@ def test_dim_must_divide_and_empty_corpus_raises(spark):
         pq_train(empty, "embedding", "vec_id", m=M, k=K)
 
 
-def test_adc_plan_broadcasts_lut_no_cartesian(spark):
+def test_adc_plan_literal_scoring_no_join(spark):
+    # r16: bounded query batches score against the LITERAL LUT — the
+    # plan must contain NO join of any kind (the broadcast-hash LUT
+    # join and the (qid, cid) partial-sum shuffle are gone); the only
+    # exchanges left are the two rank windows' hash partitionings
     emb = _vecs(spark, n=60)
     cb = pq_train(emb, "embedding", "vec_id", m=M, k=K)
     enc = pq_encode(emb, "embedding", "vec_id", cb, m=M)
@@ -128,8 +132,38 @@ def test_adc_plan_broadcasts_lut_no_cartesian(spark):
         emb.where(F.col("vec_id") < 3), enc, cb, "embedding", "vec_id", m=M, k_top=3
     )
     plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" not in plan  # the in-row sum replaced the groupBy
+
+
+def test_adc_large_batch_falls_back_to_broadcast_lut(spark):
+    # an oversized query batch (q*m*k over the literal bound) must take
+    # the original broadcast-join path — same results, join plan
+    emb = _vecs(spark, n=200)
+    cb = pq_train(emb, "embedding", "vec_id", m=M, k=K)
+    enc = pq_encode(emb, "embedding", "vec_id", cb, m=M)
+    big_q = emb.where(F.col("vec_id") < 180)  # 180*4*8 = 5760 > 4096
+    top = pq_adc_topk(big_q, enc, cb, "embedding", "vec_id", m=M, k_top=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # literal and join paths agree bit-for-bit on a shared slice
+    small_q = emb.where(F.col("vec_id") < 3)
+    lit = {
+        (r.qid, r.rank): (r.cid, r.adc_score)
+        for r in pq_adc_topk(
+            small_q, enc, cb, "embedding", "vec_id", m=M, k_top=3
+        ).collect()
+    }
+    via_join = {
+        (r.qid, r.rank): (r.cid, r.adc_score)
+        for r in pq_adc_topk(
+            big_q, enc, cb, "embedding", "vec_id", m=M, k_top=3
+        ).collect()
+        if r.qid < 3
+    }
+    assert lit == via_join
 
 
 # ---------------- IVFADC composition (r11) ----------------
