@@ -81,38 +81,46 @@ def pagerank(
         .persist()
     )
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    # r16: the out-degree is STATIC — join it into the node table once
+    # and carry `out` through the rank state, instead of re-joining
+    # ranks x deg every iteration (one SortMergeJoin + its exchanges
+    # per iteration removed; contributions/dangling read the carried
+    # column, arithmetic unchanged)
+    nodes_deg = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", "out")
+        .persist()
+    )
 
-    ranks = nodes.crossJoin(n_row).selectExpr(
-        "node", f"CAST({RANK_SCALE} AS BIGINT) div _n AS rank"
+    ranks = nodes_deg.crossJoin(n_row).selectExpr(
+        "node", "out", f"CAST({RANK_SCALE} AS BIGINT) div _n AS rank"
     )
     if bounded_memory:
         ranks = ranks.persist()
         ranks.count()
     for _ in range(iterations):
-        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
-            "node", "rank", "out"
-        )
         if not bounded_memory:
-            with_deg = with_deg.persist()
+            ranks = ranks.persist()
         contrib = (
-            with_deg.where(F.col("out").isNotNull())
+            ranks.where(F.col("out").isNotNull())
             .join(e, F.col("node") == e["src"])
             .selectExpr("dst", "rank div out AS c")
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
         dangling = F.broadcast(
-            with_deg.where(F.col("out").isNull()).agg(
+            ranks.where(F.col("out").isNull()).agg(
                 F.coalesce(F.sum("rank"), F.lit(0)).alias("_dang")
             )
         )
         new_ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            nodes_deg.join(contrib, nodes_deg["node"] == contrib["dst"], "left")
             .crossJoin(dangling)
             .crossJoin(n_row)
             .selectExpr(
                 "node",
+                "out",
                 f"(CAST(3 * {RANK_SCALE} AS BIGINT) div (20 * _n))"
                 " + (17 * (COALESCE(contrib, 0) + _dang div _n) div 20) AS rank",
             )
@@ -123,6 +131,6 @@ def pagerank(
             ranks.unpersist()
         ranks = new_ranks
     if bounded_memory:
-        for frame in (e, nodes, deg):
+        for frame in (e, nodes, nodes_deg):
             frame.unpersist()
-    return ranks
+    return ranks.select("node", "rank")

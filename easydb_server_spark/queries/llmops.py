@@ -22,7 +22,7 @@ from easydb_server_spark.operators.multimodal import (
     resize_images,
     sample_frames,
 )
-from easydb_server_spark.queries._util import load
+from easydb_server_spark.queries._util import load, spread
 
 # ---------- shared SQL fragments (mirror operators/dedup.py) ----------
 
@@ -3296,6 +3296,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     bench = d.where(F.col("source") == "src0")
     train = d.where(F.col("source") != "src0")
+    # r16 note: `gated`/`clean` each feed two consumers, so their
+    # subtrees evaluate twice (Catalyst shares no subtrees). Pinning
+    # them with lazy localCheckpoints was MEASURED SLOWER at sf0.1
+    # (3.09 s vs 2.03 s median-of-5): materializing the corpus-width
+    # intermediate plus its stage barrier costs more than re-running
+    # the scan-side regex gate. Left re-derived deliberately.
     gated = T.quality_gate(train, "text", threshold=0.2)
     keep = D.exact_dedup(gated, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
     deduped = gated.join(keep, "doc_id")
@@ -5685,7 +5691,7 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((did, encode_gif_animated(frames)))
             yield pd.DataFrame(out, columns=["item_id", "payload"])
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
     frames = sample_frames(blobs, "payload", "item_id", 3)
 
     def feats(batches):
@@ -6338,7 +6344,7 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((did, encode_gif_animated(frames)))
             yield pd.DataFrame(out, columns=["item_id", "payload"])
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
     return scene_cuts(frame_dhash(blobs, "payload", "item_id"), max_hamming=3).orderBy(
         "item_id", "frame_idx"
     )
@@ -6524,7 +6530,7 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((did, encode_gif_animated(frames)))
             yield pd.DataFrame(out, columns=["item_id", "payload"])
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
     return keyframes(blobs, "payload", "item_id", max_hamming=3).orderBy(
         "item_id", "frame_idx"
     )
@@ -6627,7 +6633,7 @@ def q_dedup_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((did, encode_gif_animated(frames)))
             yield pd.DataFrame(out, columns=["item_id", "payload"])
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
     # persist the tiny signature table before any self-join (the
     # dedup_image_neardup rule): the banded join reads sigs on both
     # sides, the verify stage re-attaches sequences twice more, and
@@ -7032,7 +7038,7 @@ def q_video_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((did, encode_gif_animated(frames)))
             yield pd.DataFrame(out, columns=["item_id", "payload"])
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
+    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
     sigs = video_signature(blobs, "payload", "item_id")
     # persist once; index and query sides both slice from it
     lms = scene_landmarks(sigs, fanout=3).localCheckpoint(eager=True)
