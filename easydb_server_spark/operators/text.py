@@ -897,7 +897,12 @@ def gopher_repetition_rules(
             raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
         th.update(thresholds)
     if impl == "python":
-        return _rep_finalize(_rep_counts_python(df, text_col, id_col), th)
+        from easydb_server_spark.queries._util import spread
+
+        # r16: per-doc gram counting is the heavy stage; raise the
+        # input's partition count to the session cores first (the
+        # conformance fixtures scan into ~4 splits). Narrow rows only.
+        return _rep_finalize(_rep_counts_python(spread(df), text_col, id_col), th)
     if impl != "agg":
         raise ValueError(f"impl must be 'agg' or 'python', got {impl!r}")
 
