@@ -1130,8 +1130,15 @@ def incremental_neardup(
     strictly O(|candidates|).
     """
     index_sigs = _sigs_as_arrays(index_sigs)
-    b_arr = minhash_sig_array(new_batch, text_col, id_col, k)
-    b_bands = minhash_bands(new_batch, text_col, id_col, k)
+    # ONE signature pass over the batch: the signature array rides
+    # along with its own band rows through the probe, so batch text is
+    # shingled and md5-hashed exactly once. (The previous form called
+    # minhash_sig_array twice — once for the verify join, once inside
+    # minhash_bands — which planned as two full scans of batch text
+    # plus a broadcast of the second; carrying the 128-byte mins array
+    # through the pair-distinct exchange costs far less than that
+    # second hash pass.)
+    b_sig = minhash_sig_array(new_batch, text_col, id_col, k)
     # the probe joins on band_hash ALONE: the band index is already
     # baked into the hash (md5 over the band slice's "i:minhash"
     # strings, where i identifies the band), so adding `band` to the
@@ -1140,14 +1147,22 @@ def incremental_neardup(
     # table as "Bucketed: false (disabled by query planner)" and
     # shuffles the whole index side (locked the other way by
     # tests/test_index_compaction.py: both index scans Bucketed: true)
+    probe = b_sig.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("mins").alias("mins_b"),
+        F.explode(F.array(*_band_hash_cols(F.col("mins")))).alias("band_hash"),
+    )
+    # the pair dedup (a batch/corpus pair can match in several bands)
+    # groups on the pair key; max(mins_b) is a constant within each
+    # group — mins_b is functionally determined by batch_id — so this
+    # IS the old select-distinct, with the signature kept attached
     cand = (
-        b_bands.select(F.col("doc_id").alias("batch_id"), "band_hash")
-        .join(
+        probe.join(
             index_bands.select(F.col("doc_id").alias("corpus_id"), "band_hash"),
             "band_hash",
         )
-        .select("batch_id", "corpus_id")
-        .distinct()
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.max("mins_b").alias("mins_b"))
     )
     n_agree = F.size(
         F.filter(
@@ -1155,8 +1170,7 @@ def incremental_neardup(
         )
     )
     return (
-        cand.join(b_arr.select(F.col("doc_id").alias("batch_id"), F.col("mins").alias("mins_b")), "batch_id")
-        .join(
+        cand.join(
             index_sigs.select(F.col("doc_id").alias("corpus_id"), F.col("mins").alias("mins_c")),
             "corpus_id",
         )
