@@ -38,7 +38,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    edges = edges.persist()
+    # partition the (round-invariant) edge set by the probe key ONCE:
+    # every round's labels-join is on dst, and the persisted
+    # InMemoryRelation keeps hashpartitioning(dst) visible to the
+    # planner, so rounds stop re-exchanging the edge side (the edge
+    # set is 2x|pairs| — the widest frame in the loop)
+    edges = edges.repartition(F.col("dst")).persist()
     try:
         labels = (
             edges.select(F.col("src").alias("doc_id"))
@@ -52,7 +57,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                 .agg(F.min("component").alias("nbr_component"))
             )
             # localCheckpoint: materialize and TRUNCATE LINEAGE — without
-            # this each round re-executes every prior round (quadratic)
+            # this each round re-executes every prior round (quadratic).
+            # The convergence flag rides along as a per-row column, so
+            # the check below is a scan of the just-cached result — the
+            # old form re-JOINED new vs old labels, a second multi-stage
+            # job per round that roughly doubled the loop's cost.
             new_labels = (
                 labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
                 .select(
@@ -60,16 +69,13 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                     F.least(
                         F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                     ).alias("component"),
+                    F.coalesce(
+                        F.col("nbr_component") < F.col("component"), F.lit(False)
+                    ).alias("_chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.where(F.col("_chg")).limit(1).count()
             labels = new_labels
             if changed == 0:
                 break
@@ -78,7 +84,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         # the temporary partition setting or a leaked cached edge set
         edges.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return labels
+    return labels.select("doc_id", "component")
 
 
 def dedup_clusters(pairs: DataFrame) -> DataFrame:
