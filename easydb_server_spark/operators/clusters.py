@@ -8,8 +8,12 @@ smallest label among itself and its neighbors; converges in
 O(diameter) rounds):
 
 - state per node: one bigint label;
-- each round = one join (labels ⋈ edges) + one groupBy min — both
-  shuffle on doc_id, AQE-coalesced;
+- the edge set carries explicit self-loops, so "min over self and
+  neighbors" is ONE join + ONE groupBy-min per round (the self-loop
+  row contributes the node's own label — no second join back to the
+  label frame), and round 1 degenerates to a joinless
+  ``groupBy(src).min(dst)`` because every label starts equal to its
+  doc_id;
 - the loop runs driver-side but touches only DataFrames (no collect
   of data; the only driver value is the convergence flag).
 
@@ -30,6 +34,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        # self-loops make each round's min cover the node's OWN label
+        # via the same join, so no per-round join back to the label
+        # frame is needed
+        .unionAll(pairs.select(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")))
         .distinct()
     )
     # localCheckpoint pins the physical partitioning before AQE can
@@ -45,40 +54,47 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # set is 2x|pairs| — the widest frame in the loop)
     edges = edges.repartition(F.col("dst")).persist()
     try:
+        # Round 1 fused: labels start as component=doc_id, so the
+        # closed-neighborhood min is just min(dst) per src — no label
+        # join, no separate distinct-nodes init job. _chg is true iff
+        # some neighbor id undercuts the node's own id.
         labels = (
-            edges.select(F.col("src").alias("doc_id"))
-            .distinct()
-            .withColumn("component", F.col("doc_id"))
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("component"))
+            .select(
+                F.col("src").alias("doc_id"),
+                "component",
+                (F.col("component") < F.col("src")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
         )
-        for _ in range(max_rounds):
-            neighbor_min = (
+        changed = labels.where(F.col("_chg")).limit(1).count()
+        for _ in range(max_rounds - 1):
+            if changed == 0:
+                break
+            # One join + one groupBy per round: the self-loop row
+            # (src=dst) carries the node's own label into the min, and
+            # doubles as the old-label witness for the convergence
+            # flag. localCheckpoint materializes and TRUNCATES LINEAGE
+            # — without it each round re-executes every prior round
+            # (quadratic) — and the convergence check is a limit-1
+            # scan of the just-cached result, not a second join job.
+            new_labels = (
                 edges.join(labels, edges.dst == labels.doc_id)
                 .groupBy("src")
-                .agg(F.min("component").alias("nbr_component"))
-            )
-            # localCheckpoint: materialize and TRUNCATE LINEAGE — without
-            # this each round re-executes every prior round (quadratic).
-            # The convergence flag rides along as a per-row column, so
-            # the check below is a scan of the just-cached result — the
-            # old form re-JOINED new vs old labels, a second multi-stage
-            # job per round that roughly doubled the loop's cost.
-            new_labels = (
-                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("dst") == F.col("src"), F.col("component"))).alias("_own"),
+                )
                 .select(
-                    "doc_id",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                    ).alias("component"),
-                    F.coalesce(
-                        F.col("nbr_component") < F.col("component"), F.lit(False)
-                    ).alias("_chg"),
+                    F.col("src").alias("doc_id"),
+                    "component",
+                    (F.col("component") < F.col("_own")).alias("_chg"),
                 )
                 .localCheckpoint(eager=True)
             )
             changed = new_labels.where(F.col("_chg")).limit(1).count()
             labels = new_labels
-            if changed == 0:
-                break
     finally:
         # an exception mid-loop must not leave the SHARED session with
         # the temporary partition setting or a leaked cached edge set
