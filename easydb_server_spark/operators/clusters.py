@@ -25,7 +25,7 @@ components are shallow — usually ≤3), and each round's shuffle is
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -54,32 +54,41 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # set is 2x|pairs| — the widest frame in the loop)
     edges = edges.repartition(F.col("dst")).persist()
     try:
+        # Every round is ONE Spark job: the eager localCheckpoint both
+        # materializes the new labels (truncating lineage — without it
+        # each round re-executes every prior round, quadratic) and
+        # fires the Observation aggregate that carries the convergence
+        # count back to the driver, so no separate convergence-scan
+        # job runs per round.
+        def _checkpoint_observed(df, round_no: int):
+            obs = Observation(f"cc_chg_{round_no}")
+            ck = df.observe(
+                obs, F.count(F.when(F.col("_chg"), 1)).alias("n")
+            ).localCheckpoint(eager=True)
+            return ck, int(obs.get["n"])
+
         # Round 1 fused: labels start as component=doc_id, so the
         # closed-neighborhood min is just min(dst) per src — no label
         # join, no separate distinct-nodes init job. _chg is true iff
         # some neighbor id undercuts the node's own id.
-        labels = (
+        labels, changed = _checkpoint_observed(
             edges.groupBy("src")
             .agg(F.min("dst").alias("component"))
             .select(
                 F.col("src").alias("doc_id"),
                 "component",
                 (F.col("component") < F.col("src")).alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            1,
         )
-        changed = labels.where(F.col("_chg")).limit(1).count()
-        for _ in range(max_rounds - 1):
+        for rnd in range(2, max_rounds + 1):
             if changed == 0:
                 break
             # One join + one groupBy per round: the self-loop row
             # (src=dst) carries the node's own label into the min, and
             # doubles as the old-label witness for the convergence
-            # flag. localCheckpoint materializes and TRUNCATES LINEAGE
-            # — without it each round re-executes every prior round
-            # (quadratic) — and the convergence check is a limit-1
-            # scan of the just-cached result, not a second join job.
-            new_labels = (
+            # flag.
+            labels, changed = _checkpoint_observed(
                 edges.join(labels, edges.dst == labels.doc_id)
                 .groupBy("src")
                 .agg(
@@ -90,11 +99,9 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                     F.col("src").alias("doc_id"),
                     "component",
                     (F.col("component") < F.col("_own")).alias("_chg"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                rnd,
             )
-            changed = new_labels.where(F.col("_chg")).limit(1).count()
-            labels = new_labels
     finally:
         # an exception mid-loop must not leave the SHARED session with
         # the temporary partition setting or a leaked cached edge set
