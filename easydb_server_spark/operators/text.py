@@ -2332,6 +2332,77 @@ def _bpe_batch_prefix(
     return accepted
 
 
+# Histograms at or below this row count train on the driver (one
+# bounded collect, zero per-superstep Spark jobs); larger vocabularies
+# take the Spark superstep loop unchanged. Same bounded-small-side
+# discipline as kmeans.LITERAL_ARGMIN_MAX_KD / the driver-merged PQ
+# training: the collect is limit-guarded (take(bound+1), never a count
+# job) and the driver replays the IDENTICAL algorithm — same pair
+# counting, same (cnt DESC, l, r) ranking, same non-overlapping
+# left-to-right fold, same batch-prefix rule — so results are
+# bit-identical to the Spark path.
+BPE_DRIVER_MAX_WORDS = 4096
+
+
+class _RankedPair:
+    __slots__ = ("l", "r", "cnt")
+
+    def __init__(self, l: str, r: str, cnt: int):
+        self.l, self.r, self.cnt = l, r, cnt
+
+
+def _bpe_merges_driver(
+    head: list,
+    n_merges: int,
+    min_count: int,
+    batch_k: int,
+    stats: dict | None,
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side replay of the bpe_merges superstep loop over a
+    collected (word, wc, syms) histogram. Mirrors the Spark loop
+    statement-for-statement (see :func:`bpe_merges`); the only change
+    is where the bounded table lives."""
+    vocab = [(list(r.syms), int(r.wc)) for r in head]
+    merges: list[tuple[int, str, str, str, int]] = []
+    supersteps = 0
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wc in vocab:
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + wc
+        top = sorted(
+            (
+                _RankedPair(l, r, c)
+                for (l, r), c in counts.items()
+                if c >= min_count
+            ),
+            key=lambda p: (-p.cnt, p.l, p.r),
+        )[: max(int(batch_k), 1)]
+        supersteps += 1
+        if not top:
+            break
+        batch = _bpe_batch_prefix(top, n_merges - len(merges))
+        base = len(merges)
+        merges.extend(
+            (base + i, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(batch)
+        )
+        for a, b, _cnt in batch:
+            ab = a + b
+            for w in range(len(vocab)):
+                syms, wc = vocab[w]
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = ab
+                    else:
+                        out.append(s)
+                vocab[w] = (out, wc)
+    if stats is not None:
+        stats["supersteps"] = supersteps
+    return merges
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str,
@@ -2354,7 +2425,9 @@ def bpe_merges(
     map-side-combinable groupBy, a top-``batch_k`` collect, then the
     greedy left-to-right merges applied per word as pure higher-order
     folds (no Python, no shuffle). The per-superstep lineage is cut
-    with an eager localCheckpoint so plan depth stays O(1).
+    with a lazy localCheckpoint (materialized inside the next
+    superstep's collect — see the loop comment) so plan depth stays
+    O(1) at one Spark job per superstep.
 
     ``batch_k`` is the production dial (r7 verdict ask): each superstep
     collects the top ``batch_k`` pairs and applies the symbol-disjoint
@@ -2389,10 +2462,27 @@ def bpe_merges(
                 lambda i: F.substring(F.col("word"), i + 1, 1),
             ).alias("syms"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    spark = df.sparkSession
+    schema = "rank int, left string, right string, merged string, pair_count bigint"
+    # Bounded histogram -> train on the driver (ONE limit-guarded
+    # collect, zero superstep jobs). take() doubles as the vocab
+    # materialization for the Spark fallback above the bound.
+    head = vocab.take(BPE_DRIVER_MAX_WORDS + 1)
+    if len(head) <= BPE_DRIVER_MAX_WORDS:
+        return spark.createDataFrame(
+            _bpe_merges_driver(head, n_merges, min_count, batch_k, stats), schema
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     supersteps = 0
+    # Superstep job budget (r16): every localCheckpoint in this loop is
+    # LAZY — it still truncates lineage (the returned frame is a
+    # LogicalRDD over a persist-marked RDD) but materializes inside the
+    # NEXT superstep's top-pair collect instead of as its own job. That
+    # halves the loop's job count (collect+checkpoint per round ->
+    # collect only) and the final round's checkpoint — which nothing
+    # ever reads — never runs at all.
     while len(merges) < n_merges:
         lefts = F.slice("syms", 1, F.size("syms") - 1)
         rights = F.slice("syms", 2, F.size("syms") - 1)
@@ -2430,14 +2520,11 @@ def bpe_merges(
                 syms_col, F.array().cast("array<string>"), _bpe_fold(a, b)
             )
         vocab = vocab.select("word", "wc", syms_col.alias("syms")).localCheckpoint(
-            eager=True
+            eager=False
         )
     if stats is not None:
         stats["supersteps"] = supersteps
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count bigint"
-    )
+    return spark.createDataFrame(merges, schema)
 
 
 def _eq_term(t: str):

@@ -91,3 +91,21 @@ def test_default_path_unchanged_for_conformance(spark):
     from easydb_server_spark.operators.text import bpe_merges
 
     assert inspect.signature(bpe_merges).parameters["batch_k"].default == 1
+
+
+def test_driver_path_matches_spark_fallback(spark, monkeypatch):
+    """r16: histograms at or below BPE_DRIVER_MAX_WORDS train on the
+    driver. Forcing the bound to 0 must route the same corpus through
+    the Spark superstep loop and produce an identical merge table —
+    including on a tie-heavy, overlapping corpus with batch_k > 1."""
+    import easydb_server_spark.operators.text as T
+
+    texts = (
+        ["abc"] * 10 + ["ab"] * 5 + ["bc"] * 5  # (b,c) ties (a,b) post-merge
+        + ["xyx"] * 7 + ["aaaa"] * 3            # overlap runs
+    )
+    driver, d_stats = _train(spark, texts, n_merges=5, batch_k=2)
+    monkeypatch.setattr(T, "BPE_DRIVER_MAX_WORDS", 0)
+    fallback, f_stats = _train(spark, texts, n_merges=5, batch_k=2)
+    assert driver == fallback
+    assert d_stats["supersteps"] == f_stats["supersteps"]
