@@ -31,16 +31,22 @@ from pyspark.sql import DataFrame, Observation
 def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """pairs(doc_a, doc_b) → (doc_id, component) with component =
     min doc_id reachable."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        # self-loops make each round's min cover the node's OWN label
-        # via the same join, so no per-round join back to the label
-        # frame is needed
-        .unionAll(pairs.select(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")))
-        .distinct()
-    )
+    # All four edge directions (both orientations + a self-loop per
+    # endpoint; the self-loops make each round's min cover the node's
+    # OWN label via the same join, so no per-round join back to the
+    # label frame is needed) come from ONE in-row explode — the old
+    # 4-way unionAll re-executed the caller's pair-generation subplan
+    # (often a banded self-join) once per branch.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # localCheckpoint pins the physical partitioning before AQE can
     # coalesce, so a default-200-partition session would run every
     # round at 200 tasks; bound it explicitly (rounds are tiny)
@@ -51,8 +57,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # every round's labels-join is on dst, and the persisted
     # InMemoryRelation keeps hashpartitioning(dst) visible to the
     # planner, so rounds stop re-exchanging the edge side (the edge
-    # set is 2x|pairs| — the widest frame in the loop)
-    edges = edges.repartition(F.col("dst")).persist()
+    # set is 2x|pairs| — the widest frame in the loop). The distinct
+    # runs AFTER the repartition: hash(dst) already co-locates equal
+    # (src, dst) rows, so the dedup aggregate reuses that exchange
+    # instead of adding a second hash(src, dst) shuffle.
+    edges = edges.repartition(F.col("dst")).distinct().persist()
     try:
         # Every round is ONE Spark job: the eager localCheckpoint both
         # materializes the new labels (truncating lineage — without it
