@@ -49,7 +49,9 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     ).select("e.src", "e.dst")
     # localCheckpoint pins the physical partitioning before AQE can
     # coalesce, so a default-200-partition session would run every
-    # round at 200 tasks; bound it explicitly (rounds are tiny)
+    # round at 200 tasks; bound the FIRST pass explicitly (rounds are
+    # tiny), then derive the round width from the measured edge count
+    # below.
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -62,6 +64,24 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # (src, dst) rows, so the dedup aggregate reuses that exchange
     # instead of adding a second hash(src, dst) shuffle.
     edges = edges.repartition(F.col("dst")).distinct().persist()
+    # r16 (guide §2.2 scale-adaptive partitioning): every round is a
+    # join + groupBy over this persisted frame, and on a near-dup
+    # graph the deduped edge set is usually orders of magnitude
+    # smaller than the corpus the pairs came from — running O(diameter)
+    # rounds at a fixed width pays 32 map + 32 reduce task launches
+    # per round to move a few thousand rows. Size the ROUND width from
+    # the measured edge count instead (~4M narrow rows per task,
+    # capped at the session's configured width so a cluster-sized
+    # session keeps its parallelism); the count is one cheap job over
+    # the already-persisted frame, and the re-repartition only fires
+    # when the derived width differs from the first-pass width.
+    n_edges = edges.count()
+    parts = max(1, min(int(prev_parts), (n_edges + 3_999_999) // 4_000_000))
+    if parts != 32:
+        first_pass = edges
+        edges = first_pass.repartition(parts, F.col("dst")).persist()
+        first_pass.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         # Every round is ONE Spark job: the eager localCheckpoint both
         # materializes the new labels (truncating lineage — without it

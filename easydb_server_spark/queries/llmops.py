@@ -7431,7 +7431,12 @@ def q_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((did, video, audio))
             yield pd.DataFrame(out, columns=["item_id", "video", "audio"])
 
-    blobs = d.mapInPandas(build, "item_id bigint, video binary, audio binary")
+    # r16: materialize the encoded blobs ONCE — vsigs and asigs each
+    # drain this frame, and without the checkpoint the whole Python
+    # encode stage (GIF LZW + WAV synth per item) re-ran per consumer
+    blobs = d.mapInPandas(
+        build, "item_id bigint, video binary, audio binary"
+    ).localCheckpoint(eager=True)
     # decode each blob exactly once: both signature tables persist
     # before any self-join / multi-consumer stage (the
     # dedup_image_neardup rule)
