@@ -235,6 +235,83 @@ def sample_frames(df: DataFrame, blob_col: str, id_col: str, n_frames: int) -> D
     return df.select(id_col, blob_col).mapInPandas(do_sample, FRAMES_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = (
+    "item_id bigint, frame_idx int, width int, height int,"
+    " mean_r double, mean_g double, mean_b double"
+)
+
+
+def frame_feature_rows(item_id: int, blob: bytes, n_frames: int, round_to: int = 4):
+    """Per-blob core of :func:`sample_frame_features`: decode every
+    animated frame, composite, pick ``n_frames`` evenly (frame
+    ``i·T // n`` of T), re-encode each sampled frame as a standalone
+    GIF, and extract its ``gif_decoder`` features — returning
+    FRAME_FEATURES_SCHEMA-shaped tuples. Exposed so query pipelines
+    that SYNTHESIZE their blobs in Python can run build → sample →
+    features inside one Arrow stage instead of shipping the blobs
+    through an extra JVM↔Python hop (guide §4)."""
+    from easydb_server_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif,
+        gif_decoder,
+    )
+
+    frames = decode_gif_frames(bytes(blob))
+    t = len(frames)
+    out = []
+    for i in range(n_frames):
+        f = gif_decoder(encode_gif(frames[i * t // n_frames], quantize=True))
+        out.append(
+            (
+                int(item_id),
+                i,
+                f["width"],
+                f["height"],
+                round(f["mean_r"], round_to),
+                round(f["mean_g"], round_to),
+                round(f["mean_b"], round_to),
+            )
+        )
+    return out
+
+
+def sample_frame_features(
+    df: DataFrame, blob_col: str, id_col: str, n_frames: int, round_to: int = 4
+) -> DataFrame:
+    """Fused GIF frame sampling + feature extraction: decode every
+    animated frame, composite, pick ``n_frames`` evenly (frame
+    ``i·T // n`` of T), re-encode each sampled frame as a standalone
+    GIF, and extract its ``gif_decoder`` features — all inside ONE
+    Arrow-batched stage. Value-identical to :func:`sample_frames`
+    followed by a per-frame ``gif_decoder`` map (the same codec calls
+    in the same order, means rounded with Python ``round``; the
+    re-encode round-trip is kept precisely because a feature match
+    proves the re-encode pixel-faithful), but the sampled frame BYTES
+    never cross the JVM↔Python boundary: at sf0.1 the three-stage
+    chain spent ~1.7 s of its 2.4 s moving intermediate blobs through
+    two extra Python runner hops (guide §4 — eliminate boundary
+    crossings, pass only what the function needs). GIF payloads only —
+    a non-GIF blob raises exactly as the composed pipeline's
+    ``gif_decoder`` call would."""
+
+    def do_sample_feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                out.extend(frame_feature_rows(item_id, blob, n_frames, round_to))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        do_sample_feats, FRAME_FEATURES_SCHEMA
+    )
+
+
 RESAMPLED_SCHEMA = "item_id bigint, payload binary, sample_rate int, n_samples int"
 
 

@@ -5680,10 +5680,20 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
 
-    def build(batches):
+    # r16 (guide §4): build → decode → sample → re-encode → features
+    # all run fused in ONE Arrow stage — neither the animated blob nor
+    # the sampled frame bytes ever cross the JVM↔Python boundary (the
+    # three-stage chain spent ~1.1 s of its 2.0 s drain on the two
+    # extra Python runner hops). Same codec calls in the same order,
+    # same Python rounding — the sampling/feature loop is the SHARED
+    # operator core (multimodal.frame_feature_rows, the body of
+    # sample_frame_features), so this is value-identical to
+    # sample_frames + gif_decoder over the built blobs.
+    def build_feats(batches):
         import numpy as np
 
         from easydb_server_spark.operators.gif import encode_gif_animated
+        from easydb_server_spark.operators.multimodal import frame_feature_rows
 
         pal = np.array(
             [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
@@ -5696,32 +5706,7 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h, t = 8 + did % 5, 6 + did % 4, 3 + did % 4
                 y, x = np.mgrid[0:h, 0:w]
                 frames = [pal[(did * 3 + f * 11 + y * 5 + x * 7) % 16] for f in range(t)]
-                out.append((did, encode_gif_animated(frames)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
-
-    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
-    frames = sample_frames(blobs, "payload", "item_id", 3)
-
-    def feats(batches):
-        from easydb_server_spark.operators.gif import gif_decoder
-
-        for pdf in batches:
-            out = []
-            for item_id, frame_idx, blob in zip(
-                pdf["item_id"], pdf["frame_idx"], pdf["frame"]
-            ):
-                f = gif_decoder(bytes(blob))
-                out.append(
-                    (
-                        int(item_id),
-                        int(frame_idx),
-                        f["width"],
-                        f["height"],
-                        round(f["mean_r"], 4),
-                        round(f["mean_g"], 4),
-                        round(f["mean_b"], 4),
-                    )
-                )
+                out.extend(frame_feature_rows(did, encode_gif_animated(frames), 3))
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -5730,11 +5715,15 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return frames.mapInPandas(
-        feats,
-        "item_id bigint, frame_idx int, width int, height int,"
-        " mean_r double, mean_g double, mean_b double",
-    ).orderBy("item_id", "frame_idx")
+    return (
+        spread(d)
+        .mapInPandas(
+            build_feats,
+            "item_id bigint, frame_idx int, width int, height int,"
+            " mean_r double, mean_g double, mean_b double",
+        )
+        .orderBy("item_id", "frame_idx")
+    )
 
 
 ORACLE_MULTIMODAL_GIF_FRAMES = """

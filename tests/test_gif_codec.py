@@ -228,6 +228,46 @@ def test_sample_frames_decodes_real_gif_frames(spark):
     assert [bytes(r.frame) for r in rows] == [b"0123", b"4567", b"89ab"]
 
 
+def test_sample_frame_features_matches_composed_chain(spark):
+    """The fused sampler+feature operator (r16, guide §4 boundary
+    elimination) must be value-identical to sample_frames followed by
+    a per-frame gif_decoder map — same codec calls, same rounding."""
+    from easydb_server_spark.operators.gif import gif_decoder
+    from easydb_server_spark.operators.multimodal import (
+        sample_frame_features,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for item_id in (1, 2):
+        # >256 colors so the re-encode exercises the quantize path too
+        frames = [
+            rng.integers(0, 256, size=(10, 14, 3)).astype(np.uint8) for _ in range(5)
+        ]
+        rows.append((item_id, bytearray(encode_gif_animated(frames, quantize=True))))
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+
+    fused = sorted(
+        tuple(r) for r in sample_frame_features(df, "payload", "item_id", 3).collect()
+    )
+    composed = []
+    for r in sample_frames(df, "payload", "item_id", 3).collect():
+        f = gif_decoder(bytes(r.frame))
+        composed.append(
+            (
+                r.item_id,
+                r.frame_idx,
+                f["width"],
+                f["height"],
+                round(f["mean_r"], 4),
+                round(f["mean_g"], 4),
+                round(f["mean_b"], 4),
+            )
+        )
+    assert fused == sorted(composed)
+
+
 def test_local_color_table_overrides_global():
     """A frame carrying its own local color table must decode through
     it, not the global one (hand-built payload: the encoder always
