@@ -1530,24 +1530,46 @@ def match_any_substrings(
 
     if isinstance(patterns, DataFrame):
         col = patterns.columns[0]
-        pats = [
-            r[0].lower() for r in patterns.select(col).distinct().collect() if r[0]
-        ]
+        # dedupe on the driver: the list is collected anyway and is
+        # blocklist-bounded, so a Spark-side .distinct() would only
+        # add a shuffle job in front of the collect (r16, guide §5)
+        pats = [r[0].lower() for r in patterns.select(col).collect() if r[0]]
     else:
         pats = [p.lower() for p in patterns if p]
     sc = df.sparkSession.sparkContext
     bpats = sc.broadcast(sorted(set(pats)))
 
+    # r16 (guide §4.3 — the fastest Python is C loops): below this
+    # pattern count, per-pattern ``str.find`` walks (C-speed, one step
+    # per OCCURRENCE) beat the per-CHARACTER Python automaton loop;
+    # above it the automaton's O(len) pass wins and is the documented
+    # million-entry scale path. Both count every (position, pattern)
+    # occurrence, overlaps included — value-identical by construction
+    # (pytest locks the two paths against each other).
+    _FIND_MAX_PATTERNS = 64
+
     def scan(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
-        goto, fail, out = _aho_build(bpats.value)
+        plist = bpats.value
+        use_find = len(plist) <= _FIND_MAX_PATTERNS
+        if not use_find:
+            goto, fail, out = _aho_build(plist)
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     rows.append((doc_id, None, None))
+                    continue
+                t = text.lower()
+                if use_find:
+                    n = 0
+                    for p in plist:
+                        i = t.find(p)
+                        while i != -1:
+                            n += 1
+                            i = t.find(p, i + 1)
                 else:
-                    n = _aho_count(goto, fail, out, text.lower())
-                    rows.append((doc_id, n, n > 0))
+                    n = _aho_count(goto, fail, out, t)
+                rows.append((doc_id, n, n > 0))
             yield pd.DataFrame(rows, columns=["doc_id", "n_matches", "any_match"])
 
     src = df.select(
@@ -1796,14 +1818,61 @@ def url_features(
     ).withColumn(
         "digit_frac", round_ratio(F.col("_n_digits"), F.col("_dom_len"), 6)
     ).drop("_n_digits", "_dom_len")
-    if dom_df is not None:
+    parts = F.split(F.col("domain"), r"\.")
+    sufs = F.transform(F.sequence(F.lit(1), F.size(parts)), _dot_suffix(parts))
+    if dom_df is not None and kw_df is not None:
+        # r16 (guide §2.4 — remove shuffles outright): when BOTH
+        # blocklists are tables, probe them through ONE tagged
+        # explode / semi-join / per-doc aggregate instead of two
+        # independent branches. Key space: ('d', suffix) for domains,
+        # ('k', token) for keywords — the tags keep the two entry
+        # sets disjoint, so a single leftsemi on (tag, key) matches
+        # exactly what the two separate joins matched, and the
+        # per-doc max(tag = ...) booleans equal the two distinct-hit
+        # sets. 2 corpus re-scans → 1, 2 doc_id hit shuffles → 1;
+        # the hit side stays narrow (doc_id + 2 booleans) and
+        # broadcast-joins back exactly as before.
+        dom_entries = dom_df.select(
+            F.lit("d").alias("_tag"),
+            F.lower(F.col(dom_df.columns[0]).cast("string")).alias("_bk"),
+        )
+        kw_entries = kw_df.select(
+            F.lit("k").alias("_tag"),
+            F.lower(F.col(kw_df.columns[0]).cast("string")).alias("_bk"),
+        )
+        entries = F.broadcast(dom_entries.unionByName(kw_entries).distinct())
+        toks = F.filter(F.split(F.col("_url"), "[^a-z0-9]+"), _nonempty_tok)
+        tagged = F.concat(
+            F.transform(sufs, lambda s: F.struct(F.lit("d").alias("_tag"), s.alias("_key"))),
+            F.transform(toks, lambda t: F.struct(F.lit("k").alias("_tag"), t.alias("_key"))),
+        )
+        exploded = base.select("doc_id", F.explode(tagged).alias("_e")).select(
+            "doc_id", F.col("_e._tag").alias("_t"), F.col("_e._key").alias("_key")
+        )
+        hit_rows = exploded.join(
+            entries,
+            (F.col("_key") == F.col("_bk")) & (F.col("_t") == F.col("_tag")),
+            "leftsemi",
+        )
+        hits = hit_rows.groupBy("doc_id").agg(
+            F.max(F.col("_t") == "d").alias("_dom_hit"),
+            F.max(F.col("_t") == "k").alias("_kw_hit"),
+        )
+        base = (
+            base.join(hits, "doc_id", "left")
+            .withColumn(
+                "blocked_domain", F.coalesce(F.col("_dom_hit"), F.lit(False))
+            )
+            .withColumn(
+                "blocked_keyword", F.coalesce(F.col("_kw_hit"), F.lit(False))
+            )
+        )
+    elif dom_df is not None:
         entries = F.broadcast(
             dom_df.select(
                 F.lower(F.col(dom_df.columns[0]).cast("string")).alias("_bd")
             ).distinct()
         )
-        parts = F.split(F.col("domain"), r"\.")
-        sufs = F.transform(F.sequence(F.lit(1), F.size(parts)), _dot_suffix(parts))
         hits = (
             base.select("doc_id", F.explode(sufs).alias("_suf"))
             .join(entries, F.col("_suf") == F.col("_bd"), "leftsemi")
@@ -1814,7 +1883,7 @@ def url_features(
         base = base.join(hits, "doc_id", "left").withColumn(
             "blocked_domain", F.coalesce(F.col("_dom_hit"), F.lit(False))
         )
-    if kw_df is not None:
+    elif kw_df is not None:
         entries = F.broadcast(
             kw_df.select(
                 F.lower(F.col(kw_df.columns[0]).cast("string")).alias("_bk")

@@ -351,6 +351,26 @@ class TestMatchAnySubstrings:
         b = match_any_substrings(df, "text", "doc_id", pdf).orderBy("doc_id").collect()
         assert [r.asDict() for r in a] == [r.asDict() for r in b]
 
+    def test_find_path_matches_automaton_path(self, spark):
+        """r16: small lists take the C-speed str.find path, large
+        lists the automaton. Padding a small list past the dispatch
+        bound with never-occurring patterns flips the path without
+        changing the answer — the two paths must agree exactly."""
+        from easydb_server_spark.operators.text import match_any_substrings
+
+        df = spark.createDataFrame(
+            [(1, "babab abab casino SPAM spam"), (2, None), (3, "clean"),
+             (4, "aaaa")],
+            "doc_id long, text string",
+        )
+        small = ("ba", "bab", "abab", "spam", "aa")
+        padded = small + tuple(f"zq%x7_{i}" for i in range(70))
+        a = match_any_substrings(df, "text", "doc_id", small).orderBy("doc_id").collect()
+        b = match_any_substrings(df, "text", "doc_id", padded).orderBy("doc_id").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+        # overlap semantics spot-check on the find path: 'aa' in 'aaaa' -> 3
+        assert {r.doc_id: r.n_matches for r in a}[4] == 3
+
     def test_automaton_matches_naive_scan(self):
         from hypothesis import given, settings
         from hypothesis import strategies as st
