@@ -115,20 +115,29 @@ def audio_fingerprint(
     hence the digest — unchanged)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from easydb_server_spark.operators.wav import decode_wav
-
         for pdf in batches:
-            out = []
-            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                samples, _rate = decode_wav(bytes(blob))
-                peaks = peak_sequence(samples[:, 0], frame, hop)
-                seq = "-".join(str(p) for p in peaks)
-                out.append(
-                    (int(item_id), len(peaks), seq, hashlib.md5(seq.encode()).hexdigest())
-                )
+            out = [
+                audio_fingerprint_row(item_id, blob, frame, hop)
+                for item_id, blob in zip(pdf[id_col], pdf[blob_col])
+            ]
             yield pd.DataFrame(out, columns=["item_id", "n_frames", "peak_seq", "fp"])
 
     return df.select(id_col, blob_col).mapInPandas(extract, FP_SCHEMA)
+
+
+def audio_fingerprint_row(
+    item_id: int, blob: bytes, frame: int = 64, hop: int = 64
+) -> tuple:
+    """Per-blob core of :func:`audio_fingerprint` (one FP_SCHEMA
+    tuple). Exposed so pipelines that synthesize their blobs in Python
+    can fuse build → fingerprint into one Arrow stage instead of
+    shipping the blobs through an extra JVM↔Python hop (guide §4)."""
+    from easydb_server_spark.operators.wav import decode_wav
+
+    samples, _rate = decode_wav(bytes(blob))
+    peaks = peak_sequence(samples[:, 0], frame, hop)
+    seq = "-".join(str(p) for p in peaks)
+    return (int(item_id), len(peaks), seq, hashlib.md5(seq.encode()).hexdigest())
 
 
 def fingerprint_dup_groups(sigs: DataFrame) -> DataFrame:

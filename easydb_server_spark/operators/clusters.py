@@ -27,6 +27,21 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
 
+# r16 (guide §1.2 pick-the-algorithm, §5 driver rules): below this
+# DEDUPED edge count (explicit self-loops included) the component
+# labels are computed on the driver from ONE bounded collect of the
+# narrow (src, dst) pair list — ≤4 MB of BIGINTs, the same
+# metadata-bounded collect class as the k×d centroid/codebook
+# collects in kmeans.py/pq.py — because O(diameter) distributed
+# rounds cost one plan-compile + checkpoint + Observation job EACH
+# (~0.25 s/round measured) to move a few thousand rows. The driver
+# path replays the EXACT distributed iteration (synchronous min-label
+# rounds, same max_rounds truncation), so labels are bit-identical on
+# every graph, converged or not; anything larger takes the unchanged
+# distributed fixpoint. Tests force both paths onto the same graphs
+# and compare exactly.
+DRIVER_CC_MAX_EDGES = 262_144
+
 
 def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """pairs(doc_a, doc_b) → (doc_id, component) with component =
@@ -76,6 +91,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # the already-persisted frame, and the re-repartition only fires
     # when the derived width differs from the first-pass width.
     n_edges = edges.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        try:
+            edge_rows = [(r[0], r[1]) for r in edges.collect()]
+        finally:
+            edges.unpersist()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return _driver_components(
+            spark, edge_rows, edges.schema["src"].dataType, max_rounds
+        )
     parts = max(1, min(int(prev_parts), (n_edges + 3_999_999) // 4_000_000))
     if parts != 32:
         first_pass = edges
@@ -137,6 +161,41 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         edges.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select("doc_id", "component")
+
+
+def _driver_components(spark, edge_rows, id_type, max_rounds: int) -> DataFrame:
+    """Driver-side replay of the distributed min-label iteration over
+    a bounded edge list (both orientations + self-loops, deduped —
+    exactly the frame the distributed loop iterates on). Synchronous
+    rounds: every node simultaneously adopts min(label of dst) over
+    its out-edges (the self-loop carries its own label), stopping when
+    a round changes nothing or after ``max_rounds`` — the identical
+    schedule, so labels match the distributed path bit-for-bit even on
+    a graph whose diameter exceeds ``max_rounds``."""
+    from pyspark.sql.types import StructField, StructType
+
+    labels = {}
+    for src, dst in edge_rows:
+        # round 1 fused (labels start at doc_id): min(dst) per src
+        cur = labels.get(src)
+        if cur is None or dst < cur:
+            labels[src] = dst
+    changed = any(c < n for n, c in labels.items())
+    rnd = 1
+    while changed and rnd < max_rounds:
+        new = {}
+        for src, dst in edge_rows:
+            lab = labels[dst]
+            cur = new.get(src)
+            if cur is None or lab < cur:
+                new[src] = lab
+        changed = any(new[n] < c for n, c in labels.items())
+        labels = new
+        rnd += 1
+    fields = StructType(
+        [StructField("doc_id", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(sorted(labels.items()), fields)
 
 
 def dedup_clusters(pairs: DataFrame) -> DataFrame:

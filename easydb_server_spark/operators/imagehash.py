@@ -339,26 +339,37 @@ def video_signature(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                prev = None
-                seq = []
-                for px in decoder(bytes(blob)):
-                    cur = dhash_bands(px)
-                    is_start = prev is None or (
-                        sum(bin(a ^ b).count("1") for a, b in zip(cur, prev))
-                        > max_hamming
-                    )
-                    prev = cur
-                    if is_start:
-                        seq.append(f"{cur[3]:04x}{cur[2]:04x}{cur[1]:04x}{cur[0]:04x}")
-                s = "-".join(seq)
-                out.append(
-                    (int(item_id), len(seq), s, hashlib.md5(s.encode()).hexdigest())
-                )
+            out = [
+                video_signature_row(item_id, blob, decoder, max_hamming)
+                for item_id, blob in zip(pdf[id_col], pdf[blob_col])
+            ]
             yield pd.DataFrame(out, columns=["item_id", "n_scenes", "sig_seq", "sig"])
 
     return df.select(id_col, blob_col).mapInPandas(extract, VIDEO_SIG_SCHEMA)
+
+
+def video_signature_row(
+    item_id: int, blob: bytes, decoder: Callable | None = None, max_hamming: int = 3
+) -> tuple:
+    """Per-blob core of :func:`video_signature` (one VIDEO_SIG_SCHEMA
+    tuple). Exposed so pipelines that synthesize their blobs in Python
+    can fuse build → signature into one Arrow stage instead of
+    shipping the blobs through an extra JVM↔Python hop (guide §4)."""
+    if decoder is None:
+        from easydb_server_spark.operators.gif import decode_gif_frames as decoder
+
+    prev = None
+    seq = []
+    for px in decoder(bytes(blob)):
+        cur = dhash_bands(px)
+        is_start = prev is None or (
+            sum(bin(a ^ b).count("1") for a, b in zip(cur, prev)) > max_hamming
+        )
+        prev = cur
+        if is_start:
+            seq.append(f"{cur[3]:04x}{cur[2]:04x}{cur[1]:04x}{cur[0]:04x}")
+    s = "-".join(seq)
+    return (int(item_id), len(seq), s, hashlib.md5(s.encode()).hexdigest())
 
 
 def video_neardup_pairs(sigs: DataFrame, max_diff: int = 1) -> DataFrame:

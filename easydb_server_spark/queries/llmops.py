@@ -7365,22 +7365,20 @@ def q_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from easydb_server_spark.operators.audiofp import (
-        audio_fingerprint,
         audio_landmarks,
         landmark_matches,
     )
     from easydb_server_spark.operators.clusters import connected_components
-    from easydb_server_spark.operators.imagehash import (
-        video_neardup_pairs,
-        video_signature,
-    )
+    from easydb_server_spark.operators.imagehash import video_neardup_pairs
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120).select("doc_id")
 
-    def build(batches):
+    def build_sign(batches):
         import numpy as np
 
+        from easydb_server_spark.operators.audiofp import audio_fingerprint_row
         from easydb_server_spark.operators.gif import encode_gif_animated
+        from easydb_server_spark.operators.imagehash import video_signature_row
         from easydb_server_spark.operators.wav import encode_wav
 
         pal = np.array(
@@ -7417,24 +7415,37 @@ def q_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if did % 10 == 9:
                     segs.append(np.zeros(256 * 6, dtype=np.float64))
                 audio = encode_wav(np.concatenate(segs).astype(np.int16), 8000)
-                out.append((did, video, audio))
-            yield pd.DataFrame(out, columns=["item_id", "video", "audio"])
+                # r16 (guide §4): sign each track RIGHT HERE — the
+                # encode → decode codec round-trip happens inside one
+                # Arrow stage (video_signature_row /
+                # audio_fingerprint_row ARE the operator bodies, so
+                # values are identical to the composed pipeline), and
+                # the blobs never cross the JVM↔Python boundary
+                _, n_scenes, sig_seq, sig = video_signature_row(did, video)
+                _, n_frames, peak_seq, fp = audio_fingerprint_row(
+                    did, audio, frame=256, hop=256
+                )
+                out.append((did, n_scenes, sig_seq, sig, n_frames, peak_seq, fp))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "n_scenes", "sig_seq", "sig",
+                    "n_frames", "peak_seq", "fp",
+                ],
+            )
 
-    # r16: materialize the encoded blobs ONCE — vsigs and asigs each
-    # drain this frame, and without the checkpoint the whole Python
-    # encode stage (GIF LZW + WAV synth per item) re-ran per consumer
-    blobs = d.mapInPandas(
-        build, "item_id bigint, video binary, audio binary"
+    # ONE Python stage + ONE eager materialization for the whole
+    # decode/signature surface (was: blobs + vsigs + asigs — three
+    # serial checkpointed Python stages); both signature tables are
+    # projections of it, persisted before any self-join / multi-
+    # consumer stage (the dedup_image_neardup rule)
+    sigs = d.mapInPandas(
+        build_sign,
+        "item_id bigint, n_scenes int, sig_seq string, sig string,"
+        " n_frames int, peak_seq string, fp string",
     ).localCheckpoint(eager=True)
-    # decode each blob exactly once: both signature tables persist
-    # before any self-join / multi-consumer stage (the
-    # dedup_image_neardup rule)
-    vsigs = video_signature(
-        blobs.select("item_id", "video"), "video", "item_id"
-    ).localCheckpoint(eager=True)
-    asigs = audio_fingerprint(
-        blobs.select("item_id", "audio"), "audio", "item_id", frame=256, hop=256
-    ).localCheckpoint(eager=True)
+    vsigs = sigs.select("item_id", "n_scenes", "sig_seq", "sig")
+    asigs = sigs.select("item_id", "n_frames", "peak_seq", "fp")
     lms = audio_landmarks(asigs, fanout=3).localCheckpoint(eager=True)
 
     vpairs = video_neardup_pairs(vsigs, max_diff=1).select("item_a", "item_b")

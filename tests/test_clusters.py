@@ -58,6 +58,28 @@ def test_session_conf_restored(spark, pairs):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_driver_path_matches_distributed_path(spark, pairs, monkeypatch):
+    """r16: small edge sets take the bounded driver union replay; the
+    distributed fixpoint must agree bit-for-bit — converged (default
+    max_rounds) AND truncated (max_rounds=2, chain not yet settled),
+    plus a pseudo-random graph."""
+    import random
+
+    from easydb_server_spark.operators import clusters
+
+    rng = random.Random(7)
+    rand_pairs = spark.createDataFrame(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)],
+        "doc_a bigint, doc_b bigint",
+    )
+    for df, rounds in [(pairs, 20), (pairs, 2), (rand_pairs, 20), (rand_pairs, 3)]:
+        fast = {(r.doc_id, r.component) for r in connected_components(df, max_rounds=rounds).collect()}
+        monkeypatch.setattr(clusters, "DRIVER_CC_MAX_EDGES", -1)
+        slow = {(r.doc_id, r.component) for r in connected_components(df, max_rounds=rounds).collect()}
+        monkeypatch.undo()
+        assert fast == slow
+
+
 def test_dedup_clusters_members(pairs):
     rows = {r.component: (r.n_members, r.members_csv) for r in dedup_clusters(pairs).collect()}
     assert rows[1] == (5, "1,2,3,4,5")
