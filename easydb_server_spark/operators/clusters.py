@@ -52,60 +52,57 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # label frame is needed) come from ONE in-row explode — the old
     # 4-way unionAll re-executed the caller's pair-generation subplan
     # (often a banded self-join) once per branch.
-    edges = pairs.select(
+    # r16: materialize the RAW pair list once (one narrow persist +
+    # count — the count doubles as the driver/distributed dispatch
+    # probe AND the round-width input, so no second materialization
+    # pass runs in either path).
+    spark = pairs.sparkSession
+    raw = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
+    n_pairs = raw.count()
+    if 4 * n_pairs <= DRIVER_CC_MAX_EDGES:
+        try:
+            pair_rows = [(r[0], r[1]) for r in raw.collect()]
+        finally:
+            raw.unpersist()
+        # the four edge directions (both orientations + self-loops)
+        # the distributed explode derives are built in-driver; the
+        # replay's per-round min is duplicate-insensitive, so skipping
+        # the distributed path's distinct changes nothing.
+        edge_rows = []
+        for a, b in pair_rows:
+            edge_rows += ((a, b), (b, a), (a, a), (b, b))
+        return _driver_components(
+            spark, edge_rows, raw.schema["src"].dataType, max_rounds
+        )
+    edges = raw.select(
         F.explode(
             F.array(
-                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-                F.struct(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")),
-                F.struct(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                F.struct(F.col("src").alias("src"), F.col("src").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("dst").alias("dst")),
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    # localCheckpoint pins the physical partitioning before AQE can
-    # coalesce, so a default-200-partition session would run every
-    # round at 200 tasks; bound the FIRST pass explicitly (rounds are
-    # tiny), then derive the round width from the measured edge count
-    # below.
-    spark = pairs.sparkSession
+    # Guide §2.2 scale-adaptive partitioning: every round is a join +
+    # groupBy over the persisted edge frame, and on a near-dup graph
+    # the edge set is usually orders of magnitude smaller than the
+    # corpus the pairs came from — running O(diameter) rounds at a
+    # fixed width pays map + reduce task launches per round to move a
+    # few thousand rows. Size the round width from the measured pair
+    # count (~1M pairs → 4M edge rows per task, capped at the
+    # session's configured width so a cluster-sized session keeps its
+    # parallelism); partition the (round-invariant) edge set by the
+    # probe key ONCE so the persisted InMemoryRelation keeps
+    # hashpartitioning(dst) visible to the planner and rounds stop
+    # re-exchanging the edge side. The distinct runs AFTER the
+    # repartition: hash(dst) already co-locates equal (src, dst) rows,
+    # so the dedup aggregate reuses that exchange instead of adding a
+    # second hash(src, dst) shuffle.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    # partition the (round-invariant) edge set by the probe key ONCE:
-    # every round's labels-join is on dst, and the persisted
-    # InMemoryRelation keeps hashpartitioning(dst) visible to the
-    # planner, so rounds stop re-exchanging the edge side (the edge
-    # set is 2x|pairs| — the widest frame in the loop). The distinct
-    # runs AFTER the repartition: hash(dst) already co-locates equal
-    # (src, dst) rows, so the dedup aggregate reuses that exchange
-    # instead of adding a second hash(src, dst) shuffle.
-    edges = edges.repartition(F.col("dst")).distinct().persist()
-    # r16 (guide §2.2 scale-adaptive partitioning): every round is a
-    # join + groupBy over this persisted frame, and on a near-dup
-    # graph the deduped edge set is usually orders of magnitude
-    # smaller than the corpus the pairs came from — running O(diameter)
-    # rounds at a fixed width pays 32 map + 32 reduce task launches
-    # per round to move a few thousand rows. Size the ROUND width from
-    # the measured edge count instead (~4M narrow rows per task,
-    # capped at the session's configured width so a cluster-sized
-    # session keeps its parallelism); the count is one cheap job over
-    # the already-persisted frame, and the re-repartition only fires
-    # when the derived width differs from the first-pass width.
-    n_edges = edges.count()
-    if n_edges <= DRIVER_CC_MAX_EDGES:
-        try:
-            edge_rows = [(r[0], r[1]) for r in edges.collect()]
-        finally:
-            edges.unpersist()
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        return _driver_components(
-            spark, edge_rows, edges.schema["src"].dataType, max_rounds
-        )
-    parts = max(1, min(int(prev_parts), (n_edges + 3_999_999) // 4_000_000))
-    if parts != 32:
-        first_pass = edges
-        edges = first_pass.repartition(parts, F.col("dst")).persist()
-        first_pass.unpersist()
+    parts = max(1, min(int(prev_parts), (4 * n_pairs + 3_999_999) // 4_000_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    edges = edges.repartition(parts, F.col("dst")).distinct().persist()
     try:
         # Every round is ONE Spark job: the eager localCheckpoint both
         # materializes the new labels (truncating lineage — without it
@@ -158,6 +155,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     finally:
         # an exception mid-loop must not leave the SHARED session with
         # the temporary partition setting or a leaked cached edge set
+        raw.unpersist()
         edges.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select("doc_id", "component")

@@ -6597,10 +6597,7 @@ def q_dedup_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from easydb_server_spark.operators.clusters import connected_components
-    from easydb_server_spark.operators.imagehash import (
-        video_neardup_pairs,
-        video_signature,
-    )
+    from easydb_server_spark.operators.imagehash import video_neardup_pairs
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 360).select("doc_id")
 
@@ -6608,6 +6605,7 @@ def q_dedup_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from easydb_server_spark.operators.gif import encode_gif_animated
+        from easydb_server_spark.operators.imagehash import video_signature_row
 
         pal = np.array(
             [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
@@ -6627,16 +6625,24 @@ def q_dedup_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx = (base * 5 + s * 6 + shift9 + y * 5 + x * 7) % 16
                     idx[0, 0] = (idx[0, 0] + j) % 16
                     frames.append(pal[idx])
-                out.append((did, encode_gif_animated(frames)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                # r16 (guide §4): sign right here — the encode →
+                # decode codec round-trip runs inside this one Arrow
+                # stage (video_signature_row IS the operator body),
+                # and the GIF blobs never cross the JVM↔Python
+                # boundary a second time
+                out.append(video_signature_row(did, encode_gif_animated(frames)))
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_scenes", "sig_seq", "sig"]
+            )
 
-    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
     # persist the tiny signature table before any self-join (the
     # dedup_image_neardup rule): the banded join reads sigs on both
     # sides, the verify stage re-attaches sequences twice more, and
     # the final projection reads it again — without this the Arrow
     # codec stage re-decodes every clip per consumer.
-    sigs = video_signature(blobs, "payload", "item_id").localCheckpoint(eager=True)
+    sigs = spread(d).mapInPandas(
+        build, "item_id bigint, n_scenes int, sig_seq string, sig string"
+    ).localCheckpoint(eager=True)
     pairs = video_neardup_pairs(sigs, max_diff=1).select(
         F.col("item_a").alias("doc_a"), F.col("item_b").alias("doc_b")
     )
