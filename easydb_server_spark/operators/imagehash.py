@@ -274,8 +274,6 @@ def keyframes(
         from easydb_server_spark.operators.gif import decode_gif_frames as decoder
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         out_cols = [
             "item_id", "frame_idx", "scene_idx", "width", "height",
             "mean_r_q4", "mean_g_q4", "mean_b_q4",
@@ -283,31 +281,47 @@ def keyframes(
         for pdf in batches:
             out = []
             for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                prev = None
-                scene = 0
-                for f, px in enumerate(decoder(bytes(blob))):
-                    cur = dhash_bands(px)
-                    is_start = prev is None or (
-                        sum(bin(a ^ b).count("1") for a, b in zip(cur, prev))
-                        > max_hamming
-                    )
-                    prev = cur
-                    if not is_start:
-                        continue
-                    scene += 1
-                    h, w = px.shape[0], px.shape[1]
-                    sums = px.astype(np.int64).sum(axis=(0, 1))
-                    out.append(
-                        (
-                            int(item_id), f, scene, w, h,
-                            int(sums[0]) * 10_000 // (w * h),
-                            int(sums[1]) * 10_000 // (w * h),
-                            int(sums[2]) * 10_000 // (w * h),
-                        )
-                    )
+                out.extend(keyframe_rows(item_id, blob, decoder, max_hamming))
             yield pd.DataFrame(out, columns=out_cols)
 
     return df.select(id_col, blob_col).mapInPandas(extract, KEYFRAME_SCHEMA)
+
+
+def keyframe_rows(
+    item_id: int, blob: bytes, decoder: Callable | None = None, max_hamming: int = 3
+) -> list:
+    """Per-blob core of :func:`keyframes` (KEYFRAME_SCHEMA tuples).
+    Exposed so pipelines that synthesize their blobs in Python can
+    fuse build → keyframes into one Arrow stage instead of shipping
+    the blobs through an extra JVM↔Python hop (guide §4)."""
+    import numpy as np
+
+    if decoder is None:
+        from easydb_server_spark.operators.gif import decode_gif_frames as decoder
+
+    prev = None
+    scene = 0
+    out = []
+    for f, px in enumerate(decoder(bytes(blob))):
+        cur = dhash_bands(px)
+        is_start = prev is None or (
+            sum(bin(a ^ b).count("1") for a, b in zip(cur, prev)) > max_hamming
+        )
+        prev = cur
+        if not is_start:
+            continue
+        scene += 1
+        h, w = px.shape[0], px.shape[1]
+        sums = px.astype(np.int64).sum(axis=(0, 1))
+        out.append(
+            (
+                int(item_id), f, scene, w, h,
+                int(sums[0]) * 10_000 // (w * h),
+                int(sums[1]) * 10_000 // (w * h),
+                int(sums[2]) * 10_000 // (w * h),
+            )
+        )
+    return out
 
 
 VIDEO_SIG_SCHEMA = "item_id bigint, n_scenes int, sig_seq string, sig string"

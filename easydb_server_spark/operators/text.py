@@ -3065,16 +3065,23 @@ def ngram_novelty(
 
     doc_grams = grams_of(corpus)
     ref_set = grams_of(reference).select("h").distinct()
-    totals = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    novel = (
-        doc_grams.join(ref_set, "h", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_novel"))
+    # r16 (guide §2.4): totals and novel-counts in ONE pass — a left
+    # join against the (distinct, so multiplicity-free) reference
+    # digest set with a hit marker, then a single per-doc aggregate.
+    # count(*) equals the old totals count and count(hit IS NULL)
+    # equals the old anti-join count, but the expensive
+    # split/transform/md5 gram scan runs once instead of twice and
+    # one groupBy shuffle + aggregate-join disappears.
+    marked = doc_grams.join(
+        ref_set.withColumn("_hit", F.lit(True)), "h", "left"
+    )
+    totals = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_novel"),
     )
     base = corpus.select(F.col(id_col).alias("doc_id"))
     return (
         base.join(totals, "doc_id", "left")
-        .join(novel, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

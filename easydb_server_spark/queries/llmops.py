@@ -1019,10 +1019,21 @@ def q_multimodal_audio_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
 
-    def build(batches):
+    # r16 (guide §4): encode → remix → featurize runs fused in ONE
+    # Arrow stage — the stereo blob and the remixed mono bytes never
+    # cross the JVM↔Python boundary (was: three chained mapInPandas
+    # stages). Identical codec calls (encode_wav → remix_wav →
+    # wav_decoder, the bodies of remix_audio/audio_features) and the
+    # same round(rms, 4); the composed chain's only other work was a
+    # pure decode_wav whose result the final projection dropped.
+    def build_feats(batches):
         import numpy as np
 
-        from easydb_server_spark.operators.wav import encode_wav
+        from easydb_server_spark.operators.wav import (
+            encode_wav,
+            remix_wav,
+            wav_decoder,
+        )
 
         for pdf in batches:
             out = []
@@ -1033,26 +1044,32 @@ def q_multimodal_audio_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = np.arange(n, dtype=np.int64)
                 s0 = ((did * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
                 s1 = ((did * 104729 + i * 7919) % 65536 - 32768).astype(np.int16)
-                out.append((did, encode_wav(np.stack([s0, s1], axis=1), 8000, bits=bits)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                blob = encode_wav(np.stack([s0, s1], axis=1), 8000, bits=bits)
+                feats = wav_decoder(remix_wav(blob, 1))
+                out.append(
+                    (
+                        did,
+                        feats["n_channels"],
+                        feats["n_samples"],
+                        feats["duration_ms"],
+                        round(feats["rms"], 4),
+                        feats["clipping_frac"],
+                        feats["peak"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "n_channels", "n_samples", "duration_ms",
+                    "rms", "clipping_frac", "peak",
+                ],
+            )
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
-    from easydb_server_spark.operators.multimodal import audio_features, remix_audio
-
-    mono = remix_audio(blobs, "payload", "item_id", 1)
-    return (
-        audio_features(mono, "payload", "item_id")
-        .select(
-            "item_id",
-            "n_channels",
-            "n_samples",
-            "duration_ms",
-            "rms",
-            "clipping_frac",
-            "peak",
-        )
-        .orderBy("item_id")
-    )
+    return d.mapInPandas(
+        build_feats,
+        "item_id bigint, n_channels int, n_samples int, duration_ms int,"
+        " rms double, clipping_frac double, peak int",
+    ).orderBy("item_id")
 
 
 ORACLE_MULTIMODAL_AUDIO_DEPTHS = """
@@ -6500,19 +6517,26 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidelity."""
     import pandas as pd
 
-    from easydb_server_spark.operators.imagehash import keyframes
-
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id")
 
+    # r16 (guide §4): build + keyframe extraction fused in ONE Arrow
+    # stage (keyframe_rows IS the keyframes operator body — same
+    # encode → decode codec round-trip, same scene/mean arithmetic);
+    # the animated blobs never cross the JVM↔Python boundary.
     def build(batches):
         import numpy as np
 
         from easydb_server_spark.operators.gif import encode_gif_animated
+        from easydb_server_spark.operators.imagehash import keyframe_rows
 
         pal = np.array(
             [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
             dtype=np.uint8,
         )
+        out_cols = [
+            "item_id", "frame_idx", "scene_idx", "width", "height",
+            "mean_r_q4", "mean_g_q4", "mean_b_q4",
+        ]
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
@@ -6524,11 +6548,14 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx = (did * 3 + (f // 3) * 6 + y * 5 + x * 7) % 16
                     idx[0, 0] = (idx[0, 0] + f % 3) % 16
                     frames.append(pal[idx])
-                out.append((did, encode_gif_animated(frames)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                out.extend(
+                    keyframe_rows(did, encode_gif_animated(frames), max_hamming=3)
+                )
+            yield pd.DataFrame(out, columns=out_cols)
 
-    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
-    return keyframes(blobs, "payload", "item_id", max_hamming=3).orderBy(
+    from easydb_server_spark.operators.imagehash import KEYFRAME_SCHEMA
+
+    return spread(d).mapInPandas(build, KEYFRAME_SCHEMA).orderBy(
         "item_id", "frame_idx"
     )
 
