@@ -6447,16 +6447,16 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax -> digest is exact AND gain-invariant."""
     import pandas as pd
 
-    from easydb_server_spark.operators.audiofp import (
-        audio_fingerprint,
-        fingerprint_dup_groups,
-    )
+    from easydb_server_spark.operators.audiofp import fingerprint_dup_groups
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select("doc_id")
 
     def build(batches):
         import numpy as np
 
+        from easydb_server_spark.operators.audiofp import (
+            audio_fingerprint_row,
+        )
         from easydb_server_spark.operators.wav import encode_wav
 
         j = np.arange(64, dtype=np.float64)
@@ -6472,11 +6472,19 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for k in range(4)
                 ]
                 s = np.concatenate(segs).astype(np.int16)
-                out.append((did, encode_wav(s, 8000)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                # r16 (guide §4): fingerprint right here — the encode
+                # → decode codec round-trip stays inside this one
+                # Arrow stage (audio_fingerprint_row IS the operator
+                # body), and the WAV blobs never cross the JVM↔Python
+                # boundary
+                out.append(audio_fingerprint_row(did, encode_wav(s, 8000), 64, 64))
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_frames", "peak_seq", "fp"]
+            )
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
-    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    sigs = d.mapInPandas(
+        build, "item_id bigint, n_frames int, peak_seq string, fp string"
+    )
     return fingerprint_dup_groups(sigs).orderBy("item_id")
 
 
@@ -6815,7 +6823,6 @@ def q_dedup_audio_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from easydb_server_spark.operators.audiofp import (
-        audio_fingerprint,
         audio_landmarks,
         landmark_matches,
     )
@@ -6825,6 +6832,9 @@ def q_dedup_audio_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         import numpy as np
 
+        from easydb_server_spark.operators.audiofp import (
+            audio_fingerprint_row,
+        )
         from easydb_server_spark.operators.wav import encode_wav
 
         j = np.arange(64, dtype=np.float64)
@@ -6844,11 +6854,19 @@ def q_dedup_audio_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b = 1 + (base * 7 + k * 11 + base * k * 5) % 31
                     segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
                 s = np.concatenate(segs).astype(np.int16)
-                out.append((did, encode_wav(s, 8000)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                # r16 (guide §4): fingerprint right here — the encode
+                # → decode codec round-trip stays inside this one
+                # Arrow stage (audio_fingerprint_row IS the operator
+                # body), and the WAV blobs never cross the JVM↔Python
+                # boundary
+                out.append(audio_fingerprint_row(did, encode_wav(s, 8000), 64, 64))
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_frames", "peak_seq", "fp"]
+            )
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
-    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    sigs = d.mapInPandas(
+        build, "item_id bigint, n_frames int, peak_seq string, fp string"
+    )
     # persist the landmark table before the self-join (the
     # dedup_image_neardup rule — never re-decode blobs per consumer)
     lms = audio_landmarks(sigs, fanout=3).localCheckpoint(eager=True)
@@ -6910,7 +6928,6 @@ def q_audio_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from easydb_server_spark.operators.audiofp import (
-        audio_fingerprint,
         audio_landmarks_timed,
         landmark_search,
     )
@@ -6920,6 +6937,9 @@ def q_audio_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         import numpy as np
 
+        from easydb_server_spark.operators.audiofp import (
+            audio_fingerprint_row,
+        )
         from easydb_server_spark.operators.wav import encode_wav
 
         j = np.arange(64, dtype=np.float64)
@@ -6939,11 +6959,19 @@ def q_audio_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b = 1 + (base * 7 + k * 11 + base * k * 5) % 31
                     segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
                 s = np.concatenate(segs).astype(np.int16)
-                out.append((did, encode_wav(s, 8000)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                # r16 (guide §4): fingerprint right here — the encode
+                # → decode codec round-trip stays inside this one
+                # Arrow stage (audio_fingerprint_row IS the operator
+                # body), and the WAV blobs never cross the JVM↔Python
+                # boundary
+                out.append(audio_fingerprint_row(did, encode_wav(s, 8000), 64, 64))
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_frames", "peak_seq", "fp"]
+            )
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
-    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    sigs = d.mapInPandas(
+        build, "item_id bigint, n_frames int, peak_seq string, fp string"
+    )
     # persist once; both the index and the query side slice from it
     lms = audio_landmarks_timed(sigs, fanout=3).localCheckpoint(eager=True)
     return landmark_search(
@@ -7029,7 +7057,6 @@ def q_video_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from easydb_server_spark.operators.audiofp import landmark_search
     from easydb_server_spark.operators.imagehash import (
         scene_landmarks,
-        video_signature,
     )
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 440).select("doc_id")
@@ -7038,6 +7065,9 @@ def q_video_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from easydb_server_spark.operators.gif import encode_gif_animated
+        from easydb_server_spark.operators.imagehash import (
+            video_signature_row,
+        )
 
         pal = np.array(
             [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
@@ -7065,11 +7095,19 @@ def q_video_landmark_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx = (base * 5 + s * 6 + shift9 + y * 5 + x * 7) % 16
                     idx[0, 0] = (idx[0, 0] + j) % 16
                     frames.append(pal[idx])
-                out.append((did, encode_gif_animated(frames)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                # r16 (guide §4): sign right here — the encode →
+                # decode codec round-trip stays inside this one Arrow
+                # stage (video_signature_row IS the operator body),
+                # and the GIF blobs never cross the JVM↔Python
+                # boundary
+                out.append(video_signature_row(did, encode_gif_animated(frames)))
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_scenes", "sig_seq", "sig"]
+            )
 
-    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
-    sigs = video_signature(blobs, "payload", "item_id")
+    sigs = spread(d).mapInPandas(
+        build, "item_id bigint, n_scenes int, sig_seq string, sig string"
+    )
     # persist once; index and query sides both slice from it
     lms = scene_landmarks(sigs, fanout=3).localCheckpoint(eager=True)
     return landmark_search(
@@ -7681,7 +7719,6 @@ def q_audio_landmark_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from easydb_server_spark.operators.audiofp import (
-        audio_fingerprint,
         audio_landmarks_timed,
         landmark_search_topk,
     )
@@ -7691,6 +7728,9 @@ def q_audio_landmark_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         import numpy as np
 
+        from easydb_server_spark.operators.audiofp import (
+            audio_fingerprint_row,
+        )
         from easydb_server_spark.operators.wav import encode_wav
 
         j = np.arange(64, dtype=np.float64)
@@ -7710,11 +7750,19 @@ def q_audio_landmark_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b = 1 + (base * 7 + k * 11 + base * k * 5) % 31
                     segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
                 s = np.concatenate(segs).astype(np.int16)
-                out.append((did, encode_wav(s, 8000)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                # r16 (guide §4): fingerprint right here — the encode
+                # → decode codec round-trip stays inside this one
+                # Arrow stage (audio_fingerprint_row IS the operator
+                # body), and the WAV blobs never cross the JVM↔Python
+                # boundary
+                out.append(audio_fingerprint_row(did, encode_wav(s, 8000), 64, 64))
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_frames", "peak_seq", "fp"]
+            )
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
-    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    sigs = d.mapInPandas(
+        build, "item_id bigint, n_frames int, peak_seq string, fp string"
+    )
     # persist once; both the index and the query side slice from it
     lms = audio_landmarks_timed(sigs, fanout=3).localCheckpoint(eager=True)
     return landmark_search_topk(
@@ -7784,7 +7832,6 @@ def q_audio_landmark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from easydb_server_spark.operators.audiofp import (
-        audio_fingerprint,
         audio_landmarks_timed,
         incremental_landmark_admit,
     )
@@ -7794,6 +7841,9 @@ def q_audio_landmark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         import numpy as np
 
+        from easydb_server_spark.operators.audiofp import (
+            audio_fingerprint_row,
+        )
         from easydb_server_spark.operators.wav import encode_wav
 
         j = np.arange(64, dtype=np.float64)
@@ -7819,11 +7869,19 @@ def q_audio_landmark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                         b = 1 + (novel * 13 + 17 * k + 7 * novel * k) % 31
                     segs.append(np.round(amp * np.sin(2.0 * np.pi * b * j / 64.0)))
                 s = np.concatenate(segs).astype(np.int16)
-                out.append((did, encode_wav(s, 8000)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                # r16 (guide §4): fingerprint right here — the encode
+                # → decode codec round-trip stays inside this one
+                # Arrow stage (audio_fingerprint_row IS the operator
+                # body), and the WAV blobs never cross the JVM↔Python
+                # boundary
+                out.append(audio_fingerprint_row(did, encode_wav(s, 8000), 64, 64))
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_frames", "peak_seq", "fp"]
+            )
 
-    blobs = d.mapInPandas(build, "item_id bigint, payload binary")
-    sigs = audio_fingerprint(blobs, "payload", "item_id", frame=64, hop=64)
+    sigs = d.mapInPandas(
+        build, "item_id bigint, n_frames int, peak_seq string, fp string"
+    )
     # persist once; corpus and batch sides slice from it
     lms = audio_landmarks_timed(sigs, fanout=3).localCheckpoint(eager=True)
     return incremental_landmark_admit(
