@@ -101,17 +101,27 @@ def image_dhash(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                b0, b1, b2, b3 = dhash_bands(decoder(bytes(blob)))
-                out.append(
-                    (int(item_id), b0, b1, b2, b3, f"{b3:04x}{b2:04x}{b1:04x}{b0:04x}")
-                )
+            out = [
+                image_dhash_row(item_id, blob, decoder)
+                for item_id, blob in zip(pdf[id_col], pdf[blob_col])
+            ]
             yield pd.DataFrame(
                 out, columns=["item_id", "band0", "band1", "band2", "band3", "phash"]
             )
 
     return df.select(id_col, blob_col).mapInPandas(extract, DHASH_SCHEMA)
+
+
+def image_dhash_row(item_id: int, blob: bytes, decoder: Callable | None = None) -> tuple:
+    """Per-blob core of :func:`image_dhash` (one DHASH_SCHEMA tuple).
+    Exposed so pipelines that synthesize their blobs in Python can
+    fuse build → dhash into one Arrow stage instead of shipping the
+    blobs through an extra JVM↔Python hop (guide §4)."""
+    if decoder is None:
+        from easydb_server_spark.operators.gif import decode_gif as decoder
+
+    b0, b1, b2, b3 = dhash_bands(decoder(bytes(blob)))
+    return (int(item_id), b0, b1, b2, b3, f"{b3:04x}{b2:04x}{b1:04x}{b0:04x}")
 
 
 def dhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -191,15 +201,29 @@ def frame_dhash(
         for pdf in batches:
             out = []
             for item_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                for f, px in enumerate(decoder(bytes(blob))):
-                    b0, b1, b2, b3 = dhash_bands(px)
-                    out.append((int(item_id), f, b0, b1, b2, b3))
+                out.extend(frame_dhash_rows(item_id, blob, decoder))
             yield pd.DataFrame(
                 out,
                 columns=["item_id", "frame_idx", "band0", "band1", "band2", "band3"],
             )
 
     return df.select(id_col, blob_col).mapInPandas(extract, FRAME_DHASH_SCHEMA)
+
+
+def frame_dhash_rows(item_id: int, blob: bytes, decoder: Callable | None = None) -> list:
+    """Per-blob core of :func:`frame_dhash` (FRAME_DHASH_SCHEMA
+    tuples). Exposed so pipelines that synthesize their blobs in
+    Python can fuse build → per-frame dhash into one Arrow stage
+    instead of shipping the blobs through an extra JVM↔Python hop
+    (guide §4)."""
+    if decoder is None:
+        from easydb_server_spark.operators.gif import decode_gif_frames as decoder
+
+    out = []
+    for f, px in enumerate(decoder(bytes(blob))):
+        b0, b1, b2, b3 = dhash_bands(px)
+        out.append((int(item_id), f, b0, b1, b2, b3))
+    return out
 
 
 def scene_cuts(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -6126,8 +6126,12 @@ ORDER BY qid, rank""",
 # ---------- image perceptual-hash near-dup dedup (operators/imagehash.py) ----------
 
 
-def _image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> deterministic GIF blob with PLANTED near-dup groups.
+def _image_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> dHash signature of a deterministic GIF blob with
+    PLANTED near-dup groups, built and hashed inside ONE Arrow stage
+    (r16, guide §4: image_dhash_row IS the image_dhash body — the
+    encode → decode codec round-trip is intact but the blobs never
+    cross the JVM↔Python boundary).
 
     Each doc_id < 400 renders a palettized image whose content depends
     only on ``base = doc_id % 40`` — so every base group's ~10 members
@@ -6148,13 +6152,14 @@ def _image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from easydb_server_spark.operators.gif import encode_gif
+        from easydb_server_spark.operators.imagehash import image_dhash_row
 
         pal = np.array(
             [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
             dtype=np.uint8,
         )
         for pdf in batches:
-            ids, blobs = [], []
+            out = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 base = did % 40
@@ -6163,11 +6168,15 @@ def _image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx = (base * 3 + y * 5 + x * 7) % 16
                 if did % 2 == 1:
                     idx[0, 0] = (idx[0, 0] + 8) % 16
-                ids.append(did)
-                blobs.append(encode_gif(pal[idx]))
-            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+                out.append(image_dhash_row(did, encode_gif(pal[idx])))
+            yield pd.DataFrame(
+                out,
+                columns=["item_id", "band0", "band1", "band2", "band3", "phash"],
+            )
 
-    return d.mapInPandas(build, "doc_id bigint, payload binary")
+    from easydb_server_spark.operators.imagehash import DHASH_SCHEMA
+
+    return d.mapInPandas(build, DHASH_SCHEMA)
 
 
 # Closed-form replay of the sampled-pixel dHash: only the 9x8 SAMPLED
@@ -6228,9 +6237,7 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/imagehash.py image_dhash). A hash match against the
     closed-form pixel-arithmetic oracle proves the full
     encode->decode->grayscale->sample->bit path is bit-exact."""
-    from easydb_server_spark.operators.imagehash import image_dhash
-
-    return image_dhash(_image_blobs(spark, sf_dir), "payload", "doc_id").orderBy("item_id")
+    return _image_sigs(spark, sf_dir).orderBy("item_id")
 
 
 ORACLE_DEDUP_IMAGE_PHASH = f"""
@@ -6249,9 +6256,8 @@ def q_dedup_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id keeper per cluster. Output: every fixture image with its
     cluster label and whether it is the cluster's keeper."""
     from easydb_server_spark.operators.clusters import connected_components
-    from easydb_server_spark.operators.imagehash import dhash_pairs, image_dhash
+    from easydb_server_spark.operators.imagehash import dhash_pairs
 
-    blobs = _image_blobs(spark, sf_dir)
     # materialize the tiny signature table ONCE (localCheckpoint, same
     # device connected_components uses): the banded self-join reads
     # sigs on BOTH sides and the CC edge union reads pairs twice more,
@@ -6259,7 +6265,7 @@ def q_dedup_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # image) re-executes ~4x per run — measured 4.64 s -> the codec
     # cost once. At 100 TB the same rule holds: persist signatures
     # (k bytes/image) before any self-join; never re-decode blobs.
-    sigs = image_dhash(blobs, "payload", "doc_id").localCheckpoint(eager=True)
+    sigs = _image_sigs(spark, sf_dir).localCheckpoint(eager=True)
     pairs = dhash_pairs(sigs, max_hamming=3).select(
         F.col("item_a").alias("doc_a"), F.col("item_b").alias("doc_b")
     )
@@ -6331,7 +6337,10 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever hamming each boundary happens to produce."""
     import pandas as pd
 
-    from easydb_server_spark.operators.imagehash import frame_dhash, scene_cuts
+    from easydb_server_spark.operators.imagehash import (
+        FRAME_DHASH_SCHEMA,
+        scene_cuts,
+    )
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id")
 
@@ -6339,6 +6348,7 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from easydb_server_spark.operators.gif import encode_gif_animated
+        from easydb_server_spark.operators.imagehash import frame_dhash_rows
 
         pal = np.array(
             [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
@@ -6355,13 +6365,18 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx = (did * 3 + (f // 3) * 6 + y * 5 + x * 7) % 16
                     idx[0, 0] = (idx[0, 0] + f % 3) % 16
                     frames.append(pal[idx])
-                out.append((did, encode_gif_animated(frames)))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
+                # r16 (guide §4): hash right here — the encode →
+                # decode codec round-trip stays inside this one Arrow
+                # stage (frame_dhash_rows IS the operator body), and
+                # the GIF blobs never cross the JVM↔Python boundary
+                out.extend(frame_dhash_rows(did, encode_gif_animated(frames)))
+            yield pd.DataFrame(
+                out,
+                columns=["item_id", "frame_idx", "band0", "band1", "band2", "band3"],
+            )
 
-    blobs = spread(d).mapInPandas(build, "item_id bigint, payload binary")
-    return scene_cuts(frame_dhash(blobs, "payload", "item_id"), max_hamming=3).orderBy(
-        "item_id", "frame_idx"
-    )
+    sigs = spread(d).mapInPandas(build, FRAME_DHASH_SCHEMA)
+    return scene_cuts(sigs, max_hamming=3).orderBy("item_id", "frame_idx")
 
 
 # Shared closed-form replay of the per-frame sampled-pixel dHash
@@ -7249,7 +7264,7 @@ def _phash_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice from one table (the signatures-before-self-join rule)."""
     import pandas as pd
 
-    from easydb_server_spark.operators.imagehash import image_dhash
+    from easydb_server_spark.operators.imagehash import DHASH_SCHEMA
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 480).select("doc_id")
 
@@ -7257,6 +7272,7 @@ def _phash_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from easydb_server_spark.operators.gif import encode_gif
+        from easydb_server_spark.operators.imagehash import image_dhash_row
 
         pal = np.array(
             [[(i * 16) % 256, (i * 37) % 256, (i * 73) % 256] for i in range(16)],
@@ -7274,11 +7290,17 @@ def _phash_fixture_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx[0, 0] = (idx[0, 0] + 8) % 16
                 elif did >= 400:
                     idx[1, 1] = (idx[1, 1] + 4) % 16
-                out.append((did, encode_gif(pal[idx])))
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+                # r16 (guide §4): hash right here — the encode →
+                # decode codec round-trip stays inside this one Arrow
+                # stage (image_dhash_row IS the operator body), and
+                # the GIF blobs never cross the JVM↔Python boundary
+                out.append(image_dhash_row(did, encode_gif(pal[idx])))
+            yield pd.DataFrame(
+                out,
+                columns=["item_id", "band0", "band1", "band2", "band3", "phash"],
+            )
 
-    blobs = d.mapInPandas(build, "doc_id bigint, payload binary")
-    return image_dhash(blobs, "payload", "doc_id").localCheckpoint(eager=True)
+    return d.mapInPandas(build, DHASH_SCHEMA).localCheckpoint(eager=True)
 
 
 def q_image_phash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
