@@ -97,18 +97,31 @@ def seed_centroids(pts: DataFrame, k: int) -> list[tuple[int, list[int]]]:
     return [(i, list(r["q"])) for i, r in enumerate(rows)]
 
 
-def _centroid_literal(cents: list[tuple[int, list[int]]]):
-    """The k centroids as one literal array<struct<cluster:int,
-    cq:array<bigint>>> column — constant-folded into the task binary,
-    so 'broadcasting' the centroids costs nothing and joins nothing."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(c).cast("int").alias("cluster"),
-                F.array(*[F.lit(v).cast("long") for v in q]).alias("cq"),
-            )
+def _argmin_sql(cents: list[tuple[int, list[int]]]) -> str:
+    """The literal-centroid argmin as ONE SQL string (the
+    operators/_litexpr.py rationale): the Column-API form built k*d
+    F.lit nodes at one py4j round-trip each — measured 0.45 s PER
+    ASSIGNMENT CONSTRUCTION at k=8, d=64, paid three times per
+    2-iteration kmeans_assign — while rendering the same tree as text
+    and parsing it with one ``F.expr`` call is ~10 ms. The parsed
+    expression is identical (integer literals with explicit L/INT
+    types, same lambda structure), so results are bit-for-bit."""
+    cent_arr = (
+        "array("
+        + ",".join(
+            f"named_struct('cluster',CAST({int(c)} AS INT),'cq',"
+            + "array("
+            + ",".join(f"{int(v)}L" for v in q)
+            + "))"
             for c, q in cents
-        ]
+        )
+        + ")"
+    )
+    return (
+        f"array_min(transform({cent_arr}, s -> struct("
+        "aggregate(zip_with(q, s.cq, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist2, "
+        "s.cluster AS cluster)))"
     )
 
 
@@ -148,21 +161,10 @@ def assign(spark: SparkSession, pts: DataFrame, cents: list[tuple[int, list[int]
     d = len(cents[0][1]) if cents else 0
     if k * d > LITERAL_ARGMIN_MAX_KD:
         return _assign_closure(pts, cents)
-    cands = F.transform(
-        _centroid_literal(cents),
-        lambda s: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("q"), s["cq"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dist2"),
-            s["cluster"].alias("cluster"),
-        ),
-    )
     # Two-step projection so the argmin struct is evaluated ONCE
     # (CollapseProject refuses to inline non-cheap aliases referenced
     # twice, SPARK-36718), then unpacked.
-    return pts.select("pid", "q", F.array_min(cands).alias("__best")).select(
+    return pts.select("pid", "q", F.expr(_argmin_sql(cents)).alias("__best")).select(
         "pid",
         "q",
         F.col("__best.cluster").alias("cluster"),
