@@ -505,6 +505,17 @@ def decontaminate(
     against it: a semi-join marks contaminated ids, an anti-join drops
     them. At 100 TB the training table is never shuffled — the whole
     operation is one scan plus a broadcast hash probe.
+
+    The anti side carries an explicit broadcast hint (r16, guide §3.1):
+    ``contaminated`` is a distinct-aggregate output, whose size
+    Catalyst cannot estimate — without the hint the planner chose a
+    SortMergeJoin that shuffled the ENTIRE training table (text
+    payload included) by doc_id, contradicting the scale contract
+    above, and locally serialized every downstream consumer onto the
+    coalesced post-shuffle partitions. The broadcast is 8-byte doc_ids
+    bounded by the contaminated fraction of the corpus — the designed
+    use (eval sets orders of magnitude smaller than the corpus) keeps
+    it far under the broadcast cap.
     """
     from easydb_server_spark.operators.dedup import _shingle_hash60, word_shingles
 
@@ -519,7 +530,11 @@ def decontaminate(
     contaminated = (
         train_sh.join(F.broadcast(bench_h), "h", "left_semi").select("doc_id").distinct()
     )
-    return train.join(contaminated, train[id_col] == contaminated["doc_id"], "left_anti")
+    return train.join(
+        F.broadcast(contaminated),
+        train[id_col] == contaminated["doc_id"],
+        "left_anti",
+    )
 
 
 def length_histogram(df: DataFrame, len_col: str, group_col: str) -> DataFrame:
@@ -1260,6 +1275,7 @@ def chunk_documents(
     id_col: str,
     chunk_size: int = 128,
     overlap: int = 32,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Sliding-window token chunking: split each document into
     ``chunk_size``-token chunks that overlap by ``overlap`` tokens —
@@ -1279,10 +1295,17 @@ def chunk_documents(
     slice, all JVM-side, no shuffle at all; the explode fan-out is
     tokens/stride per doc, linear in corpus token count. Downstream
     grouping keys on (doc_id, chunk_id), which is unique.
+
+    ``keep`` (r16, guide §2.4): extra input columns carried through to
+    the output verbatim — a consumer that needs per-doc metadata (e.g.
+    ``source``) alongside the chunks would otherwise have to re-join
+    the input on doc_id, re-evaluating the input's whole subtree (and
+    its shuffles) a second time, since Catalyst shares no subtrees.
     """
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     stride = chunk_size - overlap
+    keep = keep or []
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     # number of chunks − 1 = max(0, ceil((n − chunk_size) / stride)):
@@ -1290,12 +1313,14 @@ def chunk_documents(
     last = F.greatest(F.ceil((n - F.lit(chunk_size)) / F.lit(stride)), F.lit(0)).cast("int")
     base = df.select(
         F.col(id_col).alias("doc_id"),
+        *keep,
         words.alias("ws"),
         F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
     )
     piece = F.slice(F.col("ws"), F.col("chunk_id") * stride + 1, chunk_size)
     return base.select(
         "doc_id",
+        *keep,
         "chunk_id",
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk"),

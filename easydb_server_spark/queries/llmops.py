@@ -2688,8 +2688,12 @@ def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves are the already-verified operators; the bin assignment is
     the cumulative-window formulation, so the oracle replays it."""
     d = load(spark, sf_dir, "documents")
-    chunks = T.chunk_documents(d, "text", "doc_id", chunk_size=64, overlap=16)
-    units = chunks.join(d.select("doc_id", "source"), "doc_id").select(
+    # r16 (guide §2.4): `source` rides through the chunker (keep=)
+    # instead of a second documents scan + rejoin on doc_id
+    chunks = T.chunk_documents(
+        d, "text", "doc_id", chunk_size=64, overlap=16, keep=["source"]
+    )
+    units = chunks.select(
         (F.col("doc_id") * F.lit(100000) + F.col("chunk_id")).alias("unit_id"),
         "chunk",
         "source",
@@ -3331,10 +3335,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = D.exact_dedup(gated, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
     deduped = gated.join(keep, "doc_id")
     clean = T.decontaminate(deduped, bench, "text", "doc_id")
-    chunks = T.chunk_documents(clean, "text", "doc_id", chunk_size=64, overlap=16)
+    # r16 (guide §2.4): `source` rides through the chunker instead of
+    # re-joining `clean` — the join re-evaluated the whole gate →
+    # dedup → decontaminate subtree a second time (Catalyst shares no
+    # subtrees) plus a corpus-width SortMergeJoin; same rows, since
+    # doc_id is unique in `clean` and the join only re-attached the
+    # row's own source
+    chunks = T.chunk_documents(
+        clean, "text", "doc_id", chunk_size=64, overlap=16, keep=["source"]
+    )
     return (
-        chunks.join(clean.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        chunks.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_tokens").alias("n_tokens"),
