@@ -578,6 +578,7 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """The Gopher quality RULE SET (Rae et al. 2021, §A1.1) as explicit
     per-rule booleans — the published web-text filter most pipelines
@@ -598,7 +599,16 @@ def gopher_rules(
     rule, and ``pass_gopher``. Everything is in-row column arithmetic
     over the split word/line arrays — a single scan, no shuffle, no
     Python; at 100 TB this is a free rider on whatever scan feeds it.
+
+    ``keep`` (r16, guide §2.4): extra input columns carried through to
+    the output verbatim — since this gate is a pure projection, a
+    consumer that needs upstream per-doc columns (e.g. a dedup stage's
+    ``n_paras``/``n_removed``) alongside the rule booleans would
+    otherwise re-join on doc_id and re-evaluate the upstream subtree
+    (often a full shuffle chain) a second time. Same contract as
+    ``chunk_documents(keep=...)``.
     """
+    keep = keep or []
     t = F.col(text_col)
     words = F.filter(F.split(t, "\\s+"), lambda w: w != F.lit(""))
     # two-step projection: the array-fold/filter counts materialize
@@ -614,6 +624,7 @@ def gopher_rules(
     ).cast("int")
     staged = df.select(
         F.col(id_col).alias("doc_id"),
+        *keep,
         F.size(words).alias("n_words"),
         F.aggregate(
             words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
@@ -640,6 +651,7 @@ def gopher_rules(
     stop_ok = F.col("n_stopwords") >= F.lit(min_stopwords)
     return staged.select(
         "doc_id",
+        *keep,
         "n_words",
         mean_wl.alias("mean_word_len"),
         "n_stopwords",
@@ -1709,7 +1721,9 @@ def score_nb_quality(
     return scored.withColumn("nb_pass", F.col("log_odds") > 0)
 
 
-def html_extract(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
+def html_extract(
+    df: DataFrame, html_col: str, id_col: str, keep: list[str] | None = None
+) -> DataFrame:
     """HTML → text extraction — the step real crawl pipelines (CCNet,
     RefinedWeb, FineWeb) run FIRST, before any quality/dedup stage:
     strip non-content blocks and markup, keep block structure as
@@ -1736,7 +1750,15 @@ def html_extract(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
     entirely in-row regexp_replace chains — JVM regex inside the scan
     projection, zero shuffle, zero Python; at 100 TB this rides the
     raw-HTML scan like the Gopher gate rides the text scan.
+
+    ``keep`` (r16, guide §2.4): extra input columns carried through to
+    the output verbatim — a consumer needing per-doc metadata (e.g. a
+    URL-gate ``domain``) alongside the extraction would otherwise have
+    to re-join the input on doc_id, re-evaluating the input's whole
+    subtree (Catalyst shares no subtrees). Same contract as
+    ``chunk_documents(keep=...)``.
     """
+    keep = keep or []
     h = F.col(html_col).cast("string")
     n_tags = F.regexp_count(h, F.lit("<[^>]*>"))
     t = F.regexp_replace(h, r"(?s)<!--.*?-->", "")
@@ -1760,6 +1782,7 @@ def html_extract(df: DataFrame, html_col: str, id_col: str) -> DataFrame:
     t = F.regexp_replace(t, r"^\s+|\s+$", "")
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *keep,
         t.alias("clean_text"),
         F.length(t).alias("n_chars"),
         n_tags.alias("n_tags"),

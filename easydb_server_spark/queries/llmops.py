@@ -1454,20 +1454,32 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1, and at 100 TB the difference is re-extracting the crawl
     # per stage). The real pipeline persists extracted text at exactly
     # this boundary.
+    # r16 (guide §2.4): `domain` rides INTO the checkpoint (html_extract
+    # keep=) — the final projection previously re-joined `ok`, which
+    # re-evaluated the whole url_features explode/semi-join pipeline a
+    # second time; now the URL gate runs exactly once and the final
+    # domain lookup is a narrow scan of the checkpointed frame.
     extracted = (
-        T.html_extract(fetched, "html", "doc_id")
-        .select("doc_id", "clean_text")
+        T.html_extract(fetched, "html", "doc_id", keep=["domain"])
+        .select("doc_id", "domain", "clean_text")
         .localCheckpoint(eager=True)
     )
-    deduped = T.paragraph_dedup(extracted, "clean_text", "doc_id", min_docs=2, sep="\n")
+    deduped = T.paragraph_dedup(
+        extracted.select("doc_id", "clean_text"), "clean_text", "doc_id",
+        min_docs=2, sep="\n",
+    )
+    # r16 (guide §2.4): the gopher gate is a pure projection, so
+    # n_paras/n_removed ride THROUGH it (keep=) instead of re-joining
+    # `deduped` — the rejoin re-ran paragraph_dedup's whole shuffle
+    # chain (explode → doc-frequency agg → verify window → rebuild) a
+    # second time.
     gated = T.gopher_rules(
-        deduped.select("doc_id", F.col("clean_text")), "clean_text", "doc_id",
-        min_words=40, min_stopwords=1,
-    ).select("doc_id", "n_words", "word_count_ok")
+        deduped, "clean_text", "doc_id",
+        min_words=40, min_stopwords=1, keep=["n_paras", "n_removed"],
+    ).select("doc_id", "n_paras", "n_removed", "n_words", "word_count_ok")
     return (
-        deduped.select("doc_id", "n_paras", "n_removed", "clean_text")
-        .join(gated, "doc_id")
-        .join(ok, "doc_id")
+        gated
+        .join(extracted.select("doc_id", "domain"), "doc_id")
         .select("doc_id", "domain", "n_paras", "n_removed", "n_words", "word_count_ok")
         .orderBy("doc_id")
     )
@@ -3332,7 +3344,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intermediate plus its stage barrier costs more than re-running
     # the scan-side regex gate. Left re-derived deliberately.
     gated = T.quality_gate(train, "text", threshold=0.2)
-    keep = D.exact_dedup(gated, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
+    # r16 (guide §1.2 don't-compute-twice): the keep set is computed
+    # over the UNGATED train corpus — md5-equal texts gate identically
+    # (the gate is a pure function of text), so every gated md5-group's
+    # min doc_id is the group min over train, and the join back to
+    # `gated` drops the gate-failing groups' keep rows. Identical rows,
+    # one fewer full evaluation of the regex gate chain (the gate
+    # previously ran under BOTH exact_dedup and the join's left side —
+    # Catalyst shares no subtrees).
+    keep = D.exact_dedup(train, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
     deduped = gated.join(keep, "doc_id")
     clean = T.decontaminate(deduped, bench, "text", "doc_id")
     # r16 (guide §2.4): `source` rides through the chunker instead of
