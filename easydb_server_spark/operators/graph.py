@@ -30,6 +30,49 @@ RANK_SCALE = 10**12
 # damping 0.85 as the exact rational 17/20
 _D_NUM, _D_DEN = 17, 20
 
+# r16 (guide §1.2 pick-the-algorithm, §5 driver rules; the
+# kmeans/BPE/connected-components dispatch precedent): below this
+# DEDUPED edge count the power iteration replays on the driver from
+# ONE limit-guarded collect of the narrow (src, dst) pair list —
+# 16 MB of BIGINTs at the bound, broadcast-class data by the
+# session's own 64 MB autoBroadcastJoinThreshold — because the
+# distributed superstep pays per-iteration join/agg job scheduling
+# (~0.25 s/job measured) to move a rank table this size. The replay
+# computes the IDENTICAL exact-integer update (same floor-div points,
+# same dangling redistribution), so ranks are bit-identical;
+# anything larger takes the unchanged distributed superstep. Tests
+# force both paths onto the same graphs and compare exactly.
+DRIVER_PR_MAX_EDGES = 1_048_576
+
+
+def _driver_pagerank(spark, src, dst, iterations: int) -> DataFrame:
+    """Replay the exact distributed update rule on collected edges:
+    numpy int64 end to end (all quantities non-negative, so numpy's
+    floor ``//`` is Spark's BIGINT ``div``; headroom: 17 * total rank
+    mass ≈ 1.7e13 ≪ 2^63)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = int(len(nodes))
+    if n == 0:
+        return spark.createDataFrame([], "node bigint, rank bigint")
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(out, si, 1)
+    dangling_mask = out == 0
+    ranks = np.full(n, RANK_SCALE // n, dtype=np.int64)
+    base = (3 * RANK_SCALE) // (20 * n)
+    for _ in range(iterations):
+        contrib = np.zeros(n, dtype=np.int64)
+        np.add.at(contrib, di, ranks[si] // out[si])
+        dang = int(ranks[dangling_mask].sum())
+        ranks = base + (_D_NUM * (contrib + dang // n)) // _D_DEN
+    return spark.createDataFrame(
+        pa.table({"node": pa.array(nodes), "rank": pa.array(ranks)})
+    )
+
 
 def pagerank(
     edges: DataFrame,
@@ -74,6 +117,25 @@ def pagerank(
         .distinct()
         .persist()
     )
+    # Driver dispatch (see DRIVER_PR_MAX_EDGES): ONE limit-guarded
+    # Arrow collect both probes the size and, when small enough,
+    # already holds every edge — no separate count job on either path.
+    probe = e.limit(DRIVER_PR_MAX_EDGES + 1).toArrow()
+    if probe.num_rows <= DRIVER_PR_MAX_EDGES and not (
+        # NULL endpoints would need the distributed path's SQL
+        # three-valued join semantics — don't replicate them in numpy
+        probe.column("src").null_count
+        or probe.column("dst").null_count
+    ):
+        try:
+            return _driver_pagerank(
+                e.sparkSession,
+                probe.column("src").to_numpy(),
+                probe.column("dst").to_numpy(),
+                iterations,
+            )
+        finally:
+            e.unpersist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -85,3 +85,25 @@ def test_bounded_memory_mode_is_equivalent(spark):
         ).collect()
     }
     assert lazy == eager == ref_pagerank(edges, 4)
+
+
+def test_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r16 driver-dispatch lock (the CC/BPE differential pattern):
+    the SAME graphs through the numpy driver replay and, with the
+    bound forced to 0, the distributed superstep — ranks must be
+    bit-identical, including a dangling-heavy and a multi-component
+    graph."""
+    from easydb_server_spark.operators import graph as G
+
+    graphs = [
+        [(1, 2), (2, 1)],
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 6)],
+        [(1, 3), (2, 3), (3, 4)],  # chain into a dangling sink
+        [(i, (i * 7) % 23 + 100) for i in range(40)],
+    ]
+    for edges in graphs:
+        driver = _run(spark, edges, iterations=3)
+        monkeypatch.setattr(G, "DRIVER_PR_MAX_EDGES", 0)
+        dist = _run(spark, edges, iterations=3)
+        monkeypatch.undo()
+        assert driver == dist == ref_pagerank(edges, 3)
