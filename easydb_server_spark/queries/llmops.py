@@ -3344,15 +3344,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intermediate plus its stage barrier costs more than re-running
     # the scan-side regex gate. Left re-derived deliberately.
     gated = T.quality_gate(train, "text", threshold=0.2)
-    # r16 (guide §1.2 don't-compute-twice): the keep set is computed
-    # over the UNGATED train corpus — md5-equal texts gate identically
-    # (the gate is a pure function of text), so every gated md5-group's
-    # min doc_id is the group min over train, and the join back to
-    # `gated` drops the gate-failing groups' keep rows. Identical rows,
-    # one fewer full evaluation of the regex gate chain (the gate
-    # previously ran under BOTH exact_dedup and the join's left side —
-    # Catalyst shares no subtrees).
-    keep = D.exact_dedup(train, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
+    # r16 A/B note: computing the keep set over the UNGATED train
+    # corpus (md5-equal texts gate identically, so group minima are
+    # unchanged) looked like a free gate-elimination, but measured
+    # 3.9 s vs 1.3 s against this form in a same-minute grid — the
+    # separate train-side aggregate subtree defeats the planner's
+    # scan-stage reuse under the broadcast anti probe. Keep the
+    # gated-side dedup.
+    keep = D.exact_dedup(gated, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
     deduped = gated.join(keep, "doc_id")
     clean = T.decontaminate(deduped, bench, "text", "doc_id")
     # r16 (guide §2.4): `source` rides through the chunker instead of
