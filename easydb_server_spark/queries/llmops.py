@@ -3352,8 +3352,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan-stage reuse under the broadcast anti probe. Keep the
     # gated-side dedup.
     keep = D.exact_dedup(gated, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
-    deduped = gated.join(keep, "doc_id")
-    clean = T.decontaminate(deduped, bench, "text", "doc_id")
+    # r17 (guide §2.4 — don't re-evaluate subtrees): decontaminate
+    # probes GATED (pre-dedup) and the keep join applies ONCE after
+    # the anti. Identical rows: contamination is a per-doc predicate
+    # (a doc is dropped iff ITS OWN shingles hit the bench set), so it
+    # commutes with the keep restriction, and the probe's extra
+    # doc_ids (gated-but-not-kept) are removed by the inner keep join
+    # anyway. The old form decontaminate(gated ⋈ keep) made Catalyst
+    # evaluate the keep AGGREGATE twice (probe side + final side) and
+    # the gate regex four times — plan: 5 scans → 4, keep-agg 2 → 1;
+    # measured 2.99 → 1.59 s (median of 5, same session, rows equal).
+    clean = T.decontaminate(gated, bench, "text", "doc_id").join(keep, "doc_id")
     # r16 (guide §2.4): `source` rides through the chunker instead of
     # re-joining `clean` — the join re-evaluated the whole gate →
     # dedup → decontaminate subtree a second time (Catalyst shares no
