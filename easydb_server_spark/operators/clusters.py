@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
+from easydb_server_spark.operators._localframe import local_frame
 
 # r16 (guide §1.2 pick-the-algorithm, §5 driver rules): below this
 # DEDUPED edge count (explicit self-loops included) the component
@@ -193,7 +194,7 @@ def _driver_components(spark, edge_rows, id_type, max_rounds: int) -> DataFrame:
     fields = StructType(
         [StructField("doc_id", id_type), StructField("component", id_type)]
     )
-    return spark.createDataFrame(sorted(labels.items()), fields)
+    return local_frame(spark, sorted(labels.items()), fields)
 
 
 def dedup_clusters(pairs: DataFrame) -> DataFrame:

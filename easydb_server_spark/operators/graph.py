@@ -25,6 +25,7 @@ all-pairs anything.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from easydb_server_spark.operators._localframe import local_frame
 
 RANK_SCALE = 10**12
 # damping 0.85 as the exact rational 17/20
@@ -56,7 +57,7 @@ def _driver_pagerank(spark, src, dst, iterations: int) -> DataFrame:
     nodes = np.unique(np.concatenate([src, dst]))
     n = int(len(nodes))
     if n == 0:
-        return spark.createDataFrame([], "node bigint, rank bigint")
+        return local_frame(spark, [], "node bigint, rank bigint")
     si = np.searchsorted(nodes, src)
     di = np.searchsorted(nodes, dst)
     out = np.zeros(n, dtype=np.int64)

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from easydb_server_spark.operators.similarity import _as_double, _dot
+from easydb_server_spark.operators._localframe import local_frame
 
 # Plan-size bound for the literal-codebook forms (the kmeans.py
 # LITERAL_ARGMIN_MAX_KD rationale applied to PQ): k codes x d dims of
@@ -253,7 +254,8 @@ def _pq_train_local(
                 got = by_key.get((sub, code))
                 if got is not None:
                     cb[sub][code] = [got[p] for p in range(width)]
-    out = spark.createDataFrame(
+    out = local_frame(
+        spark,
         [(sub, code, cb[sub][code]) for sub in range(m) for code in range(len(cb[sub]))],
         "sub int, code int, centroid array<double>",
     )

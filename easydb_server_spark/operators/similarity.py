@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from easydb_server_spark.functions.exactround import round_div
+from easydb_server_spark.operators._localframe import local_frame
 
 LSH_PLANES = 8  # sign bits per vector → 256 buckets
 LSH_SEED = 42
@@ -301,7 +302,8 @@ def ivf_centroids(
                 for cell, prev in rows
             ]
         spark = corpus.sparkSession
-        out = spark.createDataFrame(
+        out = local_frame(
+            spark,
             [(cell, vec) for cell, vec in rows],
             f"cell {cell_type}, centroid array<double>",
         )
@@ -1219,13 +1221,13 @@ def emb_covariance(
     )
     if not mrows:
         spark = df.sparkSession
-        return spark.createDataFrame([], "i int, j int, cov double")
+        return local_frame(spark, [], "i int, j int, cov double")
     d = len(mrows)
     n = int(mrows[0].n)
     if n < 2:
         # sample covariance undefined for n < 2 (and the exact-round
         # denominator 10*(n-1) would be zero)
-        return df.sparkSession.createDataFrame([], "i int, j int, cov double")
+        return local_frame(df.sparkSession, [], "i int, j int, cov double")
     mu = np.zeros(d)
     for r in mrows:
         mu[r.i] = r.qsum / (n * s1)
@@ -1374,7 +1376,7 @@ def emb_pca_invariants(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     asc = float(np.max(lam[1:] - lam[:-1])) if d > 1 else 0.0
     rows.append(("eig_order", -1, round(max(0.0, asc), 6)))
     spark = df.sparkSession
-    const = spark.createDataFrame(rows, "chk string, pos int, residual double")
+    const = local_frame(spark, rows, "chk string, pos int, residual double")
     bw = spark.sparkContext.broadcast(w)
 
     def iso(batches):

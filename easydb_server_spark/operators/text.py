@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from easydb_server_spark.functions.exactround import round_ratio, scaled_round_half
+from easydb_server_spark.operators._localframe import local_frame
 
 # tiny deterministic stopword profiles per language (shared with oracles)
 LANG_PROFILES: dict[str, list[str]] = {
@@ -1888,8 +1889,15 @@ def url_features(
             F.lit("k").alias("_tag"),
             F.lower(F.col(kw_df.columns[0]).cast("string")).alias("_bk"),
         )
-        entries = F.broadcast(dom_entries.unionByName(kw_entries).distinct())
+        # r17: no .distinct() on the build side — a leftsemi probe is
+        # unchanged by duplicate build keys, and the distinct cost an
+        # Exchange + two HashAggregates inside every broadcast build
+        entries = F.broadcast(dom_entries.unionByName(kw_entries))
         toks = F.filter(F.split(F.col("_url"), "[^a-z0-9]+"), _nonempty_tok)
+        # r17 (guide §2.3 — shuffle fewer bytes): per-doc key dedup
+        # BEFORE the explode; the semi-probe and the per-doc max()
+        # are idempotent in duplicates, and repeated tokens are the
+        # common case in real URLs
         tagged = F.concat(
             F.transform(sufs, lambda s: F.struct(F.lit("d").alias("_tag"), s.alias("_key"))),
             F.transform(toks, lambda t: F.struct(F.lit("k").alias("_tag"), t.alias("_key"))),
@@ -1919,7 +1927,7 @@ def url_features(
         entries = F.broadcast(
             dom_df.select(
                 F.lower(F.col(dom_df.columns[0]).cast("string")).alias("_bd")
-            ).distinct()
+            )
         )
         hits = (
             base.select("doc_id", F.explode(sufs).alias("_suf"))
@@ -1935,7 +1943,7 @@ def url_features(
         entries = F.broadcast(
             kw_df.select(
                 F.lower(F.col(kw_df.columns[0]).cast("string")).alias("_bk")
-            ).distinct()
+            )
         )
         toks = F.filter(F.split(F.col("_url"), "[^a-z0-9]+"), _nonempty_tok)
         hits = (
@@ -2588,8 +2596,8 @@ def bpe_merges(
     # materialization for the Spark fallback above the bound.
     head = vocab.take(BPE_DRIVER_MAX_WORDS + 1)
     if len(head) <= BPE_DRIVER_MAX_WORDS:
-        return spark.createDataFrame(
-            _bpe_merges_driver(head, n_merges, min_count, batch_k, stats), schema
+        return local_frame(
+            spark, _bpe_merges_driver(head, n_merges, min_count, batch_k, stats), schema
         )
     merges: list[tuple[int, str, str, str, int]] = []
     supersteps = 0
@@ -2641,7 +2649,7 @@ def bpe_merges(
         )
     if stats is not None:
         stats["supersteps"] = supersteps
-    return spark.createDataFrame(merges, schema)
+    return local_frame(spark, merges, schema)
 
 
 def _eq_term(t: str):

@@ -212,8 +212,15 @@ def q_join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     one side is a handful of band rows.
     """
     p = load(spark, sf_dir, "part")
+    # r17: Arrow-created fixture table — the list form parallelized
+    # into 32 near-empty Python-RDD partitions (see text_url_blocklist)
+    import pandas as pd
+
     bands = spark.createDataFrame(
-        [("budget", 0.0, 940.0), ("mid", 940.0, 975.0), ("premium", 975.0, 1e12)],
+        pd.DataFrame(
+            [("budget", 0.0, 940.0), ("mid", 940.0, 975.0), ("premium", 975.0, 1e12)],
+            columns=["band", "lo", "hi"],
+        ),
         "band string, lo double, hi double",
     )
     return (

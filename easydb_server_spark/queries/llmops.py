@@ -1135,10 +1135,21 @@ def q_text_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     built = d.select(
         "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
     )
+    # r17: Arrow-created fixture tables — createDataFrame over a
+    # Python list parallelizes into 32 near-empty PYTHON-RDD
+    # partitions, so every broadcast build of a 2-row blocklist paid
+    # 32 task launches each with a Python-worker round trip; the
+    # pandas/Arrow path embeds the rows JVM-side (no Python worker at
+    # evaluation, 2 partitions). Same rows, same schema.
+    import pandas as pd
+
     dom_tbl = spark.createDataFrame(
-        [("spamexample.com",), ("news.example.org",)], "domain string"
+        pd.DataFrame({"domain": ["spamexample.com", "news.example.org"]}),
+        "domain string",
     )
-    kw_tbl = spark.createDataFrame([("casino",), ("bonus",)], "keyword string")
+    kw_tbl = spark.createDataFrame(
+        pd.DataFrame({"keyword": ["casino", "bonus"]}), "keyword string"
+    )
     return T.url_features(
         built, "url", "doc_id", blocked_domains=dom_tbl, blocked_keywords=kw_tbl
     ).orderBy("doc_id")
@@ -3903,8 +3914,11 @@ def q_text_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
     )
     built = d.select("doc_id", F.concat(F.col("text"), inject).alias("text"))
+    # r17: Arrow-created fixture table (see text_url_blocklist)
+    import pandas as pd
+
     pats = spark.createDataFrame(
-        [("casino",), ("spam",), ("ba",), ("bab",), ("abab",), ("oin",)],
+        pd.DataFrame({"pat": ["casino", "spam", "ba", "bab", "abab", "oin"]}),
         "pat string",
     )
     return T.match_any_substrings(built, "text", "doc_id", pats).orderBy("doc_id")

@@ -36,6 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+from easydb_server_spark.operators._localframe import local_frame
 
 DOC_SCHEMA = StructType(
     [
@@ -818,7 +819,7 @@ def stream_landmark_ingest(
                 F.col("batch_id") < F.lit(batch_id)
             ).select("item_id", "t", "lm")
         else:
-            prior = sess.createDataFrame([], "item_id BIGINT, t INT, lm BIGINT")
+            prior = local_frame(sess, [], "item_id BIGINT, t INT, lm BIGINT")
         decisions = incremental_landmark_admit(
             prior, lms, min_votes=min_votes, max_bucket=max_bucket
         ).localCheckpoint(eager=True)
