@@ -7585,6 +7585,10 @@ def q_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serial checkpointed Python stages); both signature tables are
     # projections of it, persisted before any self-join / multi-
     # consumer stage (the dedup_image_neardup rule)
+    # r17 A/B note: spread() here measured flat (2.25 vs 2.22
+    # interleaved) — the 120-item codec build is light enough that the
+    # repartition + 32-task dispatch cancels the parallelism, the same
+    # negative result as the r16 audio sites. Left unspread.
     sigs = d.mapInPandas(
         build_sign,
         "item_id bigint, n_scenes int, sig_seq string, sig string,"
@@ -7592,6 +7596,12 @@ def q_curation_pipeline_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     vsigs = sigs.select("item_id", "n_scenes", "sig_seq", "sig")
     asigs = sigs.select("item_id", "n_frames", "peak_seq", "fp")
+    # r17 A/B note: lazy checkpoints here measured WORSE (median 3.06,
+    # spread 1.98-4.89 vs eager 2.50 +-0.3): sigs feeds the video-pair
+    # and landmark subtrees, which run as CONCURRENT stages of the CC
+    # count job, so an unmaterialized checkpoint is computed twice in
+    # parallel (the Python codec stage, the expensive part). Eager
+    # stays.
     lms = audio_landmarks(asigs, fanout=3).localCheckpoint(eager=True)
 
     vpairs = video_neardup_pairs(vsigs, max_diff=1).select("item_a", "item_b")
@@ -7954,11 +7964,18 @@ def q_audio_landmark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["item_id", "n_frames", "peak_seq", "fp"]
             )
 
+    # r17 A/B note: spread() measured WORSE here (1.68 vs 1.45
+    # interleaved) — same negative result as the r16 audio sites
     sigs = d.mapInPandas(
         build, "item_id bigint, n_frames int, peak_seq string, fp string"
     )
     # persist once; corpus and batch sides slice from it
-    lms = audio_landmarks_timed(sigs, fanout=3).localCheckpoint(eager=True)
+    # r17 (guide §5, the BPE lazy-checkpoint play): eager=False fuses
+    # the checkpoint materialization into the admit plan's first pass
+    # (one job fewer per run); A/B median 1.60 -> 1.33 s, max 3.3 ->
+    # 1.6 s at sf0.1. The corpus and batch slices both read the SAME
+    # materialized RDD partitions afterwards.
+    lms = audio_landmarks_timed(sigs, fanout=3).localCheckpoint(eager=False)
     return incremental_landmark_admit(
         lms.where(F.col("item_id") < 360),
         lms.where(F.col("item_id") >= 360),
