@@ -181,20 +181,30 @@ def _band_hash_cols(mins: F.Column) -> list[F.Column]:
     return cols
 
 
-def bands_from_sig_array(sigarr: DataFrame) -> DataFrame:
+def bands_from_sig_array(sigarr: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """(doc_id, mins) signature arrays → (doc_id, band, band_hash) LSH
     band rows. Pure md5-of-16-ints arithmetic — no text access — so a
     materialized signature table yields its band index without
-    re-reading the corpus."""
-    banded = sigarr.select("doc_id", *_band_hash_cols(F.col("mins")))
+    re-reading the corpus.
+
+    ``keep`` (r17, the chunk_documents pattern): extra input columns
+    carried through verbatim — an in-query composition that needs the
+    signature alongside its own band rows (incremental_neardup's
+    verify step) would otherwise re-join the signature table,
+    re-evaluating its subtree."""
+    keep = keep or []
+    banded = sigarr.select("doc_id", *keep, *_band_hash_cols(F.col("mins")))
     pairs = F.array(
         *[
             F.struct(F.lit(b).alias("band"), F.col(f"_band{b}").alias("band_hash"))
             for b in range(MINHASH_BANDS)
         ]
     )
-    return banded.select("doc_id", F.explode(pairs).alias("_b")).select(
-        "doc_id", F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash")
+    return banded.select("doc_id", *keep, F.explode(pairs).alias("_b")).select(
+        "doc_id",
+        *keep,
+        F.col("_b.band").alias("band"),
+        F.col("_b.band_hash").alias("band_hash"),
     )
 
 
@@ -1156,6 +1166,38 @@ def incremental_neardup(
     # groups on the pair key; max(mins_b) is a constant within each
     # group — mins_b is functionally determined by batch_id — so this
     # IS the old select-distinct, with the signature kept attached
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mins_b"), F.col("mins_c"), lambda x, y: x == y), lambda v: v
+        )
+    )
+    if "mins" in index_bands.columns:
+        # r17 (guide §2.4): band rows built with
+        # ``bands_from_sig_array(sigarr, keep=["mins"])`` carry the
+        # corpus signature THROUGH the probe join — mins is
+        # functionally determined by corpus_id, so max() over the pair
+        # group is the row's own signature and the separate verify
+        # join (plus the multi-consumer checkpoint of the signature
+        # table it required) disappears. The bucketed-table path below
+        # is unchanged: persisted band indexes stay narrow and verify
+        # against the doc_id-bucketed signature table.
+        cand = (
+            probe.join(
+                index_bands.select(
+                    F.col("doc_id").alias("corpus_id"),
+                    F.col("mins").alias("mins_c"),
+                    "band_hash",
+                ),
+                "band_hash",
+            )
+            .groupBy("batch_id", "corpus_id")
+            .agg(F.max("mins_b").alias("mins_b"), F.max("mins_c").alias("mins_c"))
+        )
+        return cand.select(
+            "batch_id",
+            "corpus_id",
+            F.round(n_agree / F.lit(float(MINHASH_N)), 6).alias("est_jaccard"),
+        ).where(F.col("est_jaccard") >= threshold)
     cand = (
         probe.join(
             index_bands.select(F.col("doc_id").alias("corpus_id"), "band_hash"),
@@ -1163,11 +1205,6 @@ def incremental_neardup(
         )
         .groupBy("batch_id", "corpus_id")
         .agg(F.max("mins_b").alias("mins_b"))
-    )
-    n_agree = F.size(
-        F.filter(
-            F.zip_with(F.col("mins_b"), F.col("mins_c"), lambda x, y: x == y), lambda v: v
-        )
     )
     return (
         cand.join(
