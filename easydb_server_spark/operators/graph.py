@@ -81,6 +81,7 @@ def pagerank(
     dst_col: str,
     iterations: int = 5,
     bounded_memory: bool = False,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list. Returns
     (node, rank) with rank a BIGINT at scale 1e12; dangling mass
@@ -121,8 +122,12 @@ def pagerank(
     # Driver dispatch (see DRIVER_PR_MAX_EDGES): ONE limit-guarded
     # Arrow collect both probes the size and, when small enough,
     # already holds every edge — no separate count job on either path.
-    probe = e.limit(DRIVER_PR_MAX_EDGES + 1).toArrow()
-    if probe.num_rows <= DRIVER_PR_MAX_EDGES and not (
+    # ``driver_max_edges`` overrides the bound (r17: lets a
+    # conformance entry pin the DISTRIBUTED side so the driver oracle
+    # covers both dispatch paths — the r16 verdict's ask #2).
+    bound = DRIVER_PR_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    probe = e.limit(bound + 1).toArrow()
+    if probe.num_rows <= bound and not (
         # NULL endpoints would need the distributed path's SQL
         # three-valued join semantics — don't replicate them in numpy
         probe.column("src").null_count

@@ -156,6 +156,9 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         llmops.ORACLE_MULTIMODAL_AUDIO_ANALYSIS,
     ),
     "graph_pagerank": (llmops.q_graph_pagerank, llmops.ORACLE_GRAPH_PAGERANK),
+    # r17: the same query pinned to the DISTRIBUTED dispatch side
+    # (driver_max_edges=0) so the driver oracle covers the scale path
+    "graph_pagerank_dist": (llmops.q_graph_pagerank_dist, llmops.ORACLE_GRAPH_PAGERANK),
     # added in r11: product quantization, driver-oracled (the r10
     # verdict's ask #4 — the docstring's bit-exact-replay claim is now
     # driver-checked, not just pytest-checked)
@@ -468,91 +471,80 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
 }
 
-# --- ROUND-15 PRIORITY WINDOW (the 50-entry prefix the driver
+# --- ROUND-17 PRIORITY WINDOW (the 50-entry prefix the driver
 # verifies). Rotation policy (unchanged since r8): (1) entries whose
-# operator code is NEW or changed this round, (2) the entries with the
-# LEAST driver-verified evidence, fill from the oldest-evidence
-# cohort. Round 16's changed/new set (10): image_phash_topk (NEW —
-# top-k-within-radius image retrieval, the r15 verdict's ask #7) and
-# curation_pipeline_mm (NEW — the multimodal decode -> dedup-graph ->
-# gates -> keeper composition, ask #8); audio_landmark_topk (NEW — k
-# distinct matches by offset voting, completing the per-modality topk
-# matrix); audio_landmark_incremental (NEW — write/append/compact
-# landmark index + per-batch admit, the landmark family's
-# incremental_dedup); stream_landmark_ingest (NEW — the streaming
-# form, real two-micro-batch run, replay-guarded vote-bearing index);
-# image_phash_search re-verifies for the _phash_ranked
-# refactor + max_bucket stop-bucket guard (r15 ADVICE),
-# dedup_audio_landmark + audio_landmark_search for the landmark
-# peak_bits parameterization + runtime overflow guard (r15 ADVICE),
-# video_landmark_search for the _landmark_votes refactor, and
-# emb_kmeans_assign for the closure-contract ValueError.
-# Slots 11-30 are the pre-declared r15->r16 rotation: ALL 20 remaining
-# r10-evidence entries (pre-validated on r15 round-final code,
-# SCALE.md "r16 rotation pre-validated"). Slots 31-48 take the first
-# 18 of the 41-entry r11-evidence cohort in _DEFS order —
-# deliberately including ivfpq_adc_topk and dedup_bloom_admits, two
-# of the r15 perf-weak cluster, so their correctness evidence
-# refreshes alongside the bench attribution. Slots 49-50 close the
-# rows-only execution-evidence tail (r13 verdict ask #6, completed):
-# text_unigram_train + stream_funnel_stateful record their first
-# driver executions — after this round EVERY registered query has
-# driver execution evidence.
+# operator code is NEW or changed this round, (2) fill from the
+# oldest-evidence cohort. The r16 verdict's ask #2 drives slots 1-26
+# this round: the r16-optimizer-rewritten hot stack had driver oracle
+# evidence only from r15-or-earlier code because the r16 window
+# rotated away from it; it comes first now, together with everything
+# the r17 optimizer touched. graph_pagerank_dist is NEW (same fixture
+# and oracle as graph_pagerank, dispatch pinned to the distributed
+# side) so BOTH dispatch paths get driver oracle evidence each round.
 PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
-    # r16 changed/new code
-    "image_phash_topk",
-    "curation_pipeline_mm",
-    "audio_landmark_topk",
-    "audio_landmark_incremental",
-    "stream_landmark_ingest",
-    "image_phash_search",
-    "dedup_audio_landmark",
-    "audio_landmark_search",
-    "video_landmark_search",
-    "emb_kmeans_assign",
-    # pre-declared rotation: all 20 remaining r10-evidence entries
-    "edge_ilike",
-    "edge_natural_join",
-    "edge_regexp_count",
-    "edge_introspection",
-    "edge_null_safe_misc",
-    "edge_groups_frame",
-    "agg_count_distinct",
-    "agg_stats",
-    "agg_regr",
-    "agg_minmax_by",
-    "agg_string_agg",
-    "agg_filter_clause",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "agg_bool_bit",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    # 22 of the 41 r11-evidence entries, _DEFS order
-    "pq_codes",
+    # --- ROUND-17 WINDOW. Slots 1-26: the r16-rewritten hot stack
+    # (the r16 verdict's ask #2, verbatim: PQ/IVFADC, pagerank BOTH
+    # dispatch sides via the new graph_pagerank_dist entry, CC
+    # consumers, BPE, the composed pipelines, the text probes, gopher
+    # repetition, the near-dup families) plus every r17-optimizer-
+    # touched path (curation_pipeline restructure, url_features probe
+    # trims, local_frame driver-result frames: PQ codebooks / CC
+    # labels / IVF centroids / covariance / streaming prior, dsir
+    # feature checkpoint, fuzzy keep=mins band probe, landmark lazy
+    # checkpoint, Arrow fixture tables: join_nonequi, text_match_any).
+    "curation_pipeline",
+    "pq_adc_topk",
     "ivfpq_adc_topk",
-    "dedup_bloom_admits",
-    "ts_scd2_history",
-    "dedup_incremental",
-    "chunk_dedup",
-    "curate_source_cap",
-    "emb_quantize",
-    "chunk_pack",
-    "fn_array",
-    "fn_hash",
-    "fn_struct_map",
-    "fn_datetime_convert",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_lsh",
-    "emb_label_centroids",
-    "stream_tumbling",
-    # rows-only execution-evidence tail (r13 verdict ask #6, COMPLETED)
-    "text_unigram_train",
-    "stream_funnel_stateful",
+    "sim_ivfpq_recall",
+    "ivfpq_rerank",
+    "graph_pagerank",
+    "graph_pagerank_dist",
+    "text_bpe_merges",
+    "crawl_pipeline",
+    "text_url_blocklist",
+    "text_match_any",
+    "multimodal_gif_frames",
+    "video_keyframes",
+    "dedup_image_neardup",
+    "dedup_video_neardup",
+    "text_gopher_repetition",
+    "sim_incremental_neardup",
+    "pq_codes",
+    "dedup_incremental_fuzzy",
+    "curate_dsir",
+    "curation_pipeline_mm",
+    "audio_landmark_incremental",
+    "sim_semdedup",
+    "emb_covariance",
+    "stream_landmark_ingest",
+    "join_nonequi",
+    # Slots 27-50: the OLDEST-evidence cohort (in neither the r15 nor
+    # the r16 window; last driver verification r13 or earlier), in
+    # _DEFS order — the standard rotation fill rule.
+    "dedup_ngram_spans",
+    "text_line_dedup",
+    "core_cast",
+    "core_conditionals",
+    "core_distinct",
+    "core_distinct_on",
+    "core_filter_predicates",
+    "core_limit_offset",
+    "core_nvl",
+    "core_projection",
+    "core_sort_nulls",
+    "core_star_projection",
+    "corpus_shuffle",
+    "fn_datetime",
+    "fn_math",
+    "fn_math_extended",
+    "fn_regex",
+    "fn_string",
+    "recursive_cte",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

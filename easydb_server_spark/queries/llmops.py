@@ -4692,6 +4692,36 @@ LIMIT 100
 ORACLE_GRAPH_PAGERANK = _oracle_pagerank(3)
 
 
+def q_graph_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank with the driver-replay dispatch DISABLED
+    (driver_max_edges=0): identical fixture, identical arithmetic,
+    identical oracle — this entry exists so the driver's correctness
+    gate exercises the DISTRIBUTED superstep path every round (the
+    replay path is what graph_pagerank takes at these edge counts; the
+    r16 verdict's ask #2). Differential tests already force both sides
+    equal; this makes the oracle see the scale path too."""
+    from easydb_server_spark.operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    pr = pagerank(edges, "src", "dst", iterations=3, driver_max_edges=0)
+    return (
+        pr.select(
+            "node",
+            "rank",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(100)
+    )
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-user sketches per event type
     (operators/sketch.py) — the persistable incremental form of

@@ -5,19 +5,14 @@ verification with no failure anywhere else. Since round 10 the window
 is the explicit PRIORITY_WINDOW_NAMES list (REGISTRY is constructed
 window-first), so these tests lock the LIST, not comment markers.
 
-Round-16 window (new/changed first, then least driver evidence):
-the 10 changed/new entries (image_phash_topk, curation_pipeline_mm,
-audio_landmark_topk, audio_landmark_incremental and
-stream_landmark_ingest are NEW; image_phash_search re-verifies for the
-_phash_ranked refactor + max_bucket guard, dedup_audio_landmark and
-audio_landmark_search for the landmark peak_bits/overflow guard,
-video_landmark_search for the _landmark_votes refactor,
-emb_kmeans_assign for the closure-contract ValueError), then the
-pre-declared 20-entry r10-evidence fill (the cohort's last members),
-then 18 of the 41-entry r11-evidence cohort (including perf-weak
-ivfpq_adc_topk and dedup_bloom_admits). Slots 49-50 COMPLETE the
-rows-only execution-evidence tail (text_unigram_train,
-stream_funnel_stateful) — after r16 every entry has driver evidence.
+Round-17 window (new/changed first, then least driver evidence):
+slots 1-26 are the r16-rewritten hot stack (the r16 verdict's ask #2:
+its driver oracle evidence was one round stale after the r16 window
+rotated away from it) plus every r17-optimizer-touched path, including
+the NEW graph_pagerank_dist (same fixture/oracle as graph_pagerank,
+dispatch pinned distributed so both sides get oracle evidence).
+Slots 27-50 are the oldest-evidence cohort: entries in neither the
+r15 nor the r16 correctness window, taken in _DEFS order.
 """
 
 PRIORITY_WINDOW = 50
@@ -35,61 +30,45 @@ def test_priority_window_prefix_is_stable():
     assert len(set(names)) == len(names)
 
 
-def test_window_holds_the_r16_rotation():
+def test_window_holds_the_r17_rotation():
     import glob
     import json
     import os
 
-    from easydb_server_spark.queries import REGISTRY
+    from easydb_server_spark.queries import REGISTRY, oracle_queries
     from tests.conftest import REPO
 
     window = list(REGISTRY)[:PRIORITY_WINDOW]
-    # slots 1-10: r16 changed/new code — the five NEW entries (top-k
-    # image retrieval, the multimodal curation pipeline, top-k
-    # landmark retrieval, the incremental landmark index, its
-    # streaming form) and the five consumers of r16-changed
-    # operator code (_phash_ranked refactor + max_bucket, landmark
-    # peak_bits/overflow guard x2, _landmark_votes refactor, kmeans
-    # closure-contract ValueError); locked as a SET (an r16 fact, not
-    # an evidence computation)
-    changed = {
-        "image_phash_topk", "curation_pipeline_mm", "audio_landmark_topk",
-        "audio_landmark_incremental",
-        "stream_landmark_ingest",
-        "image_phash_search",
-        "dedup_audio_landmark", "audio_landmark_search",
-        "video_landmark_search",
-        "emb_kmeans_assign",
+    # slots 1-26: r16-rewritten hot stack + r17-touched paths; locked
+    # as a SET (an r17 fact, not an evidence computation)
+    touched = {
+        "curation_pipeline", "pq_adc_topk", "ivfpq_adc_topk",
+        "sim_ivfpq_recall", "ivfpq_rerank", "graph_pagerank",
+        "graph_pagerank_dist", "text_bpe_merges", "crawl_pipeline",
+        "text_url_blocklist", "text_match_any", "multimodal_gif_frames",
+        "video_keyframes", "dedup_image_neardup", "dedup_video_neardup",
+        "text_gopher_repetition", "sim_incremental_neardup", "pq_codes",
+        "dedup_incremental_fuzzy", "curate_dsir", "curation_pipeline_mm",
+        "audio_landmark_incremental", "sim_semdedup", "emb_covariance",
+        "stream_landmark_ingest", "join_nonequi",
     }
-    assert set(window[:10]) == changed
-    # slots 11-30: the pre-declared r15->r16 rotation — ALL 20
-    # remaining r10-evidence entries (newest driver evidence across
-    # CORRECTNESS_r*.json up to r15 — the goalpost is fixed at
-    # rotation time)
-    newest = {}
+    assert set(window[:26]) == touched
+    # slots 27-50: the oldest-evidence cohort — entries in NEITHER the
+    # r15 nor the r16 correctness window (goalpost fixed at rotation
+    # time: files up to r16)
+    recent: set[str] = set()
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 15:
+        if rnd not in (15, 16):
             continue
         with open(f) as fh:
-            for name in json.load(fh):
-                newest[name] = max(newest.get(name, 0), rnd)
-    r10_cohort = {n for n, r in newest.items() if r == 10}
-    assert len(r10_cohort) == 20
-    assert set(window[10:30]) == r10_cohort
-    # slots 31-48: 18 of the 41-entry r11-evidence cohort
-    r11_cohort = {n for n, r in newest.items() if r == 11}
-    assert len(r11_cohort) == 41
-    assert set(window[30:48]) <= r11_cohort
-    assert len(window[30:48]) == 18
-    # slots 49-50: the FINAL rows-only execution-evidence tail (r13
-    # verdict ask #6, completed this round) — the ONLY rows-only
-    # entries allowed in the window, and only to demonstrate the
-    # driver executes them
-    assert window[48:] == ["text_unigram_train", "stream_funnel_stateful"]
-    from easydb_server_spark.queries import oracle_queries
-
-    assert set(window[:48]) <= set(oracle_queries())
+            recent |= set(json.load(fh))
+    fill = set(window[26:])
+    assert len(fill) == 24
+    assert fill.isdisjoint(recent), fill & recent
+    # every r17 window entry is value-checked against an oracle (no
+    # rows-only slots this round)
+    assert set(window) <= set(oracle_queries())
 
 
 def test_every_query_has_unique_name_and_callable():
