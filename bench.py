@@ -205,6 +205,16 @@ HEADLINE = FIXED_CORE + [
     # line budget — 0.46 s with r15 evidence, stays oracle-verified,
     # the embedding family keeps emb_covariance/emb_quantize/kmeans)
     "audio_landmark_incremental",
+    # r17 additions (r16 verdict ask #6 — give the 8-vs-32-core
+    # scaling block signal): three entries over inputs replicated
+    # in-plan to a size where parallelism is measurable at sf0.1 —
+    # scan/codegen-bound, shuffle-bound, and in-row-hash-bound.
+    # Everything computes from the parquet inputs on every run
+    # (explode(sequence(1, K)) — nothing persisted); full-value
+    # DuckDB oracles replay the replication.
+    "scale_scan_agg",
+    "scale_shuffle_agg",
+    "scale_text_hash",
 ]
 
 # r4 showed ±25% round-to-round swings on unchanged sub-second queries

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from easydb_server_spark.queries import aggregates as agg
 from easydb_server_spark.queries import core, joins, setops, subqueries, timeseries, windows
 from easydb_server_spark.queries import functions_ as fns
-from easydb_server_spark.queries import dialect_edge, llmops, skewq, streamq, superset, tpch, tpch2
+from easydb_server_spark.queries import dialect_edge, llmops, scaleq, skewq, streamq, superset, tpch, tpch2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -467,6 +467,11 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
         agg.q_agg_approx_distinct_bound,
         agg.ORACLE_APPROX_DISTINCT_BOUND,
     ),
+    # --- scale-tier bench entries (r16 verdict ask #6: replicated
+    # inputs so the driver's 8-vs-32-core scaling block has signal) ---
+    "scale_scan_agg": (scaleq.q_scale_scan_agg, scaleq.ORACLE_SCALE_SCAN_AGG),
+    "scale_shuffle_agg": (scaleq.q_scale_shuffle_agg, scaleq.ORACLE_SCALE_SHUFFLE_AGG),
+    "scale_text_hash": (scaleq.q_scale_text_hash, scaleq.ORACLE_SCALE_TEXT_HASH),
     # --- custom stateful streaming (no oracle by construction) ---
     "stream_funnel_stateful": (streamq.q_stream_funnel, None),
 }
@@ -542,9 +547,12 @@ PRIORITY_WINDOW_NAMES: tuple[str, ...] = (
     "recursive_cte",
     "setop_except",
     "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union",
+    # last three fill slots yield to the three NEW scale-tier entries
+    # (new-code-first is rule 1 of the rotation policy); the displaced
+    # setop trio stays at the head of the r18 oldest-evidence cohort
+    "scale_scan_agg",
+    "scale_shuffle_agg",
+    "scale_text_hash",
 )
 
 # REGISTRY iteration order IS the driver-verification priority: the

@@ -51,8 +51,10 @@ def test_window_holds_the_r17_rotation():
         "dedup_incremental_fuzzy", "curate_dsir", "curation_pipeline_mm",
         "audio_landmark_incremental", "sim_semdedup", "emb_covariance",
         "stream_landmark_ingest", "join_nonequi",
+        # NEW scale-tier entries (r16 verdict ask #6)
+        "scale_scan_agg", "scale_shuffle_agg", "scale_text_hash",
     }
-    assert set(window[:26]) == touched
+    assert set(window[:26]) | set(window[47:]) == touched
     # slots 27-50: the oldest-evidence cohort — entries in NEITHER the
     # r15 nor the r16 correctness window (goalpost fixed at rotation
     # time: files up to r16)
@@ -63,8 +65,8 @@ def test_window_holds_the_r17_rotation():
             continue
         with open(f) as fh:
             recent |= set(json.load(fh))
-    fill = set(window[26:])
-    assert len(fill) == 24
+    fill = set(window[26:47])
+    assert len(fill) == 21
     assert fill.isdisjoint(recent), fill & recent
     # every r17 window entry is value-checked against an oracle (no
     # rows-only slots this round)

@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for headline queries into
-plans/r16/<query>_<tag>.txt — the before/after evidence for the
+plans/r17/<query>_<tag>.txt — the before/after evidence for the
 optimization round.
 
 Usage: python tools/capture_plans.py <tag> [query ...]
@@ -21,7 +21,7 @@ if _REPO not in sys.path:
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
-    out_dir = Path(_REPO) / "plans" / "r16"
+    out_dir = Path(_REPO) / "plans" / "r17"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     import bench
