@@ -144,7 +144,6 @@ HEADLINE = FIXED_CORE + [
     # r13 additions: exact-INT64 Lloyd k-means (clustering family),
     # the forward-direction as-of join
     "emb_kmeans_assign",
-    "ts_asof_forward",
     # r13 addition: exact re-rank over the IVFADC candidate slice
     "ivfpq_rerank",
     # r14 additions: perceptual-hash image dedup — signatures through
@@ -156,7 +155,6 @@ HEADLINE = FIXED_CORE + [
     # keyed lag window over the animated-GIF codec path)
     "video_scene_cuts",
     # r14 addition: gain-invariant spectral-peak audio dedup
-    "dedup_audio_fingerprint",
     # r14 addition: fused zero-shuffle keyframe extraction
     "video_keyframes",
     # r15 tail rotation (line-budget swap; every rotated-out entry
@@ -193,7 +191,6 @@ HEADLINE = FIXED_CORE + [
     # r15 addition: image retrieval by banded perceptual hash
     # (sim_hybrid_rrf yields its tail slot for the line budget —
     # 0.49 s with r13-r15 timing evidence, stays oracle-verified)
-    "image_phash_search",
     # r16 additions: top-k-within-radius image retrieval, the
     # multimodal curation pipeline (decode -> video+audio dedup graph
     # -> quality gates -> keepers), and top-k landmark retrieval
@@ -205,6 +202,17 @@ HEADLINE = FIXED_CORE + [
     # line budget — 0.46 s with r15 evidence, stays oracle-verified,
     # the embedding family keeps emb_covariance/emb_quantize/kmeans)
     "audio_landmark_incremental",
+    # r17 tail rotation (line-budget swap for the three scale-tier
+    # entries below; every rotated-out entry stays oracle-verified in
+    # the conformance registry and gets a BENCHCOVERAGE.md qtime row
+    # when it leaves). Out this round — all sub-0.7 s with fresh
+    # r15+r16 driver timing evidence, each family keeps other slots:
+    # ts_asof_forward (ts_asof_join is fixed-core, ts_resample_interp
+    # stays), dedup_audio_fingerprint (the audio family keeps
+    # dedup_audio_landmark + three landmark retrieval slots),
+    # image_phash_search (image_phash_topk supersedes it — identical
+    # probe plan plus the rank window — and dedup_image_phash /
+    # dedup_image_neardup stay).
     # r17 additions (r16 verdict ask #6 — give the 8-vs-32-core
     # scaling block signal): three entries over inputs replicated
     # in-plan to a size where parallelism is measurable at sf0.1 —

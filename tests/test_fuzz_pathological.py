@@ -77,12 +77,14 @@ def _mk_corpus(spark, drawn: list[str]):
         (i, "src0" if i % 3 == 0 else f"src{1 + i % 2}", t)
         for i, t in enumerate(texts)
     ]
-    sdf = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    # Arrow-create the Spark side (r17): the list form parallelizes
+    # into 32 Python-RDD partitions and every collect pays 32
+    # Python-worker round trips — ~half of each drawn example's wall
+    # time across this file's 13 tests x 50 examples
+    sdf = spark.createDataFrame(pdf, "doc_id long, source string, text string")
     con = duckdb.connect()
-    con.register(
-        "documents",
-        pd.DataFrame(rows, columns=["doc_id", "source", "text"]),
-    )
+    con.register("documents", pdf)
     return sdf, con
 
 
@@ -93,8 +95,15 @@ def _assert_match(sdf, odf, ctx):
     assert srows == orows, (ctx, next(((a, b) for a, b in zip(srows, orows) if a != b), None))
 
 
+# r17 (driver pytest budget): 25 drawn corpora per operator by
+# default — every example already carries all 8 FIXED pathological
+# docs, so the fixed regressions replay on every run and the draws
+# explore the alphabet space; FUZZ_EXAMPLES=50 restores the deep
+# sweep for local runs.
+import os as _os
+
 _SETTINGS = dict(
-    max_examples=50,
+    max_examples=int(_os.environ.get("FUZZ_EXAMPLES", "25")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -28,12 +28,17 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 ROTATED_OUT = [
+    # r16 rotation
     "chunk_dedup",
     "emb_label_outliers",
     "text_bm25",
     "text_ccnet_buckets",
     "text_url_filter",
     "ts_range_join",
+    # r17 rotation (line-budget swap for the scale-tier entries)
+    "ts_asof_forward",
+    "dedup_audio_fingerprint",
+    "image_phash_search",
 ]
 
 # (bench entry, module, attr) — attr := -1 forces the distributed path
