@@ -12,7 +12,7 @@ measurable at local[32] vs local[8], one per resource shape:
   (whole-stage-codegen CPU, one tiny shuffle);
 - ``scale_shuffle_agg`` — 8x lineitem two-level aggregation keyed by
   (l_orderkey, replica) (a genuinely wide shuffle);
-- ``scale_text_hash``  — 8x documents MinHash signature pass (the
+- ``scale_text_hash``  — 2x documents MinHash signature pass (the
   in-row shingle+md5 fold, zero shuffle until the final scalar agg).
 
 Replication multiplies exact decimal/bigint aggregates, so each entry
@@ -33,7 +33,7 @@ from easydb_server_spark.queries.llmops import _params_values
 
 SCAN_REPS = 16
 SHUFFLE_REPS = 8
-HASH_REPS = 8
+HASH_REPS = 2
 
 
 def q_scale_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,9 +119,12 @@ FROM per_order GROUP BY n_items ORDER BY n_items
 
 
 def q_scale_text_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature pass over documents replicated 8x: the
+    """MinHash signature pass over documents replicated 2x: the
     embarrassingly-parallel in-row hash probe (shingle + md5 fold,
-    zero shuffle until the final scalar aggregate). Output: doc count
+    zero shuffle until the final scalar aggregate). The replica count
+    is deliberately small — one corpus hash pass is already ~1 s of
+    pure per-row CPU at sf0.1 on 32 cores, and the first cut at 8x
+    measured 9.35 s, a third of the whole bench. Output: doc count
     plus BIGINT sums of three signature components — order-free exact
     integers, so the oracle replays the hash family and multiplies by
     the replica count."""
